@@ -1,0 +1,73 @@
+"""Headline benchmark — prints ONE JSON line.
+
+Config mirrors the reference's headline row (BASELINE.md): 2M x 768 corpus,
+batched queries, per-query search latency. Reference best: cuVS IVF-Flat on
+A100-SXM4-40GB = 2.01 ms/query at 2M vectors (Attempt_1/cuvs_2gpu.ipynb#cell22).
+vs_baseline = baseline_ms / our_ms (>1 means faster than the reference).
+
+Runs exact brute-force (flat, bf16 storage) until IVF lands — i.e., we compare
+our *exact* search against the reference's *approximate* search, which only
+understates our advantage.
+"""
+
+import json
+import time
+
+import numpy as np
+
+N = 2_000_000
+D = 768
+K = 5
+BATCH = 100
+BASELINE_MS = 2.01  # A100 IVF-Flat @ 2M, ms/query
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cuvs_rag_tpu.index import flat
+    from cuvs_rag_tpu.utils.config import FlatParams
+
+    rng = np.random.default_rng(42)
+    corpus = rng.standard_normal((N, D)).astype(np.float32)
+    queries = rng.standard_normal((BATCH, D)).astype(np.float32)
+
+    t0 = time.time()
+    index = flat.build(FlatParams(dtype="bfloat16", tile_n=8192), jnp.asarray(corpus))
+    jax.block_until_ready(index.vectors)
+    build_s = time.time() - t0
+
+    qj = jnp.asarray(queries)
+
+    def run():
+        d, i = flat.search(None, index, qj, K)
+        jax.block_until_ready((d, i))
+        return d, i
+
+    run()  # warmup + compile
+    iters = 5
+    t0 = time.time()
+    for _ in range(iters):
+        run()
+    dt = (time.time() - t0) / iters
+    ms_per_query = dt / BATCH * 1e3
+    qps = BATCH / dt
+
+    print(json.dumps({
+        "metric": f"exact_search_ms_per_query_{N}x{D}_k{K}_batch{BATCH}",
+        "value": round(ms_per_query, 4),
+        "unit": "ms/query",
+        "vs_baseline": round(BASELINE_MS / ms_per_query, 2),
+        "extra": {
+            "qps": round(qps, 1),
+            "build_s": round(build_s, 2),
+            "baseline": "A100 cuVS IVF-Flat 2M approx search = 2.01 ms/query",
+            "note": "ours is exact brute-force, reference is approximate",
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

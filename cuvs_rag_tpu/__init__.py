@@ -1,0 +1,23 @@
+"""cuvs_rag_tpu — TPU-native vector search & RAG retrieval engine.
+
+A brand-new JAX/XLA/Pallas framework with the capabilities of the cuVS/FAISS-backed
+multi-GPU RAG retrieval reference (tanujdargan/cuVS-rag): exact brute-force k-NN,
+IVF-Flat, IVF-PQ and CAGRA-style graph indexes, sharded across a TPU device mesh
+with on-chip distributed top-k merge over ICI.
+
+Layering (bottom-up), replacing the reference's stack:
+  ops/       — Pallas/XLA kernels (replaces cuVS/RAFT/FAISS CUDA C++ kernels)
+  index/     — index families as pytrees (replaces cuvs.neighbors.* / faiss.Index*)
+  parallel/  — device mesh + SPMD sharded build/search (replaces the reference's
+               gpu_resource_manager / embedding_distribution_manager /
+               index_building_coordinator / search_result_aggregator thread layer)
+  models/    — embedding front ends (replaces sentence-transformers glue)
+  rag/       — retrieval pipeline + corpus store
+  eval/      — recall@K vs exact ground truth, QPS/latency benchmarks, stress harness
+  utils/     — typed configs, memory budgeting, logging
+"""
+
+__version__ = "0.1.0"
+
+from cuvs_rag_tpu.index.flat import FlatIndex  # noqa: F401
+from cuvs_rag_tpu.utils.config import SearchConfig  # noqa: F401

@@ -1,0 +1,1 @@
+from cuvs_rag_tpu.index.flat import FlatIndex  # noqa: F401

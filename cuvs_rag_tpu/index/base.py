@@ -1,0 +1,81 @@
+"""Common index machinery.
+
+Indexes are frozen dataclasses registered as JAX pytrees: array state (vectors,
+centroids, codes, ...) are leaves; hyperparameters (metric, tile sizes) are
+static aux data. That makes every index jit-transparent and shard_map-able —
+the TPU-native replacement for cuVS's opaque device index handles
+(index_building_coordinator.py:370-420).
+
+Every index family module exposes the cuVS two-call surface the reference uses
+everywhere (VectorSearch_QuestionRetrieval.ipynb#cell5):
+
+    index = <family>.build(params, dataset)
+    distances, indices = <family>.search(search_params, index, queries, k)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+
+def register_index(cls):
+    """Register a frozen dataclass index as a pytree.
+
+    Fields typed as jax.Array (annotation contains 'Array') are leaves;
+    everything else is static aux data.
+    """
+    fields = dataclasses.fields(cls)
+    array_fields = [f.name for f in fields if "Array" in str(f.type)]
+    static_fields = [f.name for f in fields if f.name not in array_fields]
+
+    def flatten(obj):
+        children = tuple(getattr(obj, n) for n in array_fields)
+        aux = tuple(getattr(obj, n) for n in static_fields)
+        return children, aux
+
+    def unflatten(aux, children):
+        kwargs = dict(zip(array_fields, children))
+        kwargs.update(dict(zip(static_fields, aux)))
+        return cls(**kwargs)
+
+    jax.tree_util.register_pytree_node(cls, flatten, unflatten)
+    cls._array_fields = tuple(array_fields)
+    cls._static_fields = tuple(static_fields)
+    return cls
+
+
+def validate_dataset(dataset: jax.Array) -> None:
+    """Build-time input validation, matching the reference's checks
+    (embedding_distribution_manager.py:108-135: 2-D, non-empty)."""
+    if dataset.ndim != 2:
+        raise ValueError(f"dataset must be 2-D (N, D), got shape {dataset.shape}")
+    if dataset.shape[0] == 0 or dataset.shape[1] == 0:
+        raise ValueError(f"dataset must be non-empty, got shape {dataset.shape}")
+
+
+def validate_queries(queries: jax.Array, dim: int) -> jax.Array:
+    """Search-time query validation + 1-D promotion, matching the aggregator
+    spec (test_search_result_aggregator.py:405-437: 2-D, non-empty, dim check —
+    promotion of single queries mirrors faiss-main.ipynb#cell9)."""
+    if queries.ndim == 1:
+        queries = queries[None, :]
+    if queries.ndim != 2:
+        raise ValueError(f"queries must be 1-D or 2-D, got shape {queries.shape}")
+    if queries.shape[-1] != dim:
+        raise ValueError(
+            f"query dim {queries.shape[-1]} does not match index dim {dim}"
+        )
+    if queries.shape[0] == 0:
+        raise ValueError("queries must be non-empty")
+    return queries
+
+
+def storage_dtype(name: str):
+    if name in ("float32", "fp32"):
+        return jnp.float32
+    if name in ("bfloat16", "bf16"):
+        return jnp.bfloat16
+    raise ValueError(f"unsupported storage dtype {name!r}")

@@ -1,0 +1,140 @@
+"""FlatIndex — exact brute-force k-NN.
+
+TPU-native equivalent of FAISS `IndexFlatL2` (faiss-main.ipynb#cell8) and the
+CPU sklearn brute-force baselines (VectorSearch_QuestionRetrieval.ipynb#cell26-27).
+The corpus lives HBM-resident, padded to a tile multiple; search streams tiles
+through the fused distance+top-k kernel (ops/topk.py). This index is also the
+recall oracle every approximate index is evaluated against (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cuvs_rag_tpu.index import base
+from cuvs_rag_tpu.ops import distance as dist_ops
+from cuvs_rag_tpu.ops import topk as topk_ops
+from cuvs_rag_tpu.utils.config import FlatParams, Metric
+
+
+@base.register_index
+@dataclasses.dataclass(frozen=True)
+class FlatIndex:
+    """Exact index. Pytree: (vectors, sqnorms, n_valid) are leaves."""
+
+    vectors: jax.Array  # (Np, D) padded corpus, storage dtype
+    sqnorms: jax.Array  # (Np,) fp32 row sqnorms
+    n_valid: jax.Array  # () int32 — true corpus size (pad rows excluded)
+    metric: str
+    tile_n: int
+
+    @property
+    def dim(self) -> int:
+        return self.vectors.shape[1]
+
+    @property
+    def size(self) -> int:
+        """Padded capacity; true size is n_valid (device scalar)."""
+        return self.vectors.shape[0]
+
+
+def build(params: FlatParams, dataset: jax.Array) -> FlatIndex:
+    """Build an exact index. cuVS-style surface: build(params, dataset)."""
+    base.validate_dataset(dataset)
+    dtype = base.storage_dtype(params.dtype)
+    n, _ = dataset.shape
+    tile_n = min(params.tile_n, topk_ops.round_up(n, 8))
+    n_padded = topk_ops.round_up(n, tile_n)
+
+    vectors = jnp.asarray(dataset)
+    if params.metric == Metric.COSINE:
+        vectors = dist_ops.l2_normalize(vectors)
+    vectors = vectors.astype(dtype)
+    vectors = topk_ops.pad_rows(vectors, n_padded)
+    sq = dist_ops.sqnorms(vectors)
+    return FlatIndex(
+        vectors=vectors,
+        sqnorms=sq,
+        n_valid=jnp.asarray(n, jnp.int32),
+        metric=params.metric,
+        tile_n=tile_n,
+    )
+
+
+def build_local(params: FlatParams, block: jax.Array, n_valid: jax.Array) -> FlatIndex:
+    """Traced per-shard builder for SPMD sharded build (parallel/build.py).
+
+    `block` is a pre-padded (per_shard, D) row block; `n_valid` a traced scalar.
+    Runs under shard_map — no host-side validation or padding here.
+    """
+    per = block.shape[0]
+    dtype = base.storage_dtype(params.dtype)
+    vectors = block
+    if params.metric == Metric.COSINE:
+        vectors = dist_ops.l2_normalize(vectors)
+    vectors = vectors.astype(dtype)
+    tile_n = params.tile_n if per % params.tile_n == 0 else per
+    return FlatIndex(
+        vectors=vectors,
+        sqnorms=dist_ops.sqnorms(vectors),
+        n_valid=n_valid.astype(jnp.int32),
+        metric=params.metric,
+        tile_n=tile_n,
+    )
+
+
+# Below this corpus size the one-shot dense path (single matmul + one top_k)
+# beats the streaming scan; above it, streaming bounds memory at O(Q*(k+tile)).
+_DENSE_THRESHOLD = 262_144
+
+
+def search_scores(
+    search_params, index: FlatIndex, queries: jax.Array, k: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Internal family-protocol entry: (scores larger-better, local indices).
+
+    Handles query prep (cosine normalization) but no metric conversion —
+    the distributed merge layer works in score space and converts at the edge.
+    """
+    del search_params  # exact search has no knobs (kept for protocol parity)
+    if index.metric == Metric.COSINE:
+        queries = dist_ops.l2_normalize(queries)
+    if index.size <= _DENSE_THRESHOLD:
+        return topk_ops.flat_topk_search_dense(
+            index.vectors, index.sqnorms, queries, index.n_valid,
+            k=k, metric=index.metric,
+        )
+    return topk_ops.flat_topk_search(
+        index.vectors, index.sqnorms, queries, index.n_valid,
+        k=k, metric=index.metric, tile_n=index.tile_n,
+    )
+
+
+def default_search_params():
+    return None
+
+
+def search(
+    search_params,
+    index: FlatIndex,
+    queries: jax.Array,
+    k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact k-NN. cuVS-style surface: search(search_params, index, queries, k).
+
+    Returns (distances (Q,k), indices (Q,k) int32). For sqeuclidean the
+    distances are squared-L2 ascending (cuVS/FAISS convention); for
+    inner_product/cosine they are similarities descending. search_params is
+    accepted for surface parity with cuVS and ignored (exact search has no
+    knobs).
+    """
+    queries = base.validate_queries(queries, index.dim)
+    scores, idx = search_scores(search_params, index, queries, k)
+    qsq = dist_ops.sqnorms(
+        dist_ops.l2_normalize(queries) if index.metric == Metric.COSINE else queries
+    )
+    return dist_ops.scores_to_distances(scores, qsq, index.metric), idx

@@ -1,0 +1,2 @@
+from cuvs_rag_tpu.ops.distance import pairwise_sqeuclidean, pairwise_inner_product  # noqa: F401
+from cuvs_rag_tpu.ops.topk import flat_topk_search, merge_topk  # noqa: F401

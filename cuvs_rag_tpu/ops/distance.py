@@ -1,0 +1,92 @@
+"""Pairwise distance ops — the TPU replacement for cuVS/FAISS distance kernels.
+
+All distances are computed via MXU matmuls: squared-L2 decomposes as
+||q||^2 - 2 q.c + ||c||^2, so the hot loop is a (Q,D)x(D,N) matmul plus
+rank-1 corrections. Everything is static-shape and jit-friendly.
+
+Functionality parity: FAISS IndexFlatL2 distance core (faiss-main.ipynb#cell8),
+cuVS brute-force path; sklearn cosine baselines
+(VectorSearch_QuestionRetrieval.ipynb#cell26-27).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from cuvs_rag_tpu.utils.config import Metric
+
+
+def sqnorms(x: jax.Array) -> jax.Array:
+    """Row-wise squared L2 norms, fp32 accumulation."""
+    xf = x.astype(jnp.float32)
+    return jnp.sum(xf * xf, axis=-1)
+
+
+def l2_normalize(x: jax.Array, eps: float = 1e-12) -> jax.Array:
+    n = jnp.sqrt(jnp.maximum(sqnorms(x), eps))
+    return (x.astype(jnp.float32) / n[..., None]).astype(x.dtype)
+
+
+def pairwise_inner_product(queries: jax.Array, corpus: jax.Array) -> jax.Array:
+    """(Q,D),(N,D) -> (Q,N) inner products. MXU matmul, fp32 accumulation.
+
+    Precision policy: fp32 operands use Precision.HIGHEST so the exact (flat)
+    index is a true recall oracle — the MXU's default fp32 path truncates
+    operands to bf16 (~1e-3 relative error). bf16 storage takes the fast
+    single-pass MXU path; that is the deliberate speed/recall trade-off.
+    """
+    fp32 = queries.dtype == jnp.float32 and corpus.dtype == jnp.float32
+    return jax.lax.dot_general(
+        queries,
+        corpus,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST if fp32 else None,
+    )
+
+
+def pairwise_sqeuclidean(
+    queries: jax.Array,
+    corpus: jax.Array,
+    corpus_sqnorms: jax.Array | None = None,
+    query_sqnorms: jax.Array | None = None,
+) -> jax.Array:
+    """(Q,D),(N,D) -> (Q,N) squared euclidean distances.
+
+    Matches cuVS/FAISS 'sqeuclidean'/L2 convention (squared, not rooted).
+    Clamped at 0 to kill negative values from cancellation.
+    """
+    if corpus_sqnorms is None:
+        corpus_sqnorms = sqnorms(corpus)
+    if query_sqnorms is None:
+        query_sqnorms = sqnorms(queries)
+    ip = pairwise_inner_product(queries, corpus)
+    d = query_sqnorms[:, None] - 2.0 * ip + corpus_sqnorms[None, :]
+    return jnp.maximum(d, 0.0)
+
+
+def scores_from_tile(
+    queries: jax.Array,
+    corpus_tile: jax.Array,
+    tile_sqnorms: jax.Array,
+    metric: str,
+) -> jax.Array:
+    """(Q,N_tile) *scores* where LARGER is better, for top-k selection.
+
+    sqeuclidean -> -(dist - ||q||^2) = 2 q.c - ||c||^2 (the ||q||^2 term is
+    constant per query so it never affects ranking; it is re-added at the API
+    edge to report true distances). inner_product/cosine -> q.c (cosine assumes
+    pre-normalized inputs; normalization happens at index build / query prep).
+    """
+    ip = pairwise_inner_product(queries, corpus_tile)
+    if metric == Metric.SQEUCLIDEAN:
+        return 2.0 * ip - tile_sqnorms[None, :]
+    return ip
+
+
+def scores_to_distances(scores: jax.Array, query_sqnorms: jax.Array, metric: str) -> jax.Array:
+    """Convert internal scores back to the metric's reported distance values."""
+    if metric == Metric.SQEUCLIDEAN:
+        return jnp.maximum(query_sqnorms[:, None] - scores, 0.0)
+    return scores

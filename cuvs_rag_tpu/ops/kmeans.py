@@ -1,0 +1,114 @@
+"""K-means for IVF coarse quantization and PQ codebooks — MXU-native.
+
+TPU replacement for cuVS's balanced k-means (ivf_flat.build's clustering
+stage, SURVEY.md §2a). Assignment is a chunked (rows x centroids) score
+matmul + argmax; the centroid update is a segment-sum expressed as a one-hot
+matmul so it also runs on the MXU. Everything is fixed-iteration
+(`lax.fori_loop`/`scan`), static-shape, jittable, and usable inside shard_map
+(per-shard k-means for sharded index builds).
+
+Padding: callers pass `row_weights` (0.0 for pad/invalid rows) so padded
+shards train correctly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from cuvs_rag_tpu.ops import distance as dist_ops
+
+
+def _chunk_rows(n: int, target: int = 8192) -> int:
+    """Largest divisor-ish chunk: we require n % chunk == 0 by padding upstream."""
+    c = min(n, target)
+    while n % c != 0:
+        c -= 1
+    return c
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def assign_clusters(
+    data: jax.Array,
+    centroids: jax.Array,
+    chunk: int = 8192,
+) -> jax.Array:
+    """(N, D), (C, D) -> (N,) int32 nearest-centroid labels (sq-L2).
+
+    Chunked over rows so the (chunk, C) score tile stays small regardless of N.
+    """
+    n, d = data.shape
+    chunk = _chunk_rows(n, chunk)
+    c_sq = dist_ops.sqnorms(centroids)
+
+    def body(x_chunk):
+        scores = dist_ops.scores_from_tile(x_chunk, centroids, c_sq, "sqeuclidean")
+        return jnp.argmax(scores, axis=1).astype(jnp.int32)
+
+    labels = jax.lax.map(body, data.reshape(n // chunk, chunk, d))
+    return labels.reshape(n)
+
+
+@functools.partial(jax.jit, static_argnames=("n_clusters", "iters", "chunk"))
+def kmeans(
+    data: jax.Array,
+    row_weights: jax.Array,
+    key: jax.Array,
+    *,
+    n_clusters: int,
+    iters: int = 10,
+    chunk: int = 8192,
+):
+    """Lloyd's k-means. Returns (centroids (C, D) fp32, labels (N,) int32).
+
+    Init: random distinct-ish rows (weighted sampling via gumbel top-k, so pad
+    rows are never picked). Empty clusters keep their previous centroid.
+    """
+    n, d = data.shape
+    data = data.astype(jnp.float32)
+    w = row_weights.astype(jnp.float32)
+
+    # --- init: weighted sample without replacement (Gumbel top-k) ---------
+    g = jax.random.gumbel(key, (n,))
+    masked = jnp.where(w > 0, g, -jnp.inf)
+    _, init_idx = jax.lax.top_k(masked, n_clusters)
+    centroids = data[init_idx]
+
+    chunk = _chunk_rows(n, chunk)
+    data_c = data.reshape(n // chunk, chunk, d)
+    w_c = w.reshape(n // chunk, chunk)
+
+    def lloyd_iter(_, centroids):
+        c_sq = dist_ops.sqnorms(centroids)
+
+        def scan_body(carry, xs):
+            sums, counts = carry
+            x, wts = xs
+            scores = dist_ops.scores_from_tile(x, centroids, c_sq, "sqeuclidean")
+            labels = jnp.argmax(scores, axis=1)
+            onehot = (
+                jax.nn.one_hot(labels, n_clusters, dtype=jnp.float32)
+                * wts[:, None]
+            )
+            # segment-sum as matmul: (C, chunk) @ (chunk, D) on the MXU
+            sums = sums + jax.lax.dot_general(
+                onehot, x,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            counts = counts + jnp.sum(onehot, axis=0)
+            return (sums, counts), None
+
+        (sums, counts), _ = jax.lax.scan(
+            scan_body,
+            (jnp.zeros((n_clusters, d), jnp.float32), jnp.zeros((n_clusters,), jnp.float32)),
+            (data_c, w_c),
+        )
+        new = sums / jnp.maximum(counts, 1.0)[:, None]
+        return jnp.where((counts > 0)[:, None], new, centroids)
+
+    centroids = jax.lax.fori_loop(0, iters, lloyd_iter, centroids)
+    labels = assign_clusters(data, centroids, chunk=chunk)
+    return centroids, labels

@@ -1,0 +1,141 @@
+"""Fused streaming distance + top-k selection — the core search kernel.
+
+This is the TPU-native replacement for FAISS `IndexFlatL2.search` and the cuVS
+brute-force scan (SURVEY.md §2a). Instead of materializing the full (Q,N)
+distance matrix in HBM, the corpus is streamed in MXU-sized tiles and a running
+top-k per query is carried through a `lax.scan`: each step does one
+(Q,D)x(D,T) matmul (MXU) and one (Q, k+T) top-k merge (small, stays on-chip).
+XLA pipelines the tile loads against compute; peak memory is O(Q*(k+T)) instead
+of O(Q*N).
+
+Internal convention: *scores*, larger-is-better (see ops/distance.py). The
+index layer converts to metric distances at the API edge.
+
+All shapes static; k is a Python int.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from cuvs_rag_tpu.ops import distance as dist_ops
+
+NEG_INF = jnp.float32(-jnp.inf)
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def pad_rows(x: jnp.ndarray, target_rows: int, fill=0.0) -> jnp.ndarray:
+    """Pad axis 0 of x up to target_rows with `fill`."""
+    n = x.shape[0]
+    if n == target_rows:
+        return x
+    pad_widths = [(0, target_rows - n)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, pad_widths, constant_values=fill)
+
+
+def merge_topk(scores: jax.Array, indices: jax.Array, k: int):
+    """Merge candidate sets along the last axis into a global top-k.
+
+    scores: (..., C) larger-is-better, indices: (..., C) global ids.
+    Returns ((..., k) scores desc-sorted, (..., k) indices).
+
+    This implements the reference's host-side merge semantics
+    (`merge_search_results`, test_search_result_aggregator.py:330-358 and the
+    np.argsort merge at improved_multi_gpu_rag.py:266-273) as an on-chip op —
+    it runs inside shard_map after an all_gather for the distributed path.
+    """
+    c = scores.shape[-1]
+    kk = min(k, c)
+    top_scores, top_args = jax.lax.top_k(scores, kk)
+    top_idx = jnp.take_along_axis(indices, top_args, axis=-1)
+    # Slots that never saw a real candidate (masked pad rows, k > corpus)
+    # report index -1, matching the aggregator spec's invalid-slot convention.
+    top_idx = jnp.where(top_scores == NEG_INF, -1, top_idx)
+    if kk < k:  # pad out to k with invalid entries
+        pad = [(0, 0)] * (scores.ndim - 1) + [(0, k - kk)]
+        top_scores = jnp.pad(top_scores, pad, constant_values=NEG_INF)
+        top_idx = jnp.pad(top_idx, pad, constant_values=-1)
+    return top_scores, top_idx
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "tile_n"))
+def flat_topk_search(
+    corpus: jax.Array,
+    corpus_sqnorms: jax.Array,
+    queries: jax.Array,
+    n_valid: jax.Array,
+    *,
+    k: int,
+    metric: str,
+    tile_n: int = 2048,
+):
+    """Streaming exact top-k search.
+
+    corpus: (Np, D) — padded so Np % tile_n == 0 (see FlatIndex.build).
+    corpus_sqnorms: (Np,) fp32 row sqnorms (garbage on pad rows is fine).
+    queries: (Q, D).
+    n_valid: scalar int — rows >= n_valid are padding and never returned.
+
+    Returns (scores (Q,k) desc-sorted larger-better, indices (Q,k) int32;
+    slots beyond the corpus size get score=-inf, index=-1).
+    """
+    n_padded, d = corpus.shape
+    assert n_padded % tile_n == 0, (n_padded, tile_n)
+    num_tiles = n_padded // tile_n
+    q = queries.shape[0]
+
+    corpus_t = corpus.reshape(num_tiles, tile_n, d)
+    sqnorms_t = corpus_sqnorms.reshape(num_tiles, tile_n)
+    queries = queries.astype(corpus.dtype)
+
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, tile_n), 1)
+
+    init_scores = jnp.full((q, k), NEG_INF, dtype=jnp.float32)
+    init_idx = jnp.full((q, k), -1, dtype=jnp.int32)
+
+    def body(carry, tile):
+        c_scores, c_idx = carry
+        tile_vecs, tile_sq, tile_id = tile
+        scores = dist_ops.scores_from_tile(queries, tile_vecs, tile_sq, metric)
+        gidx = tile_id * tile_n + col_iota  # (1, tile_n) global ids
+        valid = gidx < n_valid
+        scores = jnp.where(valid, scores, NEG_INF)
+        cand_scores = jnp.concatenate([c_scores, scores], axis=1)
+        cand_idx = jnp.concatenate(
+            [c_idx, jnp.broadcast_to(gidx, (q, tile_n))], axis=1
+        )
+        return merge_topk(cand_scores, cand_idx, k), None
+
+    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+    (scores, idx), _ = jax.lax.scan(
+        body, (init_scores, init_idx), (corpus_t, sqnorms_t, tile_ids)
+    )
+    return scores, idx
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric"))
+def flat_topk_search_dense(
+    corpus: jax.Array,
+    corpus_sqnorms: jax.Array,
+    queries: jax.Array,
+    n_valid: jax.Array,
+    *,
+    k: int,
+    metric: str,
+):
+    """One-shot variant: full (Q,Np) score matrix then top-k.
+
+    Faster for small corpora (single fused matmul); memory O(Q*Np).
+    """
+    n_padded = corpus.shape[0]
+    queries = queries.astype(corpus.dtype)
+    scores = dist_ops.scores_from_tile(queries, corpus, corpus_sqnorms, metric)
+    gidx = jax.lax.broadcasted_iota(jnp.int32, (1, n_padded), 1)
+    scores = jnp.where(gidx < n_valid, scores, NEG_INF)
+    return merge_topk(scores, jnp.broadcast_to(gidx, scores.shape), k)

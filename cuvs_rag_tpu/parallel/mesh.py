@@ -1,0 +1,123 @@
+"""Device mesh management — TPU-native replacement for the reference's
+`GPUResourceManager` (Attempt_1/gpu_resource_manager.py).
+
+Where the reference discovers CUDA devices, validates indices, and hands out
+`cuda:i` strings for host threads, here a `DeviceMesh` wraps a 1-D
+`jax.sharding.Mesh` over which a single SPMD program runs — no per-device
+threads, no device strings. Workload splitting (`distribute_workload`,
+gpu_resource_manager.py:170-233) becomes shard-size computation with explicit
+global offsets; memory probing (`get_gpu_memory_info` :257-284) maps to
+`Device.memory_stats()`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclasses.dataclass(frozen=True)
+class DeviceInfo:
+    """Per-device snapshot (reference: GPUConfig, gpu_resource_manager.py:21-28)."""
+
+    index: int
+    platform: str
+    kind: str
+    memory_limit_bytes: Optional[int]
+    memory_in_use_bytes: Optional[int]
+
+    @property
+    def memory_free_bytes(self) -> Optional[int]:
+        if self.memory_limit_bytes is None or self.memory_in_use_bytes is None:
+            return None
+        return self.memory_limit_bytes - self.memory_in_use_bytes
+
+
+def _device_info(i: int, dev: jax.Device) -> DeviceInfo:
+    stats = {}
+    try:
+        stats = dev.memory_stats() or {}
+    except Exception:  # CPU backend has no memory_stats
+        pass
+    return DeviceInfo(
+        index=i,
+        platform=dev.platform,
+        kind=getattr(dev, "device_kind", dev.platform),
+        memory_limit_bytes=stats.get("bytes_limit"),
+        memory_in_use_bytes=stats.get("bytes_in_use"),
+    )
+
+
+class DeviceMesh:
+    """A 1-D mesh over the corpus-shard axis.
+
+    Replaces GPUResourceManager: `validate_device_index` mirrors
+    `validate_gpu_index` (:116-142), `split_sizes` mirrors
+    `distribute_workload` (:170-233), `memory_info` mirrors
+    `get_gpu_memory_info` (:257-284). Multi-host: jax.devices() already spans
+    the full slice, so the same mesh covers ICI and DCN transparently.
+    """
+
+    def __init__(
+        self,
+        devices: Optional[Sequence[jax.Device]] = None,
+        axis_name: str = "shard",
+    ):
+        self.devices: List[jax.Device] = list(devices if devices is not None else jax.devices())
+        if not self.devices:
+            raise RuntimeError("no JAX devices available")
+        self.axis_name = axis_name
+        self.mesh = Mesh(np.asarray(self.devices), (axis_name,))
+
+    @property
+    def num_devices(self) -> int:
+        return len(self.devices)
+
+    def validate_device_index(self, index: int) -> bool:
+        return 0 <= index < self.num_devices
+
+    def device_infos(self) -> List[DeviceInfo]:
+        return [_device_info(i, d) for i, d in enumerate(self.devices)]
+
+    def memory_info(self) -> Dict[int, DeviceInfo]:
+        return {i: info for i, info in enumerate(self.device_infos())}
+
+    # -- sharding helpers -------------------------------------------------
+
+    def sharding(self, *spec) -> NamedSharding:
+        return NamedSharding(self.mesh, P(*spec))
+
+    def replicated(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P())
+
+    def row_sharded(self, ndim: int = 2) -> NamedSharding:
+        """Rows split across the shard axis (corpus placement)."""
+        return self.sharding(self.axis_name, *([None] * (ndim - 1)))
+
+    # -- workload splitting ----------------------------------------------
+
+    def split_sizes(self, total: int, strategy: str = "even") -> List[int]:
+        """How many rows each device owns.
+
+        'even' mirrors gpu_resource_manager.py:190-202 (remainder spread over
+        the first devices). 'memory_based' (:204-223) splits proportionally to
+        free memory — kept as a policy hook, but note SPMD prefers equal padded
+        shards on homogeneous TPU slices (SURVEY.md §2b).
+        """
+        s = self.num_devices
+        if strategy == "even":
+            base, rem = divmod(total, s)
+            return [base + (1 if i < rem else 0) for i in range(s)]
+        if strategy == "memory_based":
+            frees = [
+                (info.memory_free_bytes or 1) for info in self.device_infos()
+            ]
+            tot = sum(frees)
+            sizes = [int(total * f / tot) for f in frees]
+            sizes[-1] += total - sum(sizes)
+            return sizes
+        raise ValueError(f"unknown strategy {strategy!r}")

@@ -1,0 +1,275 @@
+"""Distributed index build + search over the device mesh — one SPMD program.
+
+This layer replaces three reference components at once (SURVEY.md §2):
+  * `IndexBuildingCoordinator` (Attempt_1/index_building_coordinator.py) /
+    `ParallelIndexBuilder` (Latest/improved_multi_gpu_rag.py:99-195): the
+    one-thread-per-GPU build pool becomes a single `shard_map` program where
+    every device builds its shard's index simultaneously — no threads, no
+    futures, no per-GPU retries (SPMD either completes everywhere or nowhere).
+  * `SearchResultAggregator` spec (Attempt_1/test_search_result_aggregator.py)
+    + `ParallelSearchEngine` (improved_multi_gpu_rag.py:197-308): query fan-out
+    becomes query replication; the reference's device→host copies + numpy
+    argsort merge (:266-273) become an `all_gather` of per-shard top-k
+    candidates over ICI followed by an on-chip k-way merge. Global ids come
+    from shard offsets (fixing the reference's missing-offset merge bug,
+    SURVEY.md §2b).
+  * FAISS `GpuMultipleClonerOptions` shard/replicate placement
+    (faiss-main.ipynb#cell8,#cell11): `placement='shard'|'replicate'`.
+
+The candidate exchange is tiny — S·Q·k_local·(4+4) bytes — and rides ICI
+(DCN transparently on multi-host meshes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from cuvs_rag_tpu.index import base as index_base
+from cuvs_rag_tpu.index import flat as flat_family
+from cuvs_rag_tpu.ops import distance as dist_ops
+from cuvs_rag_tpu.ops import topk as topk_ops
+from cuvs_rag_tpu.parallel import shard as shard_lib
+from cuvs_rag_tpu.parallel.mesh import DeviceMesh
+from cuvs_rag_tpu.utils.config import Metric
+
+# Family registry: each module provides build(params, dataset),
+# build_local(params, block, n_valid), search_scores(sp, index, queries, k),
+# default_search_params(). Approximate families are registered as they land.
+FAMILIES = {
+    "flat": flat_family,
+}
+# Families whose sharded search is exact with per-shard fetch = k (no
+# over-fetch needed): global top-k of per-shard top-k is exact for brute force.
+EXACT_FAMILIES = {"flat"}
+
+
+def register_family(name: str, module, exact: bool = False) -> None:
+    FAMILIES[name] = module
+    if exact:
+        EXACT_FAMILIES.add(name)
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardedIndex:
+    """A family index sharded row-wise over the mesh.
+
+    local: the family's index pytree with a leading shard axis S on every leaf,
+    device-sharded along it. offsets: (S,) global row id of each shard's start.
+    """
+
+    local: Any
+    offsets: jax.Array
+    family: str
+    total: int
+    axis_name: str
+
+    @property
+    def num_shards(self) -> int:
+        return self.offsets.shape[0]
+
+    @property
+    def metric(self) -> str:
+        return self.local.metric
+
+
+jax.tree_util.register_pytree_node(
+    ShardedIndex,
+    lambda s: ((s.local, s.offsets), (s.family, s.total, s.axis_name)),
+    lambda aux, ch: ShardedIndex(ch[0], ch[1], *aux),
+)
+
+
+def build_sharded(
+    family: str,
+    params,
+    corpus,
+    dmesh: DeviceMesh,
+    row_multiple: Optional[int] = None,
+) -> ShardedIndex:
+    """Build one index shard per device, all at once, under shard_map.
+
+    `corpus` is either a host/device (N, D) array or an existing ShardedCorpus.
+    """
+    mod = FAMILIES[family]
+    if not isinstance(corpus, shard_lib.ShardedCorpus):
+        index_base.validate_dataset(corpus)
+        rm = row_multiple or getattr(params, "tile_n", 8)
+        corpus = shard_lib.shard_corpus(corpus, dmesh, row_multiple=rm)
+
+    def _build(block, n_valid):
+        ix = mod.build_local(params, block[0], n_valid[0])
+        return jax.tree_util.tree_map(lambda x: jnp.asarray(x)[None], ix)
+
+    build_fn = jax.jit(
+        jax.shard_map(
+            _build,
+            mesh=dmesh.mesh,
+            in_specs=(P(dmesh.axis_name, None, None), P(dmesh.axis_name)),
+            out_specs=P(dmesh.axis_name),
+        )
+    )
+    local = build_fn(corpus.data, corpus.n_valid)
+    return ShardedIndex(
+        local=local,
+        offsets=corpus.offsets,
+        family=family,
+        total=corpus.total,
+        axis_name=dmesh.axis_name,
+    )
+
+
+def _shard_k(family: str, k: int, over_fetch: float) -> int:
+    """Per-shard candidate count. Exact families need exactly k; approximate
+    families over-fetch (reference fetches k*2 per shard,
+    improved_multi_gpu_rag.py:247)."""
+    if family in EXACT_FAMILIES:
+        return k
+    return max(k, int(-(-k * over_fetch // 1)))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "k", "family", "axis_name", "k_local", "search_params"),
+)
+def _distributed_search(
+    local,
+    offsets,
+    queries,
+    *,
+    mesh,
+    k: int,
+    k_local: int,
+    family: str,
+    axis_name: str,
+    search_params,
+):
+    mod = FAMILIES[family]
+
+    def _go(local_stacked, offset_blk, qs):
+        local_ix = jax.tree_util.tree_map(lambda x: x[0], local_stacked)
+        scores, lidx = mod.search_scores(search_params, local_ix, qs, k_local)
+        gidx = jnp.where(lidx >= 0, lidx + offset_blk[0], -1)
+        # candidate exchange over ICI: (S, Q, k_local) scores + ids
+        all_s = jax.lax.all_gather(scores, axis_name)
+        all_i = jax.lax.all_gather(gidx, axis_name)
+        q = qs.shape[0]
+        cand_s = jnp.moveaxis(all_s, 0, 1).reshape(q, -1)
+        cand_i = jnp.moveaxis(all_i, 0, 1).reshape(q, -1)
+        return topk_ops.merge_topk(cand_s, cand_i, k)
+
+    return jax.shard_map(
+        _go,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P()),
+        out_specs=(P(), P()),
+        check_vma=False,  # outputs are replicated by the all_gather+merge
+    )(local, offsets, queries)
+
+
+def search_sharded(
+    search_params,
+    sindex: ShardedIndex,
+    queries: jax.Array,
+    k: int,
+    dmesh: DeviceMesh,
+    over_fetch: float = 2.0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Distributed search: fan-out (replicated queries) → per-shard top-k →
+    all_gather over ICI → on-chip k-way merge → (distances, global indices).
+
+    Implements the SearchResultAggregator contract
+    (test_search_result_aggregator.py:330-358 merge semantics) as one SPMD
+    program.
+    """
+    mod = FAMILIES[sindex.family]
+    metric = sindex.metric
+    queries = index_base.validate_queries(queries, _index_dim(sindex))
+    if search_params is None:
+        search_params = mod.default_search_params()
+    k_local = _shard_k(sindex.family, k, over_fetch)
+    scores, idx = _distributed_search(
+        sindex.local,
+        sindex.offsets,
+        queries,
+        mesh=dmesh.mesh,
+        k=k,
+        k_local=k_local,
+        family=sindex.family,
+        axis_name=sindex.axis_name,
+        search_params=search_params,
+    )
+    qn = dist_ops.l2_normalize(queries) if metric == Metric.COSINE else queries
+    dists = dist_ops.scores_to_distances(scores, dist_ops.sqnorms(qn), metric)
+    return dists, idx
+
+
+def _index_dim(sindex: ShardedIndex) -> int:
+    # local leaves carry a leading shard axis, so FlatIndex.dim (shape[1])
+    # would be wrong here; the vector dim is always the last axis.
+    return sindex.local.vectors.shape[-1]
+
+
+# ---------------------------------------------------------------------------
+# Replicated placement (FAISS co.shard=False mode, faiss-main.ipynb#cell11):
+# the full index on every device, the *query batch* sharded instead — the
+# throughput configuration for small indexes.
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class ReplicatedIndex:
+    index: Any
+    family: str
+    axis_name: str
+
+
+jax.tree_util.register_pytree_node(
+    ReplicatedIndex,
+    lambda s: ((s.index,), (s.family, s.axis_name)),
+    lambda aux, ch: ReplicatedIndex(ch[0], *aux),
+)
+
+
+def build_replicated(family: str, params, corpus, dmesh: DeviceMesh) -> ReplicatedIndex:
+    mod = FAMILIES[family]
+    ix = mod.build(params, jnp.asarray(corpus))
+    ix = jax.device_put(ix, dmesh.replicated())
+    return ReplicatedIndex(index=ix, family=family, axis_name=dmesh.axis_name)
+
+
+def search_replicated(
+    search_params,
+    rindex: ReplicatedIndex,
+    queries: jax.Array,
+    k: int,
+    dmesh: DeviceMesh,
+) -> Tuple[jax.Array, jax.Array]:
+    """Query-batch-parallel search on a replicated index.
+
+    Queries are padded to a multiple of the mesh size and sharded on the batch
+    axis; XLA runs the per-device searches with zero communication.
+    """
+    mod = FAMILIES[rindex.family]
+    queries = index_base.validate_queries(queries, rindex.index.dim)
+    if search_params is None:
+        search_params = mod.default_search_params()
+    q = queries.shape[0]
+    s = dmesh.num_devices
+    qp = topk_ops.round_up(q, s)
+    queries_p = jax.device_put(
+        topk_ops.pad_rows(jnp.asarray(queries), qp),
+        dmesh.sharding(dmesh.axis_name, None),
+    )
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def _go(ix, qs, k):
+        return mod.search(search_params, ix, qs, k)
+
+    dists, idx = _go(rindex.index, queries_p, k)
+    return dists[:q], idx[:q]

@@ -1,0 +1,134 @@
+"""Corpus sharding with validated invariants and explicit global offsets.
+
+TPU-native replacement for the reference's `EmbeddingDistributionManager`
+(Attempt_1/embedding_distribution_manager.py): `shard_corpus` mirrors
+`distribute_embeddings` (:97-207), `ShardedCorpus.validate` mirrors the
+`DistributedEmbeddings.__post_init__` coverage/gap/overlap invariants (:47-70)
+and `validate_distribution` (:209-272), and `gather_to_host` mirrors
+`_collect_embeddings_to_cpu` (:307-334).
+
+Key fix over the reference: every shard carries its global row offset and the
+distributed merge uses it (the reference's `EmbeddingPart.start_index` existed
+but was never used by a merge, producing shard-local ids in merged results —
+SURVEY.md §2b). Here global ids are correct by construction: shards are
+contiguous row ranges of a padded corpus, so `global_id = offset + local_id`
+and padded-global ids equal original corpus ids for all real rows.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cuvs_rag_tpu.ops import topk as topk_ops
+from cuvs_rag_tpu.parallel.mesh import DeviceMesh
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardedCorpus:
+    """An (N, D) corpus laid out as (S, per_shard, D), rows sharded over the mesh.
+
+    data: (S, per_shard, D), device-sharded PartitionSpec('shard', None, None).
+    n_valid: (S,) int32 — real rows per shard (rest is zero padding).
+    offsets: (S,) int32 — global row id of each shard's first row.
+    total: true corpus size N.
+    """
+
+    data: jax.Array
+    n_valid: jax.Array
+    offsets: jax.Array
+    total: int
+
+    @property
+    def num_shards(self) -> int:
+        return self.data.shape[0]
+
+    @property
+    def per_shard(self) -> int:
+        return self.data.shape[1]
+
+    @property
+    def dim(self) -> int:
+        return self.data.shape[2]
+
+    def validate(self) -> None:
+        """Recheck the distribution invariants (reference :209-272)."""
+        n_valid = np.asarray(self.n_valid)
+        offsets = np.asarray(self.offsets)
+        if n_valid.sum() != self.total:
+            raise AssertionError(
+                f"coverage violated: shard sizes {n_valid.tolist()} "
+                f"sum to {n_valid.sum()}, expected {self.total}"
+            )
+        if np.any(n_valid < 0) or np.any(n_valid > self.per_shard):
+            raise AssertionError(f"shard size out of bounds: {n_valid.tolist()}")
+        # contiguity: shard i starts exactly at i*per_shard (no gaps/overlaps)
+        expect = np.arange(self.num_shards) * self.per_shard
+        if not np.array_equal(offsets, expect):
+            raise AssertionError(
+                f"offsets {offsets.tolist()} not contiguous (expected {expect.tolist()})"
+            )
+
+    def gather_to_host(self) -> np.ndarray:
+        """Collect the original (N, D) corpus back to host memory."""
+        blocks = np.asarray(jax.device_get(self.data))
+        n_valid = np.asarray(self.n_valid)
+        return np.concatenate(
+            [blocks[i, : n_valid[i]] for i in range(self.num_shards)], axis=0
+        )
+
+
+def shard_layout(total: int, num_shards: int, row_multiple: int = 8):
+    """Compute (per_shard, n_valid[S], offsets[S]) for contiguous equal shards.
+
+    Equal padded shards (the SPMD-friendly layout); per_shard is rounded up to
+    `row_multiple` for TPU tile alignment. Shard i owns global rows
+    [i*per_shard, i*per_shard + n_valid[i]).
+    """
+    per = -(-total // num_shards)  # ceil
+    per = topk_ops.round_up(max(per, 1), row_multiple)
+    n_valid = np.clip(total - np.arange(num_shards) * per, 0, per).astype(np.int32)
+    offsets = (np.arange(num_shards) * per).astype(np.int32)
+    return per, n_valid, offsets
+
+
+def shard_corpus(
+    corpus: jax.Array,
+    dmesh: DeviceMesh,
+    row_multiple: int = 8,
+) -> ShardedCorpus:
+    """Shard an (N, D) corpus across the mesh.
+
+    Replaces distribute_embeddings (embedding_distribution_manager.py:97-207):
+    the per-device H2D copies + thread bookkeeping become one device_put with a
+    NamedSharding.
+    """
+    if corpus.ndim != 2 or corpus.shape[0] == 0:
+        raise ValueError(f"corpus must be non-empty (N, D), got {corpus.shape}")
+    n, d = corpus.shape
+    s = dmesh.num_devices
+    per, n_valid, offsets = shard_layout(n, s, row_multiple)
+    padded = topk_ops.pad_rows(jnp.asarray(corpus), per * s)
+    blocks = padded.reshape(s, per, d)
+    data = jax.device_put(blocks, dmesh.sharding(dmesh.axis_name, None, None))
+    out = ShardedCorpus(
+        data=data,
+        n_valid=jnp.asarray(n_valid),
+        offsets=jnp.asarray(offsets),
+        total=n,
+    )
+    out.validate()
+    return out
+
+
+def reshard(corpus: ShardedCorpus, dmesh: DeviceMesh) -> ShardedCorpus:
+    """Re-shard to a (possibly different-size) mesh.
+
+    Replaces `redistribute_if_needed` (embedding_distribution_manager.py:274-305)
+    — device-loss elasticity: collect and re-shard onto the surviving mesh.
+    """
+    host = corpus.gather_to_host()
+    return shard_corpus(host, dmesh)

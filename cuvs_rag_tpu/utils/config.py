@@ -1,0 +1,176 @@
+"""Typed configuration dataclasses.
+
+TPU-native re-design of the reference's config surface: `SearchConfig`
+(improved_multi_gpu_rag.py:37-48), `IndexBuildConfig`
+(index_building_coordinator.py:55-75), `GPUConfig`/`MultiGPUConfig`
+(gpu_resource_manager.py:21-36).  The reference used plain dataclasses and no CLI;
+we keep typed dataclasses but make every numeric knob static-shape-friendly so the
+whole search path stays inside one jitted program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+
+class Metric:
+    """Distance metrics. SQEUCLIDEAN matches cuVS/FAISS L2 conventions
+    (both return *squared* euclidean distances, ascending = better).
+    INNER_PRODUCT and COSINE are descending = better."""
+
+    SQEUCLIDEAN = "sqeuclidean"
+    INNER_PRODUCT = "inner_product"
+    COSINE = "cosine"
+
+    ALL = (SQEUCLIDEAN, INNER_PRODUCT, COSINE)
+
+    @staticmethod
+    def validate(metric: str) -> str:
+        if metric not in Metric.ALL:
+            raise ValueError(f"unknown metric {metric!r}; expected one of {Metric.ALL}")
+        return metric
+
+
+@dataclasses.dataclass(frozen=True)
+class SearchConfig:
+    """Global search configuration.
+
+    Mirrors the reference's `SearchConfig` (improved_multi_gpu_rag.py:37-48):
+    top_k=2000 default, batch_size=100, recall@K sweep list — plus the TPU knobs
+    (over_fetch for approximate indexes, tile sizes are per-index).
+    """
+
+    top_k: int = 2000
+    batch_size: int = 100
+    recall_ks: Sequence[int] = (1, 5, 10, 50, 100, 500, 1000, 2000)
+    # Per-shard over-fetch multiplier for approximate indexes under sharding
+    # (the reference fetches k*2 per shard: improved_multi_gpu_rag.py:247).
+    # Exact (flat) sharded search needs no over-fetch: global top-k over
+    # per-shard top-k(k) candidates is exact.
+    over_fetch: float = 2.0
+    metric: str = Metric.SQEUCLIDEAN
+
+    def __post_init__(self):
+        if self.top_k <= 0:
+            raise ValueError(f"top_k must be positive, got {self.top_k}")
+        if self.batch_size <= 0:
+            raise ValueError(f"batch_size must be positive, got {self.batch_size}")
+        if self.over_fetch < 1.0:
+            raise ValueError(f"over_fetch must be >= 1, got {self.over_fetch}")
+        Metric.validate(self.metric)
+
+
+@dataclasses.dataclass(frozen=True)
+class FlatParams:
+    """Brute-force exact index parameters (FAISS IndexFlatL2 equivalent)."""
+
+    metric: str = Metric.SQEUCLIDEAN
+    # Corpus tile size for the streaming distance+top-k kernel. Rows per tile;
+    # must be a multiple of 8 (fp32 sublane). 2048 rows x 768 dims fp32 = 6 MB
+    # per tile block — fits VMEM with double buffering.
+    tile_n: int = 2048
+    # Query tile: queries processed per kernel program.
+    tile_q: int = 256
+    dtype: str = "float32"  # storage dtype: float32 | bfloat16
+
+    def __post_init__(self):
+        Metric.validate(self.metric)
+        if self.tile_n % 8 != 0:
+            raise ValueError(f"tile_n must be a multiple of 8, got {self.tile_n}")
+
+
+@dataclasses.dataclass(frozen=True)
+class IVFFlatParams:
+    """IVF-Flat parameters.
+
+    Mirrors cuVS `ivf_flat.IndexParams(n_lists=...)` +
+    `SearchParams(n_probes=...)` as used at index_building_coordinator.py:392-396
+    and improved_multi_gpu_rag.py:126-130 (n_lists ≈ N/1000 heuristic).
+    """
+
+    n_lists: int = 0  # 0 → auto: max(1, N // 1000), reference heuristic
+    metric: str = Metric.SQEUCLIDEAN
+    kmeans_iters: int = 10
+    kmeans_sample: int = 200_000  # train k-means on at most this many rows
+    dtype: str = "float32"
+
+    def __post_init__(self):
+        Metric.validate(self.metric)
+
+
+@dataclasses.dataclass(frozen=True)
+class IVFFlatSearchParams:
+    n_probes: int = 20
+
+
+@dataclasses.dataclass(frozen=True)
+class IVFPQParams:
+    """IVF-PQ parameters.
+
+    Mirrors cuVS `ivf_pq.IndexParams(n_lists, pq_dim, pq_bits)` as used at
+    index_building_coordinator.py:398-404 and
+    VectorSearch_QuestionRetrieval.ipynb#cell6 (n_lists=150, pq_dim=96, 8-bit).
+    """
+
+    n_lists: int = 0  # 0 → auto: max(1, N // 500), reference heuristic
+    pq_dim: int = 0  # number of subquantizers; 0 → auto: D // 8
+    pq_bits: int = 8  # codebook size = 2**pq_bits (8 → 256 centroids)
+    metric: str = Metric.SQEUCLIDEAN
+    kmeans_iters: int = 10
+    pq_kmeans_iters: int = 10
+    kmeans_sample: int = 200_000
+
+    def __post_init__(self):
+        Metric.validate(self.metric)
+        if self.pq_bits not in (4, 8):
+            raise ValueError(f"pq_bits must be 4 or 8, got {self.pq_bits}")
+
+
+@dataclasses.dataclass(frozen=True)
+class IVFPQSearchParams:
+    n_probes: int = 20
+    # Exact re-rank: fetch refine_ratio*k ADC candidates, recompute exact
+    # distances against the raw corpus, return true top-k. 0 disables
+    # (and then no raw corpus copy is needed at search time).
+    refine_ratio: int = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class CagraParams:
+    """CAGRA-style graph index parameters.
+
+    Mirrors cuVS `cagra.IndexParams(intermediate_graph_degree=128,
+    graph_degree=64)` as used at index_building_coordinator.py:406-414.
+    """
+
+    intermediate_graph_degree: int = 128
+    graph_degree: int = 64
+    metric: str = Metric.SQEUCLIDEAN
+
+    def __post_init__(self):
+        Metric.validate(self.metric)
+
+
+@dataclasses.dataclass(frozen=True)
+class CagraSearchParams:
+    itopk_size: int = 64  # beam width
+    max_iterations: int = 0  # 0 → auto from itopk_size
+    num_entry_points: int = 32
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardingConfig:
+    """Placement policy over the device mesh.
+
+    Replaces the reference's `MultiGPUConfig.distribution_strategy`
+    (gpu_resource_manager.py:31-36) and the FAISS shard-vs-replicate switch
+    (faiss-main.ipynb#cell8,#cell11).
+    """
+
+    mode: str = "shard"  # "shard" (corpus split across devices) | "replicate"
+    axis_name: str = "shard"
+
+    def __post_init__(self):
+        if self.mode not in ("shard", "replicate"):
+            raise ValueError(f"mode must be 'shard' or 'replicate', got {self.mode!r}")

@@ -1,0 +1,27 @@
+"""Test configuration: run the whole suite on a virtual 8-device CPU mesh.
+
+The reference could only test multi-GPU logic with mocks
+(demo_index_building_coordinator_mock.py); here the actual SPMD programs run
+unmodified on 8 spoofed CPU devices (SURVEY.md §4 implication).
+
+Note: the ambient environment boots a TPU-tunnel JAX backend at interpreter
+start (sitecustomize), so env vars are too late — we must override via
+jax.config after import.
+"""
+
+import os
+
+import jax
+
+_platform = os.environ.get("CUVS_RAG_TPU_TEST_PLATFORM", "cpu")
+jax.config.update("jax_platforms", _platform)
+if _platform == "cpu":
+    jax.config.update("jax_num_cpu_devices", 8)
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)

@@ -1,0 +1,36 @@
+import jax.numpy as jnp
+import numpy as np
+
+from cuvs_rag_tpu.ops import distance as dist_ops
+from cuvs_rag_tpu.utils.config import Metric
+
+
+def test_sqeuclidean_matches_numpy(rng):
+    q = rng.standard_normal((7, 32)).astype(np.float32)
+    c = rng.standard_normal((19, 32)).astype(np.float32)
+    got = np.asarray(dist_ops.pairwise_sqeuclidean(jnp.asarray(q), jnp.asarray(c)))
+    want = ((q[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_inner_product_matches_numpy(rng):
+    q = rng.standard_normal((5, 16)).astype(np.float32)
+    c = rng.standard_normal((11, 16)).astype(np.float32)
+    got = np.asarray(dist_ops.pairwise_inner_product(jnp.asarray(q), jnp.asarray(c)))
+    np.testing.assert_allclose(got, q @ c.T, rtol=1e-5, atol=1e-5)
+
+
+def test_l2_normalize(rng):
+    x = rng.standard_normal((9, 24)).astype(np.float32) * 10
+    xn = np.asarray(dist_ops.l2_normalize(jnp.asarray(x)))
+    np.testing.assert_allclose(np.linalg.norm(xn, axis=1), 1.0, rtol=1e-5)
+
+
+def test_scores_round_trip_sqeuclidean(rng):
+    q = rng.standard_normal((4, 8)).astype(np.float32)
+    c = rng.standard_normal((6, 8)).astype(np.float32)
+    qj, cj = jnp.asarray(q), jnp.asarray(c)
+    scores = dist_ops.scores_from_tile(qj, cj, dist_ops.sqnorms(cj), Metric.SQEUCLIDEAN)
+    d = dist_ops.scores_to_distances(scores, dist_ops.sqnorms(qj), Metric.SQEUCLIDEAN)
+    want = ((q[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(np.asarray(d), want, rtol=1e-4, atol=1e-4)

@@ -1,0 +1,89 @@
+"""Distributed (sharded + replicated) search correctness.
+
+Golden property (exactness): for the flat family, sharded fan-out + ICI merge
+must return *identical* results to the single-device exact search — the
+recall oracle the reference never had (its recall was measured against broken
+synthetic ground truth, SURVEY.md §6).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cuvs_rag_tpu.index import flat
+from cuvs_rag_tpu.parallel import search as psearch
+from cuvs_rag_tpu.parallel.mesh import DeviceMesh
+from cuvs_rag_tpu.utils.config import FlatParams, Metric
+
+
+@pytest.fixture(scope="module")
+def dmesh():
+    return DeviceMesh()
+
+
+@pytest.mark.parametrize("metric", [Metric.SQEUCLIDEAN, Metric.INNER_PRODUCT])
+@pytest.mark.parametrize("n", [1000, 1024])
+def test_sharded_flat_matches_single_device(rng, dmesh, metric, n):
+    d, q, k = 32, 6, 10
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+
+    params = FlatParams(metric=metric, tile_n=64)
+    sindex = psearch.build_sharded("flat", params, corpus, dmesh)
+    d_sh, i_sh = psearch.search_sharded(None, sindex, queries, k, dmesh)
+
+    single = flat.build(params, jnp.asarray(corpus))
+    d_1, i_1 = flat.search(None, single, jnp.asarray(queries), k)
+
+    np.testing.assert_array_equal(np.asarray(i_sh), np.asarray(i_1))
+    np.testing.assert_allclose(np.asarray(d_sh), np.asarray(d_1), rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_global_ids_are_global(rng, dmesh):
+    # The reference's merge bug: shard-local ids leaked into results
+    # (SURVEY.md §2b). Query vectors exactly equal to known corpus rows in
+    # *different shards* must come back with their global row ids.
+    n, d = 800, 16
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    probe_rows = [5, 250, 777]  # spread across shards of 100
+    queries = corpus[probe_rows]
+    sindex = psearch.build_sharded("flat", FlatParams(tile_n=8), corpus, dmesh)
+    dists, idx = psearch.search_sharded(None, sindex, queries, 1, dmesh)
+    assert np.asarray(idx)[:, 0].tolist() == probe_rows
+    np.testing.assert_allclose(np.asarray(dists)[:, 0], 0.0, atol=1e-3)
+
+
+def test_sharded_k_exceeds_corpus(rng, dmesh):
+    corpus = rng.standard_normal((20, 8)).astype(np.float32)
+    queries = rng.standard_normal((2, 8)).astype(np.float32)
+    sindex = psearch.build_sharded("flat", FlatParams(tile_n=8), corpus, dmesh)
+    dists, idx = psearch.search_sharded(None, sindex, queries, 30, dmesh)
+    idx = np.asarray(idx)
+    assert idx.shape == (2, 30)
+    assert np.all(np.sort(idx[:, :20], axis=1) == np.arange(20))
+    assert np.all(idx[:, 20:] == -1)
+
+
+def test_replicated_matches_sharded(rng, dmesh):
+    n, d, q, k = 512, 16, 13, 5  # q deliberately not divisible by 8
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    params = FlatParams(tile_n=64)
+
+    sindex = psearch.build_sharded("flat", params, corpus, dmesh)
+    d_sh, i_sh = psearch.search_sharded(None, sindex, queries, k, dmesh)
+
+    rindex = psearch.build_replicated("flat", params, corpus, dmesh)
+    d_rep, i_rep = psearch.search_replicated(None, rindex, queries, k, dmesh)
+
+    np.testing.assert_array_equal(np.asarray(i_sh), np.asarray(i_rep))
+    np.testing.assert_allclose(np.asarray(d_sh), np.asarray(d_rep), rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_index_is_pytree(rng, dmesh):
+    corpus = rng.standard_normal((64, 8)).astype(np.float32)
+    sindex = psearch.build_sharded("flat", FlatParams(tile_n=8), corpus, dmesh)
+    sindex2 = jax.tree_util.tree_map(lambda x: x, sindex)
+    assert sindex2.family == "flat"
+    assert sindex2.total == 64

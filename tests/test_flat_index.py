@@ -1,0 +1,110 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cuvs_rag_tpu.index import flat
+from cuvs_rag_tpu.utils.config import FlatParams, Metric
+
+
+def brute_force_np(q, c, k, metric):
+    if metric == Metric.SQEUCLIDEAN:
+        d = ((q[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        order = np.argsort(d, axis=1, kind="stable")[:, :k]
+    else:
+        if metric == Metric.COSINE:
+            q = q / np.linalg.norm(q, axis=1, keepdims=True)
+            c = c / np.linalg.norm(c, axis=1, keepdims=True)
+        d = q @ c.T
+        order = np.argsort(-d, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(d, order, axis=1), order
+
+
+@pytest.mark.parametrize("metric", [Metric.SQEUCLIDEAN, Metric.INNER_PRODUCT, Metric.COSINE])
+@pytest.mark.parametrize("n", [100, 1000])
+def test_flat_exact_vs_numpy(rng, metric, n):
+    d, q, k = 48, 9, 10
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    index = flat.build(FlatParams(metric=metric, tile_n=256), jnp.asarray(corpus))
+    dists, idx = flat.search(None, index, jnp.asarray(queries), k)
+    want_d, want_i = brute_force_np(queries, corpus, k, metric)
+    np.testing.assert_array_equal(np.asarray(idx), want_i)
+    np.testing.assert_allclose(np.asarray(dists), want_d, rtol=1e-3, atol=1e-3)
+
+
+def test_streaming_matches_dense(rng):
+    # Force the streaming scan path and check it agrees with the dense path.
+    d, n, q, k = 32, 700, 5, 7
+    corpus = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    queries = jnp.asarray(rng.standard_normal((q, d)).astype(np.float32))
+    index = flat.build(FlatParams(tile_n=128), corpus)
+    from cuvs_rag_tpu.ops import topk as topk_ops
+
+    s1, i1 = topk_ops.flat_topk_search(
+        index.vectors, index.sqnorms, queries, index.n_valid,
+        k=k, metric=index.metric, tile_n=128)
+    s2, i2 = topk_ops.flat_topk_search_dense(
+        index.vectors, index.sqnorms, queries, index.n_valid,
+        k=k, metric=index.metric)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5, atol=1e-5)
+
+
+def test_k_larger_than_corpus(rng):
+    corpus = jnp.asarray(rng.standard_normal((5, 8)).astype(np.float32))
+    queries = jnp.asarray(rng.standard_normal((2, 8)).astype(np.float32))
+    index = flat.build(FlatParams(), corpus)
+    dists, idx = flat.search(None, index, queries, 10)
+    assert idx.shape == (2, 10)
+    # first 5 are real hits, rest are -1 sentinels
+    assert np.all(np.asarray(idx)[:, :5] >= 0)
+    assert np.all(np.asarray(idx)[:, 5:] == -1)
+    assert np.all(np.isinf(np.asarray(dists)[:, 5:]))
+
+
+def test_single_query_promotion(rng):
+    corpus = jnp.asarray(rng.standard_normal((20, 8)).astype(np.float32))
+    index = flat.build(FlatParams(), corpus)
+    dists, idx = flat.search(None, index, jnp.asarray(rng.standard_normal(8).astype(np.float32)), 3)
+    assert dists.shape == (1, 3)
+
+
+def test_query_dim_mismatch_raises(rng):
+    corpus = jnp.asarray(rng.standard_normal((20, 8)).astype(np.float32))
+    index = flat.build(FlatParams(), corpus)
+    with pytest.raises(ValueError, match="dim"):
+        flat.search(None, index, jnp.zeros((2, 9)), 3)
+
+
+def test_index_is_pytree(rng):
+    corpus = jnp.asarray(rng.standard_normal((20, 8)).astype(np.float32))
+    index = flat.build(FlatParams(), corpus)
+    leaves = jax.tree_util.tree_leaves(index)
+    assert len(leaves) == 3  # vectors, sqnorms, n_valid
+    index2 = jax.tree_util.tree_map(lambda x: x, index)
+    assert index2.metric == index.metric
+
+    # searchable under jit with the index as an argument
+    @jax.jit
+    def f(ix, q):
+        return flat.search(None, ix, q, 3)
+
+    d1, i1 = f(index, jnp.asarray(corpus[:2]))
+    assert np.asarray(i1)[0, 0] == 0 and np.asarray(i1)[1, 0] == 1
+
+
+def test_bf16_storage_close_to_fp32(rng):
+    d, n = 64, 512
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((3, d)).astype(np.float32)
+    ix32 = flat.build(FlatParams(dtype="float32"), jnp.asarray(corpus))
+    ix16 = flat.build(FlatParams(dtype="bfloat16"), jnp.asarray(corpus))
+    _, i32 = flat.search(None, ix32, jnp.asarray(queries), 10)
+    _, i16 = flat.search(None, ix16, jnp.asarray(queries), 10)
+    # bf16 ranking should agree on most of the top-10
+    agree = np.mean([
+        len(set(np.asarray(i32)[r]) & set(np.asarray(i16)[r])) / 10
+        for r in range(3)
+    ])
+    assert agree >= 0.8

@@ -1,0 +1,36 @@
+import numpy as np
+
+from cuvs_rag_tpu.eval import recall as recall_lib
+from cuvs_rag_tpu.utils.config import Metric
+
+
+def test_recall_perfect():
+    r = np.array([[0, 1, 2], [3, 4, 5]])
+    assert recall_lib.recall_at_k(r, r, 3) == 1.0
+
+
+def test_recall_partial():
+    retrieved = np.array([[0, 1, 9]])
+    relevant = np.array([[0, 1, 2]])
+    assert abs(recall_lib.recall_at_k(retrieved, relevant, 3) - 2 / 3) < 1e-9
+
+
+def test_recall_order_insensitive():
+    retrieved = np.array([[2, 0, 1]])
+    relevant = np.array([[0, 1, 2]])
+    assert recall_lib.recall_at_k(retrieved, relevant, 3) == 1.0
+
+
+def test_recall_multiple_k():
+    retrieved = np.array([[0, 9, 1, 8]])
+    relevant = np.array([[0, 1, 2, 3]])
+    out = recall_lib.recall_multiple_k(retrieved, relevant, [1, 2, 4, 100])
+    assert out[1] == 1.0
+    assert out[2] == 0.5
+    assert 100 not in out  # k beyond retrieved width is skipped
+
+
+def test_exact_ground_truth_self_retrieval(rng):
+    corpus = rng.standard_normal((50, 16)).astype(np.float32)
+    gt = recall_lib.exact_ground_truth(corpus, corpus[:5], 1, Metric.SQEUCLIDEAN)
+    assert gt[:, 0].tolist() == [0, 1, 2, 3, 4]

@@ -1,0 +1,68 @@
+import jax
+import numpy as np
+import pytest
+
+from cuvs_rag_tpu.parallel import shard as shard_lib
+from cuvs_rag_tpu.parallel.mesh import DeviceMesh
+
+
+def test_mesh_has_8_virtual_devices():
+    dmesh = DeviceMesh()
+    assert dmesh.num_devices == 8
+
+
+def test_split_sizes_even():
+    dmesh = DeviceMesh()
+    sizes = dmesh.split_sizes(1003, "even")
+    assert sum(sizes) == 1003
+    assert max(sizes) - min(sizes) <= 1
+
+
+def test_validate_device_index():
+    dmesh = DeviceMesh()
+    assert dmesh.validate_device_index(0)
+    assert dmesh.validate_device_index(7)
+    assert not dmesh.validate_device_index(8)
+    assert not dmesh.validate_device_index(-1)
+
+
+def test_shard_layout_invariants():
+    per, n_valid, offsets = shard_lib.shard_layout(1003, 8)
+    assert per % 8 == 0
+    assert n_valid.sum() == 1003
+    assert np.all(offsets == np.arange(8) * per)
+
+
+def test_shard_corpus_round_trip(rng):
+    corpus = rng.standard_normal((1003, 32)).astype(np.float32)
+    dmesh = DeviceMesh()
+    sc = shard_lib.shard_corpus(corpus, dmesh)
+    sc.validate()
+    assert sc.num_shards == 8
+    back = sc.gather_to_host()
+    np.testing.assert_array_equal(back, corpus)
+
+
+def test_shard_corpus_device_placement(rng):
+    corpus = rng.standard_normal((64, 8)).astype(np.float32)
+    dmesh = DeviceMesh()
+    sc = shard_lib.shard_corpus(corpus, dmesh)
+    # each device holds exactly its (1, per, D) block
+    assert len(sc.data.sharding.device_set) == 8
+
+
+def test_reshard_to_smaller_mesh(rng):
+    # device-loss elasticity (reference: redistribute_if_needed)
+    corpus = rng.standard_normal((100, 8)).astype(np.float32)
+    full = DeviceMesh()
+    sc = shard_lib.shard_corpus(corpus, full)
+    survivors = DeviceMesh(devices=jax.devices()[:4])
+    sc2 = shard_lib.reshard(sc, survivors)
+    assert sc2.num_shards == 4
+    np.testing.assert_array_equal(sc2.gather_to_host(), corpus)
+
+
+def test_empty_corpus_rejected():
+    dmesh = DeviceMesh()
+    with pytest.raises(ValueError):
+        shard_lib.shard_corpus(np.zeros((0, 8), np.float32), dmesh)
