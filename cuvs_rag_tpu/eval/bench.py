@@ -1,0 +1,179 @@
+"""Benchmark harnesses: QPS/latency sweeps, scaling stress tests.
+
+Reference parity (SURVEY.md §2 #14-16):
+  * batch-size sweep → QPS/latency table (faiss-main.ipynb#cell10:
+    batches [1,5,10,20,50] × 5 iters, mean±std)
+  * benchmark_method warmup protocol
+    (VectorSearch_QuestionRetrieval.ipynb#cell33: 1 warmup, then timed runs)
+  * scaling stress harness with breaking-point detection
+    (cuVS_Scaling_Stress_Test.ipynb#cell12-14: loop sizes, break on first
+    failure) — plus recall vs exact GT at every size, which the reference
+    lacked.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cuvs_rag_tpu.eval import recall as recall_lib
+from cuvs_rag_tpu.parallel import search as psearch
+from cuvs_rag_tpu.parallel.mesh import DeviceMesh
+from cuvs_rag_tpu.utils.config import Metric
+
+
+@dataclasses.dataclass
+class BenchResult:
+    batch_size: int
+    mean_s: float
+    std_s: float
+    qps: float
+    latency_ms_per_query: float
+
+
+def time_fn(fn: Callable[[], Any], iters: int = 5, warmup: int = 1):
+    """Warmup-then-time protocol (reference #cell33). Returns (mean, std)."""
+    for _ in range(warmup):
+        jax.block_until_ready(fn())
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn())
+        ts.append(time.perf_counter() - t0)
+    return float(np.mean(ts)), float(np.std(ts))
+
+
+def batch_size_sweep(
+    search_fn: Callable[[jax.Array, int], Any],
+    queries: np.ndarray,
+    k: int,
+    batch_sizes: Sequence[int] = (1, 5, 10, 20, 50),
+    iters: int = 5,
+) -> List[BenchResult]:
+    """QPS/latency vs batch size (faiss-main.ipynb#cell10 protocol).
+
+    search_fn(query_batch, k) -> (distances, indices).
+    """
+    out = []
+    for b in batch_sizes:
+        qb = jnp.asarray(queries[:b])
+        mean, std = time_fn(lambda: search_fn(qb, k), iters=iters)
+        out.append(
+            BenchResult(
+                batch_size=b,
+                mean_s=mean,
+                std_s=std,
+                qps=b / mean,
+                latency_ms_per_query=mean / b * 1e3,
+            )
+        )
+    return out
+
+
+@dataclasses.dataclass
+class StressRow:
+    n_vectors: int
+    build_s: float
+    search_ms: float
+    recall_at_10: Optional[float]
+    ok: bool
+    error: str = ""
+
+
+def scaling_stress(
+    family: str,
+    make_params: Callable[[int], Any],
+    sizes: Sequence[int],
+    dim: int,
+    *,
+    search_params_fn: Callable[[int], Any] = lambda n: None,
+    n_queries: int = 5,
+    k: int = 10,
+    dmesh: Optional[DeviceMesh] = None,
+    sharded: bool = False,
+    eval_recall: bool = True,
+    seed: int = 42,
+) -> List[StressRow]:
+    """Breaking-point protocol: build+search at growing sizes, stop at first
+    failure (cuVS_Scaling_Stress_Test.ipynb#cell12-14). Adds recall@10 vs
+    exact GT per size (the reference's missing oracle)."""
+    psearch._load_families()
+    mod = psearch.FAMILIES[family]
+    rows: List[StressRow] = []
+    rng = np.random.default_rng(seed)
+    queries = rng.standard_normal((n_queries, dim)).astype(np.float32)
+
+    for n in sizes:
+        corpus = rng.standard_normal((n, dim)).astype(np.float32)
+        try:
+            params = make_params(n)
+            t0 = time.perf_counter()
+            if sharded:
+                dm = dmesh or DeviceMesh()
+                index = psearch.build_sharded(family, params, corpus, dm)
+                jax.block_until_ready(jax.tree_util.tree_leaves(index.local)[0])
+                build_s = time.perf_counter() - t0
+
+                def do_search():
+                    return psearch.search_sharded(
+                        search_params_fn(n), index, jnp.asarray(queries), k, dm
+                    )
+            else:
+                index = mod.build(params, jnp.asarray(corpus))
+                jax.block_until_ready(jax.tree_util.tree_leaves(index)[0])
+                build_s = time.perf_counter() - t0
+
+                def do_search():
+                    return mod.search(
+                        search_params_fn(n), index, jnp.asarray(queries), k
+                    )
+
+            mean, _ = time_fn(do_search, iters=3)
+            r = None
+            if eval_recall:
+                _, idx = do_search()
+                gt = recall_lib.exact_ground_truth(
+                    corpus, queries, k, Metric.SQEUCLIDEAN
+                )
+                r = recall_lib.recall_at_k(np.asarray(idx), gt, k)
+            rows.append(
+                StressRow(
+                    n_vectors=n,
+                    build_s=build_s,
+                    search_ms=mean * 1e3,
+                    recall_at_10=r,
+                    ok=True,
+                )
+            )
+        except Exception as e:  # breaking point found
+            rows.append(
+                StressRow(
+                    n_vectors=n, build_s=0.0, search_ms=0.0,
+                    recall_at_10=None, ok=False, error=f"{type(e).__name__}: {e}",
+                )
+            )
+            break
+    return rows
+
+
+def format_table(rows) -> str:
+    """Markdown table for any dataclass row list (the reference's pandas
+    summaries, cuVS_Scaling_Stress_Test.ipynb#cell17)."""
+    rows = list(rows)
+    if not rows:
+        return "(no rows)"
+    fields = [f.name for f in dataclasses.fields(rows[0])]
+    lines = ["| " + " | ".join(fields) + " |",
+             "|" + "|".join("---" for _ in fields) + "|"]
+    for r in rows:
+        vals = []
+        for f in fields:
+            v = getattr(r, f)
+            vals.append(f"{v:.4g}" if isinstance(v, float) else str(v))
+        lines.append("| " + " | ".join(vals) + " |")
+    return "\n".join(lines)

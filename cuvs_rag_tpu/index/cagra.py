@@ -1,0 +1,126 @@
+"""CAGRA-style graph index — exact-kNN-graph build + fixed-beam search.
+
+TPU-native equivalent of cuVS `cagra.build/search`
+(index_building_coordinator.py:406-414: IndexParams(intermediate_graph_degree
+=128, graph_degree=64); VectorSearch_QuestionRetrieval.ipynb#cell18-19).
+See ops/graph.py for the XLA-shaped redesign of both phases.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cuvs_rag_tpu.index import base
+from cuvs_rag_tpu.ops import distance as dist_ops
+from cuvs_rag_tpu.ops import graph as graph_ops
+from cuvs_rag_tpu.ops import topk as topk_ops
+from cuvs_rag_tpu.utils.config import CagraParams, CagraSearchParams, Metric
+
+
+@base.register_index
+@dataclasses.dataclass(frozen=True)
+class CagraIndex:
+    vectors: jax.Array  # (Np, D) storage dtype
+    sqnorms: jax.Array  # (Np,)
+    graph: jax.Array  # (Np, graph_degree) int32
+    n_valid: jax.Array  # () int32
+    metric: str
+
+    @property
+    def dim(self) -> int:
+        return self.vectors.shape[-1]
+
+    @property
+    def graph_degree(self) -> int:
+        return self.graph.shape[-1]
+
+    @property
+    def size(self) -> int:
+        return self.vectors.shape[-2]
+
+
+def build_local(
+    params: CagraParams, block: jax.Array, n_valid: jax.Array
+) -> CagraIndex:
+    """Traced builder (single shard). Also the core of build()."""
+    per = block.shape[0]
+    vectors = block
+    if params.metric == Metric.COSINE:
+        vectors = dist_ops.l2_normalize(vectors)
+    vectors = vectors.astype(jnp.float32)
+    sq = dist_ops.sqnorms(vectors)
+    inter_deg = min(params.intermediate_graph_degree, max(per - 1, 1))
+    final_deg = min(params.graph_degree, inter_deg)
+    graph = graph_ops.build_knn_graph(
+        vectors, sq, n_valid, degree=inter_deg, metric=params.metric
+    )
+    graph = graph_ops.augment_reverse_edges(graph, final_deg)
+    return CagraIndex(
+        vectors=vectors,
+        sqnorms=sq,
+        graph=graph,
+        n_valid=n_valid.astype(jnp.int32),
+        metric=params.metric,
+    )
+
+
+def build(params: CagraParams, dataset: jax.Array) -> CagraIndex:
+    """cuVS surface: build(IndexParams, dataset)."""
+    base.validate_dataset(dataset)
+    n = dataset.shape[0]
+    n_pad = topk_ops.round_up(n, 8)
+    block = topk_ops.pad_rows(jnp.asarray(dataset).astype(jnp.float32), n_pad)
+    return jax.jit(
+        lambda b, v: build_local(params, b, v)
+    )(block, jnp.asarray(n, jnp.int32))
+
+
+def default_search_params() -> CagraSearchParams:
+    return CagraSearchParams()
+
+
+def search_scores(
+    search_params: Optional[CagraSearchParams],
+    index: CagraIndex,
+    queries: jax.Array,
+    k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    sp = search_params or default_search_params()
+    if index.metric == Metric.COSINE:
+        queries = dist_ops.l2_normalize(queries)
+    n_pad = index.vectors.shape[0]
+    row_valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)[:, 0] < index.n_valid
+    )
+    return graph_ops.beam_search(
+        index.vectors,
+        index.sqnorms,
+        row_valid,
+        index.graph,
+        queries.astype(jnp.float32),
+        k=k,
+        metric=index.metric,
+        itopk=sp.itopk_size,
+        max_iters=sp.max_iterations,
+        n_entries=min(sp.num_entry_points, n_pad),
+    )
+
+
+def search(
+    search_params: Optional[CagraSearchParams],
+    index: CagraIndex,
+    queries: jax.Array,
+    k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """cuVS surface: search(SearchParams, index, queries, k)."""
+    queries = base.validate_queries(queries, index.dim)
+    scores, idx = search_scores(search_params, index, queries, k)
+    qn = dist_ops.l2_normalize(queries) if index.metric == Metric.COSINE else queries
+    dists = dist_ops.scores_to_distances(
+        scores, dist_ops.sqnorms(qn.astype(jnp.float32)), index.metric
+    )
+    return dists, idx

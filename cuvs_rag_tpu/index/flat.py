@@ -34,7 +34,8 @@ class FlatIndex:
 
     @property
     def dim(self) -> int:
-        return self.vectors.shape[1]
+        # last axis so this also works on shard-stacked (S, Np, D) leaves
+        return self.vectors.shape[-1]
 
     @property
     def size(self) -> int:

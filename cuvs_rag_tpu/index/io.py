@@ -1,0 +1,89 @@
+"""Index checkpoint/restore — closes a real gap in the reference.
+
+The reference persists raw embeddings (`.pt` whole or per-GPU `_part{i}`
+files, cuVS-2GPU.ipynb#cell10-12) but has **no ANN-index serialization** —
+cuVS indexes are rebuilt from scratch every run (SURVEY.md §5). Here any
+index pytree (flat / ivf_flat / ivf_pq / cagra, single or sharded) round-trips
+through a single .npz file: array leaves + static aux fields.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_REGISTRY: dict = {}
+
+
+def _register_all():
+    from cuvs_rag_tpu.index.flat import FlatIndex
+    from cuvs_rag_tpu.index.ivf_flat import IVFFlatIndex
+
+    _REGISTRY.setdefault("FlatIndex", FlatIndex)
+    _REGISTRY.setdefault("IVFFlatIndex", IVFFlatIndex)
+    try:
+        from cuvs_rag_tpu.index.ivf_pq import IVFPQIndex
+
+        _REGISTRY.setdefault("IVFPQIndex", IVFPQIndex)
+    except ImportError:
+        pass
+    try:
+        from cuvs_rag_tpu.index.cagra import CagraIndex
+
+        _REGISTRY.setdefault("CagraIndex", CagraIndex)
+    except ImportError:
+        pass
+
+
+_BF16_TAG = "__bf16__"
+
+
+def save_index(path: str, index: Any) -> None:
+    """Serialize an index dataclass to one .npz file.
+
+    bfloat16 leaves are stored as uint16 bit patterns (npz has no bf16).
+    """
+    _register_all()
+    cls = type(index).__name__
+    if cls not in _REGISTRY:
+        raise ValueError(f"unknown index type {cls}; known: {list(_REGISTRY)}")
+    arrays, meta = {}, {"__class__": cls, "static": {}, "bf16": []}
+    for f in dataclasses.fields(index):
+        v = getattr(index, f.name)
+        if f.name in type(index)._array_fields:
+            a = np.asarray(jax.device_get(v))
+            if a.dtype == jnp.bfloat16:
+                meta["bf16"].append(f.name)
+                a = a.view(np.uint16)
+            arrays[f.name] = a
+        else:
+            meta["static"][f.name] = v
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8
+    )
+    np.savez(path, **arrays)
+
+
+def load_index(path: str, device=None) -> Any:
+    """Restore an index saved by save_index; optionally place on `device`
+    (or with a NamedSharding)."""
+    _register_all()
+    with np.load(path) as z:
+        meta = json.loads(bytes(z["__meta__"]).decode())
+        cls = _REGISTRY[meta["__class__"]]
+        kwargs = dict(meta["static"])
+        for name in cls._array_fields:
+            a = z[name]
+            if name in meta["bf16"]:
+                a = jnp.asarray(a).view(jnp.bfloat16)
+            else:
+                a = jnp.asarray(a)
+            if device is not None:
+                a = jax.device_put(a, device)
+            kwargs[name] = a
+    return cls(**kwargs)

@@ -1,0 +1,304 @@
+"""IVF-Flat index — k-means coarse quantizer + exact scan of probed lists.
+
+TPU-native equivalent of cuVS `ivf_flat.build/search`
+(index_building_coordinator.py:392-396, improved_multi_gpu_rag.py:126-130).
+Build: Lloyd k-means (ops/kmeans.py, MXU matmuls) on a sample, assign all
+rows, arrange into the sorted-CSR layout (ops/ivf.py). Search: coarse top-P
+probe + windowed exact scan + top-k. `n_lists` default follows the
+reference's heuristic n_lists ≈ N/1000 (improved_multi_gpu_rag.py:128).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cuvs_rag_tpu.index import base
+from cuvs_rag_tpu.ops import distance as dist_ops
+from cuvs_rag_tpu.ops import ivf as ivf_ops
+from cuvs_rag_tpu.ops import kmeans as kmeans_ops
+from cuvs_rag_tpu.ops import topk as topk_ops
+from cuvs_rag_tpu.utils.config import IVFFlatParams, IVFFlatSearchParams, Metric
+
+
+@base.register_index
+@dataclasses.dataclass(frozen=True)
+class IVFFlatIndex:
+    vectors: jax.Array  # (cap, D) rows sorted by list
+    sqnorms: jax.Array  # (cap,)
+    row_ids: jax.Array  # (cap,) original corpus ids, -1 on pads
+    centroids: jax.Array  # (C, D) fp32
+    centroid_sqnorms: jax.Array  # (C,)
+    list_offsets: jax.Array  # (C,)
+    list_counts: jax.Array  # (C,)
+    n_valid: jax.Array  # () int32
+    metric: str
+    max_list_size: int
+
+    @property
+    def dim(self) -> int:
+        return self.vectors.shape[-1]
+
+    @property
+    def n_lists(self) -> int:
+        return self.centroids.shape[-2]
+
+    @property
+    def size(self) -> int:
+        return self.vectors.shape[-2]
+
+
+def default_n_lists(n: int) -> int:
+    """Reference heuristic: n_lists ≈ N/1000 (improved_multi_gpu_rag.py:128)."""
+    return max(1, min(n, n // 1000 or 1))
+
+
+def _prep(params: IVFFlatParams, dataset: jax.Array) -> jax.Array:
+    vectors = jnp.asarray(dataset)
+    if params.metric == Metric.COSINE:
+        vectors = dist_ops.l2_normalize(vectors)
+    return vectors.astype(base.storage_dtype(params.dtype))
+
+
+def build(
+    params: IVFFlatParams, dataset: jax.Array, seed: int = 0
+) -> IVFFlatIndex:
+    """Host-orchestrated build (single device). cuVS surface parity."""
+    base.validate_dataset(dataset)
+    n, d = dataset.shape
+    vectors = _prep(params, dataset)
+
+    # --- train coarse quantizer on a sample -----------------------------
+    sample_n = min(n, params.kmeans_sample)
+    n_lists = params.n_lists or default_n_lists(n)
+    n_lists = min(n_lists, sample_n)
+    sample_n_pad = topk_ops.round_up(sample_n, 8)
+    sample = topk_ops.pad_rows(vectors[:sample_n].astype(jnp.float32), sample_n_pad)
+    weights = (jnp.arange(sample_n_pad) < sample_n).astype(jnp.float32)
+    key = jax.random.PRNGKey(seed)
+    centroids, _ = kmeans_ops.kmeans(
+        sample, weights, key, n_clusters=n_lists, iters=params.kmeans_iters
+    )
+
+    # --- assign all rows, choose exact window size (host) ---------------
+    n_pad = topk_ops.round_up(n, 8)
+    vec_pad = topk_ops.pad_rows(vectors, n_pad)
+    labels = kmeans_ops.assign_clusters(vec_pad.astype(jnp.float32), centroids)
+    valid = jnp.arange(n_pad) < n
+    counts = np.bincount(
+        np.asarray(labels)[: n], minlength=n_lists
+    )
+    max_list = int(topk_ops.round_up(max(int(counts.max()), 8), 8))
+    capacity = topk_ops.round_up(n_pad + max_list, 8)
+
+    layout = _layout_jit(vec_pad, labels, valid, n_lists, capacity, max_list)
+    return IVFFlatIndex(
+        vectors=layout.sorted_vectors,
+        sqnorms=layout.sorted_sqnorms,
+        row_ids=layout.sorted_row_ids,
+        centroids=centroids,
+        centroid_sqnorms=dist_ops.sqnorms(centroids),
+        list_offsets=layout.list_offsets,
+        list_counts=layout.list_counts,
+        n_valid=jnp.asarray(n, jnp.int32),
+        metric=params.metric,
+        max_list_size=max_list,
+    )
+
+
+def _layout_jit(vec_pad, labels, valid, n_lists, capacity, max_list):
+    import functools
+
+    f = functools.partial(
+        ivf_ops.build_layout,
+        n_lists=n_lists,
+        capacity=capacity,
+        max_list_size=max_list,
+    )
+    return jax.jit(f)(vec_pad, labels, valid)
+
+
+def build_local(
+    params: IVFFlatParams,
+    block: jax.Array,
+    n_valid: jax.Array,
+    *,
+    n_lists: int,
+    max_list_size: int,
+    seed: int = 0,
+) -> IVFFlatIndex:
+    """Traced per-shard builder (runs under shard_map).
+
+    n_lists / max_list_size are static here; parallel/build picks them via a
+    two-phase plan (counts probed first, so max_list_size is exact and no
+    rows are truncated — see build_sharded_local).
+    """
+    per, d = block.shape
+    vectors = block
+    if params.metric == Metric.COSINE:
+        vectors = dist_ops.l2_normalize(vectors)
+    vectors = vectors.astype(base.storage_dtype(params.dtype))
+    valid = jnp.arange(per) < n_valid
+    weights = valid.astype(jnp.float32)
+    key = jax.random.PRNGKey(seed)
+    centroids, labels = kmeans_ops.kmeans(
+        vectors.astype(jnp.float32), weights, key,
+        n_clusters=n_lists, iters=params.kmeans_iters,
+    )
+    capacity = topk_ops.round_up(per + max_list_size, 8)
+    layout = ivf_ops.build_layout(
+        vectors, labels, valid,
+        n_lists=n_lists, capacity=capacity, max_list_size=max_list_size,
+    )
+    return IVFFlatIndex(
+        vectors=layout.sorted_vectors,
+        sqnorms=layout.sorted_sqnorms,
+        row_ids=layout.sorted_row_ids,
+        centroids=centroids,
+        centroid_sqnorms=dist_ops.sqnorms(centroids),
+        list_offsets=layout.list_offsets,
+        list_counts=layout.list_counts,
+        n_valid=n_valid.astype(jnp.int32),
+        metric=params.metric,
+        max_list_size=max_list_size,
+    )
+
+
+def build_sharded_local(params: IVFFlatParams, sc, dmesh, seed: int = 0):
+    """Two-phase SPMD sharded build; returns the stacked local index pytree.
+
+    Phase A (shard_map): per-shard k-means + assignment — every chip trains
+    its own coarse quantizer on its shard, exactly like the reference's
+    per-GPU independent index builds (improved_multi_gpu_rag.py:108-150).
+    Host then reads the (small) per-shard list counts to fix the *exact*
+    static probe-window size — so, unlike a one-shot traced build, no rows
+    are ever truncated. Phase B (shard_map): sorted-CSR layout per shard.
+    """
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    per = sc.per_shard
+    avg_valid = max(1, sc.total // sc.num_shards)
+    n_lists = params.n_lists or default_n_lists(avg_valid)
+    n_lists = min(n_lists, avg_valid)
+
+    metric = params.metric
+    dtype = base.storage_dtype(params.dtype)
+
+    def _prep_block(block):
+        v = block
+        if metric == Metric.COSINE:
+            v = dist_ops.l2_normalize(v)
+        return v.astype(dtype)
+
+    def _phase_a(block, n_valid):
+        v = _prep_block(block[0])
+        valid = jnp.arange(per) < n_valid[0]
+        centroids, labels = kmeans_ops.kmeans(
+            v.astype(jnp.float32), valid.astype(jnp.float32),
+            jax.random.PRNGKey(seed),
+            n_clusters=n_lists, iters=params.kmeans_iters,
+        )
+        counts = jnp.zeros((n_lists,), jnp.int32).at[labels].add(
+            valid.astype(jnp.int32)
+        )
+        return centroids[None], labels[None], counts[None]
+
+    phase_a = jax.jit(
+        jax.shard_map(
+            _phase_a, mesh=dmesh.mesh,
+            in_specs=(P(dmesh.axis_name, None, None), P(dmesh.axis_name)),
+            out_specs=(P(dmesh.axis_name), P(dmesh.axis_name), P(dmesh.axis_name)),
+            check_vma=False,
+        )
+    )
+    centroids_s, labels_s, counts_s = phase_a(sc.data, sc.n_valid)
+    max_list = int(topk_ops.round_up(max(int(np.asarray(counts_s).max()), 8), 8))
+    capacity = topk_ops.round_up(per + max_list, 8)
+
+    def _phase_b(block, labels, centroids, n_valid):
+        v = _prep_block(block[0])
+        valid = jnp.arange(per) < n_valid[0]
+        layout = ivf_ops.build_layout(
+            v, labels[0], valid,
+            n_lists=n_lists, capacity=capacity, max_list_size=max_list,
+        )
+        c = centroids[0]
+        ix = IVFFlatIndex(
+            vectors=layout.sorted_vectors,
+            sqnorms=layout.sorted_sqnorms,
+            row_ids=layout.sorted_row_ids,
+            centroids=c,
+            centroid_sqnorms=dist_ops.sqnorms(c),
+            list_offsets=layout.list_offsets,
+            list_counts=layout.list_counts,
+            n_valid=n_valid[0].astype(jnp.int32),
+            metric=metric,
+            max_list_size=max_list,
+        )
+        return jax.tree_util.tree_map(lambda x: x[None], ix)
+
+    phase_b = jax.jit(
+        jax.shard_map(
+            _phase_b, mesh=dmesh.mesh,
+            in_specs=(
+                P(dmesh.axis_name, None, None), P(dmesh.axis_name),
+                P(dmesh.axis_name), P(dmesh.axis_name),
+            ),
+            out_specs=P(dmesh.axis_name),
+            check_vma=False,
+        )
+    )
+    return phase_b(sc.data, labels_s, centroids_s, sc.n_valid)
+
+
+def default_search_params() -> IVFFlatSearchParams:
+    return IVFFlatSearchParams()
+
+
+def search_scores(
+    search_params: Optional[IVFFlatSearchParams],
+    index: IVFFlatIndex,
+    queries: jax.Array,
+    k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Family-protocol entry: (scores larger-better, original row ids)."""
+    sp = search_params or default_search_params()
+    if index.metric == Metric.COSINE:
+        queries = dist_ops.l2_normalize(queries)
+    queries = queries.astype(jnp.float32)
+    n_probes = min(sp.n_probes, index.n_lists)
+    _, probes = ivf_ops.probe_lists(
+        queries, index.centroids, index.centroid_sqnorms, n_probes, index.metric
+    )
+    return ivf_ops.scan_probed_lists(
+        queries,
+        probes,
+        index.vectors,
+        index.sqnorms,
+        index.row_ids,
+        index.list_offsets,
+        index.list_counts,
+        max_list_size=index.max_list_size,
+        metric=index.metric,
+        k=k,
+    )
+
+
+def search(
+    search_params: Optional[IVFFlatSearchParams],
+    index: IVFFlatIndex,
+    queries: jax.Array,
+    k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """cuVS surface: search(SearchParams(n_probes), index, queries, k)."""
+    queries = base.validate_queries(queries, index.dim)
+    scores, idx = search_scores(search_params, index, queries, k)
+    qn = dist_ops.l2_normalize(queries) if index.metric == Metric.COSINE else queries
+    dists = dist_ops.scores_to_distances(scores, dist_ops.sqnorms(qn), index.metric)
+    return dists, idx

@@ -1,0 +1,127 @@
+"""Embedding front ends — pluggable text encoders.
+
+Reference parity (SURVEY.md §2 #10): sentence-transformer models
+(`nq-distilbert-base-v1` 768-d, `all-MiniLM-L6-v2` 384-d) and the
+Qwen3-Embedding-8B pipeline (last-token pooling, instruct formatting,
+L2-normalize — Latest/cuVS-2-gpu/old/generate_embeddings.py:11-27,50-68).
+
+Three encoders:
+  * HashingEncoder — dependency-free deterministic character-n-gram feature
+    hashing; the test/demo encoder (no model download, zero egress).
+  * TransformersEncoder — any HF checkpoint via transformers (CPU torch),
+    mean or last-token pooling, optional instruct prefix, L2-normalize.
+  * The protocol is duck-typed: anything with .encode(texts)->np.ndarray
+    and .dim works as an encoder for the RAG pipeline.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+
+class HashingEncoder:
+    """Deterministic bag-of-character-n-grams feature hashing + L2 norm.
+
+    Not a semantic model — a fast, dependency-free stand-in with the right
+    *shape* of behavior (similar strings → similar vectors) for tests, demos
+    and benchmarks, mirroring how the reference notebooks fall back to
+    synthetic corpora (cuVS_Scaling_Stress_Test.ipynb#cell6).
+    """
+
+    def __init__(self, dim: int = 384, ngram: int = 3):
+        self.dim = dim
+        self.ngram = ngram
+
+    def encode(self, texts: Sequence[str], batch_size: int = 0) -> np.ndarray:
+        out = np.zeros((len(texts), self.dim), np.float32)
+        for i, t in enumerate(texts):
+            t = t.lower()
+            for j in range(max(1, len(t) - self.ngram + 1)):
+                g = t[j : j + self.ngram].encode()
+                h = int.from_bytes(hashlib.blake2b(g, digest_size=8).digest(), "little")
+                sign = 1.0 if (h >> 63) & 1 else -1.0
+                out[i, h % self.dim] += sign
+        norms = np.linalg.norm(out, axis=1, keepdims=True)
+        return out / np.maximum(norms, 1e-12)
+
+
+def get_detailed_instruct(task_description: str, query: str) -> str:
+    """Instruct formatting for instruction-tuned embedders
+    (generate_embeddings.py:23-27)."""
+    return f"Instruct: {task_description}\nQuery: {query}"
+
+
+class TransformersEncoder:
+    """HF transformers encoder (CPU torch), mean / last-token / cls pooling.
+
+    Covers the reference's encoders: MiniLM/DistilBERT-style mean pooling and
+    the Qwen3-Embedding last-token pooling path
+    (generate_embeddings.py:11-21 `last_token_pool`, :50-68 batched encode).
+    """
+
+    def __init__(
+        self,
+        model_name: str = "sentence-transformers/all-MiniLM-L6-v2",
+        pooling: str = "mean",  # mean | last_token | cls
+        max_length: int = 512,
+        normalize: bool = True,
+        device: str = "cpu",
+    ):
+        if pooling not in ("mean", "last_token", "cls"):
+            raise ValueError(f"unknown pooling {pooling!r}")
+        import torch  # lazy: keeps the core framework torch-free
+        from transformers import AutoModel, AutoTokenizer
+
+        self._torch = torch
+        self.tokenizer = AutoTokenizer.from_pretrained(model_name)
+        self.model = AutoModel.from_pretrained(model_name).to(device).eval()
+        self.pooling = pooling
+        self.max_length = max_length
+        self.normalize = normalize
+        self.device = device
+        self.dim = int(self.model.config.hidden_size)
+
+    def _pool(self, hidden, attention_mask):
+        torch = self._torch
+        if self.pooling == "cls":
+            return hidden[:, 0]
+        if self.pooling == "mean":
+            mask = attention_mask.unsqueeze(-1).to(hidden.dtype)
+            return (hidden * mask).sum(1) / mask.sum(1).clamp(min=1e-9)
+        # last_token pooling, handling left/right padding
+        # (reference last_token_pool, generate_embeddings.py:11-21)
+        left_padding = attention_mask[:, -1].sum() == attention_mask.shape[0]
+        if left_padding:
+            return hidden[:, -1]
+        lengths = attention_mask.sum(dim=1) - 1
+        return hidden[torch.arange(hidden.shape[0]), lengths]
+
+    def encode(self, texts: Sequence[str], batch_size: int = 32) -> np.ndarray:
+        torch = self._torch
+        outs = []
+        with torch.no_grad():
+            for i in range(0, len(texts), batch_size):
+                batch = list(texts[i : i + batch_size])
+                enc = self.tokenizer(
+                    batch,
+                    padding=True,
+                    truncation=True,
+                    max_length=self.max_length,
+                    return_tensors="pt",
+                ).to(self.device)
+                hidden = self.model(**enc).last_hidden_state
+                emb = self._pool(hidden, enc["attention_mask"])
+                if self.normalize:
+                    emb = torch.nn.functional.normalize(emb, p=2, dim=1)
+                outs.append(emb.cpu().numpy().astype(np.float32))
+        return np.concatenate(outs, axis=0)
+
+
+def make_encoder(name: str = "hashing", **kwargs):
+    """Factory: 'hashing' or an HF model name."""
+    if name == "hashing":
+        return HashingEncoder(**kwargs)
+    return TransformersEncoder(model_name=name, **kwargs)

@@ -28,6 +28,20 @@ def l2_normalize(x: jax.Array, eps: float = 1e-12) -> jax.Array:
     return (x.astype(jnp.float32) / n[..., None]).astype(x.dtype)
 
 
+def dot_general_prec(a: jax.Array, b: jax.Array, dimension_numbers) -> jax.Array:
+    """dot_general with the framework precision policy: fp32 operands use
+    Precision.HIGHEST (the MXU default silently truncates fp32 to bf16 —
+    measured recall@10 drop 0.95 -> 0.59 on IVF-PQ refine before this policy
+    was applied everywhere); bf16 operands take the fast single-pass path."""
+    fp32 = a.dtype == jnp.float32 and b.dtype == jnp.float32
+    return jax.lax.dot_general(
+        a, b,
+        dimension_numbers=dimension_numbers,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST if fp32 else None,
+    )
+
+
 def pairwise_inner_product(queries: jax.Array, corpus: jax.Array) -> jax.Array:
     """(Q,D),(N,D) -> (Q,N) inner products. MXU matmul, fp32 accumulation.
 

@@ -1,0 +1,197 @@
+"""Graph-index ops: kNN-graph construction and SPMD-friendly beam search.
+
+TPU-native replacement for cuVS CAGRA's kernels (SURVEY.md §2a). Two
+departures from the CUDA design, both forced by XLA/TPU semantics:
+
+  * Graph build: cuVS uses NN-descent with dynamic adjacency updates. Here
+    the intermediate graph is an *exact* kNN graph from the tiled
+    brute-force kernel (ops/topk.py) — O(N²D) on the MXU, which is fast up
+    to millions of rows on TPU, and exact beats NN-descent's approximation.
+    Pruning keeps the top `graph_degree` plus CAGRA-style reverse-edge
+    augmentation for connectivity.
+  * Search: cuVS's greedy traversal uses a hash-table visited set and
+    data-dependent termination. Here the beam is a fixed-width array, the
+    loop runs a *static* number of iterations (lax.fori_loop), and
+    deduplication is a sort over (id, expanded-flag) keys — no hash tables,
+    no dynamic shapes, fully jit/vmap/shard_map-compatible.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cuvs_rag_tpu.ops import distance as dist_ops
+from cuvs_rag_tpu.ops import topk as topk_ops
+
+
+def build_knn_graph(
+    vectors: jax.Array,
+    sqnorms: jax.Array,
+    n_valid: jax.Array,
+    *,
+    degree: int,
+    metric: str,
+    query_chunk: int = 1024,
+    tile_n: int = 8192,
+) -> jax.Array:
+    """(Np, D) -> (Np, degree) int32 neighbor ids (self excluded).
+
+    Exact kNN graph via the streaming brute-force kernel, scanned over query
+    chunks. Pad rows get self-loops (id = own row) that the search masks via
+    row_ids. Fully traced (usable under shard_map for sharded builds).
+    """
+    n_pad, d = vectors.shape
+    chunk = query_chunk
+    while n_pad % chunk != 0:
+        chunk //= 2
+    chunk = max(chunk, 1)
+    num_chunks = n_pad // chunk
+    tile = tile_n if n_pad % tile_n == 0 else n_pad
+
+    def body(start):
+        q = jax.lax.dynamic_slice(vectors, (start, 0), (chunk, d))
+        scores, idx = topk_ops.flat_topk_search_nojit(
+            vectors, sqnorms, q.astype(jnp.float32), n_valid,
+            k=degree + 1, metric=metric, tile_n=tile,
+        )
+        # drop self-matches: where idx == own row, push to the end
+        rows = start + jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+        is_self = idx == rows
+        scores = jnp.where(is_self, topk_ops.NEG_INF, scores)
+        scores, order = jax.lax.top_k(scores, degree)
+        nbrs = jnp.take_along_axis(idx, order, axis=1)
+        # invalid slots: point at self (harmless; masked by row_ids at search)
+        return jnp.where(nbrs >= 0, nbrs, jnp.broadcast_to(rows, nbrs.shape))
+
+    starts = jnp.arange(num_chunks, dtype=jnp.int32) * chunk
+    graph = jax.lax.map(body, starts)  # (num_chunks, chunk, degree)
+    return graph.reshape(n_pad, degree).astype(jnp.int32)
+
+
+def augment_reverse_edges(graph: jax.Array, keep: int) -> jax.Array:
+    """CAGRA-style pruning: keep/2 forward edges + reverse-edge fill.
+
+    Forward edges are distance-ranked; reverse edges (who points at me)
+    improve connectivity for graph traversal. Static-shape approximation:
+    scatter each node's rank-0..r forward edges as reverse candidates, then
+    take `keep` columns mixing both."""
+    n, g = graph.shape
+    half = keep // 2
+    fwd = graph[:, :half]
+    # reverse candidates: node j appears as graph[i, r] -> candidate edge j->i
+    rev = jnp.full((n, keep - half), -1, jnp.int32)
+    src = jnp.repeat(
+        jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0), half, axis=1
+    )
+    slot = jnp.zeros((n,), jnp.int32)
+
+    def scatter_rank(r, carry):
+        rev, slot = carry
+        dst = graph[:, r]  # j for each i
+        pos = jnp.clip(slot[dst], 0, keep - half - 1)
+        rev = rev.at[dst, pos].set(src[:, 0])
+        slot = slot.at[dst].add(1)
+        return rev, slot
+
+    rev, _ = jax.lax.fori_loop(0, half, scatter_rank, (rev, slot))
+    # fill unfilled reverse slots with remaining forward edges
+    fallback = graph[:, half:keep]
+    rev = jnp.where(rev >= 0, rev, fallback[:, : keep - half])
+    return jnp.concatenate([fwd, rev], axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "itopk", "max_iters", "n_entries"),
+)
+def beam_search(
+    vectors: jax.Array,
+    sqnorms: jax.Array,
+    row_valid: jax.Array,
+    graph: jax.Array,
+    queries: jax.Array,
+    *,
+    k: int,
+    metric: str,
+    itopk: int = 64,
+    max_iters: int = 0,
+    n_entries: int = 32,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fixed-iteration greedy beam search over the graph.
+
+    vectors (Np, D) storage dtype; row_valid (Np,) bool; graph (Np, G).
+    Returns (scores (Q,k) desc, ids (Q,k)). Deterministic entry points:
+    evenly spaced valid rows.
+    """
+    n_pad, d = vectors.shape
+    g = graph.shape[1]
+    b = max(itopk, k)
+    iters = max_iters or max(8, (b + g - 1) // g * 8)
+    queries = queries.astype(jnp.float32)
+
+    # entry points: evenly spaced rows (static)
+    entries = jnp.linspace(0, n_pad - 1, n_entries).astype(jnp.int32)
+
+    def score_rows(qvec, ids):
+        vecs = vectors[ids].astype(jnp.float32)  # (M, D)
+        ip = dist_ops.dot_general_prec(vecs, qvec[:, None], (((1,), (0,)), ((), ())))[:, 0]
+        if metric == "sqeuclidean":
+            s = 2.0 * ip - sqnorms[ids]
+        else:
+            s = ip
+        return jnp.where(row_valid[ids], s, topk_ops.NEG_INF)
+
+    def one_query(qvec):
+        e_scores = score_rows(qvec, entries)
+        init_scores = jnp.full((b,), topk_ops.NEG_INF)
+        init_ids = jnp.full((b,), -1, jnp.int32)
+        init_exp = jnp.zeros((b,), jnp.bool_)
+        top_e, order = jax.lax.top_k(e_scores, min(b, n_entries))
+        init_scores = init_scores.at[: top_e.shape[0]].set(top_e)
+        init_ids = init_ids.at[: top_e.shape[0]].set(entries[order])
+
+        def step(_, state):
+            scores, ids, expanded = state
+            # best unexpanded candidate
+            cand_scores = jnp.where(expanded, topk_ops.NEG_INF, scores)
+            pick = jnp.argmax(cand_scores)
+            pick_id = ids[pick]
+            valid_pick = cand_scores[pick] > topk_ops.NEG_INF
+            expanded = expanded.at[pick].set(True)
+
+            nbrs = graph[jnp.maximum(pick_id, 0)]  # (G,)
+            n_scores = jnp.where(
+                valid_pick, score_rows(qvec, nbrs), topk_ops.NEG_INF
+            )
+
+            all_scores = jnp.concatenate([scores, n_scores])
+            all_ids = jnp.concatenate([ids, nbrs])
+            all_exp = jnp.concatenate([expanded, jnp.zeros((g,), jnp.bool_)])
+
+            # dedup: sort by (id, expanded-first); equal-id runs keep the
+            # expanded copy, duplicates get -inf
+            # int32 is safe: ids < 2^30 rows per shard
+            sort_key = all_ids * 2 + (1 - all_exp.astype(jnp.int32))
+            order = jnp.argsort(sort_key)
+            s_ids = all_ids[order]
+            dup = jnp.concatenate(
+                [jnp.zeros((1,), jnp.bool_), s_ids[1:] == s_ids[:-1]]
+            )
+            s_scores = jnp.where(dup, topk_ops.NEG_INF, all_scores[order])
+            s_exp = all_exp[order]
+
+            new_scores, sel = jax.lax.top_k(s_scores, b)
+            return new_scores, s_ids[sel], s_exp[sel]
+
+        scores, ids, _ = jax.lax.fori_loop(
+            0, iters, step, (init_scores, init_ids, init_exp)
+        )
+        out_s, order = jax.lax.top_k(scores, k)
+        out_i = jnp.where(out_s > topk_ops.NEG_INF, ids[order], -1)
+        return out_s, out_i
+
+    return jax.vmap(one_query)(queries)

@@ -1,0 +1,141 @@
+"""IVF inverted-list layout and probe-scan ops.
+
+TPU-native replacement for cuVS ivf_flat's list structures (SURVEY.md §2a).
+XLA needs static shapes, so variable-length inverted lists become a
+*sorted-CSR* layout: corpus rows are stably sorted by cluster id into one
+contiguous array with per-list (offset, count); probing list c gathers a
+fixed-size window [offset_c, offset_c + max_list_size) and masks positions
+beyond count_c. Windows are contiguous rows, so the gathers are DMA-friendly
+dynamic slices, and memory is N + max_list_size rows (no padded-list blowup).
+
+All functions here are traced (usable under jit / shard_map / vmap).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from cuvs_rag_tpu.ops import distance as dist_ops
+from cuvs_rag_tpu.ops import topk as topk_ops
+
+
+class IVFLayout(NamedTuple):
+    sorted_vectors: jax.Array  # (cap, D) rows sorted by list id, then pad
+    sorted_sqnorms: jax.Array  # (cap,)
+    sorted_row_ids: jax.Array  # (cap,) original row id, -1 on pad rows
+    list_offsets: jax.Array  # (C,) int32 start of each list
+    list_counts: jax.Array  # (C,) int32 true list length
+    truncated: jax.Array  # () int32 rows unreachable due to window cap
+
+
+def sort_by_list(labels: jax.Array, valid: jax.Array, n_lists: int, capacity: int):
+    """Core CSR ordering: (perm, padded_row_ids, counts, offsets).
+
+    perm sorts rows stably by list id with invalid rows last; padded_row_ids
+    is (capacity,) original ids (-1 beyond valid rows).
+    """
+    n = labels.shape[0]
+    assert capacity >= n, (capacity, n)
+    key = jnp.where(valid, labels, n_lists)  # invalid rows sort last
+    perm = jnp.argsort(key, stable=True)
+    row_ids = jnp.where(valid[perm], perm.astype(jnp.int32), -1)
+    row_ids = jnp.pad(row_ids, (0, capacity - n), constant_values=-1)
+    weights = valid.astype(jnp.int32)
+    counts = jnp.zeros((n_lists,), jnp.int32).at[labels].add(weights)
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
+    )
+    return perm, row_ids, counts, offsets
+
+
+def build_layout(
+    vectors: jax.Array,
+    labels: jax.Array,
+    valid: jax.Array,
+    *,
+    n_lists: int,
+    capacity: int,
+    max_list_size: int,
+) -> IVFLayout:
+    """Arrange (N, D) rows into the sorted-CSR layout.
+
+    vectors: storage-dtype rows (possibly padded; pad rows have valid=False).
+    labels: (N,) int32 cluster assignment. valid: (N,) bool.
+    capacity: static output rows, must be >= N + max_list_size so every
+    window stays in bounds. max_list_size: static probe window; rows beyond
+    it within one list are counted in `truncated` (searches can't reach them).
+    """
+    perm, row_ids, counts, offsets = sort_by_list(labels, valid, n_lists, capacity)
+    sorted_vecs = topk_ops.pad_rows(vectors[perm], capacity)
+    truncated = jnp.sum(jnp.maximum(counts - max_list_size, 0))
+    sorted_sq = dist_ops.sqnorms(sorted_vecs)
+    return IVFLayout(
+        sorted_vectors=sorted_vecs,
+        sorted_sqnorms=sorted_sq,
+        sorted_row_ids=row_ids,
+        list_offsets=offsets,
+        list_counts=jnp.minimum(counts, max_list_size),
+        truncated=truncated,
+    )
+
+
+def probe_lists(
+    queries: jax.Array,
+    centroids: jax.Array,
+    centroid_sqnorms: jax.Array,
+    n_probes: int,
+    metric: str,
+):
+    """(Q, D) -> ((Q, P) coarse scores, (Q, P) int32 nearest-list ids).
+
+    The scores are the 'coarse part' of the decomposed PQ score
+    (ops/pq.py), so IVF-PQ reuses them directly."""
+    scores = dist_ops.scores_from_tile(queries, centroids, centroid_sqnorms, metric)
+    top_scores, ids = jax.lax.top_k(scores, n_probes)
+    return top_scores, ids.astype(jnp.int32)
+
+
+def scan_probed_lists(
+    queries: jax.Array,
+    probe_ids: jax.Array,
+    layout_vectors: jax.Array,
+    layout_sqnorms: jax.Array,
+    layout_row_ids: jax.Array,
+    list_offsets: jax.Array,
+    list_counts: jax.Array,
+    *,
+    max_list_size: int,
+    metric: str,
+    k: int,
+):
+    """Score each query against its probed windows; return per-query top-k.
+
+    queries: (Q, D); probe_ids: (Q, P). Returns (scores (Q,k), row_ids (Q,k)).
+
+    Implementation: vmap over queries of a scan over probes. Each probe is a
+    contiguous dynamic-slice window (DMA-friendly); scores for masked
+    positions are -inf. Rows live in exactly one list, so no dedup is needed.
+    """
+    d = queries.shape[1]
+    L = max_list_size
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)[0]  # (L,)
+
+    def one_query(qvec, probes):
+        def one_probe(c):
+            off = list_offsets[c]
+            cnt = list_counts[c]
+            win = jax.lax.dynamic_slice(layout_vectors, (off, 0), (L, d))
+            win_sq = jax.lax.dynamic_slice(layout_sqnorms, (off,), (L,))
+            win_ids = jax.lax.dynamic_slice(layout_row_ids, (off,), (L,))
+            s = dist_ops.scores_from_tile(qvec[None, :], win, win_sq, metric)[0]
+            s = jnp.where((pos < cnt) & (win_ids >= 0), s, topk_ops.NEG_INF)
+            return s, win_ids
+
+        scores, ids = jax.vmap(one_probe)(probes)  # (P, L)
+        return topk_ops.merge_topk(scores.reshape(-1), ids.reshape(-1), k)
+
+    return jax.vmap(one_query)(queries.astype(layout_vectors.dtype), probe_ids)

@@ -51,8 +51,7 @@ def assign_clusters(
     return labels.reshape(n)
 
 
-@functools.partial(jax.jit, static_argnames=("n_clusters", "iters", "chunk"))
-def kmeans(
+def kmeans_nojit(
     data: jax.Array,
     row_weights: jax.Array,
     key: jax.Array,
@@ -70,45 +69,89 @@ def kmeans(
     data = data.astype(jnp.float32)
     w = row_weights.astype(jnp.float32)
 
-    # --- init: weighted sample without replacement (Gumbel top-k) ---------
-    g = jax.random.gumbel(key, (n,))
-    masked = jnp.where(w > 0, g, -jnp.inf)
-    _, init_idx = jax.lax.top_k(masked, n_clusters)
-    centroids = data[init_idx]
+    # --- init: k-means++ (D^2 sampling via Gumbel-max) --------------------
+    # Sequential over clusters, but each step is one (N,D) distance pass, so
+    # the whole init costs about one Lloyd assignment iteration.
+    key, k0 = jax.random.split(key)
+    first = jnp.argmax(jnp.where(w > 0, jax.random.gumbel(k0, (n,)), -jnp.inf))
+    centroids0 = jnp.zeros((n_clusters, d), jnp.float32).at[0].set(data[first])
+    gumbels = jax.random.gumbel(key, (n_clusters, n))
+
+    def init_step(t, carry):
+        centroids, min_d = carry
+        prev = centroids[t - 1]
+        d_new = jnp.sum((data - prev[None, :]) ** 2, axis=1)
+        min_d = jnp.minimum(min_d, d_new)
+        logits = jnp.where((w > 0) & (min_d > 0), jnp.log(min_d + 1e-30), -jnp.inf)
+        idx = jnp.argmax(logits + gumbels[t])
+        return centroids.at[t].set(data[idx]), min_d
+
+    centroids, _ = jax.lax.fori_loop(
+        1, n_clusters, init_step,
+        (centroids0, jnp.full((n,), jnp.inf, jnp.float32)),
+    )
 
     chunk = _chunk_rows(n, chunk)
     data_c = data.reshape(n // chunk, chunk, d)
     w_c = w.reshape(n // chunk, chunk)
 
+    # rows tracked for empty-cluster reseeding (farthest-from-centroid rows)
+    n_far = min(64, n_clusters, n)
+
     def lloyd_iter(_, centroids):
         c_sq = dist_ops.sqnorms(centroids)
 
         def scan_body(carry, xs):
-            sums, counts = carry
+            sums, counts, far_d, far_rows = carry
             x, wts = xs
             scores = dist_ops.scores_from_tile(x, centroids, c_sq, "sqeuclidean")
+            best = jnp.max(scores, axis=1)
             labels = jnp.argmax(scores, axis=1)
             onehot = (
                 jax.nn.one_hot(labels, n_clusters, dtype=jnp.float32)
                 * wts[:, None]
             )
             # segment-sum as matmul: (C, chunk) @ (chunk, D) on the MXU
-            sums = sums + jax.lax.dot_general(
-                onehot, x,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+            sums = sums + dist_ops.dot_general_prec(
+                onehot, x, (((0,), (0,)), ((), ()))
             )
             counts = counts + jnp.sum(onehot, axis=0)
-            return (sums, counts), None
+            # distance of each row to its nearest centroid (pad rows -> -inf
+            # so they are never used as reseeds)
+            x_sq = jnp.sum(x * x, axis=1)
+            ndist = jnp.where(wts > 0, x_sq - best, -jnp.inf)
+            cat_d = jnp.concatenate([far_d, ndist])
+            cat_rows = jnp.concatenate([far_rows, x])
+            far_d, far_args = jax.lax.top_k(cat_d, n_far)
+            far_rows = cat_rows[far_args]
+            return (sums, counts, far_d, far_rows), None
 
-        (sums, counts), _ = jax.lax.scan(
+        (sums, counts, far_d, far_rows), _ = jax.lax.scan(
             scan_body,
-            (jnp.zeros((n_clusters, d), jnp.float32), jnp.zeros((n_clusters,), jnp.float32)),
+            (
+                jnp.zeros((n_clusters, d), jnp.float32),
+                jnp.zeros((n_clusters,), jnp.float32),
+                jnp.full((n_far,), -jnp.inf, jnp.float32),
+                jnp.zeros((n_far, d), jnp.float32),
+            ),
             (data_c, w_c),
         )
         new = sums / jnp.maximum(counts, 1.0)[:, None]
-        return jnp.where((counts > 0)[:, None], new, centroids)
+        # reseed empty clusters to the rows farthest from their centroid —
+        # fixes random-init collisions (the j-th empty cluster takes the
+        # j-th farthest row; beyond n_far reseeds, keep the old centroid)
+        empty = counts <= 0
+        rank = jnp.cumsum(empty.astype(jnp.int32)) - 1
+        reseed = far_rows[jnp.clip(rank, 0, n_far - 1)]
+        usable = empty & (rank < n_far) & jnp.isfinite(far_d[jnp.clip(rank, 0, n_far - 1)])
+        new = jnp.where(usable[:, None], reseed, jnp.where(empty[:, None], centroids, new))
+        return new
 
     centroids = jax.lax.fori_loop(0, iters, lloyd_iter, centroids)
     labels = assign_clusters(data, centroids, chunk=chunk)
     return centroids, labels
+
+
+kmeans = jax.jit(
+    kmeans_nojit, static_argnames=("n_clusters", "iters", "chunk")
+)

@@ -1,0 +1,172 @@
+"""Product quantization: codebook training, encoding, ADC scan.
+
+TPU-native replacement for cuVS `ivf_pq`'s PQ kernels (SURVEY.md §2a):
+per-subspace k-means codebooks (vmapped over subspaces — all m trainings run
+as one batched MXU program), residual encoding against the coarse centroid
+(cuVS/FAISS-style: codes quantize x - c_coarse, which roughly halves
+quantization error vs raw encoding), and asymmetric-distance (ADC) scoring
+via per-(query, probe) lookup tables.
+
+Score algebra (larger-is-better scores, see ops/distance.py): with
+x̂ = c_coarse + r̂ and r̂ the PQ reconstruction,
+    score(q, x̂) = 2 q·x̂ - ||x̂||²
+                = [2 q·c - ||c||²]  +  Σ_s [ 2(q-c)_s·r_sc - ||r_sc||² - 2·0 ]
+                  (coarse part)         (LUT_s[c] part, per probed list)
+so the LUT for a (query, probe) pair is built from the *residual query*
+t = q - c_coarse. Inner-product metric: LUT_s[c] = t has no meaning; use
+score = q·x̂ = q·c + Σ_s q_s·r_sc.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cuvs_rag_tpu.ops import distance as dist_ops
+from cuvs_rag_tpu.ops import kmeans as kmeans_ops
+from cuvs_rag_tpu.ops import topk as topk_ops
+from cuvs_rag_tpu.utils.config import Metric
+
+
+def split_subspaces(x: jax.Array, m: int) -> jax.Array:
+    """(N, D) -> (m, N, ds). Requires D % m == 0 (index layer pads D)."""
+    n, d = x.shape
+    assert d % m == 0, (d, m)
+    ds = d // m
+    return jnp.moveaxis(x.reshape(n, m, ds), 1, 0)
+
+
+def train_codebooks(
+    residuals: jax.Array,
+    weights: jax.Array,
+    key: jax.Array,
+    *,
+    m: int,
+    n_codes: int,
+    iters: int = 10,
+) -> jax.Array:
+    """(N, D) residuals -> (m, n_codes, ds) codebooks.
+
+    All m subspace k-means run batched under vmap — one compiled program,
+    m-way parallel on the MXU (vs cuVS's per-subspace CUDA streams).
+    """
+    subs = split_subspaces(residuals.astype(jnp.float32), m)  # (m, N, ds)
+    keys = jax.random.split(key, m)
+    f = functools.partial(
+        kmeans_ops.kmeans_nojit, n_clusters=n_codes, iters=iters
+    )
+    codebooks, _ = jax.vmap(lambda d, k: f(d, weights, k))(subs, keys)
+    return codebooks  # (m, n_codes, ds)
+
+
+def encode(residuals: jax.Array, codebooks: jax.Array) -> jax.Array:
+    """(N, D), (m, C, ds) -> (N, m) uint8 codes (nearest codebook entry)."""
+    subs = split_subspaces(residuals.astype(jnp.float32), codebooks.shape[0])
+
+    def enc_sub(data_s, cb_s):
+        return kmeans_ops.assign_clusters(data_s, cb_s)
+
+    codes = jax.vmap(enc_sub)(subs, codebooks)  # (m, N)
+    return jnp.moveaxis(codes, 0, 1).astype(jnp.uint8)
+
+
+def reconstruct(codes: jax.Array, codebooks: jax.Array) -> jax.Array:
+    """(N, m) codes -> (N, D) approximate residuals (for tests/refine)."""
+    m, c, ds = codebooks.shape
+    gathered = jax.vmap(lambda s: codebooks[s][codes[:, s]], out_axes=1)(
+        jnp.arange(m)
+    )  # (N, m, ds)
+    return gathered.reshape(codes.shape[0], m * ds)
+
+
+def adc_lut(
+    residual_queries: jax.Array, codebooks: jax.Array, metric: str
+) -> jax.Array:
+    """(Q', D), (m, C, ds) -> (Q', m, C) score lookup tables.
+
+    residual_queries: q - c_coarse per (query, probe) pair, flattened to Q'.
+    sqeuclidean-score: LUT[s,c] = 2 t_s·r_sc - ||r_sc||²; ip/cosine: t_s·r_sc
+    (callers pass t = q for ip).
+    """
+    m, c, ds = codebooks.shape
+    qs = jnp.moveaxis(
+        residual_queries.reshape(-1, m, ds), 1, 0
+    )  # (m, Q', ds)
+    ip = dist_ops.dot_general_prec(
+        qs, codebooks, (((2,), (2,)), ((0,), (0,)))
+    )  # (m, Q', C)
+    ip = jnp.moveaxis(ip, 0, 1)  # (Q', m, C)
+    if metric == Metric.SQEUCLIDEAN:
+        cb_sq = jnp.sum(codebooks.astype(jnp.float32) ** 2, axis=2)  # (m, C)
+        return 2.0 * ip - cb_sq[None]
+    return ip
+
+
+def adc_scan_codes(lut: jax.Array, codes: jax.Array) -> jax.Array:
+    """(m, C) LUT + (L, m) codes -> (L,) summed scores.
+
+    The gather-heavy inner loop (SURVEY.md §7 'PQ ADC on TPU'): flat-index
+    take from the (m*C,) LUT. A Pallas LUT-in-VMEM kernel is the planned
+    fast path; this XLA formulation is the correctness baseline.
+    """
+    m, c = lut.shape
+    flat = lut.reshape(-1)
+    offs = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1) * c  # (1, m)
+    idx = codes.astype(jnp.int32) + offs  # (L, m)
+    return jnp.sum(jnp.take(flat, idx, axis=0), axis=1)
+
+
+def scan_probed_lists_pq(
+    queries: jax.Array,
+    probe_ids: jax.Array,
+    coarse_centroids: jax.Array,
+    coarse_scores_at_probes: jax.Array,
+    codebooks: jax.Array,
+    sorted_codes: jax.Array,
+    sorted_row_ids: jax.Array,
+    list_offsets: jax.Array,
+    list_counts: jax.Array,
+    *,
+    max_list_size: int,
+    metric: str,
+    k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """ADC search over probed lists. Returns (scores (Q,k), row ids (Q,k)).
+
+    queries: (Q, D) fp32 (padded to m*ds). probe_ids: (Q, P).
+    coarse_scores_at_probes: (Q, P) the coarse part of the score
+    (2 q·c - ||c||² or q·c), already computed by the prober.
+    """
+    q_n, d = queries.shape
+    p_n = probe_ids.shape[1]
+    L = max_list_size
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)[0]
+
+    # residual queries per (q, p): t = q - c_probe   (ip metric: t = q)
+    probe_cents = coarse_centroids[probe_ids]  # (Q, P, D)
+    if metric == Metric.SQEUCLIDEAN:
+        t = queries[:, None, :] - probe_cents
+    else:
+        t = jnp.broadcast_to(queries[:, None, :], probe_cents.shape)
+    luts = adc_lut(t.reshape(q_n * p_n, d), codebooks, metric)
+    luts = luts.reshape(q_n, p_n, *luts.shape[1:])  # (Q, P, m, C)
+
+    def one_query(probes, luts_q, coarse_q):
+        def one_probe(c, lut, coarse_score):
+            off = list_offsets[c]
+            cnt = list_counts[c]
+            win_codes = jax.lax.dynamic_slice(
+                sorted_codes, (off, 0), (L, sorted_codes.shape[1])
+            )
+            win_ids = jax.lax.dynamic_slice(sorted_row_ids, (off,), (L,))
+            s = adc_scan_codes(lut, win_codes) + coarse_score
+            s = jnp.where((pos < cnt) & (win_ids >= 0), s, topk_ops.NEG_INF)
+            return s, win_ids
+
+        scores, ids = jax.vmap(one_probe)(probes, luts_q, coarse_q)  # (P, L)
+        return topk_ops.merge_topk(scores.reshape(-1), ids.reshape(-1), k)
+
+    return jax.vmap(one_query)(probe_ids, luts, coarse_scores_at_probes)

@@ -23,7 +23,10 @@ import jax.numpy as jnp
 
 from cuvs_rag_tpu.ops import distance as dist_ops
 
-NEG_INF = jnp.float32(-jnp.inf)
+# Python float, NOT jnp.float32(-inf): a module-level jnp scalar would be a
+# concrete device array captured as a lowering-time constant in every jitted
+# program (forcing D2H fetches through the TPU tunnel at compile time).
+NEG_INF = -float("inf")
 
 
 def round_up(x: int, m: int) -> int:
@@ -64,8 +67,7 @@ def merge_topk(scores: jax.Array, indices: jax.Array, k: int):
     return top_scores, top_idx
 
 
-@functools.partial(jax.jit, static_argnames=("k", "metric", "tile_n"))
-def flat_topk_search(
+def flat_topk_search_nojit(
     corpus: jax.Array,
     corpus_sqnorms: jax.Array,
     queries: jax.Array,
@@ -117,6 +119,11 @@ def flat_topk_search(
         body, (init_scores, init_idx), (corpus_t, sqnorms_t, tile_ids)
     )
     return scores, idx
+
+
+flat_topk_search = jax.jit(
+    flat_topk_search_nojit, static_argnames=("k", "metric", "tile_n")
+)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "metric"))

@@ -44,6 +44,25 @@ from cuvs_rag_tpu.utils.config import Metric
 FAMILIES = {
     "flat": flat_family,
 }
+
+
+def _load_families():
+    """Late-register approximate families (avoids import cycles)."""
+    from cuvs_rag_tpu.index import ivf_flat as ivf_flat_family
+
+    FAMILIES.setdefault("ivf_flat", ivf_flat_family)
+    try:
+        from cuvs_rag_tpu.index import ivf_pq as ivf_pq_family
+
+        FAMILIES.setdefault("ivf_pq", ivf_pq_family)
+    except ImportError:
+        pass
+    try:
+        from cuvs_rag_tpu.index import cagra as cagra_family
+
+        FAMILIES.setdefault("cagra", cagra_family)
+    except ImportError:
+        pass
 # Families whose sharded search is exact with per-shard fetch = k (no
 # over-fetch needed): global top-k of per-shard top-k is exact for brute force.
 EXACT_FAMILIES = {"flat"}
@@ -96,11 +115,23 @@ def build_sharded(
 
     `corpus` is either a host/device (N, D) array or an existing ShardedCorpus.
     """
+    _load_families()
     mod = FAMILIES[family]
     if not isinstance(corpus, shard_lib.ShardedCorpus):
         index_base.validate_dataset(corpus)
         rm = row_multiple or getattr(params, "tile_n", 8)
         corpus = shard_lib.shard_corpus(corpus, dmesh, row_multiple=rm)
+
+    if hasattr(mod, "build_sharded_local"):
+        # family-custom SPMD build (e.g. IVF's two-phase exact-window build)
+        local = mod.build_sharded_local(params, corpus, dmesh)
+        return ShardedIndex(
+            local=local,
+            offsets=corpus.offsets,
+            family=family,
+            total=corpus.total,
+            axis_name=dmesh.axis_name,
+        )
 
     def _build(block, n_valid):
         ix = mod.build_local(params, block[0], n_valid[0])
@@ -112,6 +143,7 @@ def build_sharded(
             mesh=dmesh.mesh,
             in_specs=(P(dmesh.axis_name, None, None), P(dmesh.axis_name)),
             out_specs=P(dmesh.axis_name),
+            check_vma=False,
         )
     )
     local = build_fn(corpus.data, corpus.n_valid)
@@ -187,6 +219,7 @@ def search_sharded(
     (test_search_result_aggregator.py:330-358 merge semantics) as one SPMD
     program.
     """
+    _load_families()
     mod = FAMILIES[sindex.family]
     metric = sindex.metric
     queries = index_base.validate_queries(queries, _index_dim(sindex))
@@ -210,9 +243,8 @@ def search_sharded(
 
 
 def _index_dim(sindex: ShardedIndex) -> int:
-    # local leaves carry a leading shard axis, so FlatIndex.dim (shape[1])
-    # would be wrong here; the vector dim is always the last axis.
-    return sindex.local.vectors.shape[-1]
+    # every family index exposes .dim robust to shard-stacked leaves
+    return sindex.local.dim
 
 
 # ---------------------------------------------------------------------------
@@ -237,6 +269,7 @@ jax.tree_util.register_pytree_node(
 
 
 def build_replicated(family: str, params, corpus, dmesh: DeviceMesh) -> ReplicatedIndex:
+    _load_families()
     mod = FAMILIES[family]
     ix = mod.build(params, jnp.asarray(corpus))
     ix = jax.device_put(ix, dmesh.replicated())
@@ -255,6 +288,7 @@ def search_replicated(
     Queries are padded to a multiple of the mesh size and sharded on the batch
     axis; XLA runs the per-device searches with zero communication.
     """
+    _load_families()
     mod = FAMILIES[rindex.family]
     queries = index_base.validate_queries(queries, rindex.index.dim)
     if search_params is None:

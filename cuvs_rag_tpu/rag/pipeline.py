@@ -1,0 +1,162 @@
+"""RAG retrieval pipeline: encode → search → assemble context.
+
+The notebook-level API of the reference
+(VectorSearch_QuestionRetrieval.ipynb#cell6 `search_cuvs_pq`: encode query →
+index search → print passages; faiss-main.ipynb#cell9 `search_multi_gpu`),
+as a typed class over any index family and placement (single-device, sharded
+mesh, replicated mesh).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from cuvs_rag_tpu.parallel import search as psearch
+from cuvs_rag_tpu.parallel.mesh import DeviceMesh
+from cuvs_rag_tpu.rag.corpus import Corpus
+
+
+@dataclasses.dataclass
+class RetrievedPassage:
+    text: str
+    index: int
+    distance: float
+    title: Optional[str] = None
+
+
+@dataclasses.dataclass
+class RetrievalResult:
+    """Per-query retrieval output (the aggregator-spec result shape:
+    SearchResult{distances, indices, query_time} →
+    test_search_result_aggregator.py:33-47)."""
+
+    passages: List[RetrievedPassage]
+    query_time_s: float
+
+
+class Retriever:
+    """encoder + index + passages. Build via `Retriever.build(...)`."""
+
+    def __init__(
+        self,
+        encoder,
+        index: Any,
+        corpus: Corpus,
+        *,
+        family: str,
+        dmesh: Optional[DeviceMesh] = None,
+        search_params: Any = None,
+    ):
+        self.encoder = encoder
+        self.index = index
+        self.corpus = corpus
+        self.family = family
+        self.dmesh = dmesh
+        self.search_params = search_params
+
+    # -- construction ----------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        corpus: Corpus,
+        encoder,
+        *,
+        family: str = "flat",
+        params: Any = None,
+        placement: str = "single",  # single | shard | replicate
+        dmesh: Optional[DeviceMesh] = None,
+        search_params: Any = None,
+        encode_batch_size: int = 64,
+    ) -> "Retriever":
+        if corpus.embeddings is None:
+            corpus.embeddings = encoder.encode(
+                corpus.passages, batch_size=encode_batch_size
+            )
+        emb = np.asarray(corpus.embeddings, dtype=np.float32)
+        psearch._load_families()
+        mod = psearch.FAMILIES[family]
+        if params is None:
+            params = _default_params(family)
+
+        if placement == "single":
+            index = mod.build(params, jnp.asarray(emb))
+        elif placement == "shard":
+            dmesh = dmesh or DeviceMesh()
+            index = psearch.build_sharded(family, params, emb, dmesh)
+        elif placement == "replicate":
+            dmesh = dmesh or DeviceMesh()
+            index = psearch.build_replicated(family, params, emb, dmesh)
+        else:
+            raise ValueError(f"unknown placement {placement!r}")
+        return cls(
+            encoder, index, corpus,
+            family=family, dmesh=dmesh, search_params=search_params,
+        )
+
+    # -- retrieval -------------------------------------------------------
+
+    def retrieve(self, query: str, k: int = 5) -> RetrievalResult:
+        return self.retrieve_batch([query], k)[0]
+
+    def retrieve_batch(self, queries: Sequence[str], k: int = 5) -> List[RetrievalResult]:
+        t0 = time.time()
+        q = jnp.asarray(self.encoder.encode(list(queries)))
+        if isinstance(self.index, psearch.ShardedIndex):
+            dists, idx = psearch.search_sharded(
+                self.search_params, self.index, q, k, self.dmesh
+            )
+        elif isinstance(self.index, psearch.ReplicatedIndex):
+            dists, idx = psearch.search_replicated(
+                self.search_params, self.index, q, k, self.dmesh
+            )
+        else:
+            mod = psearch.FAMILIES[self.family]
+            dists, idx = mod.search(self.search_params, self.index, q, k)
+        dt = time.time() - t0
+        dists, idx = np.asarray(dists), np.asarray(idx)
+
+        results = []
+        per_query = dt / max(len(queries), 1)
+        for row in range(len(queries)):
+            passages = [
+                RetrievedPassage(
+                    text=self.corpus.passages[j],
+                    index=int(j),
+                    distance=float(dists[row, c]),
+                    title=self.corpus.titles[j] if self.corpus.titles else None,
+                )
+                for c, j in enumerate(idx[row])
+                if j >= 0
+            ]
+            results.append(RetrievalResult(passages=passages, query_time_s=per_query))
+        return results
+
+    def assemble_context(
+        self, query: str, k: int = 5, separator: str = "\n\n"
+    ) -> str:
+        """The RAG 'retrieve + assemble' step: top-k passages joined into a
+        prompt context block (VectorSearch_QuestionRetrieval.ipynb#cell6)."""
+        res = self.retrieve(query, k)
+        return separator.join(p.text for p in res.passages)
+
+
+def _default_params(family: str):
+    from cuvs_rag_tpu.utils.config import (
+        CagraParams,
+        FlatParams,
+        IVFFlatParams,
+        IVFPQParams,
+    )
+
+    return {
+        "flat": FlatParams(),
+        "ivf_flat": IVFFlatParams(),
+        "ivf_pq": IVFPQParams(),
+        "cagra": CagraParams(),
+    }[family]

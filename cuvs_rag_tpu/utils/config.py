@@ -156,7 +156,10 @@ class CagraParams:
 class CagraSearchParams:
     itopk_size: int = 64  # beam width
     max_iterations: int = 0  # 0 → auto from itopk_size
-    num_entry_points: int = 32
+    # Entry points bound worst-case recall on weakly-connected graphs
+    # (a cluster no entry point lands in is unreachable by greedy descent),
+    # so the default is generous; scoring entries is one cheap batched matmul.
+    num_entry_points: int = 128
 
 
 @dataclasses.dataclass(frozen=True)

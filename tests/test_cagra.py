@@ -1,0 +1,92 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cuvs_rag_tpu.eval import recall as recall_lib
+from cuvs_rag_tpu.index import cagra
+from cuvs_rag_tpu.utils.config import CagraParams, CagraSearchParams, Metric
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((20, 24)).astype(np.float32) * 3
+    labels = rng.integers(0, 20, 2000)
+    corpus = (centers[labels] + 0.5 * rng.standard_normal((2000, 24))).astype(np.float32)
+    queries = (centers[rng.integers(0, 20, 12)]
+               + 0.5 * rng.standard_normal((12, 24))).astype(np.float32)
+    return corpus, queries
+
+
+def test_graph_structure(data):
+    corpus, _ = data
+    ix = cagra.build(CagraParams(intermediate_graph_degree=32, graph_degree=16),
+                     jnp.asarray(corpus))
+    g = np.asarray(ix.graph)
+    assert g.shape == (2000, 16)
+    # no self loops on valid rows
+    rows = np.arange(2000)[:, None]
+    assert not np.any(g[:2000] == rows)
+    assert g.min() >= 0 and g.max() < 2000
+
+
+def test_cagra_recall(data):
+    corpus, queries = data
+    k = 10
+    ix = cagra.build(CagraParams(intermediate_graph_degree=48, graph_degree=32),
+                     jnp.asarray(corpus))
+    gt = recall_lib.exact_ground_truth(corpus, queries, k, Metric.SQEUCLIDEAN)
+    _, i = cagra.search(
+        CagraSearchParams(itopk_size=64, max_iterations=32, num_entry_points=128),
+        ix, jnp.asarray(queries), k,
+    )
+    r = recall_lib.recall_at_k(np.asarray(i), gt, k)
+    assert r >= 0.9, r
+
+
+def test_cagra_self_retrieval(data):
+    corpus, _ = data
+    ix = cagra.build(CagraParams(intermediate_graph_degree=32, graph_degree=16),
+                     jnp.asarray(corpus))
+    rows = [0, 500, 1999]
+    _, i = cagra.search(
+        CagraSearchParams(itopk_size=32, max_iterations=24),
+        ix, jnp.asarray(corpus[rows]), 1,
+    )
+    assert np.asarray(i)[:, 0].tolist() == rows
+
+
+def test_cagra_no_duplicate_results(data):
+    corpus, queries = data
+    ix = cagra.build(CagraParams(intermediate_graph_degree=32, graph_degree=16),
+                     jnp.asarray(corpus))
+    _, i = cagra.search(
+        CagraSearchParams(itopk_size=32, max_iterations=24),
+        ix, jnp.asarray(queries), 10,
+    )
+    i = np.asarray(i)
+    for row in i:
+        real = row[row >= 0]
+        assert len(np.unique(real)) == len(real), row
+
+
+def test_sharded_cagra(data):
+    from cuvs_rag_tpu.parallel import search as psearch
+    from cuvs_rag_tpu.parallel.mesh import DeviceMesh
+
+    corpus, queries = data
+    k = 10
+    dmesh = DeviceMesh()
+    sindex = psearch.build_sharded(
+        "cagra",
+        CagraParams(intermediate_graph_degree=32, graph_degree=16),
+        corpus, dmesh,
+    )
+    _, i_sh = psearch.search_sharded(
+        CagraSearchParams(itopk_size=32, max_iterations=24),
+        sindex, queries, k, dmesh,
+    )
+    gt = recall_lib.exact_ground_truth(corpus, queries, k, Metric.SQEUCLIDEAN)
+    r = recall_lib.recall_at_k(np.asarray(i_sh), gt, k)
+    # 8 shards of 250 rows each with degree-16 graphs
+    assert r >= 0.85, r

@@ -1,0 +1,57 @@
+import numpy as np
+
+from cuvs_rag_tpu.eval import bench as bench_lib
+from cuvs_rag_tpu.utils.config import IVFFlatParams, IVFFlatSearchParams
+
+
+def test_batch_size_sweep(rng):
+    import jax.numpy as jnp
+
+    from cuvs_rag_tpu.index import flat
+    from cuvs_rag_tpu.utils.config import FlatParams
+
+    corpus = rng.standard_normal((500, 16)).astype(np.float32)
+    queries = rng.standard_normal((50, 16)).astype(np.float32)
+    ix = flat.build(FlatParams(tile_n=8), jnp.asarray(corpus))
+    res = bench_lib.batch_size_sweep(
+        lambda q, k: flat.search(None, ix, q, k),
+        queries, k=5, batch_sizes=(1, 10), iters=2,
+    )
+    assert len(res) == 2
+    assert res[0].batch_size == 1 and res[1].batch_size == 10
+    assert all(r.qps > 0 for r in res)
+
+
+def test_scaling_stress_completes(rng):
+    rows = bench_lib.scaling_stress(
+        "ivf_flat",
+        make_params=lambda n: IVFFlatParams(n_lists=8),
+        sizes=[256, 512],
+        dim=16,
+        search_params_fn=lambda n: IVFFlatSearchParams(n_probes=8),
+        n_queries=3,
+        k=5,
+    )
+    assert len(rows) == 2
+    assert all(r.ok for r in rows)
+    assert all(r.recall_at_10 == 1.0 for r in rows)  # full probe -> exact
+    table = bench_lib.format_table(rows)
+    assert "n_vectors" in table
+
+
+def test_scaling_stress_breaking_point():
+    # a params factory that fails at the second size exercises the
+    # breaking-point protocol
+    def bad_params(n):
+        if n > 300:
+            raise MemoryError("synthetic OOM")
+        return IVFFlatParams(n_lists=4)
+
+    rows = bench_lib.scaling_stress(
+        "ivf_flat", bad_params, sizes=[256, 512, 1024], dim=8,
+        search_params_fn=lambda n: IVFFlatSearchParams(n_probes=4),
+        n_queries=2, k=3, eval_recall=False,
+    )
+    assert [r.ok for r in rows] == [True, False]
+    assert "MemoryError" in rows[1].error
+    assert len(rows) == 2  # stopped at breaking point, 1024 never attempted

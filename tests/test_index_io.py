@@ -1,0 +1,45 @@
+import jax.numpy as jnp
+import numpy as np
+
+from cuvs_rag_tpu.index import flat, io, ivf_flat
+from cuvs_rag_tpu.utils.config import FlatParams, IVFFlatParams, IVFFlatSearchParams
+
+
+def test_flat_round_trip(tmp_path, rng):
+    corpus = rng.standard_normal((100, 16)).astype(np.float32)
+    queries = rng.standard_normal((3, 16)).astype(np.float32)
+    ix = flat.build(FlatParams(tile_n=32), jnp.asarray(corpus))
+    p = str(tmp_path / "flat.npz")
+    io.save_index(p, ix)
+    ix2 = io.load_index(p)
+    d1, i1 = flat.search(None, ix, jnp.asarray(queries), 5)
+    d2, i2 = flat.search(None, ix2, jnp.asarray(queries), 5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2))
+    assert ix2.metric == ix.metric and ix2.tile_n == ix.tile_n
+
+
+def test_flat_bf16_round_trip(tmp_path, rng):
+    corpus = rng.standard_normal((64, 16)).astype(np.float32)
+    ix = flat.build(FlatParams(dtype="bfloat16", tile_n=32), jnp.asarray(corpus))
+    p = str(tmp_path / "flat16.npz")
+    io.save_index(p, ix)
+    ix2 = io.load_index(p)
+    assert ix2.vectors.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(ix.vectors.astype(jnp.float32)),
+        np.asarray(ix2.vectors.astype(jnp.float32)),
+    )
+
+
+def test_ivf_round_trip(tmp_path, rng):
+    corpus = rng.standard_normal((1000, 16)).astype(np.float32)
+    queries = rng.standard_normal((4, 16)).astype(np.float32)
+    ix = ivf_flat.build(IVFFlatParams(n_lists=8), jnp.asarray(corpus))
+    p = str(tmp_path / "ivf.npz")
+    io.save_index(p, ix)
+    ix2 = io.load_index(p)
+    sp = IVFFlatSearchParams(n_probes=8)
+    d1, i1 = ivf_flat.search(sp, ix, jnp.asarray(queries), 5)
+    d2, i2 = ivf_flat.search(sp, ix2, jnp.asarray(queries), 5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))

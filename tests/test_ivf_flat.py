@@ -1,0 +1,146 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cuvs_rag_tpu.eval import recall as recall_lib
+from cuvs_rag_tpu.index import ivf_flat
+from cuvs_rag_tpu.utils.config import IVFFlatParams, IVFFlatSearchParams, Metric
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(42)
+    corpus = rng.standard_normal((5000, 32)).astype(np.float32)
+    queries = rng.standard_normal((20, 32)).astype(np.float32)
+    return corpus, queries
+
+
+@pytest.fixture(scope="module")
+def clustered_data():
+    # embedding-like data: 40 topic clusters; queries near cluster centers
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((40, 32)).astype(np.float32) * 3
+    labels = rng.integers(0, 40, 5000)
+    corpus = centers[labels] + 0.5 * rng.standard_normal((5000, 32)).astype(np.float32)
+    qlabels = rng.integers(0, 40, 20)
+    queries = centers[qlabels] + 0.5 * rng.standard_normal((20, 32)).astype(np.float32)
+    return corpus.astype(np.float32), queries.astype(np.float32)
+
+
+def test_build_structure(data):
+    corpus, _ = data
+    ix = ivf_flat.build(IVFFlatParams(n_lists=16), jnp.asarray(corpus))
+    assert ix.n_lists == 16
+    assert int(np.asarray(ix.n_valid)) == 5000
+    counts = np.asarray(ix.list_counts)
+    assert counts.sum() == 5000
+    # every real row appears exactly once in the layout
+    ids = np.asarray(ix.row_ids)
+    real = ids[ids >= 0]
+    assert len(real) == 5000
+    assert len(np.unique(real)) == 5000
+
+
+def test_full_probe_is_exact(data):
+    # probing every list must equal brute force
+    corpus, queries = data
+    k = 10
+    ix = ivf_flat.build(IVFFlatParams(n_lists=16), jnp.asarray(corpus))
+    d, i = ivf_flat.search(
+        IVFFlatSearchParams(n_probes=16), ix, jnp.asarray(queries), k
+    )
+    gt = recall_lib.exact_ground_truth(corpus, queries, k, Metric.SQEUCLIDEAN)
+    np.testing.assert_array_equal(np.asarray(i), gt)
+
+
+def test_partial_probe_recall_random_data(data):
+    # unstructured gaussian data: the worst case for IVF; 25% of lists
+    # probed should still recover most neighbors
+    corpus, queries = data
+    k = 10
+    ix = ivf_flat.build(IVFFlatParams(n_lists=32), jnp.asarray(corpus))
+    d, i = ivf_flat.search(
+        IVFFlatSearchParams(n_probes=8), ix, jnp.asarray(queries), k
+    )
+    gt = recall_lib.exact_ground_truth(corpus, queries, k, Metric.SQEUCLIDEAN)
+    r = recall_lib.recall_at_k(np.asarray(i), gt, k)
+    assert r >= 0.6, r
+
+
+def test_partial_probe_recall_clustered(clustered_data):
+    # embedding-like clustered data: few probes give high recall
+    corpus, queries = clustered_data
+    k = 10
+    ix = ivf_flat.build(IVFFlatParams(n_lists=32), jnp.asarray(corpus))
+    _, i = ivf_flat.search(
+        IVFFlatSearchParams(n_probes=8), ix, jnp.asarray(queries), k
+    )
+    gt = recall_lib.exact_ground_truth(corpus, queries, k, Metric.SQEUCLIDEAN)
+    r = recall_lib.recall_at_k(np.asarray(i), gt, k)
+    assert r >= 0.95, r
+
+
+def test_distances_are_true_sqeuclidean(data):
+    corpus, queries = data
+    ix = ivf_flat.build(IVFFlatParams(n_lists=16), jnp.asarray(corpus))
+    d, i = ivf_flat.search(IVFFlatSearchParams(n_probes=16), ix, jnp.asarray(queries), 5)
+    d, i = np.asarray(d), np.asarray(i)
+    want = ((queries[:, None, :] - corpus[i]) ** 2).sum(-1)
+    # i is (Q,5): corpus[i] is (Q,5,32)
+    np.testing.assert_allclose(d, want, rtol=1e-3, atol=1e-3)
+
+
+def test_cosine_metric(data):
+    corpus, queries = data
+    k = 5
+    ix = ivf_flat.build(
+        IVFFlatParams(n_lists=16, metric=Metric.COSINE), jnp.asarray(corpus)
+    )
+    _, i = ivf_flat.search(IVFFlatSearchParams(n_probes=16), ix, jnp.asarray(queries), k)
+    gt = recall_lib.exact_ground_truth(corpus, queries, k, Metric.COSINE)
+    np.testing.assert_array_equal(np.asarray(i), gt)
+
+
+def test_self_retrieval(data):
+    corpus, _ = data
+    ix = ivf_flat.build(IVFFlatParams(n_lists=32), jnp.asarray(corpus))
+    rows = [0, 777, 4999]
+    _, i = ivf_flat.search(IVFFlatSearchParams(n_probes=1), ix, jnp.asarray(corpus[rows]), 1)
+    # a corpus row's own list is always its nearest list -> found at n_probes=1
+    assert np.asarray(i)[:, 0].tolist() == rows
+
+
+def test_sharded_ivf_matches_quality(data):
+    from cuvs_rag_tpu.parallel import search as psearch
+    from cuvs_rag_tpu.parallel.mesh import DeviceMesh
+
+    corpus, queries = data
+    k = 10
+    dmesh = DeviceMesh()
+    sindex = psearch.build_sharded(
+        "ivf_flat", IVFFlatParams(n_lists=8), corpus, dmesh
+    )
+    d_sh, i_sh = psearch.search_sharded(
+        IVFFlatSearchParams(n_probes=8), sindex, queries, k, dmesh
+    )
+    # full probe per shard -> exact
+    gt = recall_lib.exact_ground_truth(corpus, queries, k, Metric.SQEUCLIDEAN)
+    np.testing.assert_array_equal(np.asarray(i_sh), gt)
+
+
+def test_sharded_ivf_partial_probe_recall(data):
+    from cuvs_rag_tpu.parallel import search as psearch
+    from cuvs_rag_tpu.parallel.mesh import DeviceMesh
+
+    corpus, queries = data
+    k = 10
+    dmesh = DeviceMesh()
+    sindex = psearch.build_sharded(
+        "ivf_flat", IVFFlatParams(n_lists=16), corpus, dmesh
+    )
+    _, i_sh = psearch.search_sharded(
+        IVFFlatSearchParams(n_probes=4), sindex, queries, k, dmesh
+    )
+    gt = recall_lib.exact_ground_truth(corpus, queries, k, Metric.SQEUCLIDEAN)
+    r = recall_lib.recall_at_k(np.asarray(i_sh), gt, k)
+    assert r >= 0.6, r  # unstructured gaussian data, 25% probed per shard

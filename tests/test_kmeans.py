@@ -1,0 +1,57 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cuvs_rag_tpu.ops import kmeans as kmeans_ops
+
+
+def _blobs(rng, n_per, centers, d=16, scale=0.05):
+    data, labels = [], []
+    for i, c in enumerate(centers):
+        data.append(c + scale * rng.standard_normal((n_per, d)).astype(np.float32))
+        labels += [i] * n_per
+    return np.concatenate(data).astype(np.float32), np.array(labels)
+
+
+def test_assign_clusters_nearest(rng):
+    centroids = rng.standard_normal((4, 8)).astype(np.float32)
+    data = centroids[[2, 0, 3, 1, 1, 2, 0, 3]] + 0.01
+    labels = kmeans_ops.assign_clusters(jnp.asarray(data), jnp.asarray(centroids))
+    assert np.asarray(labels).tolist() == [2, 0, 3, 1, 1, 2, 0, 3]
+
+
+def test_kmeans_recovers_blobs(rng):
+    d = 16
+    centers = rng.standard_normal((5, d)).astype(np.float32) * 5
+    data, true_labels = _blobs(rng, 32, centers, d)
+    w = np.ones(len(data), np.float32)
+    centroids, labels = kmeans_ops.kmeans(
+        jnp.asarray(data), jnp.asarray(w), jax.random.PRNGKey(0),
+        n_clusters=5, iters=15,
+    )
+    labels = np.asarray(labels)
+    # all points of one blob must share a label, distinct across blobs
+    blob_labels = [set(labels[true_labels == i]) for i in range(5)]
+    assert all(len(s) == 1 for s in blob_labels)
+    assert len(set.union(*blob_labels)) == 5
+    # each centroid close to a true center
+    dists = np.linalg.norm(
+        np.asarray(centroids)[:, None, :] - centers[None, :, :], axis=-1
+    )
+    assert dists.min(axis=1).max() < 0.2
+
+
+def test_kmeans_ignores_zero_weight_rows(rng):
+    d = 8
+    centers = rng.standard_normal((2, d)).astype(np.float32) * 5
+    data, _ = _blobs(rng, 16, centers, d)
+    # add garbage rows with weight 0 (simulating shard padding)
+    garbage = 100.0 * np.ones((8, d), np.float32)
+    full = np.concatenate([data, garbage])
+    w = np.concatenate([np.ones(len(data)), np.zeros(8)]).astype(np.float32)
+    centroids, _ = kmeans_ops.kmeans(
+        jnp.asarray(full), jnp.asarray(w), jax.random.PRNGKey(1),
+        n_clusters=2, iters=10,
+    )
+    # no centroid anywhere near the garbage
+    assert np.abs(np.asarray(centroids)).max() < 50.0

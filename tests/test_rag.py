@@ -1,0 +1,86 @@
+import numpy as np
+import pytest
+
+from cuvs_rag_tpu.models.encoder import HashingEncoder, get_detailed_instruct
+from cuvs_rag_tpu.rag.corpus import Corpus, load_embeddings, save_embeddings
+from cuvs_rag_tpu.rag.pipeline import Retriever
+from cuvs_rag_tpu.utils.config import FlatParams, Metric
+
+PASSAGES = [
+    "The mitochondria is the powerhouse of the cell.",
+    "Paris is the capital of France and home to the Eiffel Tower.",
+    "Python is a popular programming language for data science.",
+    "The Pacific Ocean is the largest ocean on Earth.",
+    "Photosynthesis converts sunlight into chemical energy in plants.",
+    "The Great Wall of China is visible over thousands of kilometers.",
+    "Machine learning models learn patterns from training data.",
+    "Mount Everest is the tallest mountain above sea level.",
+]
+
+
+def test_hashing_encoder_shape_and_determinism():
+    enc = HashingEncoder(dim=64)
+    e1 = enc.encode(["hello world", "foo"])
+    e2 = enc.encode(["hello world", "foo"])
+    assert e1.shape == (2, 64)
+    np.testing.assert_array_equal(e1, e2)
+    np.testing.assert_allclose(np.linalg.norm(e1, axis=1), 1.0, rtol=1e-5)
+
+
+def test_hashing_encoder_similarity():
+    enc = HashingEncoder(dim=256)
+    e = enc.encode([
+        "machine learning models",
+        "machine learning model",
+        "completely unrelated zebra text",
+    ])
+    sim_close = e[0] @ e[1]
+    sim_far = e[0] @ e[2]
+    assert sim_close > sim_far
+
+
+def test_instruct_format():
+    s = get_detailed_instruct("Retrieve passages", "what is ML?")
+    assert s.startswith("Instruct: Retrieve passages\nQuery:")
+
+
+@pytest.mark.parametrize("placement", ["single", "shard", "replicate"])
+def test_retriever_end_to_end(placement):
+    enc = HashingEncoder(dim=128)
+    corpus = Corpus(passages=list(PASSAGES))
+    r = Retriever.build(
+        corpus, enc,
+        family="flat",
+        params=FlatParams(metric=Metric.COSINE, tile_n=8),
+        placement=placement,
+    )
+    res = r.retrieve("which mountain is the tallest on earth", k=3)
+    texts = [p.text for p in res.passages]
+    assert any("Everest" in t for t in texts), texts
+    ctx = r.assemble_context("programming language data science", k=2)
+    assert "Python" in ctx
+
+
+def test_retriever_exact_self_retrieval():
+    enc = HashingEncoder(dim=128)
+    corpus = Corpus(passages=list(PASSAGES))
+    r = Retriever.build(corpus, enc, family="flat",
+                        params=FlatParams(metric=Metric.COSINE, tile_n=8))
+    for qi, text in enumerate(PASSAGES):
+        res = r.retrieve(text, k=1)
+        assert res.passages[0].index == qi
+
+
+def test_embedding_persistence_round_trip(tmp_path, rng):
+    emb = rng.standard_normal((103, 32)).astype(np.float32)
+    # whole
+    save_embeddings(str(tmp_path / "emb"), emb, num_parts=1)
+    np.testing.assert_array_equal(load_embeddings(str(tmp_path / "emb")), emb)
+    # sharded parts (reference _part{i} flow)
+    save_embeddings(str(tmp_path / "emb4"), emb, num_parts=4)
+    np.testing.assert_array_equal(load_embeddings(str(tmp_path / "emb4")), emb)
+
+
+def test_corpus_alignment_validation():
+    with pytest.raises(ValueError, match="row-aligned"):
+        Corpus(passages=["a", "b"], embeddings=np.zeros((3, 4), np.float32))
