@@ -1,0 +1,161 @@
+"""End-to-end synthetic pipeline + CLI — the reference's primary entry point.
+
+Mirrors `improved_multi_gpu_rag.main()` (Latest/improved_multi_gpu_rag.py:
+399-506): device discovery, memory status, synthetic corpus, parallel index
+build, distributed batched search, recall@K sweep — as one SPMD program over
+the TPU mesh, plus what the reference lacked: a real CLI (it had no argparse
+anywhere, SURVEY.md §5), exact-GT recall, and a fit-check before building.
+
+    python -m cuvs_rag_tpu.main --n 100000 --dim 768 --family ivf_flat
+    python -m cuvs_rag_tpu.main --family all --placement shard
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import time
+
+import numpy as np
+
+logging.basicConfig(
+    level=logging.INFO, format="%(asctime)s %(name)s %(levelname)s %(message)s"
+)
+logger = logging.getLogger("cuvs_rag_tpu.main")
+
+
+def run_family(family, corpus, queries, k, args, dmesh, gt):
+    import jax
+    import jax.numpy as jnp
+
+    from cuvs_rag_tpu.eval import recall as recall_lib
+    from cuvs_rag_tpu.parallel import search as psearch
+    from cuvs_rag_tpu.utils.config import (
+        CagraParams, CagraSearchParams, FlatParams, IVFFlatParams,
+        IVFFlatSearchParams, IVFPQParams, IVFPQSearchParams,
+    )
+
+    params = {
+        "flat": FlatParams(dtype=args.dtype),
+        "ivf_flat": IVFFlatParams(n_lists=args.n_lists, dtype=args.dtype),
+        "ivf_pq": IVFPQParams(n_lists=args.n_lists, pq_dim=args.pq_dim),
+        "cagra": CagraParams(),
+    }[family]
+    sp = {
+        "flat": None,
+        "ivf_flat": IVFFlatSearchParams(n_probes=args.n_probes),
+        "ivf_pq": IVFPQSearchParams(n_probes=args.n_probes,
+                                    refine_ratio=args.refine_ratio),
+        "cagra": CagraSearchParams(),
+    }[family]
+
+    t0 = time.perf_counter()
+    if args.placement == "shard":
+        index = psearch.build_sharded(family, params, corpus, dmesh)
+        jax.block_until_ready(jax.tree_util.tree_leaves(index.local)[0])
+        build_s = time.perf_counter() - t0
+
+        def do_search(qb):
+            return psearch.search_sharded(sp, index, qb, k, dmesh)
+    else:
+        index = psearch.build_replicated(family, params, corpus, dmesh)
+        jax.block_until_ready(jax.tree_util.tree_leaves(index.index)[0])
+        build_s = time.perf_counter() - t0
+
+        def do_search(qb):
+            return psearch.search_replicated(sp, index, qb, k, dmesh)
+
+    qj = jnp.asarray(queries)
+    dists, idx = do_search(qj)  # compile + run
+    jax.block_until_ready((dists, idx))
+    t0 = time.perf_counter()
+    iters = 3
+    for _ in range(iters):
+        dists, idx = do_search(qj)
+        jax.block_until_ready((dists, idx))
+    search_ms = (time.perf_counter() - t0) / iters * 1e3
+
+    recalls = recall_lib.recall_multiple_k(
+        np.asarray(idx), gt, [kk for kk in (1, 5, 10) if kk <= k]
+    )
+    return {
+        "family": family,
+        "build_s": round(build_s, 3),
+        "search_ms_batch": round(search_ms, 3),
+        "search_ms_per_query": round(search_ms / len(queries), 4),
+        "recall": {k_: round(v, 4) for k_, v in recalls.items()},
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--n", type=int, default=100_000)
+    p.add_argument("--dim", type=int, default=768)
+    p.add_argument("--n-queries", type=int, default=100)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--family", default="ivf_flat",
+                   choices=["flat", "ivf_flat", "ivf_pq", "cagra", "all"])
+    p.add_argument("--placement", default="shard", choices=["shard", "replicate"])
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--n-lists", type=int, default=0)
+    p.add_argument("--n-probes", type=int, default=20)
+    p.add_argument("--pq-dim", type=int, default=0)
+    p.add_argument("--refine-ratio", type=int, default=2)
+    p.add_argument("--topics", type=int, default=100)
+    p.add_argument("--json", action="store_true", help="machine-readable output")
+    args = p.parse_args(argv)
+
+    import jax
+
+    from cuvs_rag_tpu.eval import recall as recall_lib
+    from cuvs_rag_tpu.parallel.mesh import DeviceMesh
+    from cuvs_rag_tpu.rag import datasets
+    from cuvs_rag_tpu.utils import memory as mem
+    from cuvs_rag_tpu.utils.config import Metric
+
+    dmesh = DeviceMesh()
+    logger.info("mesh: %d x %s", dmesh.num_devices,
+                dmesh.devices[0].device_kind)
+    mem.log_memory_status("start")
+
+    plan = mem.plan_shards(args.n, args.dim, dmesh.num_devices,
+                           family=args.family if args.family != "all" else "flat",
+                           dtype=args.dtype)
+    logger.info("shard plan: %s", plan)
+    if not plan["fits"]:
+        raise SystemExit(f"corpus does not fit: {plan['suggestion']}")
+
+    logger.info("generating %d x %d synthetic topic corpus", args.n, args.dim)
+    corpus, topic_labels, centers = datasets.synthetic_topic_corpus(
+        args.n, args.dim, n_topics=args.topics
+    )
+    queries, qlabels = datasets.topic_queries(centers, args.n_queries)
+
+    logger.info("computing exact ground truth (flat oracle)")
+    gt = recall_lib.exact_ground_truth(corpus, queries, args.k, Metric.SQEUCLIDEAN)
+
+    families = (["flat", "ivf_flat", "ivf_pq", "cagra"]
+                if args.family == "all" else [args.family])
+    results = []
+    for fam in families:
+        logger.info("=== %s (%s) ===", fam, args.placement)
+        r = run_family(fam, corpus, queries, args.k, args, dmesh, gt)
+        r["topic_purity"] = round(datasets.topic_recall(
+            np.asarray(gt), topic_labels, qlabels), 4)
+        results.append(r)
+        logger.info("%s", r)
+
+    mem.log_memory_status("end")
+    if args.json:
+        print(json.dumps(results))
+    else:
+        for r in results:
+            print(f"{r['family']:10s} build {r['build_s']:8.2f}s  "
+                  f"search {r['search_ms_per_query']:8.4f} ms/q  "
+                  f"recall@{args.k} {r['recall'].get(args.k, r['recall'])}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,149 @@
+"""ctypes bindings for libhostops (native host-side runtime).
+
+Auto-builds the shared library with g++ on first use (no pybind11 in the
+environment — plain C ABI via ctypes, see hostops.cpp). Every entry point
+has a pure-numpy fallback so the framework degrades gracefully without a
+toolchain; `HAVE_NATIVE` reports which path is active.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libhostops.so")
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-C", _DIR, "-s"], check=True,
+            capture_output=True, timeout=120,
+        )
+        return os.path.exists(_SO)
+    except Exception:
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_SO) and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    i64, i32p = ctypes.c_int64, np.ctypeslib.ndpointer(np.int32)
+    f32p = np.ctypeslib.ndpointer(np.float32)
+    i8p = np.ctypeslib.ndpointer(np.int8)
+    lib.topk_merge.argtypes = [f32p, i32p, i64, i64, i64, f32p, i32p, i64,
+                               ctypes.c_int]
+    lib.brute_topk_l2.argtypes = [f32p, i64, i64, f32p, i64, i64, f32p, i32p,
+                                  ctypes.c_int]
+    lib.quantize_int8.argtypes = [f32p, i64, i64, i8p, f32p]
+    lib.dequantize_int8.argtypes = [i8p, f32p, i64, i64, f32p]
+    _lib = lib
+    return lib
+
+
+def have_native() -> bool:
+    return _load() is not None
+
+
+def topk_merge(
+    scores: np.ndarray, ids: np.ndarray, k: int, descending: bool = True
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Merge (S, Q, k_in) sorted per-shard candidates -> (Q, k) global top-k.
+
+    The host-side SearchResultAggregator merge (reference merge semantics,
+    test_search_result_aggregator.py:330-358) for cross-process aggregation.
+    """
+    scores = np.ascontiguousarray(scores, np.float32)
+    ids = np.ascontiguousarray(ids, np.int32)
+    s, q, k_in = scores.shape
+    out_s = np.empty((q, k), np.float32)
+    out_i = np.empty((q, k), np.int32)
+    lib = _load()
+    if lib is not None:
+        lib.topk_merge(scores, ids, s, q, k_in, out_s, out_i, k,
+                       1 if descending else 0)
+        return out_s, out_i
+    # numpy fallback: flatten + argsort (exactly the reference's approach,
+    # improved_multi_gpu_rag.py:266-273)
+    flat_s = scores.transpose(1, 0, 2).reshape(q, s * k_in)
+    flat_i = ids.transpose(1, 0, 2).reshape(q, s * k_in)
+    flat_s = np.where(flat_i < 0, -np.inf if descending else np.inf, flat_s)
+    order = np.argsort(-flat_s if descending else flat_s, axis=1)[:, :k]
+    out_s = np.take_along_axis(flat_s, order, axis=1)
+    out_i = np.take_along_axis(flat_i, order, axis=1)
+    out_i = np.where(np.isinf(out_s), -1, out_i)
+    if k > s * k_in:
+        pad = k - s * k_in
+        out_s = np.pad(out_s, ((0, 0), (0, pad)),
+                       constant_values=-np.inf if descending else np.inf)
+        out_i = np.pad(out_i, ((0, 0), (0, pad)), constant_values=-1)
+    return out_s.astype(np.float32), out_i.astype(np.int32)
+
+
+def brute_topk_l2(
+    corpus: np.ndarray, queries: np.ndarray, k: int, nthreads: int = 0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact CPU brute-force sq-L2 top-k (the CPU baseline, reference #15)."""
+    corpus = np.ascontiguousarray(corpus, np.float32)
+    queries = np.ascontiguousarray(queries, np.float32)
+    n, d = corpus.shape
+    q = queries.shape[0]
+    out_d = np.empty((q, k), np.float32)
+    out_i = np.empty((q, k), np.int32)
+    lib = _load()
+    if lib is not None:
+        lib.brute_topk_l2(corpus, n, d, queries, q, k, out_d, out_i, nthreads)
+        return out_d, out_i
+    dists = (
+        (queries ** 2).sum(1)[:, None]
+        - 2.0 * queries @ corpus.T
+        + (corpus ** 2).sum(1)[None, :]
+    ).clip(min=0)
+    kk = min(k, n)
+    order = np.argsort(dists, axis=1, kind="stable")[:, :kk]
+    out = np.take_along_axis(dists, order, axis=1)
+    if kk < k:
+        out = np.pad(out, ((0, 0), (0, k - kk)), constant_values=np.inf)
+        order = np.pad(order, ((0, 0), (0, k - kk)), constant_values=-1)
+    return out.astype(np.float32), order.astype(np.int32)
+
+
+def quantize_int8(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Row-wise symmetric int8 quantization -> (values int8, scales fp32)."""
+    x = np.ascontiguousarray(x, np.float32)
+    n, d = x.shape
+    values = np.empty((n, d), np.int8)
+    scales = np.empty((n,), np.float32)
+    lib = _load()
+    if lib is not None:
+        lib.quantize_int8(x, n, d, values, scales)
+        return values, scales
+    amax = np.abs(x).max(axis=1)
+    scales = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+    values = np.round(x / scales[:, None]).astype(np.int8)
+    return values, scales
+
+
+def dequantize_int8(values: np.ndarray, scales: np.ndarray) -> np.ndarray:
+    values = np.ascontiguousarray(values, np.int8)
+    scales = np.ascontiguousarray(scales, np.float32)
+    n, d = values.shape
+    out = np.empty((n, d), np.float32)
+    lib = _load()
+    if lib is not None:
+        lib.dequantize_int8(values, scales, n, d, out)
+        return out
+    return values.astype(np.float32) * scales[:, None]

@@ -1,0 +1,164 @@
+// hostops — native host-side runtime for cuvs_rag_tpu.
+//
+// TPU-native framework boundary: device compute is JAX/XLA/Pallas; this
+// library covers the *host* runtime roles the reference delegated to native
+// code (SURVEY.md §2):
+//   * k-way merge of per-shard top-k results (SearchResultAggregator's
+//     merge, test_search_result_aggregator.py:330-358 — the reference did
+//     this with numpy argsort on the host; here a heap merge, O(Q·S·k·log S))
+//     for API-edge merging across processes/hosts where ICI collectives
+//     don't reach.
+//   * multithreaded exact CPU brute-force top-k (the CPU baseline,
+//     VectorSearch_QuestionRetrieval.ipynb#cell26-27 sklearn brute) — the
+//     recall oracle when no accelerator is attached.
+//   * int8 row-wise quantization for compact host-side embedding storage.
+//
+// Build: make -C cuvs_rag_tpu/native   (produces libhostops.so)
+// ABI: plain C, loaded via ctypes (cuvs_rag_tpu/native/__init__.py).
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <queue>
+#include <thread>
+#include <vector>
+
+extern "C" {
+
+// Merge S per-shard candidate lists (each Q x k_in, already sorted
+// best-first) into a global top-k_out per query. `descending` = 1 when
+// larger scores are better (internal score convention), 0 for ascending
+// distances. Invalid slots are marked id = -1 and skipped.
+void topk_merge(const float* scores, const int32_t* ids, int64_t S,
+                int64_t Q, int64_t k_in, float* out_scores,
+                int32_t* out_ids, int64_t k_out, int descending) {
+  struct Head {
+    float s;
+    int32_t id;
+    int32_t shard;
+    int32_t pos;
+  };
+  for (int64_t q = 0; q < Q; ++q) {
+    auto better = [descending](const Head& a, const Head& b) {
+      // priority_queue keeps the *worst* on top given this comparator,
+      // so invert: return true when a is worse than b.
+      return descending ? (a.s < b.s) : (a.s > b.s);
+    };
+    std::priority_queue<Head, std::vector<Head>, decltype(better)> heap(better);
+    for (int64_t s = 0; s < S; ++s) {
+      const int64_t base = (s * Q + q) * k_in;
+      if (ids[base] >= 0) heap.push({scores[base], ids[base], (int32_t)s, 0});
+    }
+    int64_t filled = 0;
+    while (filled < k_out && !heap.empty()) {
+      Head h = heap.top();
+      heap.pop();
+      out_scores[q * k_out + filled] = h.s;
+      out_ids[q * k_out + filled] = h.id;
+      ++filled;
+      if (h.pos + 1 < k_in) {
+        const int64_t base = ((int64_t)h.shard * Q + q) * k_in + h.pos + 1;
+        if (ids[base] >= 0)
+          heap.push({scores[base], ids[base], h.shard, h.pos + 1});
+      }
+    }
+    for (; filled < k_out; ++filled) {
+      out_scores[q * k_out + filled] =
+          descending ? -INFINITY : INFINITY;
+      out_ids[q * k_out + filled] = -1;
+    }
+  }
+}
+
+// Exact multithreaded brute-force squared-L2 top-k on the host CPU.
+// corpus: N x D fp32, queries: Q x D fp32. Results ascending by distance.
+void brute_topk_l2(const float* corpus, int64_t N, int64_t D,
+                   const float* queries, int64_t Q, int64_t k,
+                   float* out_d, int32_t* out_i, int nthreads) {
+  if (nthreads <= 0) nthreads = (int)std::thread::hardware_concurrency();
+  const int64_t kk = std::min(k, N);
+
+  std::vector<float> corpus_sq(N);
+  {
+    std::vector<std::thread> ts;
+    std::atomic<int64_t> next(0);
+    for (int t = 0; t < nthreads; ++t)
+      ts.emplace_back([&]() {
+        int64_t i;
+        while ((i = next.fetch_add(4096)) < N) {
+          int64_t end = std::min(i + 4096, N);
+          for (int64_t r = i; r < end; ++r) {
+            float acc = 0.f;
+            const float* row = corpus + r * D;
+            for (int64_t d = 0; d < D; ++d) acc += row[d] * row[d];
+            corpus_sq[r] = acc;
+          }
+        }
+      });
+    for (auto& t : ts) t.join();
+  }
+
+  std::atomic<int64_t> next_q(0);
+  std::vector<std::thread> ts;
+  for (int t = 0; t < nthreads; ++t)
+    ts.emplace_back([&]() {
+      using Pair = std::pair<float, int32_t>;  // (dist, id), max-heap
+      int64_t q;
+      while ((q = next_q.fetch_add(1)) < Q) {
+        const float* qv = queries + q * D;
+        float q_sq = 0.f;
+        for (int64_t d = 0; d < D; ++d) q_sq += qv[d] * qv[d];
+        std::priority_queue<Pair> heap;
+        for (int64_t r = 0; r < N; ++r) {
+          const float* row = corpus + r * D;
+          float ip = 0.f;
+          for (int64_t d = 0; d < D; ++d) ip += row[d] * qv[d];
+          float dist = q_sq - 2.f * ip + corpus_sq[r];
+          if (dist < 0.f) dist = 0.f;
+          if ((int64_t)heap.size() < kk) {
+            heap.push({dist, (int32_t)r});
+          } else if (dist < heap.top().first) {
+            heap.pop();
+            heap.push({dist, (int32_t)r});
+          }
+        }
+        for (int64_t j = (int64_t)heap.size() - 1; j >= 0; --j) {
+          out_d[q * k + j] = heap.top().first;
+          out_i[q * k + j] = heap.top().second;
+          heap.pop();
+        }
+        for (int64_t j = kk; j < k; ++j) {
+          out_d[q * k + j] = INFINITY;
+          out_i[q * k + j] = -1;
+        }
+      }
+    });
+  for (auto& t : ts) t.join();
+}
+
+// Row-wise symmetric int8 quantization: values[i] = round(x / scale[row]),
+// scale[row] = max|x_row| / 127.
+void quantize_int8(const float* x, int64_t N, int64_t D, int8_t* values,
+                   float* scales) {
+  for (int64_t r = 0; r < N; ++r) {
+    const float* row = x + r * D;
+    float amax = 0.f;
+    for (int64_t d = 0; d < D; ++d) amax = std::max(amax, std::fabs(row[d]));
+    float scale = amax > 0.f ? amax / 127.f : 1.f;
+    scales[r] = scale;
+    const float inv = 1.f / scale;
+    for (int64_t d = 0; d < D; ++d)
+      values[r * D + d] = (int8_t)std::lround(row[d] * inv);
+  }
+}
+
+void dequantize_int8(const int8_t* values, const float* scales, int64_t N,
+                     int64_t D, float* out) {
+  for (int64_t r = 0; r < N; ++r)
+    for (int64_t d = 0; d < D; ++d)
+      out[r * D + d] = (float)values[r * D + d] * scales[r];
+}
+
+}  // extern "C"

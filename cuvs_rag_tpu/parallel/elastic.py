@@ -1,0 +1,219 @@
+"""Failure detection, retries, and elastic recovery.
+
+Reference parity (SURVEY.md §5 'Failure detection / elastic recovery'):
+  * per-build retry with escalating backoff
+    (index_building_coordinator.py:284-368, sleep 0.5*(attempt+1) at :353)
+    -> `with_retries`
+  * continue-with-surviving-GPUs (improved_multi_gpu_rag.py:171-190
+    `failed_gpus`) + `redistribute_if_needed`
+    (embedding_distribution_manager.py:274-305) -> `ElasticShardedIndex.heal`
+  * build history + per-device success summary
+    (index_building_coordinator.py:553-581) -> `BuildHistory`
+  * fault injection via a mock seam
+    (demo_index_building_coordinator_mock.py:174) -> `DeviceHealthMonitor`'s
+    `fail_device_ids` override
+
+The SPMD difference: inside one slice, XLA programs are all-or-nothing, so
+"a device failed mid-build" cannot strand partial state the way the
+reference's per-GPU threads could. Elasticity therefore operates *between*
+programs: detect unhealthy devices, shrink the mesh to survivors, re-shard
+the corpus, rebuild — state transitions are atomic at the index level.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Callable, List, Optional, Sequence, Set
+
+import jax
+import numpy as np
+
+from cuvs_rag_tpu.parallel import search as psearch
+from cuvs_rag_tpu.parallel import shard as shard_lib
+from cuvs_rag_tpu.parallel.mesh import DeviceMesh
+
+logger = logging.getLogger("cuvs_rag_tpu.elastic")
+
+
+@dataclasses.dataclass
+class BuildRecord:
+    """One build attempt (reference IndexBuildResult :33-52)."""
+
+    family: str
+    num_devices: int
+    n_rows: int
+    success: bool
+    build_time_s: float
+    attempt: int
+    error: str = ""
+    timestamp: float = 0.0
+
+
+class BuildHistory:
+    """Build bookkeeping (reference history/summary :553-581)."""
+
+    def __init__(self):
+        self.records: List[BuildRecord] = []
+
+    def add(self, rec: BuildRecord) -> None:
+        rec.timestamp = rec.timestamp or time.time()
+        self.records.append(rec)
+
+    def summary(self) -> dict:
+        total = len(self.records)
+        ok = sum(r.success for r in self.records)
+        return {
+            "total_builds": total,
+            "successful_builds": ok,
+            "success_rate": ok / total if total else 0.0,
+            "avg_build_time_s": (
+                float(np.mean([r.build_time_s for r in self.records if r.success]))
+                if ok else 0.0
+            ),
+        }
+
+
+def with_retries(
+    fn: Callable,
+    max_retries: int = 2,
+    base_backoff_s: float = 0.5,
+    on_retry: Optional[Callable[[int, Exception], None]] = None,
+):
+    """Escalating-backoff retry (reference :297-359: sleep 0.5*(attempt+1))."""
+    last: Optional[Exception] = None
+    for attempt in range(max_retries + 1):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — retry seam mirrors reference
+            last = e
+            if attempt < max_retries:
+                delay = base_backoff_s * (attempt + 1)
+                logger.warning(
+                    "attempt %d failed (%s); retrying in %.1fs",
+                    attempt, e, delay,
+                )
+                if on_retry:
+                    on_retry(attempt, e)
+                time.sleep(delay)
+    raise last  # type: ignore[misc]
+
+
+class DeviceHealthMonitor:
+    """Probe devices with a tiny computation; report survivors.
+
+    `fail_device_ids` is the fault-injection seam (reference mock:
+    validate_gpu_index.side_effect, demo_..._mock.py:174).
+    """
+
+    def __init__(self, fail_device_ids: Optional[Set[int]] = None):
+        self.fail_device_ids = fail_device_ids or set()
+
+    def probe(self, devices: Sequence[jax.Device]) -> List[bool]:
+        health = []
+        for i, d in enumerate(devices):
+            if i in self.fail_device_ids:
+                health.append(False)
+                continue
+            try:
+                x = jax.device_put(np.ones((8,), np.float32), d)
+                jax.block_until_ready(x + 1.0)
+                health.append(True)
+            except Exception as e:  # noqa: BLE001
+                logger.error("device %d failed probe: %s", i, e)
+                health.append(False)
+        return health
+
+    def surviving_devices(self, devices: Sequence[jax.Device]) -> List[jax.Device]:
+        return [d for d, ok in zip(devices, self.probe(devices)) if ok]
+
+
+class ElasticShardedIndex:
+    """A sharded index that can rebuild itself on a shrunken mesh.
+
+    Keeps the host copy of the corpus (or a loader) so `heal()` can re-shard
+    onto survivors — the reference's redistribute_if_needed flow, completed
+    with the index rebuild it never had.
+    """
+
+    def __init__(
+        self,
+        family: str,
+        params,
+        corpus_host: np.ndarray,
+        dmesh: Optional[DeviceMesh] = None,
+        monitor: Optional[DeviceHealthMonitor] = None,
+        max_retries: int = 2,
+    ):
+        self.family = family
+        self.params = params
+        self.corpus_host = np.asarray(corpus_host)
+        self.monitor = monitor or DeviceHealthMonitor()
+        self.history = BuildHistory()
+        self.max_retries = max_retries
+        self.dmesh = dmesh or DeviceMesh()
+        self.index: Optional[psearch.ShardedIndex] = None
+        self._build()
+
+    # -- build/rebuild ---------------------------------------------------
+
+    def _build(self) -> None:
+        attempt_box = {"n": 0}
+
+        def attempt():
+            attempt_box["n"] += 1
+            t0 = time.perf_counter()
+            try:
+                ix = psearch.build_sharded(
+                    self.family, self.params, self.corpus_host, self.dmesh
+                )
+                jax.block_until_ready(jax.tree_util.tree_leaves(ix.local)[0])
+                self.history.add(BuildRecord(
+                    family=self.family,
+                    num_devices=self.dmesh.num_devices,
+                    n_rows=len(self.corpus_host),
+                    success=True,
+                    build_time_s=time.perf_counter() - t0,
+                    attempt=attempt_box["n"],
+                ))
+                return ix
+            except Exception as e:
+                self.history.add(BuildRecord(
+                    family=self.family,
+                    num_devices=self.dmesh.num_devices,
+                    n_rows=len(self.corpus_host),
+                    success=False,
+                    build_time_s=time.perf_counter() - t0,
+                    attempt=attempt_box["n"],
+                    error=f"{type(e).__name__}: {e}",
+                ))
+                raise
+
+        self.index = with_retries(attempt, max_retries=self.max_retries)
+
+    def heal(self) -> bool:
+        """Detect device failures; rebuild on survivors if any were lost.
+
+        Returns True if a rebuild happened.
+        """
+        survivors = self.monitor.surviving_devices(self.dmesh.devices)
+        if len(survivors) == len(self.dmesh.devices):
+            return False
+        if not survivors:
+            raise RuntimeError("no surviving devices")
+        logger.warning(
+            "device loss: %d -> %d devices; re-sharding + rebuilding",
+            self.dmesh.num_devices, len(survivors),
+        )
+        self.dmesh = DeviceMesh(devices=survivors)
+        self._build()
+        return True
+
+    # -- search ----------------------------------------------------------
+
+    def search(self, search_params, queries, k: int):
+        assert self.index is not None
+        return psearch.search_sharded(
+            search_params, self.index, queries, k, self.dmesh
+        )

@@ -1,0 +1,176 @@
+"""HBM budgeting and shard-size planning.
+
+Replaces the reference's memory-management layer with the TPU model: there
+is no user-managed allocator (no RMM equivalent — XLA owns HBM), so memory
+management becomes *planning*: fit checks before building, shard/chunk size
+calculators, and live memory accounting.
+
+Reference parity (SURVEY.md §2 #5, #9):
+  * `GPUConfig.can_allocate` (improved_multi_gpu_rag.py:69-72) -> `fits`
+  * `get_max_vectors_per_chunk` (MEMORY_OPTIMIZED#cell5) -> `max_rows_per_device`
+  * `CUDAMemoryManager.managed_allocation` OOM context
+    (improved_multi_gpu_rag.py:74-97) -> `managed_allocation` (catches
+    XLA RESOURCE_EXHAUSTED, clears caches, re-raises with context)
+  * `get_memory_stats` / `print_memory_status` (:359-396) -> `memory_stats`
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import gc
+import logging
+from typing import Dict, Optional
+
+import jax
+
+logger = logging.getLogger("cuvs_rag_tpu.memory")
+
+_DTYPE_BYTES = {"float32": 4, "bfloat16": 2, "float16": 2, "int8": 1, "uint8": 1}
+
+
+@dataclasses.dataclass(frozen=True)
+class DeviceBudget:
+    """Per-device memory budget (reference GPUConfig:50-72: 40 GB limit,
+    2 GB reserve)."""
+
+    limit_bytes: int
+    reserve_bytes: int = 2 << 30
+
+    @property
+    def usable_bytes(self) -> int:
+        return max(self.limit_bytes - self.reserve_bytes, 0)
+
+    def fits(self, nbytes: int, in_use: int = 0) -> bool:
+        """GPUConfig.can_allocate equivalent."""
+        return in_use + nbytes <= self.usable_bytes
+
+
+def detect_budget(device: Optional[jax.Device] = None,
+                  default_limit: int = 16 << 30) -> DeviceBudget:
+    """Budget from Device.memory_stats when available (v5e: 16 GB HBM)."""
+    device = device or jax.devices()[0]
+    limit = default_limit
+    try:
+        stats = device.memory_stats() or {}
+        limit = stats.get("bytes_limit", default_limit)
+    except Exception:
+        pass
+    return DeviceBudget(limit_bytes=limit)
+
+
+def index_bytes_estimate(
+    n: int,
+    dim: int,
+    family: str = "flat",
+    dtype: str = "float32",
+    pq_dim: int = 0,
+    graph_degree: int = 64,
+) -> int:
+    """Estimated HBM footprint of one index over n rows.
+
+    flat: vectors + sqnorms. ivf_flat: + centroids/offsets (~same as flat).
+    ivf_pq: codes + codebooks (+ raw store if refine). cagra: vectors + graph.
+    """
+    b = _DTYPE_BYTES[dtype]
+    if family in ("flat", "ivf_flat"):
+        return n * dim * b + n * 4
+    if family == "ivf_pq":
+        m = pq_dim or max(1, dim // 8)
+        return n * m + n * 4 + 256 * dim * 4
+    if family == "cagra":
+        return n * dim * b + n * graph_degree * 4 + n * 4
+    raise ValueError(f"unknown family {family!r}")
+
+
+def max_rows_per_device(
+    dim: int,
+    budget: Optional[DeviceBudget] = None,
+    family: str = "flat",
+    dtype: str = "bfloat16",
+    pq_dim: int = 0,
+    working_factor: float = 1.5,
+) -> int:
+    """Largest shard that fits one device (the reference's
+    get_max_vectors_per_chunk policy, MEMORY_OPTIMIZED#cell5), with
+    `working_factor` headroom for build-time temporaries (sort buffers etc.)."""
+    budget = budget or detect_budget()
+    per_row = index_bytes_estimate(1_000_000, dim, family, dtype, pq_dim) / 1_000_000
+    return int(budget.usable_bytes / (per_row * working_factor))
+
+
+def plan_shards(
+    n: int,
+    dim: int,
+    num_devices: int,
+    budget: Optional[DeviceBudget] = None,
+    family: str = "flat",
+    dtype: str = "bfloat16",
+    pq_dim: int = 0,
+) -> Dict[str, object]:
+    """Fit check + plan for sharding n rows over the mesh.
+
+    Returns {'fits': bool, 'rows_per_device', 'max_rows_per_device',
+    'est_bytes_per_device', 'suggestion'} — the decision the reference's
+    stress notebooks made by trial-and-OOM (breaking-point protocol)."""
+    budget = budget or detect_budget()
+    per = -(-n // num_devices)
+    cap = max_rows_per_device(dim, budget, family, dtype, pq_dim)
+    est = index_bytes_estimate(per, dim, family, dtype, pq_dim)
+    fits = per <= cap
+    suggestion = ""
+    if not fits:
+        need = -(-n // cap)
+        suggestion = (
+            f"need >= {need} devices at this dtype, or switch to "
+            f"{'ivf_pq' if family != 'ivf_pq' else 'smaller pq_dim'}"
+        )
+    return {
+        "fits": fits,
+        "rows_per_device": per,
+        "max_rows_per_device": cap,
+        "est_bytes_per_device": est,
+        "suggestion": suggestion,
+    }
+
+
+@contextlib.contextmanager
+def managed_allocation(operation: str = "operation"):
+    """OOM-aware context (reference CUDAMemoryManager.managed_allocation,
+    improved_multi_gpu_rag.py:74-97): logs, clears JAX caches and host
+    garbage on RESOURCE_EXHAUSTED, re-raises with context."""
+    try:
+        yield
+    except Exception as e:
+        if "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e):
+            logger.error("OOM during %s: %s", operation, e)
+            jax.clear_caches()
+            gc.collect()
+            raise MemoryError(f"device OOM during {operation}: {e}") from e
+        raise
+
+
+def memory_stats() -> Dict[int, Dict[str, int]]:
+    """Per-device live memory snapshot (reference get_memory_stats :359-384)."""
+    out = {}
+    for i, d in enumerate(jax.devices()):
+        try:
+            s = d.memory_stats() or {}
+        except Exception:
+            s = {}
+        out[i] = {
+            "bytes_in_use": s.get("bytes_in_use", -1),
+            "bytes_limit": s.get("bytes_limit", -1),
+            "peak_bytes_in_use": s.get("peak_bytes_in_use", -1),
+        }
+    return out
+
+
+def log_memory_status(label: str = "") -> None:
+    """print_memory_status equivalent (reference :386-396)."""
+    for i, s in memory_stats().items():
+        logger.info(
+            "[%s] device %d: in_use=%.2f GB limit=%.2f GB peak=%.2f GB",
+            label, i, s["bytes_in_use"] / 1e9, s["bytes_limit"] / 1e9,
+            s["peak_bytes_in_use"] / 1e9,
+        )

@@ -1,0 +1,98 @@
+"""Tracing and profiling — an upgrade over the reference's wall-clock-only
+timing (SURVEY.md §5: `time.time()` deltas + a README suggestion to "profile
+with nvprof or nsys"; no profiler integration existed).
+
+Three layers:
+  * `timed` / `Timer`: structured wall-clock spans with a registry
+    (replaces the reference's scattered time.time() pairs)
+  * `trace`: jax.profiler traces viewable in TensorBoard/Perfetto
+  * `annotate`: jax.profiler.TraceAnnotation spans that show up inside the
+    device timeline
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import time
+from collections import defaultdict
+from typing import Dict, Iterator, List, Optional
+
+import jax
+
+
+@dataclasses.dataclass
+class Span:
+    name: str
+    seconds: float
+    t_start: float
+
+
+class Timer:
+    """Span registry: `with timer.span('build'): ...`; `timer.summary()`."""
+
+    def __init__(self):
+        self.spans: List[Span] = []
+
+    @contextlib.contextmanager
+    def span(self, name: str, block_on=None) -> Iterator[None]:
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            if block_on is not None:
+                jax.block_until_ready(block_on)
+            self.spans.append(Span(name, time.perf_counter() - t0, t0))
+
+    def summary(self) -> Dict[str, Dict[str, float]]:
+        groups: Dict[str, List[float]] = defaultdict(list)
+        for s in self.spans:
+            groups[s.name].append(s.seconds)
+        return {
+            name: {
+                "count": len(v),
+                "total_s": sum(v),
+                "mean_s": sum(v) / len(v),
+                "max_s": max(v),
+            }
+            for name, v in groups.items()
+        }
+
+
+@contextlib.contextmanager
+def trace(log_dir: str) -> Iterator[None]:
+    """Capture a jax.profiler trace (open with TensorBoard or Perfetto)."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def annotate(name: str):
+    """Device-timeline annotation (no-op overhead outside profiling)."""
+    return jax.profiler.TraceAnnotation(name)
+
+
+def compiled_stats(fn, *args, **kwargs) -> Dict[str, Optional[float]]:
+    """Compile a jitted function and report XLA cost-analysis numbers:
+    flops, bytes accessed, peak memory — the static speed-of-light inputs."""
+    lowered = fn.lower(*args, **kwargs)
+    compiled = lowered.compile()
+    out: Dict[str, Optional[float]] = {
+        "flops": None, "bytes_accessed": None, "peak_memory_bytes": None,
+    }
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0] if ca else {}
+        out["flops"] = ca.get("flops")
+        out["bytes_accessed"] = ca.get("bytes accessed")
+    except Exception:
+        pass
+    try:
+        ma = compiled.memory_analysis()
+        out["peak_memory_bytes"] = getattr(ma, "temp_size_in_bytes", None)
+    except Exception:
+        pass
+    return out

@@ -1,0 +1,85 @@
+"""Aggregator spec tests — mirroring the reference's golden expectations
+(Attempt_1/test_search_result_aggregator.py, the spec-as-tests file)."""
+
+import numpy as np
+import pytest
+
+from cuvs_rag_tpu.parallel import aggregator as agg
+
+
+def _sr(d, i, dev=0):
+    d = np.asarray(d, np.float32)
+    i = np.asarray(i, np.int32)
+    return agg.SearchResult(d, i, device_id=dev, query_time=0.01, k_requested=d.shape[1])
+
+
+def test_search_result_validation():
+    with pytest.raises(ValueError, match="2-D"):
+        agg.SearchResult(np.array([1.0, 2.0], np.float32),
+                         np.array([1, 2], np.int32), 0, 0.0, 2)
+    with pytest.raises(ValueError, match="mismatch"):
+        agg.SearchResult(np.zeros((2, 3), np.float32), np.zeros((2, 2), np.int32),
+                         0, 0.0, 3)
+
+
+def test_merge_golden_two_devices():
+    # the reference's golden merge (test_search_result_aggregator.py:330-358):
+    # row-wise interleave across devices by distance
+    r0 = _sr([[1.0, 5.0, 9.0]], [[0, 1, 2]], dev=0)
+    r1 = _sr([[2.0, 3.0, 10.0]], [[100, 101, 102]], dev=1)
+    d, i = agg.merge_search_results([r0, r1], k=4)
+    assert i[0].tolist() == [0, 100, 101, 1]
+    assert d[0].tolist() == [1.0, 2.0, 3.0, 5.0]
+
+
+def test_merge_single_device_identity():
+    r = _sr([[0.5, 1.5]], [[7, 8]])
+    d, i = agg.merge_search_results([r], k=2)
+    assert i[0].tolist() == [7, 8]
+
+
+def test_nan_rejection():
+    r = _sr([[np.nan, 1.0]], [[0, 1]])
+    with pytest.raises(ValueError, match="NaN"):
+        agg.validate_search_results([r])
+
+
+def test_inconsistent_query_counts():
+    r0 = _sr([[1.0]], [[0]])
+    r1 = _sr([[1.0], [2.0]], [[0], [1]], dev=1)
+    with pytest.raises(ValueError, match="inconsistent query counts"):
+        agg.validate_search_results([r0, r1])
+
+
+def test_distance_filter():
+    res = agg.combine_search_results(
+        [_sr([[1.0, 2.0, 8.0]], [[0, 1, 2]])], k=3
+    )
+    filtered = agg.filter_search_results_by_distance(res, max_distance=5.0)
+    assert filtered.final_indices[0].tolist() == [0, 1, -1]
+
+
+def test_distributed_search_with_simulated_backends(rng):
+    # end-to-end per the spec (:405-457) with the fake backend (:389-403),
+    # including global-offset correctness (the reference's known bug)
+    corpus = rng.standard_normal((300, 16)).astype(np.float32)
+    shard0, shard1 = corpus[:150], corpus[150:]
+    searchers = {
+        0: agg.simulated_searcher(shard0, global_offset=0),
+        1: agg.simulated_searcher(shard1, global_offset=150),
+    }
+    a = agg.SearchResultAggregator(agg.AggregatorConfig(k=5))
+    queries = corpus[[10, 200]]  # one row from each shard
+    out = a.perform_distributed_search(queries, searchers)
+    assert out.final_indices[0, 0] == 10
+    assert out.final_indices[1, 0] == 200  # global id, not shard-local 50
+    assert out.num_devices == 2
+    assert out.final_distances[0, 0] < 1e-4
+
+
+def test_empty_inputs_rejected():
+    a = agg.SearchResultAggregator()
+    with pytest.raises(ValueError, match="non-empty"):
+        a.perform_distributed_search(np.zeros((0, 4), np.float32), {0: lambda q, k: None})
+    with pytest.raises(ValueError, match="searchers"):
+        a.perform_distributed_search(np.zeros((1, 4), np.float32), {})

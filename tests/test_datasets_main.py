@@ -1,0 +1,61 @@
+import json
+
+import numpy as np
+
+from cuvs_rag_tpu.rag import datasets
+
+
+def test_synthetic_medical_qa():
+    recs = datasets.synthetic_medical_qa(50)
+    assert len(recs) == 50
+    assert all(r.topic in datasets.MEDICAL_TOPICS for r in recs)
+    assert all(r.topic in r.input for r in recs)
+
+
+def test_load_medical_qa_falls_back():
+    recs, source = datasets.load_medical_qa(20, allow_download=False)
+    assert source == "synthetic"
+    assert len(recs) == 20
+
+
+def test_qa_json_round_trip(tmp_path):
+    recs = datasets.synthetic_medical_qa(30)
+    p = str(tmp_path / "qa.json")
+    datasets.save_qa_json(recs, p, test_size=10)
+    back = datasets.load_qa_json(p)
+    assert back == recs
+    test = datasets.load_qa_json(str(tmp_path / "qa_test.json"))
+    assert len(test) == 10
+
+
+def test_topic_corpus_structure():
+    emb, labels, centers = datasets.synthetic_topic_corpus(500, 16, n_topics=10)
+    assert emb.shape == (500, 16) and len(labels) == 500
+    # points cluster around their centers
+    d_own = np.linalg.norm(emb - centers[labels], axis=1).mean()
+    d_other = np.linalg.norm(emb - centers[(labels + 1) % 10], axis=1).mean()
+    assert d_own < d_other
+
+
+def test_topic_recall_metric():
+    ids = np.array([[0, 1], [2, 3]])
+    corpus_labels = np.array([5, 5, 7, 8])
+    qlabels = np.array([5, 7])
+    r = datasets.topic_recall(ids, corpus_labels, qlabels)
+    assert r == 3 / 4
+
+
+def test_main_cli_smoke(capsys):
+    from cuvs_rag_tpu import main as main_mod
+
+    results = main_mod.main([
+        "--n", "2000", "--dim", "32", "--n-queries", "10", "--k", "5",
+        "--family", "ivf_flat", "--n-lists", "8", "--n-probes", "8",
+        "--dtype", "float32", "--json",
+    ])
+    assert len(results) == 1
+    r = results[0]
+    assert r["family"] == "ivf_flat"
+    assert r["recall"][5] == 1.0  # full probe -> exact
+    out = capsys.readouterr().out
+    assert json.loads(out.strip())[0]["family"] == "ivf_flat"

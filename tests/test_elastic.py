@@ -1,0 +1,68 @@
+import numpy as np
+import pytest
+
+from cuvs_rag_tpu.parallel import elastic
+from cuvs_rag_tpu.utils.config import FlatParams
+
+
+def test_with_retries_eventual_success():
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("transient")
+        return "ok"
+
+    assert elastic.with_retries(flaky, max_retries=3, base_backoff_s=0.0) == "ok"
+    assert calls["n"] == 3
+
+
+def test_with_retries_exhaustion():
+    with pytest.raises(RuntimeError, match="always"):
+        elastic.with_retries(
+            lambda: (_ for _ in ()).throw(RuntimeError("always")),
+            max_retries=1, base_backoff_s=0.0,
+        )
+
+
+def test_health_monitor_fault_injection():
+    import jax
+
+    mon = elastic.DeviceHealthMonitor(fail_device_ids={0, 3})
+    health = mon.probe(jax.devices())
+    assert health[0] is False and health[3] is False
+    assert all(health[i] for i in (1, 2, 4, 5, 6, 7))
+    assert len(mon.surviving_devices(jax.devices())) == 6
+
+
+def test_elastic_index_heals_after_device_loss(rng):
+    corpus = rng.standard_normal((800, 16)).astype(np.float32)
+    eix = elastic.ElasticShardedIndex(
+        "flat", FlatParams(tile_n=8), corpus, max_retries=0
+    )
+    assert eix.dmesh.num_devices == 8
+    q = corpus[[5, 400]]
+    _, i0 = eix.search(None, q, 1)
+    assert np.asarray(i0)[:, 0].tolist() == [5, 400]
+
+    # inject failure of two devices, heal, verify identical results
+    eix.monitor = elastic.DeviceHealthMonitor(fail_device_ids={1, 6})
+    assert eix.heal() is True
+    assert eix.dmesh.num_devices == 6
+    _, i1 = eix.search(None, q, 1)
+    assert np.asarray(i1)[:, 0].tolist() == [5, 400]
+    # no further loss -> no rebuild
+    eix.monitor = elastic.DeviceHealthMonitor()
+    assert eix.heal() is False
+
+    summary = eix.history.summary()
+    assert summary["total_builds"] == 2
+    assert summary["success_rate"] == 1.0
+
+
+def test_build_history_records_failures(rng):
+    corpus = rng.standard_normal((100, 8)).astype(np.float32)
+    with pytest.raises(KeyError):
+        elastic.ElasticShardedIndex("nonexistent_family", FlatParams(), corpus,
+                                    max_retries=0)

@@ -1,0 +1,51 @@
+import pytest
+
+from cuvs_rag_tpu.utils import memory as mem
+
+
+def test_budget_fits():
+    b = mem.DeviceBudget(limit_bytes=16 << 30, reserve_bytes=2 << 30)
+    assert b.usable_bytes == 14 << 30
+    assert b.fits(10 << 30)
+    assert not b.fits(15 << 30)
+    assert not b.fits(10 << 30, in_use=5 << 30)
+
+
+def test_index_bytes_estimate_orders():
+    n, d = 1_000_000, 768
+    flat32 = mem.index_bytes_estimate(n, d, "flat", "float32")
+    flat16 = mem.index_bytes_estimate(n, d, "flat", "bfloat16")
+    pq = mem.index_bytes_estimate(n, d, "ivf_pq", pq_dim=96)
+    assert flat32 > flat16 > pq
+    assert flat32 == n * d * 4 + n * 4
+    assert pq < flat32 / 10  # PQ is the capacity play
+
+
+def test_plan_shards_fit_and_overflow():
+    b = mem.DeviceBudget(limit_bytes=16 << 30)
+    plan = mem.plan_shards(10_000_000, 768, 8, budget=b, family="flat", dtype="bfloat16")
+    assert plan["fits"]
+    plan2 = mem.plan_shards(100_000_000, 768, 2, budget=b, family="flat", dtype="float32")
+    assert not plan2["fits"]
+    assert "devices" in plan2["suggestion"]
+
+
+def test_managed_allocation_passthrough():
+    with mem.managed_allocation("noop"):
+        x = 1 + 1
+    assert x == 2
+    with pytest.raises(ValueError):
+        with mem.managed_allocation("op"):
+            raise ValueError("unrelated")
+
+
+def test_managed_allocation_oom_translation():
+    with pytest.raises(MemoryError, match="device OOM during build"):
+        with mem.managed_allocation("build"):
+            raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error")
+
+
+def test_memory_stats_shape():
+    stats = mem.memory_stats()
+    assert len(stats) == 8  # virtual CPU mesh
+    assert all("bytes_in_use" in v for v in stats.values())

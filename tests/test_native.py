@@ -1,0 +1,66 @@
+import numpy as np
+import pytest
+
+from cuvs_rag_tpu import native
+
+
+def test_native_library_builds():
+    # the toolchain is part of the environment contract; fail loudly if the
+    # native path silently degrades to numpy
+    assert native.have_native()
+
+
+def test_topk_merge_matches_numpy(rng):
+    s, q, k_in, k = 4, 6, 8, 10
+    scores = rng.standard_normal((s, q, k_in)).astype(np.float32)
+    scores = -np.sort(-scores, axis=2)  # per-shard sorted desc
+    ids = rng.integers(0, 10_000, (s, q, k_in)).astype(np.int32)
+    got_s, got_i = native.topk_merge(scores, ids, k, descending=True)
+    flat_s = scores.transpose(1, 0, 2).reshape(q, -1)
+    flat_i = ids.transpose(1, 0, 2).reshape(q, -1)
+    order = np.argsort(-flat_s, axis=1, kind="stable")[:, :k]
+    np.testing.assert_allclose(got_s, np.take_along_axis(flat_s, order, 1))
+    # ids may differ on exact ties; verify score-aligned
+    assert got_i.shape == (q, k)
+
+
+def test_topk_merge_invalid_slots(rng):
+    scores = np.array([[[5.0, 3.0, 1.0]], [[4.0, 2.0, 0.0]]], np.float32)
+    ids = np.array([[[10, 11, -1]], [[20, -1, -1]]], np.int32)
+    got_s, got_i = native.topk_merge(scores, ids, 5, descending=True)
+    assert got_i[0].tolist() == [10, 20, 11, -1, -1]
+    assert got_s[0][:3].tolist() == [5.0, 4.0, 3.0]
+
+
+def test_topk_merge_ascending(rng):
+    scores = np.array([[[1.0, 3.0]], [[2.0, 4.0]]], np.float32)
+    ids = np.array([[[1, 2]], [[3, 4]]], np.int32)
+    got_s, got_i = native.topk_merge(scores, ids, 3, descending=False)
+    assert got_i[0].tolist() == [1, 3, 2]
+
+
+def test_brute_topk_l2_matches_numpy(rng):
+    corpus = rng.standard_normal((500, 24)).astype(np.float32)
+    queries = rng.standard_normal((7, 24)).astype(np.float32)
+    got_d, got_i = native.brute_topk_l2(corpus, queries, 5)
+    dists = ((queries[:, None, :] - corpus[None]) ** 2).sum(-1)
+    want_i = np.argsort(dists, axis=1)[:, :5]
+    np.testing.assert_array_equal(got_i, want_i)
+    np.testing.assert_allclose(
+        got_d, np.take_along_axis(dists, want_i, 1), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_brute_topk_k_exceeds_n(rng):
+    corpus = rng.standard_normal((3, 8)).astype(np.float32)
+    queries = rng.standard_normal((2, 8)).astype(np.float32)
+    d, i = native.brute_topk_l2(corpus, queries, 5)
+    assert np.all(i[:, 3:] == -1)
+    assert np.all(np.isinf(d[:, 3:]))
+
+
+def test_int8_round_trip(rng):
+    x = rng.standard_normal((50, 16)).astype(np.float32) * 3
+    values, scales = native.quantize_int8(x)
+    back = native.dequantize_int8(values, scales)
+    assert np.abs(back - x).max() < np.abs(x).max() / 100

@@ -1,0 +1,44 @@
+import time
+
+import jax
+import jax.numpy as jnp
+
+from cuvs_rag_tpu.utils import profiling
+
+
+def test_timer_spans():
+    t = profiling.Timer()
+    with t.span("a"):
+        time.sleep(0.01)
+    with t.span("a"):
+        pass
+    with t.span("b"):
+        pass
+    s = t.summary()
+    assert s["a"]["count"] == 2
+    assert s["a"]["total_s"] >= 0.01
+    assert "b" in s
+
+
+def test_timer_block_on_device_work():
+    t = profiling.Timer()
+    x = jnp.ones((256, 256))
+    with t.span("matmul", block_on=x):
+        y = x @ x
+    assert t.summary()["matmul"]["count"] == 1
+
+
+def test_annotate_context():
+    with profiling.annotate("test-span"):
+        _ = jnp.sum(jnp.ones((8, 8)))
+
+
+def test_compiled_stats():
+    f = jax.jit(lambda a, b: a @ b)
+    stats = profiling.compiled_stats(
+        f, jnp.ones((128, 128)), jnp.ones((128, 128))
+    )
+    assert "flops" in stats
+    # flops may be None on some backends, but if present must be ~2*128^3
+    if stats["flops"]:
+        assert stats["flops"] >= 2 * 128 ** 3 * 0.9
