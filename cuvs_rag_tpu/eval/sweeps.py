@@ -1,0 +1,86 @@
+"""Parameter sweeps: recall/latency operating curves.
+
+The knob the north-star target turns on (BASELINE.json: recall@10 >= 0.95 at
+max QPS): sweep n_probes (IVF) or beam width (CAGRA) and report the
+recall-vs-latency frontier against the exact oracle. The reference swept
+batch sizes and top-k only (faiss-main.ipynb#cell10,
+improved_multi_gpu_rag.py benchmarks) and never measured a true
+recall/latency tradeoff (its recall metric was broken, SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cuvs_rag_tpu.eval import recall as recall_lib
+
+
+@dataclasses.dataclass
+class SweepPoint:
+    param: Any
+    recall: float
+    latency_ms_per_query: float
+    qps: float
+
+
+def operating_curve(
+    search_fns: Sequence[tuple],
+    queries: np.ndarray,
+    ground_truth: np.ndarray,
+    k: int,
+    iters: int = 3,
+) -> List[SweepPoint]:
+    """search_fns: [(param_label, fn(queries_jnp, k) -> (dists, ids)), ...].
+
+    Returns one SweepPoint per configuration, recall measured against the
+    exact ground truth.
+    """
+    qj = jnp.asarray(queries)
+    out = []
+    for label, fn in search_fns:
+        d, i = fn(qj, k)
+        jax.block_until_ready((d, i))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            d, i = fn(qj, k)
+            jax.block_until_ready((d, i))
+        dt = (time.perf_counter() - t0) / iters
+        r = recall_lib.recall_at_k(np.asarray(i), ground_truth, k)
+        out.append(SweepPoint(
+            param=label,
+            recall=r,
+            latency_ms_per_query=dt / len(queries) * 1e3,
+            qps=len(queries) / dt,
+        ))
+    return out
+
+
+def best_operating_point(
+    curve: Sequence[SweepPoint], min_recall: float = 0.95
+) -> Optional[SweepPoint]:
+    """Highest-QPS point meeting the recall target (the north-star metric)."""
+    ok = [p for p in curve if p.recall >= min_recall]
+    return max(ok, key=lambda p: p.qps) if ok else None
+
+
+def nprobe_sweep(
+    family_mod,
+    index,
+    make_params: Callable[[int], Any],
+    queries: np.ndarray,
+    ground_truth: np.ndarray,
+    k: int,
+    n_probes_list: Sequence[int] = (1, 2, 4, 8, 16, 32, 64),
+) -> List[SweepPoint]:
+    """Convenience wrapper for IVF-style indexes."""
+    fns = [
+        (p, (lambda p_: lambda q, kk: family_mod.search(make_params(p_), index, q, kk))(p))
+        for p in n_probes_list
+    ]
+    return operating_curve(fns, queries, ground_truth, k)

@@ -104,6 +104,17 @@ def search_scores(
     del search_params  # exact search has no knobs (kept for protocol parity)
     if index.metric == Metric.COSINE:
         queries = dist_ops.l2_normalize(queries)
+    if _use_pallas(index, k):
+        from cuvs_rag_tpu.ops import pallas_flat
+
+        pallas_metric = (
+            Metric.SQEUCLIDEAN if index.metric == Metric.SQEUCLIDEAN
+            else Metric.INNER_PRODUCT
+        )
+        return pallas_flat.flat_topk_pallas(
+            index.vectors, index.sqnorms, queries, index.n_valid,
+            k=k, metric=pallas_metric, tile_c=min(index.tile_n, 2048),
+        )
     if index.size <= _DENSE_THRESHOLD:
         return topk_ops.flat_topk_search_dense(
             index.vectors, index.sqnorms, queries, index.n_valid,
@@ -112,6 +123,35 @@ def search_scores(
     return topk_ops.flat_topk_search(
         index.vectors, index.sqnorms, queries, index.n_valid,
         k=k, metric=index.metric, tile_n=index.tile_n,
+    )
+
+
+def _use_pallas(index: FlatIndex, k: int) -> bool:
+    """Fused Pallas kernel eligibility: TPU backend, small k, aligned tiles.
+
+    Opt-in for now (CUVS_RAG_TPU_USE_PALLAS=1): validated correct on real
+    TPU at 64k scale, but not yet benchmarked at multi-million scale, so the
+    XLA scan path stays the default until the perf win is measured.
+    """
+    import os
+
+    if os.environ.get("CUVS_RAG_TPU_USE_PALLAS") != "1":
+        return False
+    try:
+        import jax
+
+        if jax.default_backend() in ("cpu",):
+            return False
+    except Exception:
+        return False
+    from cuvs_rag_tpu.ops import pallas_flat
+
+    tile_c = min(index.tile_n, 2048)
+    return (
+        k <= pallas_flat.MAX_PALLAS_K
+        and index.size % tile_c == 0
+        and index.size > _DENSE_THRESHOLD  # small corpora: dense matmul wins
+        and index.dim % 128 == 0
     )
 
 

@@ -106,7 +106,15 @@ def main(argv=None):
     p.add_argument("--json", action="store_true", help="machine-readable output")
     args = p.parse_args(argv)
 
+    import os
+
     import jax
+
+    if os.environ.get("CUVS_RAG_TPU_MULTIHOST"):
+        # multi-host slice: discover peers before first jax op
+        # (infra/run_multihost.sh sets this; replaces the reference's SLURM
+        # per-host bootstrap)
+        jax.distributed.initialize()
 
     from cuvs_rag_tpu.eval import recall as recall_lib
     from cuvs_rag_tpu.parallel.mesh import DeviceMesh

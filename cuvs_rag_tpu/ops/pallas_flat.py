@@ -1,0 +1,165 @@
+"""Pallas TPU kernel: fused tiled distance + small-k selection.
+
+The hot kernel of the framework (SURVEY.md §7 'l2_distance_topk'): streams
+corpus tiles HBM->VMEM, computes the score tile on the MXU, and maintains a
+per-query running top-k *without any sort* — selection is k rounds of
+masked max/argmax on the VPU, which beats a top_k/sort lowering for small k
+(the XLA scan path measured ~177 GB/s effective; sort dominated).
+
+Design notes:
+  * grid = (query_tiles, corpus_tiles), corpus axis fastest; the output
+    block revisits across the corpus axis (standard accumulation pattern),
+    initialized at j == 0 and holding running top-k state between steps.
+  * selection: per tile, extract the tile-local top-k by k rounds of
+    (max, argmax, mask-out); then merge the 2k candidates (running + tile)
+    by another k rounds. O(2k * TQ * TC) VPU work per tile — small-k only
+    (k <= 32); larger k falls back to the XLA scan path (ops/topk.py).
+  * masking: pad rows are masked via the global column index vs n_valid
+    (scalar in SMEM), so scores never need a separate validity array.
+
+Used by index/flat.py when running on TPU with k <= MAX_PALLAS_K.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cuvs_rag_tpu.ops import topk as topk_ops
+
+MAX_PALLAS_K = 32
+NEG_INF = -float("inf")
+
+
+def _select_topk_rounds(scores, k, payload=None):
+    """(TQ, C) -> ((TQ, k) best scores desc, (TQ, k) selected ids).
+
+    k rounds of masked max/argmax — no sort, VPU-only. When `payload` (an
+    id array aligned with scores) is given, ids come from it via a masked
+    reduction (Mosaic has no gather; sum-over-onehot replaces it); otherwise
+    ids are the column indices themselves.
+    """
+    tq, c = scores.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (tq, c), 1)
+    out_s = []
+    out_i = []
+    cur = scores
+    for _ in range(k):
+        best = jnp.max(cur, axis=1)
+        arg = jnp.argmax(cur, axis=1).astype(jnp.int32)
+        hit = col == arg[:, None]
+        out_s.append(best)
+        if payload is None:
+            out_i.append(arg)
+        else:
+            out_i.append(jnp.sum(jnp.where(hit, payload, 0), axis=1))
+        cur = jnp.where(hit, NEG_INF, cur)
+    return jnp.stack(out_s, axis=1), jnp.stack(out_i, axis=1)
+
+
+def _kernel(n_valid_ref, q_ref, c_ref, csq_ref, out_s_ref, out_i_ref, *, k, tile_c, metric):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_s_ref[:] = jnp.full_like(out_s_ref, NEG_INF)
+        out_i_ref[:] = jnp.full_like(out_i_ref, -1)
+
+    q = q_ref[:]  # (TQ, D)
+    c = c_ref[0]  # (TC, D)
+    ip = jax.lax.dot_general(
+        q, c, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if metric == "sqeuclidean":
+        # csq block is (1, 8, TC//8) to satisfy TPU (8, 128) tiling
+        scores = 2.0 * ip - csq_ref[0].reshape(1, -1)
+    else:
+        scores = ip
+
+    base = j * tile_c
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + base
+    scores = jnp.where(col < n_valid_ref[0], scores, NEG_INF)
+
+    # filter-then-select: the expensive 2k-round selection only runs when
+    # this tile can actually improve some query's current top-k. After the
+    # first few tiles almost every tile is skipped (expected number of
+    # improving tiles ~ k·ln(num_tiles)), leaving matmul + one row-max as
+    # the steady-state cost.
+    kth = out_s_ref[:, k - 1]
+    tile_best = jnp.max(scores, axis=1)
+    improved = jnp.any(tile_best > kth)
+
+    @pl.when(improved)
+    def _():
+        tile_s, tile_arg = _select_topk_rounds(scores, k)
+        tile_i = jnp.where(tile_s > NEG_INF, tile_arg + base, -1)
+        cand_s = jnp.concatenate([out_s_ref[:], tile_s], axis=1)  # (TQ, 2k)
+        cand_i = jnp.concatenate([out_i_ref[:], tile_i], axis=1)
+        new_s, new_i = _select_topk_rounds(cand_s, k, payload=cand_i)
+        out_s_ref[:] = new_s
+        out_i_ref[:] = jnp.where(new_s > NEG_INF, new_i, -1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "tile_q", "tile_c", "interpret"),
+)
+def flat_topk_pallas(
+    corpus: jax.Array,
+    corpus_sqnorms: jax.Array,
+    queries: jax.Array,
+    n_valid: jax.Array,
+    *,
+    k: int,
+    metric: str,
+    tile_q: int = 128,
+    tile_c: int = 2048,
+    interpret: bool = False,
+):
+    """Drop-in for ops.topk.flat_topk_search (same contract), k <= 32.
+
+    corpus (Np, D) with Np % tile_c == 0; queries (Q, D) — Q is padded to
+    tile_q internally; returns ((Q, k) scores desc, (Q, k) int32 ids).
+    """
+    assert k <= MAX_PALLAS_K, k
+    n_pad, d = corpus.shape
+    assert n_pad % tile_c == 0, (n_pad, tile_c)
+    assert tile_c % 1024 == 0, tile_c  # csq blocks reshape to (8, tile_c//8)
+    q_n = queries.shape[0]
+    tile_q = min(tile_q, topk_ops.round_up(q_n, 8))
+    q_pad = topk_ops.round_up(q_n, tile_q)
+    queries = topk_ops.pad_rows(queries.astype(corpus.dtype), q_pad)
+
+    nc = n_pad // tile_c
+    corpus_t = corpus.reshape(nc, tile_c, d)
+    csq_t = corpus_sqnorms.reshape(nc, 8, tile_c // 8).astype(jnp.float32)
+    n_valid_arr = jnp.reshape(n_valid.astype(jnp.int32), (1,))
+
+    grid = (q_pad // tile_q, nc)
+    kernel = functools.partial(_kernel, k=k, tile_c=tile_c, metric=metric)
+    out_s, out_i = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tile_q, d), lambda i, j, *_: (i, 0)),
+                pl.BlockSpec((1, tile_c, d), lambda i, j, *_: (j, 0, 0)),
+                pl.BlockSpec((1, 8, tile_c // 8), lambda i, j, *_: (j, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((tile_q, k), lambda i, j, *_: (i, 0)),
+                pl.BlockSpec((tile_q, k), lambda i, j, *_: (i, 0)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((q_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((q_pad, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(n_valid_arr, queries, corpus_t, csq_t)
+    return out_s[:q_n], out_i[:q_n]

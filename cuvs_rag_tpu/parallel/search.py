@@ -247,6 +247,37 @@ def _index_dim(sindex: ShardedIndex) -> int:
     return sindex.local.dim
 
 
+def search_sharded_batched(
+    search_params,
+    sindex: ShardedIndex,
+    queries: jax.Array,
+    k: int,
+    dmesh: DeviceMesh,
+    batch_size: int = 100,
+    over_fetch: float = 2.0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Large query sets in fixed-size batches (reference `batch_search`,
+    improved_multi_gpu_rag.py:279-303, batch_size=100 default).
+
+    Fixed batch shape keeps one compiled program for all chunks (the last
+    chunk is padded); results are concatenated on the host side of the API.
+    """
+    queries = index_base.validate_queries(queries, _index_dim(sindex))
+    q = queries.shape[0]
+    outs_d, outs_i = [], []
+    for start in range(0, q, batch_size):
+        chunk = queries[start : start + batch_size]
+        pad = batch_size - chunk.shape[0]
+        if pad:
+            chunk = jnp.pad(jnp.asarray(chunk), ((0, pad), (0, 0)))
+        d, i = search_sharded(search_params, sindex, chunk, k, dmesh, over_fetch)
+        if pad:
+            d, i = d[:-pad], i[:-pad]
+        outs_d.append(d)
+        outs_i.append(i)
+    return jnp.concatenate(outs_d), jnp.concatenate(outs_i)
+
+
 # ---------------------------------------------------------------------------
 # Replicated placement (FAISS co.shard=False mode, faiss-main.ipynb#cell11):
 # the full index on every device, the *query batch* sharded instead — the

@@ -1,0 +1,42 @@
+"""Elastic recovery demo with injected device failure.
+
+Parity: demo_index_building_coordinator_mock.py (simulated multi-GPU with a
+GPU failure injected through the resource-manager seam, SURVEY.md §2 #18 /
+§4). Here the failure is injected through DeviceHealthMonitor and the index
+heals onto the surviving mesh.
+
+    python examples/demo_elastic.py
+"""
+
+import sys
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+from cuvs_rag_tpu.parallel import elastic
+from cuvs_rag_tpu.utils.config import FlatParams
+
+
+def main():
+    rng = np.random.default_rng(0)
+    corpus = rng.standard_normal((4096, 64)).astype(np.float32)
+    eix = elastic.ElasticShardedIndex("flat", FlatParams(tile_n=64), corpus)
+    print(f"built on {eix.dmesh.num_devices} devices")
+
+    probes = corpus[[3, 2048, 4000]]
+    _, i = eix.search(None, probes, 1)
+    print("self-retrieval:", np.asarray(i)[:, 0].tolist())
+
+    print("\ninjecting failure of devices {1, 5} ...")
+    eix.monitor = elastic.DeviceHealthMonitor(fail_device_ids={1, 5})
+    healed = eix.heal()
+    print(f"healed={healed}, now on {eix.dmesh.num_devices} devices")
+
+    _, i = eix.search(None, probes, 1)
+    print("self-retrieval after heal:", np.asarray(i)[:, 0].tolist())
+    print("build history:", eix.history.summary())
+
+
+if __name__ == "__main__":
+    main()

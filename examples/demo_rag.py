@@ -1,0 +1,62 @@
+"""RAG retrieval demo — the reference's notebook flow as a script.
+
+Parity: VectorSearch_QuestionRetrieval.ipynb (encode corpus -> build index
+-> query -> print passages) and demo_index_building_coordinator.py (driving
+the managers across all three index types, SURVEY.md §2 #18).
+
+    python examples/demo_rag.py            # hashing encoder, no downloads
+    python examples/demo_rag.py --family ivf_pq
+"""
+
+import argparse
+import sys
+
+sys.path.insert(0, ".")
+
+from cuvs_rag_tpu.models.encoder import HashingEncoder
+from cuvs_rag_tpu.rag import datasets
+from cuvs_rag_tpu.rag.corpus import Corpus
+from cuvs_rag_tpu.rag.pipeline import Retriever
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--family", default="flat",
+                   choices=["flat", "ivf_flat", "ivf_pq", "cagra"])
+    p.add_argument("--placement", default="single",
+                   choices=["single", "shard", "replicate"])
+    p.add_argument("--k", type=int, default=3)
+    args = p.parse_args()
+
+    qa, source = datasets.load_medical_qa(400)
+    print(f"corpus: {len(qa)} medical QA passages ({source})")
+    corpus = Corpus(
+        passages=[f"{r.input} {r.output}" for r in qa],
+        titles=[r.topic for r in qa],
+    )
+    from cuvs_rag_tpu.utils.config import FlatParams, Metric
+
+    retriever = Retriever.build(
+        corpus,
+        HashingEncoder(dim=384),
+        family=args.family,
+        placement=args.placement,
+        params=FlatParams(metric=Metric.COSINE) if args.family == "flat" else None,
+    )
+
+    for q in [
+        "what are the symptoms of diabetes?",
+        "how do doctors diagnose asthma?",
+        "treatment options for migraine headaches",
+    ]:
+        res = retriever.retrieve(q, k=args.k)
+        print(f"\nQ: {q}  ({res.query_time_s*1e3:.1f} ms)")
+        for p_ in res.passages:
+            print(f"  [{p_.title:12s} d={p_.distance:.3f}] {p_.text[:90]}...")
+
+    ctx = retriever.assemble_context("hypertension risk factors", k=2)
+    print(f"\nassembled context ({len(ctx)} chars):\n{ctx[:200]}...")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,71 @@
+"""Scaling stress test — the reference's breaking-point harness as a script.
+
+Parity: cuVS_Scaling_Stress_Test.ipynb#cell12-17 (sizes 500k..2M, build each
+index type, measure build/search, break at first failure, pandas summary)
+and the multi-GPU variant cuVS-2GPU.ipynb#cell15-20 — plus recall@10 vs the
+exact oracle at every size (the reference never had a valid recall).
+
+    python examples/stress_test.py --sizes 100000 250000 500000 --family ivf_flat
+    python examples/stress_test.py --sharded --csv /tmp/stress.csv
+"""
+
+import argparse
+import csv
+import dataclasses
+import sys
+
+sys.path.insert(0, ".")
+
+from cuvs_rag_tpu.eval import bench as bench_lib
+from cuvs_rag_tpu.utils.config import (
+    CagraParams, CagraSearchParams, FlatParams, IVFFlatParams,
+    IVFFlatSearchParams, IVFPQParams, IVFPQSearchParams,
+)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--family", default="ivf_flat",
+                   choices=["flat", "ivf_flat", "ivf_pq", "cagra"])
+    p.add_argument("--sizes", type=int, nargs="+",
+                   default=[100_000, 250_000, 500_000, 1_000_000, 2_000_000])
+    p.add_argument("--dim", type=int, default=768)
+    p.add_argument("--sharded", action="store_true")
+    p.add_argument("--no-recall", action="store_true",
+                   help="skip exact-GT recall (faster at large sizes)")
+    p.add_argument("--csv", default="")
+    args = p.parse_args()
+
+    make_params = {
+        "flat": lambda n: FlatParams(dtype="bfloat16"),
+        "ivf_flat": lambda n: IVFFlatParams(),
+        "ivf_pq": lambda n: IVFPQParams(),
+        "cagra": lambda n: CagraParams(),
+    }[args.family]
+    sp = {
+        "flat": lambda n: None,
+        "ivf_flat": lambda n: IVFFlatSearchParams(n_probes=20),
+        "ivf_pq": lambda n: IVFPQSearchParams(n_probes=20),
+        "cagra": lambda n: CagraSearchParams(),
+    }[args.family]
+
+    rows = bench_lib.scaling_stress(
+        args.family, make_params, args.sizes, args.dim,
+        search_params_fn=sp, sharded=args.sharded,
+        eval_recall=not args.no_recall,
+    )
+    print(bench_lib.format_table(rows))
+    breaking = next((r.n_vectors for r in rows if not r.ok), None)
+    print(f"\nbreaking point: {breaking or 'none reached'}")
+
+    if args.csv:
+        with open(args.csv, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=[x.name for x in dataclasses.fields(rows[0])])
+            w.writeheader()
+            for r in rows:
+                w.writerow(dataclasses.asdict(r))
+        print(f"wrote {args.csv}")
+
+
+if __name__ == "__main__":
+    main()

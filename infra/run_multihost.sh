@@ -1,0 +1,19 @@
+#!/usr/bin/env bash
+# Multi-host TPU-slice launcher — the TPU-native equivalent of the
+# reference's SLURM stack (Latest/cuVS-2-gpu/old/submit_narval_job.sh and
+# friends, SURVEY.md §2 #17). On a TPU pod slice every host runs the SAME
+# program; jax.distributed.initialize() discovers peers from the TPU
+# metadata, and the global mesh spans all hosts (ICI within a slice, DCN
+# across slices) with zero code changes to the SPMD programs.
+#
+# Usage (from each host, or via your scheduler of choice):
+#   ./infra/run_multihost.sh python -m cuvs_rag_tpu.main --n 10000000 --family ivf_flat
+#
+# GKE/XPK or gcloud users: point the container entrypoint here.
+set -euo pipefail
+
+export JAX_PLATFORMS="${JAX_PLATFORMS:-tpu}"
+# Initialize the distributed runtime before any jax import in the app:
+export CUVS_RAG_TPU_MULTIHOST=1
+
+exec "$@"

@@ -1,0 +1,28 @@
+#!/usr/bin/env bash
+# Quick hardware smoke test — parity with the reference's SLURM smoke tests
+# (test_gpu_quick.sh / test_gpu_batch.sh): verify devices enumerate, a tiny
+# sharded build+search runs, and report per-device memory.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+python - <<'EOF'
+import jax
+import numpy as np
+
+print(f"devices: {jax.device_count()} x {jax.devices()[0].device_kind}")
+from cuvs_rag_tpu.parallel import search as psearch
+from cuvs_rag_tpu.parallel.mesh import DeviceMesh
+from cuvs_rag_tpu.utils import memory as mem
+from cuvs_rag_tpu.utils.config import FlatParams
+
+dmesh = DeviceMesh()
+rng = np.random.default_rng(0)
+corpus = rng.standard_normal((1024 * dmesh.num_devices, 128)).astype(np.float32)
+ix = psearch.build_sharded("flat", FlatParams(tile_n=256), corpus, dmesh)
+d, i = psearch.search_sharded(None, ix, corpus[:4], 3, dmesh)
+assert np.asarray(i)[:, 0].tolist() == [0, 1, 2, 3], np.asarray(i)
+print("sharded build+search: OK")
+for dev, s in mem.memory_stats().items():
+    print(f"  device {dev}: in_use={s['bytes_in_use']/1e9:.2f} GB")
+print("SMOKE TEST PASSED")
+EOF

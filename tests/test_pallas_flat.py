@@ -1,0 +1,54 @@
+"""Pallas fused kernel vs the XLA reference path (interpreter mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cuvs_rag_tpu.ops import pallas_flat, topk as topk_ops
+from cuvs_rag_tpu.ops import distance as dist_ops
+
+
+@pytest.mark.parametrize("metric", ["sqeuclidean", "inner_product"])
+def test_pallas_matches_xla(rng, metric):
+    n, d, q, k = 2048, 64, 10, 5
+    corpus = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    queries = jnp.asarray(rng.standard_normal((q, d)).astype(np.float32))
+    sq = dist_ops.sqnorms(corpus)
+    nv = jnp.int32(n)
+    s1, i1 = pallas_flat.flat_topk_pallas(
+        corpus, sq, queries, nv, k=k, metric=metric,
+        tile_q=8, tile_c=1024, interpret=True,
+    )
+    s2, i2 = topk_ops.flat_topk_search(
+        corpus, sq, queries, nv, k=k, metric=metric, tile_n=1024
+    )
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_respects_n_valid(rng):
+    n, d = 2048, 32
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    # make padded rows maximally attractive: zero distance to the query
+    queries = corpus[:2].copy()
+    corpus[1200:] = queries[0]  # rows >= n_valid duplicate the query
+    cj = jnp.asarray(corpus)
+    sq = dist_ops.sqnorms(cj)
+    s, i = pallas_flat.flat_topk_pallas(
+        cj, sq, jnp.asarray(queries), jnp.int32(1200), k=3,
+        metric="sqeuclidean", tile_q=8, tile_c=1024, interpret=True,
+    )
+    assert np.asarray(i).max() < 1200  # masked rows never returned
+
+
+def test_pallas_k_exceeds_valid(rng):
+    n, d = 1024, 16
+    corpus = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    sq = dist_ops.sqnorms(corpus)
+    s, i = pallas_flat.flat_topk_pallas(
+        corpus, sq, corpus[:1], jnp.int32(4), k=8,
+        metric="sqeuclidean", tile_q=8, tile_c=1024, interpret=True,
+    )
+    i = np.asarray(i)
+    assert np.all(np.sort(i[0, :4]) == np.arange(4))
+    assert np.all(i[0, 4:] == -1)

@@ -1,0 +1,46 @@
+import jax.numpy as jnp
+import numpy as np
+
+from cuvs_rag_tpu.eval import recall as recall_lib
+from cuvs_rag_tpu.eval import sweeps
+from cuvs_rag_tpu.index import ivf_flat
+from cuvs_rag_tpu.utils.config import IVFFlatParams, IVFFlatSearchParams, Metric
+
+
+def test_nprobe_sweep_monotone_recall(rng):
+    centers = rng.standard_normal((16, 24)).astype(np.float32) * 3
+    lbl = rng.integers(0, 16, 3000)
+    corpus = (centers[lbl] + 0.5 * rng.standard_normal((3000, 24))).astype(np.float32)
+    queries = (centers[rng.integers(0, 16, 10)]
+               + 0.5 * rng.standard_normal((10, 24))).astype(np.float32)
+    gt = recall_lib.exact_ground_truth(corpus, queries, 10, Metric.SQEUCLIDEAN)
+    ix = ivf_flat.build(IVFFlatParams(n_lists=16), jnp.asarray(corpus))
+
+    curve = sweeps.nprobe_sweep(
+        ivf_flat, ix, lambda p: IVFFlatSearchParams(n_probes=p),
+        queries, gt, k=10, n_probes_list=(1, 4, 16),
+    )
+    recalls = [p.recall for p in curve]
+    assert recalls == sorted(recalls)  # more probes -> more recall
+    assert recalls[-1] == 1.0  # full probe exact
+
+    best = sweeps.best_operating_point(curve, min_recall=0.95)
+    assert best is not None and best.recall >= 0.95
+    assert sweeps.best_operating_point(curve, min_recall=1.1) is None
+
+
+def test_batched_sharded_search(rng):
+    from cuvs_rag_tpu.parallel import search as psearch
+    from cuvs_rag_tpu.parallel.mesh import DeviceMesh
+    from cuvs_rag_tpu.utils.config import FlatParams
+
+    corpus = rng.standard_normal((512, 16)).astype(np.float32)
+    queries = rng.standard_normal((23, 16)).astype(np.float32)  # != batch size
+    dmesh = DeviceMesh()
+    sindex = psearch.build_sharded("flat", FlatParams(tile_n=8), corpus, dmesh)
+    d_b, i_b = psearch.search_sharded_batched(
+        None, sindex, queries, 5, dmesh, batch_size=10
+    )
+    d_1, i_1 = psearch.search_sharded(None, sindex, jnp.asarray(queries), 5, dmesh)
+    np.testing.assert_array_equal(np.asarray(i_b), np.asarray(i_1))
+    assert d_b.shape == (23, 5)
