@@ -107,6 +107,7 @@ def search_scores(
         itopk=sp.itopk_size,
         max_iters=sp.max_iterations,
         n_entries=min(sp.num_entry_points, n_pad),
+        expansions=sp.search_width,
     )
 
 

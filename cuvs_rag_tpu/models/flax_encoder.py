@@ -1,0 +1,220 @@
+"""Flax BERT-family text encoder — the TPU-native embedding front end.
+
+The reference runs sentence-transformers on GPU (generate_embeddings.py,
+SURVEY.md §2 #10); `TransformersEncoder` (models/encoder.py) reproduces that
+on CPU torch. This module hosts the encoder *on the TPU itself*: a compact
+flax implementation of the BERT encoder family (covers MiniLM /
+nq-distilbert-class models) whose parameters load from any HF torch
+checkpoint via `convert_hf_state_dict` — so corpus encoding runs as jitted
+MXU matmuls alongside the index.
+
+Scope: inference-only, post-LN BERT blocks, learned positions, mean/cls
+pooling. Attention is XLA-fused softmax attention (sequences here are <=512;
+Pallas flash attention is unnecessary at this length).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    import flax.linen as nn
+except ImportError:  # pragma: no cover
+    nn = None
+
+
+@dataclasses.dataclass(frozen=True)
+class BertConfig:
+    vocab_size: int = 30522
+    hidden_size: int = 384  # MiniLM-L6
+    num_layers: int = 6
+    num_heads: int = 12
+    intermediate_size: int = 1536
+    max_position: int = 512
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-12
+
+    @classmethod
+    def minilm_l6(cls) -> "BertConfig":
+        return cls()
+
+    @classmethod
+    def from_hf(cls, hf_config) -> "BertConfig":
+        return cls(
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            intermediate_size=hf_config.intermediate_size,
+            max_position=hf_config.max_position_embeddings,
+            type_vocab_size=getattr(hf_config, "type_vocab_size", 2),
+            layer_norm_eps=hf_config.layer_norm_eps,
+        )
+
+
+if nn is not None:
+
+    class _Block(nn.Module):
+        cfg: BertConfig
+
+        @nn.compact
+        def __call__(self, x, mask):
+            cfg = self.cfg
+            h = cfg.hidden_size
+            # self-attention
+            q = nn.Dense(h, name="q")(x)
+            k = nn.Dense(h, name="k")(x)
+            v = nn.Dense(h, name="v")(x)
+            b, s, _ = x.shape
+            hd = h // cfg.num_heads
+
+            def split(t):
+                return t.reshape(b, s, cfg.num_heads, hd).transpose(0, 2, 1, 3)
+
+            logits = jnp.einsum(
+                "bhqd,bhkd->bhqk", split(q), split(k),
+                preferred_element_type=jnp.float32,
+            ) / np.sqrt(hd)
+            logits = jnp.where(mask[:, None, None, :], logits, -1e9)
+            attn = jax.nn.softmax(logits, axis=-1)
+            ctx = jnp.einsum("bhqk,bhkd->bhqd", attn, split(v))
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, h)
+            x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="ln_attn")(
+                x + nn.Dense(h, name="attn_out")(ctx)
+            )
+            # feed-forward
+            y = nn.Dense(cfg.intermediate_size, name="ff_in")(x)
+            y = jax.nn.gelu(y, approximate=False)
+            y = nn.Dense(h, name="ff_out")(y)
+            return nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="ln_ff")(x + y)
+
+    class BertEncoderModel(nn.Module):
+        cfg: BertConfig
+
+        @nn.compact
+        def __call__(self, input_ids, attention_mask, token_type_ids=None):
+            cfg = self.cfg
+            b, s = input_ids.shape
+            if token_type_ids is None:
+                token_type_ids = jnp.zeros_like(input_ids)
+            x = (
+                nn.Embed(cfg.vocab_size, cfg.hidden_size, name="tok")(input_ids)
+                + nn.Embed(cfg.max_position, cfg.hidden_size, name="pos")(
+                    jnp.broadcast_to(jnp.arange(s), (b, s))
+                )
+                + nn.Embed(cfg.type_vocab_size, cfg.hidden_size, name="typ")(
+                    token_type_ids
+                )
+            )
+            x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="ln_emb")(x)
+            mask = attention_mask.astype(bool)
+            for li in range(cfg.num_layers):
+                x = _Block(cfg, name=f"layer_{li}")(x, mask)
+            return x
+
+
+def convert_hf_state_dict(state_dict: Dict[str, Any], cfg: BertConfig):
+    """Map a HF `BertModel` torch state_dict to this module's params."""
+
+    def g(name):
+        t = state_dict[name]
+        return jnp.asarray(np.asarray(t.detach().cpu() if hasattr(t, "detach") else t))
+
+    def dense(prefix):
+        return {"kernel": g(prefix + ".weight").T, "bias": g(prefix + ".bias")}
+
+    def ln(prefix):
+        return {"scale": g(prefix + ".weight"), "bias": g(prefix + ".bias")}
+
+    params = {
+        "tok": {"embedding": g("embeddings.word_embeddings.weight")},
+        "pos": {"embedding": g("embeddings.position_embeddings.weight")},
+        "typ": {"embedding": g("embeddings.token_type_embeddings.weight")},
+        "ln_emb": ln("embeddings.LayerNorm"),
+    }
+    for li in range(cfg.num_layers):
+        hf = f"encoder.layer.{li}"
+        params[f"layer_{li}"] = {
+            "q": dense(f"{hf}.attention.self.query"),
+            "k": dense(f"{hf}.attention.self.key"),
+            "v": dense(f"{hf}.attention.self.value"),
+            "attn_out": dense(f"{hf}.attention.output.dense"),
+            "ln_attn": ln(f"{hf}.attention.output.LayerNorm"),
+            "ff_in": dense(f"{hf}.intermediate.dense"),
+            "ff_out": dense(f"{hf}.output.dense"),
+            "ln_ff": ln(f"{hf}.output.LayerNorm"),
+        }
+    return {"params": params}
+
+
+class FlaxSentenceEncoder:
+    """Sentence encoder: HF tokenizer + flax BERT on the default JAX device.
+
+    Loads any local/cached BERT-architecture checkpoint:
+
+        enc = FlaxSentenceEncoder.from_pretrained(
+            "sentence-transformers/all-MiniLM-L6-v2")
+        embeddings = enc.encode(texts)            # runs on TPU
+    """
+
+    def __init__(self, cfg: BertConfig, params, tokenizer, *,
+                 pooling: str = "mean", normalize: bool = True,
+                 max_length: int = 256):
+        if nn is None:
+            raise ImportError("flax is required for FlaxSentenceEncoder")
+        self.cfg = cfg
+        self.model = BertEncoderModel(cfg)
+        self.params = params
+        self.tokenizer = tokenizer
+        self.pooling = pooling
+        self.normalize = normalize
+        self.max_length = max_length
+        self.dim = cfg.hidden_size
+
+        def fwd(params, ids, mask):
+            hidden = self.model.apply(params, ids, mask)
+            if pooling == "cls":
+                emb = hidden[:, 0]
+            else:
+                m = mask[:, :, None].astype(hidden.dtype)
+                emb = (hidden * m).sum(1) / jnp.maximum(m.sum(1), 1e-9)
+            if normalize:
+                emb = emb / jnp.maximum(
+                    jnp.linalg.norm(emb, axis=1, keepdims=True), 1e-12
+                )
+            return emb
+
+        self._fwd = jax.jit(fwd)
+
+    @classmethod
+    def from_pretrained(cls, name_or_path: str, **kwargs) -> "FlaxSentenceEncoder":
+        from transformers import AutoConfig, AutoModel, AutoTokenizer
+
+        hf_cfg = AutoConfig.from_pretrained(name_or_path)
+        cfg = BertConfig.from_hf(hf_cfg)
+        torch_model = AutoModel.from_pretrained(name_or_path)
+        params = convert_hf_state_dict(torch_model.state_dict(), cfg)
+        tok = AutoTokenizer.from_pretrained(name_or_path)
+        return cls(cfg, params, tok, **kwargs)
+
+    def encode(self, texts, batch_size: int = 64) -> np.ndarray:
+        outs = []
+        for i in range(0, len(texts), batch_size):
+            batch = list(texts[i : i + batch_size])
+            # pad to max_length for a single compiled shape
+            enc = self.tokenizer(
+                batch, padding="max_length", truncation=True,
+                max_length=self.max_length, return_tensors="np",
+            )
+            emb = self._fwd(
+                self.params,
+                jnp.asarray(enc["input_ids"]),
+                jnp.asarray(enc["attention_mask"]),
+            )
+            outs.append(np.asarray(emb, np.float32))
+        return np.concatenate(outs, axis=0)

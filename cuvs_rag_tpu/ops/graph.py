@@ -106,7 +106,7 @@ def augment_reverse_edges(graph: jax.Array, keep: int) -> jax.Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "metric", "itopk", "max_iters", "n_entries"),
+    static_argnames=("k", "metric", "itopk", "max_iters", "n_entries", "expansions"),
 )
 def beam_search(
     vectors: jax.Array,
@@ -120,17 +120,21 @@ def beam_search(
     itopk: int = 64,
     max_iters: int = 0,
     n_entries: int = 32,
+    expansions: int = 4,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fixed-iteration greedy beam search over the graph.
 
     vectors (Np, D) storage dtype; row_valid (Np,) bool; graph (Np, G).
     Returns (scores (Q,k) desc, ids (Q,k)). Deterministic entry points:
-    evenly spaced valid rows.
+    evenly spaced valid rows. `expansions` best unexpanded candidates are
+    expanded per iteration (batched neighbor gathers — the latency lever;
+    cuVS CAGRA's search_width equivalent).
     """
     n_pad, d = vectors.shape
     g = graph.shape[1]
     b = max(itopk, k)
-    iters = max_iters or max(8, (b + g - 1) // g * 8)
+    e = max(1, min(expansions, b))
+    iters = max_iters or min(64, max(8, 2 * -(-b // e)))
     queries = queries.astype(jnp.float32)
 
     # entry points: evenly spaced rows (static)
@@ -156,21 +160,25 @@ def beam_search(
 
         def step(_, state):
             scores, ids, expanded = state
-            # best unexpanded candidate
+            # expand the e best unexpanded candidates at once
             cand_scores = jnp.where(expanded, topk_ops.NEG_INF, scores)
-            pick = jnp.argmax(cand_scores)
-            pick_id = ids[pick]
-            valid_pick = cand_scores[pick] > topk_ops.NEG_INF
-            expanded = expanded.at[pick].set(True)
+            pick_scores, picks = jax.lax.top_k(cand_scores, e)  # (e,)
+            pick_ids = ids[picks]
+            valid_pick = pick_scores > topk_ops.NEG_INF  # (e,)
+            expanded = expanded.at[picks].set(True)
 
-            nbrs = graph[jnp.maximum(pick_id, 0)]  # (G,)
+            nbrs = graph[jnp.maximum(pick_ids, 0)]  # (e, G)
             n_scores = jnp.where(
-                valid_pick, score_rows(qvec, nbrs), topk_ops.NEG_INF
+                valid_pick[:, None],
+                score_rows(qvec, nbrs.reshape(-1)).reshape(e, g),
+                topk_ops.NEG_INF,
             )
 
-            all_scores = jnp.concatenate([scores, n_scores])
-            all_ids = jnp.concatenate([ids, nbrs])
-            all_exp = jnp.concatenate([expanded, jnp.zeros((g,), jnp.bool_)])
+            all_scores = jnp.concatenate([scores, n_scores.reshape(-1)])
+            all_ids = jnp.concatenate([ids, nbrs.reshape(-1)])
+            all_exp = jnp.concatenate(
+                [expanded, jnp.zeros((e * g,), jnp.bool_)]
+            )
 
             # dedup: sort by (id, expanded-first); equal-id runs keep the
             # expanded copy, duplicates get -inf

@@ -160,6 +160,9 @@ class CagraSearchParams:
     # (a cluster no entry point lands in is unreachable by greedy descent),
     # so the default is generous; scoring entries is one cheap batched matmul.
     num_entry_points: int = 128
+    # Candidates expanded per iteration (cuVS search_width equivalent):
+    # batches the neighbor gathers, cutting sequential iterations ~4x.
+    search_width: int = 4
 
 
 @dataclasses.dataclass(frozen=True)

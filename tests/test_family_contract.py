@@ -1,0 +1,73 @@
+"""Family-protocol contract tests: every index family exposes the same
+surface (the union-of-impl-and-tests lesson from the reference's API drift,
+SURVEY.md §4: demos called methods that didn't exist)."""
+
+import inspect
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cuvs_rag_tpu.parallel import search as psearch
+
+psearch._load_families()
+FAMILIES = sorted(psearch.FAMILIES)
+
+
+@pytest.mark.parametrize("family", FAMILIES)
+def test_family_surface(family):
+    mod = psearch.FAMILIES[family]
+    # the cuVS two-call surface
+    assert callable(mod.build)
+    assert callable(mod.search)
+    assert callable(mod.search_scores)
+    assert callable(mod.default_search_params)
+    # sharded build path: either generic traced builder or custom SPMD build
+    assert hasattr(mod, "build_local") or hasattr(mod, "build_sharded_local")
+    # cuVS argument order: search(search_params, index, queries, k)
+    sig = list(inspect.signature(mod.search).parameters)
+    assert sig[:4] == ["search_params", "index", "queries", "k"], (family, sig)
+
+
+@pytest.mark.parametrize("family", FAMILIES)
+def test_family_end_to_end_self_retrieval(family, rng):
+    mod = psearch.FAMILIES[family]
+    from cuvs_rag_tpu.rag.pipeline import _default_params
+
+    corpus = rng.standard_normal((600, 32)).astype(np.float32)
+    index = mod.build(_default_params(family), jnp.asarray(corpus))
+    rows = [0, 300, 599]
+    d, i = mod.search(None, index, jnp.asarray(corpus[rows]), 2)
+    assert np.asarray(i)[:, 0].tolist() == rows, family
+    assert d.shape == (3, 2)
+    # reported sqeuclidean self-distance ~ 0
+    assert np.asarray(d)[:, 0].max() < 1e-2, family
+
+
+@pytest.mark.parametrize("family", FAMILIES)
+def test_family_index_io_round_trip(family, rng, tmp_path):
+    from cuvs_rag_tpu.index import io
+    from cuvs_rag_tpu.rag.pipeline import _default_params
+
+    mod = psearch.FAMILIES[family]
+    corpus = rng.standard_normal((300, 16)).astype(np.float32)
+    ix = mod.build(_default_params(family), jnp.asarray(corpus))
+    p = str(tmp_path / f"{family}.npz")
+    io.save_index(p, ix)
+    ix2 = io.load_index(p)
+    d1, i1 = mod.search(None, ix, jnp.asarray(corpus[:3]), 2)
+    d2, i2 = mod.search(None, ix2, jnp.asarray(corpus[:3]), 2)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+@pytest.mark.parametrize("family", FAMILIES)
+def test_family_sharded_build_and_search(family, rng):
+    from cuvs_rag_tpu.parallel.mesh import DeviceMesh
+    from cuvs_rag_tpu.rag.pipeline import _default_params
+
+    corpus = rng.standard_normal((800, 32)).astype(np.float32)
+    dmesh = DeviceMesh()
+    sindex = psearch.build_sharded(family, _default_params(family), corpus, dmesh)
+    rows = [3, 400, 790]
+    _, i = psearch.search_sharded(None, sindex, corpus[rows], 1, dmesh)
+    assert np.asarray(i)[:, 0].tolist() == rows, family

@@ -1,0 +1,70 @@
+"""Flax encoder parity vs a randomly-initialized local torch BertModel
+(no downloads: the torch model is constructed from config)."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from cuvs_rag_tpu.models import flax_encoder as fe
+
+
+@pytest.fixture(scope="module")
+def tiny_pair():
+    from transformers import BertConfig as HFBertConfig, BertModel
+
+    hf_cfg = HFBertConfig(
+        vocab_size=100, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=64, type_vocab_size=2,
+    )
+    torch_model = BertModel(hf_cfg).eval()
+    cfg = fe.BertConfig.from_hf(hf_cfg)
+    params = fe.convert_hf_state_dict(torch_model.state_dict(), cfg)
+    return torch_model, cfg, params
+
+
+def test_flax_matches_torch_bert(tiny_pair, rng):
+    import jax.numpy as jnp
+
+    torch_model, cfg, params = tiny_pair
+    ids = rng.integers(0, 100, (3, 10))
+    mask = np.ones((3, 10), np.int64)
+    mask[1, 6:] = 0  # padded row
+
+    with torch.no_grad():
+        want = torch_model(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+        ).last_hidden_state.numpy()
+
+    model = fe.BertEncoderModel(cfg)
+    got = np.asarray(model.apply(params, jnp.asarray(ids), jnp.asarray(mask)))
+    # padded positions differ (we don't zero them; torch doesn't either —
+    # but attention masking makes non-pad positions match)
+    np.testing.assert_allclose(got[0], want[0], rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(got[1, :6], want[1, :6], rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(got[2], want[2], rtol=2e-3, atol=2e-3)
+
+
+def test_sentence_encoder_end_to_end(tiny_pair):
+    torch_model, cfg, params = tiny_pair
+
+    class FakeTok:
+        def __call__(self, texts, **kw):
+            n = len(texts)
+            L = kw.get("max_length", 16)
+            ids = np.zeros((n, L), np.int32)
+            mask = np.zeros((n, L), np.int32)
+            for i, t in enumerate(texts):
+                toks = [hash(w) % 90 + 1 for w in t.split()][: L]
+                ids[i, : len(toks)] = toks
+                mask[i, : len(toks)] = 1
+            return {"input_ids": ids, "attention_mask": mask}
+
+    enc = fe.FlaxSentenceEncoder(cfg, params, FakeTok(), max_length=16)
+    emb = enc.encode(["hello world", "foo bar baz", "hello world"])
+    assert emb.shape == (3, 32)
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, rtol=1e-4)
+    np.testing.assert_allclose(emb[0], emb[2], rtol=1e-5)  # deterministic
+    assert not np.allclose(emb[0], emb[1])
