@@ -40,6 +40,7 @@ class IVFPQIndex:
     list_counts: jax.Array  # (C,)
     raw_vectors: jax.Array  # (cap, Dp) storage for refine, or (0, Dp)
     raw_sqnorms: jax.Array  # (cap,) or (0,)
+    rotation: jax.Array  # (Dp, Dp) OPQ rotation, or (0, 0) when disabled
     n_valid: jax.Array  # () int32
     metric: str
     max_list_size: int
@@ -60,6 +61,10 @@ class IVFPQIndex:
     @property
     def has_raw(self) -> bool:
         return self.raw_vectors.shape[-2] > 0
+
+    @property
+    def has_opq(self) -> bool:
+        return self.rotation.shape[-1] > 0
 
 
 def default_n_lists(n: int) -> int:
@@ -114,6 +119,16 @@ def build(params: IVFPQParams, dataset: jax.Array, seed: int = 0) -> IVFPQIndex:
     # --- residual PQ codebooks + encode ---------------------------------
     residuals = vec_pad - centroids[labels]
     res_sample = residuals[:sample_pad]
+    dp = vec_pad.shape[1]
+    if params.opq:
+        rotation = pq_ops.train_opq_rotation(
+            res_sample, sweights, jax.random.fold_in(k2, 1),
+            m=m, n_codes=n_codes, iters=params.opq_iters,
+        )
+        residuals = residuals @ rotation.T
+        res_sample = residuals[:sample_pad]
+    else:
+        rotation = jnp.zeros((0, 0), jnp.float32)
     codebooks = pq_ops.train_codebooks(
         res_sample, sweights, k2, m=m, n_codes=n_codes,
         iters=params.pq_kmeans_iters,
@@ -139,6 +154,7 @@ def build(params: IVFPQParams, dataset: jax.Array, seed: int = 0) -> IVFPQIndex:
         list_counts=jnp.minimum(counts_j, max_list),
         raw_vectors=raw,
         raw_sqnorms=dist_ops.sqnorms(raw),
+        rotation=rotation,
         n_valid=jnp.asarray(n, jnp.int32),
         metric=params.metric,
         max_list_size=max_list,
@@ -198,8 +214,17 @@ def build_sharded_local(params: IVFPQParams, sc, dmesh, seed: int = 0):
         labels0, cents0 = labels[0], centroids[0]
         valid = jnp.arange(per) < n_valid[0]
         residuals = v - cents0[labels0]
+        w = valid.astype(jnp.float32)
+        if params.opq:
+            rotation = pq_ops.train_opq_rotation(
+                residuals, w, jax.random.PRNGKey(seed + 2),
+                m=m, n_codes=n_codes, iters=params.opq_iters,
+            )
+            residuals = residuals @ rotation.T
+        else:
+            rotation = jnp.zeros((0, 0), jnp.float32)
         codebooks = pq_ops.train_codebooks(
-            residuals, valid.astype(jnp.float32),
+            residuals, w,
             jax.random.PRNGKey(seed + 1),
             m=m, n_codes=n_codes, iters=params.pq_kmeans_iters,
         )
@@ -219,6 +244,7 @@ def build_sharded_local(params: IVFPQParams, sc, dmesh, seed: int = 0):
             list_counts=jnp.minimum(counts_j, max_list),
             raw_vectors=raw,
             raw_sqnorms=dist_ops.sqnorms(raw),
+            rotation=rotation,
             n_valid=n_valid[0].astype(jnp.int32),
             metric=metric,
             max_list_size=max_list,
@@ -291,6 +317,7 @@ def search_scores(
         max_list_size=index.max_list_size,
         metric=index.metric,
         k=k_adc,
+        rotation=index.rotation if index.has_opq else None,
     )
 
     if do_refine:

@@ -82,6 +82,45 @@ def reconstruct(codes: jax.Array, codebooks: jax.Array) -> jax.Array:
     return gathered.reshape(codes.shape[0], m * ds)
 
 
+def train_opq_rotation(
+    residuals: jax.Array,
+    weights: jax.Array,
+    key: jax.Array,
+    *,
+    m: int,
+    n_codes: int,
+    iters: int = 3,
+    codebook_iters: int = 4,
+) -> jax.Array:
+    """OPQ: learn an orthogonal rotation R minimizing quantization error.
+
+    Alternating minimization (Ge et al., OPQ): encode R·x with fresh
+    codebooks, then solve the orthogonal Procrustes problem
+    R = argmin ||R x - x̂||² = U Vᵀ from SVD(Σ x̂ xᵀ). Returns (D, D) R.
+    Rotated-space vectors are R @ x; queries rotate the same way, so all
+    score algebra is unchanged (R is orthogonal).
+    """
+    x = residuals.astype(jnp.float32)
+    d = x.shape[1]
+    r = jnp.eye(d, dtype=jnp.float32)
+    w = weights.astype(jnp.float32)[:, None]
+
+    for it in range(iters):
+        xr = x @ r.T
+        cb = train_codebooks(
+            xr, weights, jax.random.fold_in(key, it),
+            m=m, n_codes=n_codes, iters=codebook_iters,
+        )
+        xhat = reconstruct(encode(xr, cb), cb)
+        # Procrustes: R = U Vᵀ of (x̂ᵀ · x), weighted by row validity
+        cov = dist_ops.dot_general_prec(
+            xhat * w, x, (((0,), (0,)), ((), ()))
+        )  # (D, D)
+        u, _, vt = jnp.linalg.svd(cov, full_matrices=False)
+        r = u @ vt
+    return r
+
+
 def adc_lut(
     residual_queries: jax.Array, codebooks: jax.Array, metric: str
 ) -> jax.Array:
@@ -133,12 +172,15 @@ def scan_probed_lists_pq(
     max_list_size: int,
     metric: str,
     k: int,
+    rotation: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """ADC search over probed lists. Returns (scores (Q,k), row ids (Q,k)).
 
     queries: (Q, D) fp32 (padded to m*ds). probe_ids: (Q, P).
     coarse_scores_at_probes: (Q, P) the coarse part of the score
     (2 q·c - ||c||² or q·c), already computed by the prober.
+    rotation: optional (D, D) OPQ matrix; codes quantize R·residual, so
+    residual queries rotate the same way (orthogonality keeps norms).
     """
     q_n, d = queries.shape
     p_n = probe_ids.shape[1]
@@ -151,7 +193,10 @@ def scan_probed_lists_pq(
         t = queries[:, None, :] - probe_cents
     else:
         t = jnp.broadcast_to(queries[:, None, :], probe_cents.shape)
-    luts = adc_lut(t.reshape(q_n * p_n, d), codebooks, metric)
+    t = t.reshape(q_n * p_n, d)
+    if rotation is not None:
+        t = dist_ops.dot_general_prec(t, rotation, (((1,), (1,)), ((), ())))
+    luts = adc_lut(t, codebooks, metric)
     luts = luts.reshape(q_n, p_n, *luts.shape[1:])  # (Q, P, m, C)
 
     def one_query(probes, luts_q, coarse_q):

@@ -120,6 +120,11 @@ class IVFPQParams:
     kmeans_iters: int = 10
     pq_kmeans_iters: int = 10
     kmeans_sample: int = 200_000
+    # OPQ: learn an orthogonal rotation before quantization (Ge et al.) —
+    # reduces ADC error substantially on correlated dims, at the cost of one
+    # (D, D) matmul per (query, probe) at search time.
+    opq: bool = False
+    opq_iters: int = 3
 
     def __post_init__(self):
         Metric.validate(self.metric)

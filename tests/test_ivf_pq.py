@@ -135,3 +135,47 @@ def test_sharded_ivf_pq(data):
     gt = recall_lib.exact_ground_truth(corpus, queries, k, Metric.SQEUCLIDEAN)
     r = recall_lib.recall_at_k(np.asarray(i_sh), gt, k)
     assert r >= 0.95, r
+
+
+def test_opq_improves_adc_recall(data):
+    import jax
+
+    corpus, queries = data
+    k = 10
+    gt = recall_lib.exact_ground_truth(corpus, queries, k, Metric.SQEUCLIDEAN)
+    # correlate dimensions to give OPQ something to exploit
+    rng = np.random.default_rng(0)
+    mix = np.linalg.qr(rng.standard_normal((32, 32)))[0].astype(np.float32)
+    mix[:, :8] *= 4.0  # anisotropic scaling -> subspace imbalance
+    corpus_c = corpus @ mix
+    queries_c = queries @ mix
+    gt_c = recall_lib.exact_ground_truth(corpus_c, queries_c, k, Metric.SQEUCLIDEAN)
+
+    sp = IVFPQSearchParams(n_probes=16, refine_ratio=0)
+    ix_plain = ivf_pq.build(IVFPQParams(n_lists=16, pq_dim=8), jnp.asarray(corpus_c))
+    _, i_plain = ivf_pq.search(sp, ix_plain, jnp.asarray(queries_c), k)
+    r_plain = recall_lib.recall_at_k(np.asarray(i_plain), gt_c, k)
+
+    ix_opq = ivf_pq.build(
+        IVFPQParams(n_lists=16, pq_dim=8, opq=True), jnp.asarray(corpus_c)
+    )
+    assert ix_opq.has_opq
+    _, i_opq = ivf_pq.search(sp, ix_opq, jnp.asarray(queries_c), k)
+    r_opq = recall_lib.recall_at_k(np.asarray(i_opq), gt_c, k)
+    assert r_opq >= r_plain - 0.02, (r_plain, r_opq)
+    assert r_opq >= 0.5, r_opq
+
+
+def test_opq_io_round_trip(data, tmp_path):
+    from cuvs_rag_tpu.index import io
+
+    corpus, queries = data
+    ix = ivf_pq.build(IVFPQParams(n_lists=8, pq_dim=8, opq=True), jnp.asarray(corpus))
+    p = str(tmp_path / "opq.npz")
+    io.save_index(p, ix)
+    ix2 = io.load_index(p)
+    assert ix2.has_opq
+    sp = IVFPQSearchParams(n_probes=8, refine_ratio=2)
+    _, i1 = ivf_pq.search(sp, ix, jnp.asarray(queries), 5)
+    _, i2 = ivf_pq.search(sp, ix2, jnp.asarray(queries), 5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
