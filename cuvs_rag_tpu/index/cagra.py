@@ -43,10 +43,32 @@ class CagraIndex:
         return self.vectors.shape[-2]
 
 
+# Above this many rows, the exact O(N^2 D) graph build switches to the
+# IVF-bootstrapped approximate build (build_algo='auto').
+_EXACT_BUILD_THRESHOLD = 131_072
+
+
+def _resolve_algo(params: CagraParams, n: int) -> str:
+    if params.build_algo != "auto":
+        return params.build_algo
+    return "exact" if n <= _EXACT_BUILD_THRESHOLD else "ivf"
+
+
+def _finish(params, vectors, sq, graph, n_valid, final_deg):
+    graph = graph_ops.augment_reverse_edges(graph, final_deg)
+    return CagraIndex(
+        vectors=vectors,
+        sqnorms=sq,
+        graph=graph,
+        n_valid=n_valid.astype(jnp.int32),
+        metric=params.metric,
+    )
+
+
 def build_local(
     params: CagraParams, block: jax.Array, n_valid: jax.Array
 ) -> CagraIndex:
-    """Traced builder (single shard). Also the core of build()."""
+    """Traced builder (single shard, exact graph). Also the core of build()."""
     per = block.shape[0]
     vectors = block
     if params.metric == Metric.COSINE:
@@ -58,25 +80,99 @@ def build_local(
     graph = graph_ops.build_knn_graph(
         vectors, sq, n_valid, degree=inter_deg, metric=params.metric
     )
-    graph = graph_ops.augment_reverse_edges(graph, final_deg)
-    return CagraIndex(
-        vectors=vectors,
-        sqnorms=sq,
-        graph=graph,
-        n_valid=n_valid.astype(jnp.int32),
-        metric=params.metric,
+    return _finish(params, vectors, sq, graph, n_valid, final_deg)
+
+
+def _build_local_ivf(
+    params: CagraParams, block: jax.Array, n_valid: jax.Array, ivf_index
+) -> CagraIndex:
+    """Traced builder using a prebuilt IVF index for the graph (large N)."""
+    vectors = block
+    if params.metric == Metric.COSINE:
+        vectors = dist_ops.l2_normalize(vectors)
+    vectors = vectors.astype(jnp.float32)
+    sq = dist_ops.sqnorms(vectors)
+    per = block.shape[0]
+    inter_deg = min(params.intermediate_graph_degree, max(per - 1, 1))
+    final_deg = min(params.graph_degree, inter_deg)
+    graph = graph_ops.build_knn_graph_ivf(
+        vectors, n_valid, ivf_index,
+        degree=inter_deg,
+        n_probes=params.build_nprobes,
     )
+    return _finish(params, vectors, sq, graph, n_valid, final_deg)
 
 
 def build(params: CagraParams, dataset: jax.Array) -> CagraIndex:
-    """cuVS surface: build(IndexParams, dataset)."""
+    """cuVS surface: build(IndexParams, dataset). Graph construction is
+    exact below ~131k rows, IVF-bootstrapped above (build_algo='auto')."""
     base.validate_dataset(dataset)
     n = dataset.shape[0]
     n_pad = topk_ops.round_up(n, 8)
     block = topk_ops.pad_rows(jnp.asarray(dataset).astype(jnp.float32), n_pad)
+    nv = jnp.asarray(n, jnp.int32)
+    if _resolve_algo(params, n) == "exact":
+        return jax.jit(lambda b, v: build_local(params, b, v))(block, nv)
+
+    from cuvs_rag_tpu.index import ivf_flat as ivf_family
+    from cuvs_rag_tpu.utils.config import IVFFlatParams
+
+    ivf_params = IVFFlatParams(
+        n_lists=params.build_nlists, metric=params.metric
+    )
+    ivf_ix = ivf_family.build(ivf_params, dataset)
     return jax.jit(
-        lambda b, v: build_local(params, b, v)
-    )(block, jnp.asarray(n, jnp.int32))
+        lambda b, v, ix: _build_local_ivf(params, b, v, ix)
+    )(block, nv, ivf_ix)
+
+
+def build_sharded_local(params: CagraParams, sc, dmesh, seed: int = 0):
+    """SPMD sharded build. Small shards: exact graph per shard under
+    shard_map. Large shards: per-shard IVF bootstrap (reusing the IVF
+    two-phase sharded build), then a shard_map graph-construction phase."""
+    from jax.sharding import PartitionSpec as P
+
+    per = sc.per_shard
+
+    if _resolve_algo(params, per) == "exact":
+
+        def _build(block, n_valid):
+            ix = build_local(params, block[0], n_valid[0])
+            return jax.tree_util.tree_map(lambda x: x[None], ix)
+
+        fn = jax.jit(
+            jax.shard_map(
+                _build, mesh=dmesh.mesh,
+                in_specs=(P(dmesh.axis_name, None, None), P(dmesh.axis_name)),
+                out_specs=P(dmesh.axis_name),
+                check_vma=False,
+            )
+        )
+        return fn(sc.data, sc.n_valid)
+
+    from cuvs_rag_tpu.index import ivf_flat as ivf_family
+    from cuvs_rag_tpu.utils.config import IVFFlatParams
+
+    ivf_params = IVFFlatParams(n_lists=params.build_nlists, metric=params.metric)
+    ivf_stacked = ivf_family.build_sharded_local(ivf_params, sc, dmesh, seed=seed)
+
+    def _phase_c(block, n_valid, ivf_blk):
+        ivf_local = jax.tree_util.tree_map(lambda x: x[0], ivf_blk)
+        ix = _build_local_ivf(params, block[0], n_valid[0], ivf_local)
+        return jax.tree_util.tree_map(lambda x: x[None], ix)
+
+    fn = jax.jit(
+        jax.shard_map(
+            _phase_c, mesh=dmesh.mesh,
+            in_specs=(
+                P(dmesh.axis_name, None, None), P(dmesh.axis_name),
+                P(dmesh.axis_name),
+            ),
+            out_specs=P(dmesh.axis_name),
+            check_vma=False,
+        )
+    )
+    return fn(sc.data, sc.n_valid, ivf_stacked)
 
 
 def default_search_params() -> CagraSearchParams:

@@ -72,6 +72,50 @@ def build_knn_graph(
     return graph.reshape(n_pad, degree).astype(jnp.int32)
 
 
+def build_knn_graph_ivf(
+    vectors: jax.Array,
+    n_valid: jax.Array,
+    ivf_index,
+    *,
+    degree: int,
+    n_probes: int,
+    query_chunk: int = 1024,
+) -> jax.Array:
+    """Approximate kNN graph via an IVF index over the same rows.
+
+    Replaces the O(N²D) exact build beyond ~10^5 rows (cuVS uses NN-descent;
+    IVF-bootstrap fits XLA better: every step is the already-tuned probed
+    scan). Cost ≈ (n_probes/n_lists)·N²·D — e.g. 1% of exact at 20/2000.
+    Self-matches are dropped; rows whose neighborhood search returns fewer
+    than `degree` valid ids self-loop (masked at search time).
+    """
+    from cuvs_rag_tpu.index import ivf_flat as ivf_family
+    from cuvs_rag_tpu.utils.config import IVFFlatSearchParams
+
+    n_pad, d = vectors.shape
+    chunk = query_chunk
+    while n_pad % chunk != 0:
+        chunk //= 2
+    chunk = max(chunk, 1)
+    sp = IVFFlatSearchParams(n_probes=n_probes)
+
+    def body(start):
+        q = jax.lax.dynamic_slice(vectors, (start, 0), (chunk, d))
+        scores, idx = ivf_family.search_scores(
+            sp, ivf_index, q.astype(jnp.float32), degree + 1
+        )
+        rows = start + jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+        is_self = idx == rows
+        scores = jnp.where(is_self, topk_ops.NEG_INF, scores)
+        scores, order = jax.lax.top_k(scores, degree)
+        picked = jnp.take_along_axis(idx, order, axis=1)
+        return jnp.where(picked >= 0, picked, jnp.broadcast_to(rows, picked.shape))
+
+    starts = jnp.arange(n_pad // chunk, dtype=jnp.int32) * chunk
+    graph = jax.lax.map(body, starts)
+    return graph.reshape(n_pad, degree).astype(jnp.int32)
+
+
 def augment_reverse_edges(graph: jax.Array, keep: int) -> jax.Array:
     """CAGRA-style pruning: keep/2 forward edges + reverse-edge fill.
 

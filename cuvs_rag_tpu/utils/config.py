@@ -152,9 +152,18 @@ class CagraParams:
     intermediate_graph_degree: int = 128
     graph_degree: int = 64
     metric: str = Metric.SQEUCLIDEAN
+    # Graph construction: 'exact' brute-force kNN graph (O(N^2 D), best
+    # quality, fine to ~10^5 rows/shard on MXU), 'ivf' IVF-bootstrapped
+    # approximate graph (~1% of exact cost), 'auto' switches on size.
+    build_algo: str = "auto"
+    # IVF bootstrap knobs (used when the ivf path is taken)
+    build_nlists: int = 0  # 0 -> N/1000 heuristic
+    build_nprobes: int = 32
 
     def __post_init__(self):
         Metric.validate(self.metric)
+        if self.build_algo not in ("auto", "exact", "ivf"):
+            raise ValueError(f"unknown build_algo {self.build_algo!r}")
 
 
 @dataclasses.dataclass(frozen=True)

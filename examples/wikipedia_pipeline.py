@@ -1,0 +1,88 @@
+"""Prebuilt-index pipeline: load from disk, place on the mesh, compare
+shard vs replicate — the FAISS Wikipedia workflow (SURVEY.md §2 #13/#14,
+Latest/faiss-main.ipynb: read_index -> distribute_to_gpus -> shard-vs-
+replicate benchmark -> batch sweep).
+
+The reference used a 6.29M x 384 prebuilt FAISS index; this demo builds and
+checkpoints a synthetic stand-in at configurable scale, then demonstrates
+the full flow including the placement comparison the reference measured
+(sharded 3.79x faster than replicated for single queries on 4 GPUs).
+
+    python examples/wikipedia_pipeline.py --n 200000 --dim 384
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=200_000)
+    p.add_argument("--dim", type=int, default=384)
+    p.add_argument("--index-path", default="/tmp/wiki_index.npz")
+    p.add_argument("--k", type=int, default=10)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from cuvs_rag_tpu.eval import bench as bench_lib
+    from cuvs_rag_tpu.index import flat, io
+    from cuvs_rag_tpu.parallel import search as psearch
+    from cuvs_rag_tpu.parallel.mesh import DeviceMesh
+    from cuvs_rag_tpu.utils.config import FlatParams
+
+    rng = np.random.default_rng(0)
+    corpus = rng.standard_normal((args.n, args.dim)).astype(np.float32)
+    queries = rng.standard_normal((64, args.dim)).astype(np.float32)
+
+    # --- build once, persist (replaces faiss.read_index on a prebuilt file)
+    if not os.path.exists(args.index_path):
+        t0 = time.perf_counter()
+        ix = flat.build(FlatParams(dtype="bfloat16"), jnp.asarray(corpus))
+        io.save_index(args.index_path, ix)
+        print(f"built+saved index in {time.perf_counter()-t0:.2f}s "
+              f"-> {args.index_path} ({os.path.getsize(args.index_path)/1e6:.0f} MB)")
+    t0 = time.perf_counter()
+    ix = io.load_index(args.index_path)
+    print(f"loaded prebuilt index in {time.perf_counter()-t0:.2f}s")
+
+    dmesh = DeviceMesh()
+    print(f"mesh: {dmesh.num_devices} devices")
+
+    # --- sharded placement (faiss co.shard=True) ------------------------
+    sindex = psearch.build_sharded("flat", FlatParams(dtype="bfloat16"), corpus, dmesh)
+
+    def sharded_search(q, k):
+        return psearch.search_sharded(None, sindex, q, k, dmesh)
+
+    # --- replicated placement (co.shard=False) --------------------------
+    rindex = psearch.build_replicated("flat", FlatParams(dtype="bfloat16"), corpus, dmesh)
+
+    def replicated_search(q, k):
+        return psearch.search_replicated(None, rindex, q, k, dmesh)
+
+    # --- the reference's comparison: single query + batch sweep ---------
+    for name, fn in [("sharded", sharded_search), ("replicated", replicated_search)]:
+        rows = bench_lib.batch_size_sweep(fn, queries, args.k,
+                                          batch_sizes=(1, 10, 50), iters=3)
+        print(f"\n{name}:")
+        for r in rows:
+            print(f"  batch={r.batch_size:3d}  {r.latency_ms_per_query:8.3f} ms/q"
+                  f"  {r.qps:8.1f} qps")
+
+    # correctness cross-check between placements
+    d1, i1 = sharded_search(jnp.asarray(queries[:4]), args.k)
+    d2, i2 = replicated_search(jnp.asarray(queries[:4]), args.k)
+    assert np.array_equal(np.asarray(i1), np.asarray(i2)), "placement mismatch"
+    print("\nplacements agree on results ✓")
+
+
+if __name__ == "__main__":
+    main()

@@ -90,3 +90,36 @@ def test_sharded_cagra(data):
     r = recall_lib.recall_at_k(np.asarray(i_sh), gt, k)
     # 8 shards of 250 rows each with degree-16 graphs
     assert r >= 0.85, r
+
+
+def test_ivf_bootstrapped_build_recall(data):
+    # force the large-N build path at small scale and check recall holds
+    corpus, queries = data
+    k = 10
+    ix = cagra.build(
+        CagraParams(intermediate_graph_degree=48, graph_degree=32,
+                    build_algo="ivf", build_nlists=8, build_nprobes=4),
+        jnp.asarray(corpus),
+    )
+    gt = recall_lib.exact_ground_truth(corpus, queries, k, Metric.SQEUCLIDEAN)
+    _, i = cagra.search(CagraSearchParams(), ix, jnp.asarray(queries), k)
+    r = recall_lib.recall_at_k(np.asarray(i), gt, k)
+    assert r >= 0.85, r
+
+
+def test_ivf_bootstrapped_sharded_build(data):
+    from cuvs_rag_tpu.parallel import search as psearch
+    from cuvs_rag_tpu.parallel.mesh import DeviceMesh
+
+    corpus, queries = data
+    dmesh = DeviceMesh()
+    sindex = psearch.build_sharded(
+        "cagra",
+        CagraParams(intermediate_graph_degree=32, graph_degree=16,
+                    build_algo="ivf", build_nlists=4, build_nprobes=4),
+        corpus, dmesh,
+    )
+    gt = recall_lib.exact_ground_truth(corpus, queries, 10, Metric.SQEUCLIDEAN)
+    _, i = psearch.search_sharded(CagraSearchParams(), sindex, queries, 10, dmesh)
+    r = recall_lib.recall_at_k(np.asarray(i), gt, 10)
+    assert r >= 0.8, r
