@@ -101,9 +101,15 @@ def search_scores(
     Handles query prep (cosine normalization) but no metric conversion —
     the distributed merge layer works in score space and converts at the edge.
     """
-    del search_params  # exact search has no knobs (kept for protocol parity)
     if index.metric == Metric.COSINE:
         queries = dist_ops.l2_normalize(queries)
+    if search_params is not None and getattr(search_params, "approx", False):
+        # TPU-native approximate selection (approx_max_k PartialReduce)
+        return topk_ops.flat_topk_search_approx(
+            index.vectors, index.sqnorms, queries, index.n_valid,
+            k=k, metric=index.metric, tile_n=index.tile_n,
+            recall_target=search_params.recall_target,
+        )
     if _use_pallas(index, k):
         from cuvs_rag_tpu.ops import pallas_flat
 

@@ -126,6 +126,67 @@ flat_topk_search = jax.jit(
 )
 
 
+def flat_topk_search_approx_nojit(
+    corpus: jax.Array,
+    corpus_sqnorms: jax.Array,
+    queries: jax.Array,
+    n_valid: jax.Array,
+    *,
+    k: int,
+    metric: str,
+    tile_n: int = 8192,
+    recall_target: float = 0.95,
+):
+    """Approximate variant: per-tile selection uses jax.lax.approx_max_k —
+    the TPU's PartialReduce op, much cheaper than an exact top-k sort.
+    The cross-tile merge stays exact over the per-tile winners, so overall
+    recall ≈ recall_target. Same contract as flat_topk_search otherwise.
+    """
+    n_padded, d = corpus.shape
+    assert n_padded % tile_n == 0, (n_padded, tile_n)
+    num_tiles = n_padded // tile_n
+    q = queries.shape[0]
+    kk = min(k, tile_n)
+
+    corpus_t = corpus.reshape(num_tiles, tile_n, d)
+    sqnorms_t = corpus_sqnorms.reshape(num_tiles, tile_n)
+    queries = queries.astype(corpus.dtype)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, tile_n), 1)
+
+    def body(carry, tile):
+        c_scores, c_idx = carry
+        tile_vecs, tile_sq, tile_id = tile
+        scores = dist_ops.scores_from_tile(queries, tile_vecs, tile_sq, metric)
+        gidx = tile_id * tile_n + col_iota
+        scores = jnp.where(gidx < n_valid, scores, NEG_INF)
+        t_scores, t_args = jax.lax.approx_max_k(
+            scores, kk, recall_target=recall_target
+        )
+        t_idx = (tile_id * tile_n + t_args).astype(jnp.int32)
+        t_idx = jnp.where(t_scores == NEG_INF, -1, t_idx)
+        return merge_topk(
+            jnp.concatenate([c_scores, t_scores], axis=1),
+            jnp.concatenate([c_idx, t_idx], axis=1),
+            k,
+        ), None
+
+    init = (
+        jnp.full((q, k), NEG_INF, dtype=jnp.float32),
+        jnp.full((q, k), -1, dtype=jnp.int32),
+    )
+    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+    (scores, idx), _ = jax.lax.scan(
+        body, init, (corpus_t, sqnorms_t, tile_ids)
+    )
+    return scores, idx
+
+
+flat_topk_search_approx = jax.jit(
+    flat_topk_search_approx_nojit,
+    static_argnames=("k", "metric", "tile_n", "recall_target"),
+)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "metric"))
 def flat_topk_search_dense(
     corpus: jax.Array,

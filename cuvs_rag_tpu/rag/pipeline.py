@@ -105,6 +105,9 @@ class Retriever:
         return self.retrieve_batch([query], k)[0]
 
     def retrieve_batch(self, queries: Sequence[str], k: int = 5) -> List[RetrievalResult]:
+        from cuvs_rag_tpu.utils.metrics import default_registry as metrics
+
+        metrics.inc("retriever.queries", len(queries))
         t0 = time.time()
         q = jnp.asarray(self.encoder.encode(list(queries)))
         if isinstance(self.index, psearch.ShardedIndex):
@@ -119,6 +122,10 @@ class Retriever:
             mod = psearch.FAMILIES[self.family]
             dists, idx = mod.search(self.search_params, self.index, q, k)
         dt = time.time() - t0
+        from cuvs_rag_tpu.utils.metrics import default_registry as metrics
+
+        metrics.observe("retriever.batch_seconds", dt)
+        metrics.observe("retriever.latency_per_query", dt / max(len(queries), 1))
         dists, idx = np.asarray(dists), np.asarray(idx)
 
         results = []

@@ -1,0 +1,178 @@
+"""Minimal production serving daemon — JSON-over-HTTP search service.
+
+The reference stops at notebooks ("no serving daemon, no RPC", SURVEY.md §0);
+this closes the deployment gap: a dependency-free stdlib HTTP server fronting
+any retriever (text queries via the encoder) or raw-vector index, with
+health, stats and metrics endpoints.
+
+Endpoints:
+  POST /v1/search   {"texts": [...], "k": 5}            — encode + retrieve
+                    {"vectors": [[...], ...], "k": 5}    — raw vector search
+  GET  /healthz     liveness + device check
+  GET  /stats       index/corpus/device info
+  GET  /metrics     metrics registry snapshot (see utils/metrics.py)
+
+Run:  python -m cuvs_rag_tpu.rag.server --port 8080   (demo corpus)
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Optional
+
+import numpy as np
+
+from cuvs_rag_tpu.utils.metrics import default_registry as metrics
+
+
+class SearchService:
+    """Wraps a Retriever for the HTTP layer; thread-safe (JAX dispatch is)."""
+
+    def __init__(self, retriever):
+        self.retriever = retriever
+        self._lock = threading.Lock()
+
+    def search_texts(self, texts, k: int):
+        with metrics.time_block("server.search_texts_seconds"):
+            results = self.retriever.retrieve_batch(texts, k)
+        return [
+            {
+                "passages": [
+                    {"text": p.text, "index": p.index, "distance": p.distance,
+                     "title": p.title}
+                    for p in r.passages
+                ],
+                "query_time_s": r.query_time_s,
+            }
+            for r in results
+        ]
+
+    def search_vectors(self, vectors, k: int):
+        import jax.numpy as jnp
+
+        from cuvs_rag_tpu.parallel import search as psearch
+
+        q = jnp.asarray(np.asarray(vectors, np.float32))
+        r = self.retriever
+        with metrics.time_block("server.search_vectors_seconds"):
+            if isinstance(r.index, psearch.ShardedIndex):
+                d, i = psearch.search_sharded(r.search_params, r.index, q,
+                                              k, r.dmesh)
+            elif isinstance(r.index, psearch.ReplicatedIndex):
+                d, i = psearch.search_replicated(r.search_params, r.index, q,
+                                                 k, r.dmesh)
+            else:
+                mod = psearch.FAMILIES[r.family]
+                d, i = mod.search(r.search_params, r.index, q, k)
+        return {"distances": np.asarray(d).tolist(),
+                "indices": np.asarray(i).tolist()}
+
+    def stats(self):
+        import jax
+
+        r = self.retriever
+        return {
+            "family": r.family,
+            "corpus_size": len(r.corpus),
+            "devices": [str(d) for d in jax.devices()],
+            "placement": type(r.index).__name__,
+        }
+
+
+def make_handler(service: SearchService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # route to metrics, not stderr
+            metrics.inc("server.requests")
+
+        def _reply(self, code: int, payload: Any):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            try:
+                if self.path == "/healthz":
+                    import jax
+
+                    self._reply(200, {"status": "ok",
+                                      "devices": len(jax.devices())})
+                elif self.path == "/stats":
+                    self._reply(200, service.stats())
+                elif self.path == "/metrics":
+                    self._reply(200, metrics.snapshot())
+                else:
+                    self._reply(404, {"error": f"unknown path {self.path}"})
+            except Exception as e:  # noqa: BLE001
+                metrics.inc("server.errors")
+                self._reply(500, {"error": str(e)})
+
+        def do_POST(self):
+            try:
+                if self.path != "/v1/search":
+                    self._reply(404, {"error": f"unknown path {self.path}"})
+                    return
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                k = int(req.get("k", 10))
+                if k <= 0:
+                    self._reply(400, {"error": "k must be positive"})
+                    return
+                if "texts" in req:
+                    if not req["texts"]:
+                        self._reply(400, {"error": "texts must be non-empty"})
+                        return
+                    self._reply(200, {"results": service.search_texts(req["texts"], k)})
+                elif "vectors" in req:
+                    self._reply(200, service.search_vectors(req["vectors"], k))
+                else:
+                    self._reply(400, {"error": "provide 'texts' or 'vectors'"})
+            except (ValueError, KeyError, json.JSONDecodeError) as e:
+                metrics.inc("server.errors")
+                self._reply(400, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001
+                metrics.inc("server.errors")
+                self._reply(500, {"error": str(e)})
+
+    return Handler
+
+
+def serve(retriever, host: str = "0.0.0.0", port: int = 8080) -> ThreadingHTTPServer:
+    """Start the daemon (returns the server; call .serve_forever())."""
+    service = SearchService(retriever)
+    return ThreadingHTTPServer((host, port), make_handler(service))
+
+
+def main():
+    import argparse
+
+    from cuvs_rag_tpu.models.encoder import HashingEncoder
+    from cuvs_rag_tpu.rag import datasets
+    from cuvs_rag_tpu.rag.corpus import Corpus
+    from cuvs_rag_tpu.rag.pipeline import Retriever
+    from cuvs_rag_tpu.utils.config import FlatParams, Metric
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--placement", default="single")
+    args = p.parse_args()
+
+    qa, _ = datasets.load_medical_qa(1000)
+    corpus = Corpus(passages=[f"{r.input} {r.output}" for r in qa],
+                    titles=[r.topic for r in qa])
+    retriever = Retriever.build(
+        corpus, HashingEncoder(dim=384), family="flat",
+        params=FlatParams(metric=Metric.COSINE), placement=args.placement,
+    )
+    srv = serve(retriever, args.host, args.port)
+    print(f"serving on {args.host}:{args.port}")
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

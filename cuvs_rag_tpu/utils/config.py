@@ -81,6 +81,17 @@ class FlatParams:
 
 
 @dataclasses.dataclass(frozen=True)
+class FlatSearchParams:
+    """Optional knobs for exact search. `approx=True` uses the TPU's
+    PartialReduce top-k (jax.lax.approx_max_k) per tile — the
+    hardware-native ANN selection op — trading exactness (recall_target)
+    for throughput. approx=False (default) is the exact oracle."""
+
+    approx: bool = False
+    recall_target: float = 0.95
+
+
+@dataclasses.dataclass(frozen=True)
 class IVFFlatParams:
     """IVF-Flat parameters.
 

@@ -108,3 +108,24 @@ def test_bf16_storage_close_to_fp32(rng):
         for r in range(3)
     ])
     assert agree >= 0.8
+
+
+def test_approx_search_mode(rng):
+    # approx_max_k path: high-but-not-guaranteed recall, same contract
+    from cuvs_rag_tpu.utils.config import FlatSearchParams
+
+    n, d, q, k = 4096, 64, 10, 10
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    index = flat.build(FlatParams(tile_n=512), jnp.asarray(corpus))
+    d_ex, i_ex = flat.search(None, index, jnp.asarray(queries), k)
+    d_ap, i_ap = flat.search(
+        FlatSearchParams(approx=True, recall_target=0.95),
+        index, jnp.asarray(queries), k,
+    )
+    assert i_ap.shape == (q, k)
+    overlap = np.mean([
+        len(set(np.asarray(i_ex)[r]) & set(np.asarray(i_ap)[r])) / k
+        for r in range(q)
+    ])
+    assert overlap >= 0.9, overlap

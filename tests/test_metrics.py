@@ -1,0 +1,60 @@
+import time
+
+from cuvs_rag_tpu.utils.metrics import MetricsRegistry
+
+
+def test_counters_and_gauges():
+    m = MetricsRegistry()
+    m.inc("a")
+    m.inc("a", 2)
+    m.set_gauge("g", 7.5)
+    snap = m.snapshot()
+    assert snap["counters"]["a"] == 3
+    assert snap["gauges"]["g"] == 7.5
+
+
+def test_histogram_quantiles():
+    m = MetricsRegistry()
+    for v in range(100):
+        m.observe("lat", v / 100)
+    h = m.snapshot()["histograms"]["lat"]
+    assert h["count"] == 100
+    assert abs(h["p50"] - 0.5) < 0.05
+    assert abs(h["p95"] - 0.95) < 0.05
+    assert h["max"] == 0.99
+
+
+def test_time_block():
+    m = MetricsRegistry()
+    with m.time_block("op"):
+        time.sleep(0.01)
+    h = m.snapshot()["histograms"]["op"]
+    assert h["count"] == 1 and h["mean"] >= 0.01
+
+
+def test_histogram_decimation_bounded():
+    m = MetricsRegistry()
+    for v in range(20000):
+        m.observe("x", float(v))
+    h = m._hists["x"]
+    assert len(h.values) <= h.cap + 1
+    assert m.snapshot()["histograms"]["x"]["count"] == 20000
+
+
+def test_retriever_records_metrics():
+    from cuvs_rag_tpu.models.encoder import HashingEncoder
+    from cuvs_rag_tpu.rag.corpus import Corpus
+    from cuvs_rag_tpu.rag.pipeline import Retriever
+    from cuvs_rag_tpu.utils.config import FlatParams, Metric
+    from cuvs_rag_tpu.utils.metrics import default_registry
+
+    default_registry.reset()
+    r = Retriever.build(
+        Corpus(passages=["aa bb", "cc dd", "ee ff"]),
+        HashingEncoder(dim=64),
+        family="flat", params=FlatParams(metric=Metric.COSINE, tile_n=8),
+    )
+    r.retrieve("aa bb", k=1)
+    snap = default_registry.snapshot()
+    assert snap["counters"]["retriever.queries"] == 1
+    assert snap["histograms"]["retriever.latency_per_query"]["count"] == 1

@@ -1,0 +1,87 @@
+import json
+import threading
+from http.client import HTTPConnection
+
+import numpy as np
+import pytest
+
+from cuvs_rag_tpu.models.encoder import HashingEncoder
+from cuvs_rag_tpu.rag import server as server_mod
+from cuvs_rag_tpu.rag.corpus import Corpus
+from cuvs_rag_tpu.rag.pipeline import Retriever
+from cuvs_rag_tpu.utils.config import FlatParams, Metric
+
+PASSAGES = [
+    "the quick brown fox jumps",
+    "machine learning on tpus",
+    "ocean currents and climate",
+    "history of the roman empire",
+]
+
+
+@pytest.fixture(scope="module")
+def live_server():
+    r = Retriever.build(
+        Corpus(passages=list(PASSAGES)), HashingEncoder(dim=128),
+        family="flat", params=FlatParams(metric=Metric.COSINE, tile_n=8),
+    )
+    srv = server_mod.serve(r, host="127.0.0.1", port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv.server_address
+    srv.shutdown()
+
+
+def _req(addr, method, path, body=None):
+    c = HTTPConnection(*addr, timeout=30)
+    c.request(method, path, body=json.dumps(body) if body else None,
+              headers={"Content-Type": "application/json"})
+    resp = c.getresponse()
+    return resp.status, json.loads(resp.read())
+
+
+def test_healthz(live_server):
+    code, body = _req(live_server, "GET", "/healthz")
+    assert code == 200 and body["status"] == "ok"
+
+
+def test_stats(live_server):
+    code, body = _req(live_server, "GET", "/stats")
+    assert code == 200
+    assert body["corpus_size"] == 4 and body["family"] == "flat"
+
+
+def test_text_search(live_server):
+    code, body = _req(live_server, "POST", "/v1/search",
+                      {"texts": ["machine learning tpus"], "k": 2})
+    assert code == 200
+    top = body["results"][0]["passages"][0]
+    assert top["index"] == 1
+    assert "machine learning" in top["text"]
+
+
+def test_vector_search(live_server):
+    enc = HashingEncoder(dim=128)
+    v = enc.encode([PASSAGES[2]])
+    code, body = _req(live_server, "POST", "/v1/search",
+                      {"vectors": v.tolist(), "k": 1})
+    assert code == 200
+    assert body["indices"][0][0] == 2
+
+
+def test_bad_requests(live_server):
+    code, body = _req(live_server, "POST", "/v1/search", {"k": 3})
+    assert code == 400 and "texts" in body["error"]
+    code, _ = _req(live_server, "POST", "/v1/search", {"texts": [], "k": 3})
+    assert code == 400
+    code, _ = _req(live_server, "POST", "/v1/search", {"texts": ["x"], "k": 0})
+    assert code == 400
+    code, _ = _req(live_server, "GET", "/nope")
+    assert code == 404
+
+
+def test_metrics_endpoint(live_server):
+    _req(live_server, "POST", "/v1/search", {"texts": ["fox"], "k": 1})
+    code, body = _req(live_server, "GET", "/metrics")
+    assert code == 200
+    assert "server.search_texts_seconds" in body["histograms"]
