@@ -66,6 +66,31 @@ def build(params: FlatParams, dataset: jax.Array) -> FlatIndex:
     )
 
 
+def extend(index: FlatIndex, new_vectors: jax.Array) -> FlatIndex:
+    """Append rows (FAISS `index.add` flow, faiss-main.ipynb#cell7 re-adds
+    in 100k batches). New rows get ids n_valid..n_valid+B-1."""
+    if new_vectors.ndim != 2 or new_vectors.shape[1] != index.dim:
+        raise ValueError(
+            f"new vectors must be (B, {index.dim}), got {new_vectors.shape}"
+        )
+    nv = int(index.n_valid)
+    old = index.vectors[:nv]
+    add = jnp.asarray(new_vectors)
+    if index.metric == Metric.COSINE:
+        add = dist_ops.l2_normalize(add)
+    add = add.astype(index.vectors.dtype)
+    total = nv + add.shape[0]
+    n_padded = topk_ops.round_up(total, index.tile_n)
+    vectors = topk_ops.pad_rows(jnp.concatenate([old, add], axis=0), n_padded)
+    return FlatIndex(
+        vectors=vectors,
+        sqnorms=dist_ops.sqnorms(vectors),
+        n_valid=jnp.asarray(total, jnp.int32),
+        metric=index.metric,
+        tile_n=index.tile_n,
+    )
+
+
 def build_local(params: FlatParams, block: jax.Array, n_valid: jax.Array) -> FlatIndex:
     """Traced per-shard builder for SPMD sharded build (parallel/build.py).
 

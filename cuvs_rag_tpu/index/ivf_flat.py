@@ -168,6 +168,102 @@ def build_local(
     )
 
 
+def train(params: IVFFlatParams, sample: jax.Array, seed: int = 0) -> IVFFlatIndex:
+    """FAISS-style `train` on a sample -> empty index; add rows with extend()
+    (the train-on-100k-sample / add-in-100k-batches flow,
+    faiss-main.ipynb#cell7 force_gpu_allocation)."""
+    base.validate_dataset(sample)
+    n, d = sample.shape
+    vectors = _prep(params, sample)
+    n_lists = min(params.n_lists or default_n_lists(n), n)
+    n_pad = topk_ops.round_up(n, 8)
+    vpad = topk_ops.pad_rows(vectors.astype(jnp.float32), n_pad)
+    w = (jnp.arange(n_pad) < n).astype(jnp.float32)
+    centroids, _ = kmeans_ops.kmeans(
+        vpad, w, jax.random.PRNGKey(seed),
+        n_clusters=n_lists, iters=params.kmeans_iters,
+    )
+    cap = 8
+    dtype = base.storage_dtype(params.dtype)
+    return IVFFlatIndex(
+        vectors=jnp.zeros((cap, d), dtype),
+        sqnorms=jnp.zeros((cap,), jnp.float32),
+        row_ids=jnp.full((cap,), -1, jnp.int32),
+        centroids=centroids,
+        centroid_sqnorms=dist_ops.sqnorms(centroids),
+        list_offsets=jnp.zeros((n_lists,), jnp.int32),
+        list_counts=jnp.zeros((n_lists,), jnp.int32),
+        n_valid=jnp.asarray(0, jnp.int32),
+        metric=params.metric,
+        max_list_size=8,
+    )
+
+
+def _recover_rows(index: IVFFlatIndex):
+    """Host-side: original-order vectors + labels from the sorted layout."""
+    vecs = np.asarray(index.vectors)
+    ids = np.asarray(index.row_ids)
+    offsets = np.asarray(index.list_offsets)
+    counts = np.asarray(index.list_counts)
+    nv = int(index.n_valid)
+    orig = np.zeros((nv, index.dim), vecs.dtype)
+    labels = np.zeros((nv,), np.int32)
+    for c in range(index.n_lists):
+        seg = slice(offsets[c], offsets[c] + counts[c])
+        rid = ids[seg]
+        orig[rid] = vecs[seg]
+        labels[rid] = c
+    return orig, labels
+
+
+def extend(index: IVFFlatIndex, new_vectors: jax.Array) -> IVFFlatIndex:
+    """Append rows to a trained index (FAISS `add`); the coarse quantizer is
+    frozen (train-once semantics), lists and windows grow as needed."""
+    if new_vectors.ndim != 2 or new_vectors.shape[1] != index.dim:
+        raise ValueError(
+            f"new vectors must be (B, {index.dim}), got {new_vectors.shape}"
+        )
+    add = jnp.asarray(new_vectors)
+    if index.metric == Metric.COSINE:
+        add = dist_ops.l2_normalize(add)
+    add = add.astype(index.vectors.dtype)
+    b = add.shape[0]
+    b_pad = topk_ops.round_up(b, 8)
+    add_pad = topk_ops.pad_rows(add, b_pad)
+    new_labels = np.asarray(
+        kmeans_ops.assign_clusters(add_pad.astype(jnp.float32), index.centroids)
+    )[:b]
+
+    old_vecs, old_labels = _recover_rows(index)
+    nv = int(index.n_valid)
+    total = nv + b
+    all_vecs = jnp.concatenate([jnp.asarray(old_vecs), add], axis=0)
+    all_labels = jnp.concatenate(
+        [jnp.asarray(old_labels), jnp.asarray(new_labels, np.int32)]
+    )
+    n_pad = topk_ops.round_up(total, 8)
+    all_vecs = topk_ops.pad_rows(all_vecs, n_pad)
+    all_labels = topk_ops.pad_rows(all_labels, n_pad)
+    valid = jnp.arange(n_pad) < total
+
+    counts = np.bincount(np.asarray(all_labels)[:total], minlength=index.n_lists)
+    max_list = int(topk_ops.round_up(max(int(counts.max()), 8), 8))
+    capacity = topk_ops.round_up(n_pad + max_list, 8)
+    layout = _layout_jit(all_vecs, all_labels, valid, index.n_lists, capacity, max_list)
+    return IVFFlatIndex(
+        vectors=layout.sorted_vectors,
+        sqnorms=layout.sorted_sqnorms,
+        row_ids=layout.sorted_row_ids,
+        centroids=index.centroids,
+        centroid_sqnorms=index.centroid_sqnorms,
+        list_offsets=layout.list_offsets,
+        list_counts=layout.list_counts,
+        n_valid=jnp.asarray(total, jnp.int32),
+        metric=index.metric,
+        max_list_size=max_list,
+    )
+
+
 def build_sharded_local(params: IVFFlatParams, sc, dmesh, seed: int = 0):
     """Two-phase SPMD sharded build; returns the stacked local index pytree.
 

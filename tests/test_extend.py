@@ -1,0 +1,65 @@
+"""Train-then-add-in-batches flow (FAISS IndexIVFFlat train/add parity,
+SURVEY.md §2a; faiss-main.ipynb#cell7 trains on 100k then adds in batches)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from cuvs_rag_tpu.eval import recall as recall_lib
+from cuvs_rag_tpu.index import flat, ivf_flat
+from cuvs_rag_tpu.utils.config import FlatParams, IVFFlatParams, IVFFlatSearchParams, Metric
+
+
+def test_flat_extend(rng):
+    c1 = rng.standard_normal((100, 16)).astype(np.float32)
+    c2 = rng.standard_normal((57, 16)).astype(np.float32)
+    ix = flat.build(FlatParams(tile_n=32), jnp.asarray(c1))
+    ix = flat.extend(ix, jnp.asarray(c2))
+    assert int(ix.n_valid) == 157
+    # rows from both batches retrievable with correct global ids
+    _, i = flat.search(None, ix, jnp.asarray(np.vstack([c1[5], c2[10]])), 1)
+    assert np.asarray(i)[:, 0].tolist() == [5, 110]
+
+
+def test_ivf_train_then_add_batches(rng):
+    full = rng.standard_normal((3000, 24)).astype(np.float32)
+    sample = full[:1000]
+    ix = ivf_flat.train(IVFFlatParams(n_lists=16), jnp.asarray(sample))
+    assert int(ix.n_valid) == 0
+
+    # empty index searches cleanly
+    d0, i0 = ivf_flat.search(IVFFlatSearchParams(n_probes=16), ix,
+                             jnp.asarray(full[:2]), 3)
+    assert np.all(np.asarray(i0) == -1)
+
+    for start in range(0, 3000, 1000):
+        ix = ivf_flat.extend(ix, jnp.asarray(full[start : start + 1000]))
+    assert int(ix.n_valid) == 3000
+    counts = np.asarray(ix.list_counts)
+    assert counts.sum() == 3000
+
+    # full probe == exact, with global ids spanning all batches
+    queries = full[[5, 1500, 2999]]
+    _, i = ivf_flat.search(IVFFlatSearchParams(n_probes=16), ix,
+                           jnp.asarray(queries), 1)
+    assert np.asarray(i)[:, 0].tolist() == [5, 1500, 2999]
+
+    gt = recall_lib.exact_ground_truth(full, queries, 10, Metric.SQEUCLIDEAN)
+    _, i10 = ivf_flat.search(IVFFlatSearchParams(n_probes=16), ix,
+                             jnp.asarray(queries), 10)
+    assert recall_lib.recall_at_k(np.asarray(i10), gt, 10) == 1.0
+
+
+def test_extend_matches_one_shot_build(rng):
+    full = rng.standard_normal((1200, 16)).astype(np.float32)
+    queries = rng.standard_normal((6, 16)).astype(np.float32)
+    # one-shot
+    one = ivf_flat.build(IVFFlatParams(n_lists=8), jnp.asarray(full))
+    # incremental with the same centroids: train on everything, then re-add
+    inc = ivf_flat.train(IVFFlatParams(n_lists=8, kmeans_sample=1200),
+                         jnp.asarray(full))
+    inc = ivf_flat.extend(inc, jnp.asarray(full))
+    sp = IVFFlatSearchParams(n_probes=8)
+    _, i1 = ivf_flat.search(sp, one, jnp.asarray(queries), 5)
+    _, i2 = ivf_flat.search(sp, inc, jnp.asarray(queries), 5)
+    # same data, full probe -> identical exact results
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
