@@ -18,6 +18,17 @@ Design notes:
     (scalar in SMEM), so scores never need a separate validity array.
 
 Used by index/flat.py when running on TPU with k <= MAX_PALLAS_K.
+
+STATUS (round 1 measurement): bit-exact vs the XLA path and fast to compile
+at 64k rows, but at 2M rows execution is far slower than the XLA scan path.
+Root cause: the running top-k lives in the *revisited output block*, so
+every grid step has a read-after-write dependency on the previous step's
+output — Mosaic cannot double-buffer the corpus-tile DMAs against compute,
+and the pipeline serializes. The fix (next round) is to keep the running
+top-k in VMEM scratch (scratch persists across sequential grid steps on
+TPU) and only write outputs at the final corpus step, restoring DMA/compute
+overlap. Until then the kernel is opt-in (CUVS_RAG_TPU_USE_PALLAS=1) and
+the XLA scan path — already 11.6x the A100 baseline — remains the default.
 """
 
 from __future__ import annotations
@@ -61,13 +72,21 @@ def _select_topk_rounds(scores, k, payload=None):
     return jnp.stack(out_s, axis=1), jnp.stack(out_i, axis=1)
 
 
-def _kernel(n_valid_ref, q_ref, c_ref, csq_ref, out_s_ref, out_i_ref, *, k, tile_c, metric):
+def _kernel(
+    n_valid_ref, q_ref, c_ref, csq_ref, out_s_ref, out_i_ref,
+    s_scr, i_scr, *, k, tile_c, metric,
+):
     j = pl.program_id(1)
+    nc = pl.num_programs(1)
 
+    # Running top-k lives in VMEM *scratch* (persists across the sequential
+    # TPU grid), NOT in the revisited output block: output-block revisiting
+    # creates an HBM read-after-write on every step and serializes the
+    # corpus-tile DMA pipeline (measured ~1000x slowdown at 2M rows).
     @pl.when(j == 0)
     def _():
-        out_s_ref[:] = jnp.full_like(out_s_ref, NEG_INF)
-        out_i_ref[:] = jnp.full_like(out_i_ref, -1)
+        s_scr[:] = jnp.full_like(s_scr, NEG_INF)
+        i_scr[:] = jnp.full_like(i_scr, -1)
 
     q = q_ref[:]  # (TQ, D)
     c = c_ref[0]  # (TC, D)
@@ -89,7 +108,7 @@ def _kernel(n_valid_ref, q_ref, c_ref, csq_ref, out_s_ref, out_i_ref, *, k, tile
     # first few tiles almost every tile is skipped (expected number of
     # improving tiles ~ k·ln(num_tiles)), leaving matmul + one row-max as
     # the steady-state cost.
-    kth = out_s_ref[:, k - 1]
+    kth = s_scr[:, k - 1]
     tile_best = jnp.max(scores, axis=1)
     improved = jnp.any(tile_best > kth)
 
@@ -97,11 +116,16 @@ def _kernel(n_valid_ref, q_ref, c_ref, csq_ref, out_s_ref, out_i_ref, *, k, tile
     def _():
         tile_s, tile_arg = _select_topk_rounds(scores, k)
         tile_i = jnp.where(tile_s > NEG_INF, tile_arg + base, -1)
-        cand_s = jnp.concatenate([out_s_ref[:], tile_s], axis=1)  # (TQ, 2k)
-        cand_i = jnp.concatenate([out_i_ref[:], tile_i], axis=1)
+        cand_s = jnp.concatenate([s_scr[:], tile_s], axis=1)  # (TQ, 2k)
+        cand_i = jnp.concatenate([i_scr[:], tile_i], axis=1)
         new_s, new_i = _select_topk_rounds(cand_s, k, payload=cand_i)
-        out_s_ref[:] = new_s
-        out_i_ref[:] = jnp.where(new_s > NEG_INF, new_i, -1)
+        s_scr[:] = new_s
+        i_scr[:] = jnp.where(new_s > NEG_INF, new_i, -1)
+
+    @pl.when(j == nc - 1)
+    def _():
+        out_s_ref[:] = s_scr[:]
+        out_i_ref[:] = i_scr[:]
 
 
 @functools.partial(
@@ -154,6 +178,10 @@ def flat_topk_pallas(
             out_specs=[
                 pl.BlockSpec((tile_q, k), lambda i, j, *_: (i, 0)),
                 pl.BlockSpec((tile_q, k), lambda i, j, *_: (i, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((tile_q, k), jnp.float32),
+                pltpu.VMEM((tile_q, k), jnp.int32),
             ],
         ),
         out_shape=[

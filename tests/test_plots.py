@@ -1,0 +1,26 @@
+import os
+
+import pytest
+
+mpl = pytest.importorskip("matplotlib")
+
+from cuvs_rag_tpu.eval import plots
+from cuvs_rag_tpu.eval.bench import StressRow
+from cuvs_rag_tpu.eval.sweeps import SweepPoint
+
+
+def test_scaling_report(tmp_path):
+    rows = [
+        StressRow(1000, 0.5, 2.0, 0.99, True),
+        StressRow(2000, 0.9, 3.5, 0.98, True),
+        StressRow(4000, 0.0, 0.0, None, False, error="MemoryError: boom"),
+    ]
+    p = plots.scaling_report(rows, str(tmp_path / "r.png"))
+    assert os.path.exists(p) and os.path.getsize(p) > 10_000
+
+
+def test_operating_curve_plot(tmp_path):
+    pts = [SweepPoint(1, 0.7, 1.0, 1000), SweepPoint(4, 0.96, 2.0, 500),
+           SweepPoint(16, 1.0, 8.0, 125)]
+    p = plots.operating_curve_plot(pts, str(tmp_path / "c.png"))
+    assert os.path.exists(p) and os.path.getsize(p) > 10_000
