@@ -17,10 +17,23 @@ import jax.numpy as jnp
 from cuvs_rag_tpu.utils.config import Metric
 
 
-def sqnorms(x: jax.Array) -> jax.Array:
-    """Row-wise squared L2 norms, fp32 accumulation."""
+@jax.jit
+def _sqnorms_fused(x: jax.Array) -> jax.Array:
     xf = x.astype(jnp.float32)
     return jnp.sum(xf * xf, axis=-1)
+
+
+def sqnorms(x: jax.Array) -> jax.Array:
+    """Row-wise squared L2 norms, fp32 accumulation.
+
+    Jitted so the fp32 upcast fuses into the reduction — called eagerly on a
+    bf16 multi-GB corpus, an unfused astype would materialize a 2x-size fp32
+    copy and blow HBM peak (observed at 2M x 768 on 16 GB v5e).
+    """
+    if isinstance(x, jax.core.Tracer):
+        xf = x.astype(jnp.float32)
+        return jnp.sum(xf * xf, axis=-1)
+    return _sqnorms_fused(x)
 
 
 def l2_normalize(x: jax.Array, eps: float = 1e-12) -> jax.Array:
