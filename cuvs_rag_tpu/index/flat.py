@@ -191,6 +191,21 @@ def default_search_params():
     return None
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("search_params", "k"))
+def _search_core(search_params, index, queries, k):
+    scores, idx = search_scores(search_params, index, queries, k)
+    qn = (
+        dist_ops.l2_normalize(queries)
+        if index.metric == Metric.COSINE else queries
+    )
+    return dist_ops.scores_to_distances(
+        scores, dist_ops.sqnorms(qn), index.metric
+    ), idx
+
+
 def search(
     search_params,
     index: FlatIndex,
@@ -201,13 +216,9 @@ def search(
 
     Returns (distances (Q,k), indices (Q,k) int32). For sqeuclidean the
     distances are squared-L2 ascending (cuVS/FAISS convention); for
-    inner_product/cosine they are similarities descending. search_params is
-    accepted for surface parity with cuVS and ignored (exact search has no
-    knobs).
+    inner_product/cosine they are similarities descending. The whole search
+    (prep + kernel + distance conversion) is one jitted program — one
+    device dispatch per call.
     """
     queries = base.validate_queries(queries, index.dim)
-    scores, idx = search_scores(search_params, index, queries, k)
-    qsq = dist_ops.sqnorms(
-        dist_ops.l2_normalize(queries) if index.metric == Metric.COSINE else queries
-    )
-    return dist_ops.scores_to_distances(scores, qsq, index.metric), idx
+    return _search_core(search_params, index, queries, k)

@@ -386,15 +386,25 @@ def search_scores(
     )
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("search_params", "k"))
+def _search_core(search_params, index, queries, k):
+    scores, idx = search_scores(search_params, index, queries, k)
+    qn = dist_ops.l2_normalize(queries) if index.metric == Metric.COSINE else queries
+    return dist_ops.scores_to_distances(
+        scores, dist_ops.sqnorms(qn), index.metric
+    ), idx
+
+
 def search(
     search_params: Optional[IVFFlatSearchParams],
     index: IVFFlatIndex,
     queries: jax.Array,
     k: int,
 ) -> Tuple[jax.Array, jax.Array]:
-    """cuVS surface: search(SearchParams(n_probes), index, queries, k)."""
+    """cuVS surface: search(SearchParams(n_probes), index, queries, k).
+    One jitted program per call (prep + probe + scan + conversion)."""
     queries = base.validate_queries(queries, index.dim)
-    scores, idx = search_scores(search_params, index, queries, k)
-    qn = dist_ops.l2_normalize(queries) if index.metric == Metric.COSINE else queries
-    dists = dist_ops.scores_to_distances(scores, dist_ops.sqnorms(qn), index.metric)
-    return dists, idx
+    return _search_core(search_params, index, queries, k)

@@ -342,6 +342,19 @@ def search_scores(
     return scores, row_ids
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("search_params", "k"))
+def _search_core(search_params, index, queries, k):
+    scores, idx = search_scores(search_params, index, queries, k)
+    qn = dist_ops.l2_normalize(queries) if index.metric == Metric.COSINE else queries
+    qn = _pad_dim(qn.astype(jnp.float32), index.pq_dim)
+    return dist_ops.scores_to_distances(
+        scores, dist_ops.sqnorms(qn), index.metric
+    ), idx
+
+
 def search(
     search_params: Optional[IVFPQSearchParams],
     index: IVFPQIndex,
@@ -352,10 +365,7 @@ def search(
 
     Note: without refine, distances are ADC *approximations* (like cuVS);
     with refine, reported distances are exact for the re-ranked top-k.
+    One jitted program per call.
     """
     queries = base.validate_queries(queries, index.dim)
-    scores, idx = search_scores(search_params, index, queries, k)
-    qn = dist_ops.l2_normalize(queries) if index.metric == Metric.COSINE else queries
-    qn = _pad_dim(qn.astype(jnp.float32), index.pq_dim)
-    dists = dist_ops.scores_to_distances(scores, dist_ops.sqnorms(qn), index.metric)
-    return dists, idx
+    return _search_core(search_params, index, queries, k)
