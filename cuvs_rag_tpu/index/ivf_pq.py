@@ -114,7 +114,9 @@ def build(params: IVFPQParams, dataset: jax.Array, seed: int = 0) -> IVFPQIndex:
     n_pad = topk_ops.round_up(n, 8)
     vec_pad = topk_ops.pad_rows(vectors, n_pad)
     valid = jnp.arange(n_pad) < n
-    labels = kmeans_ops.assign_clusters(vec_pad, centroids)
+    labels, _ = ivf_ops.balanced_labels_host(
+        vec_pad, centroids, n, params.balance_factor
+    )
 
     # --- residual PQ codebooks + encode ---------------------------------
     residuals = vec_pad - centroids[labels]
@@ -137,13 +139,19 @@ def build(params: IVFPQParams, dataset: jax.Array, seed: int = 0) -> IVFPQIndex:
 
     counts = np.bincount(np.asarray(labels)[:n], minlength=n_lists)
     max_list = int(topk_ops.round_up(max(int(counts.max()), 8), 8))
-    capacity = topk_ops.round_up(n_pad + max_list, 8)
+    capacity = ivf_ops.capacity_for(n_pad, n_lists, max_list)
 
-    perm, row_ids, counts_j, offsets = ivf_ops.sort_by_list(
+    perm, target_pos, row_ids, counts_j, offsets = ivf_ops.sort_by_list(
         labels, valid, n_lists, capacity
     )
-    sorted_codes = topk_ops.pad_rows(codes[perm], capacity)
-    raw = topk_ops.pad_rows(vec_pad[perm], capacity)
+    m_codes = codes.shape[1]
+    sorted_codes = (
+        jnp.zeros((capacity, m_codes), codes.dtype).at[target_pos].set(codes[perm])
+    )
+    raw = (
+        jnp.zeros((capacity, vec_pad.shape[1]), vec_pad.dtype)
+        .at[target_pos].set(vec_pad[perm])
+    )
     return IVFPQIndex(
         codes=sorted_codes,
         row_ids=row_ids,
@@ -207,7 +215,7 @@ def build_sharded_local(params: IVFPQParams, sc, dmesh, seed: int = 0):
     )
     centroids_s, labels_s, counts_s = phase_a(sc.data, sc.n_valid)
     max_list = int(topk_ops.round_up(max(int(np.asarray(counts_s).max()), 8), 8))
-    capacity = topk_ops.round_up(per + max_list, 8)
+    capacity = ivf_ops.capacity_for(per, n_lists, max_list)
 
     def _phase_b(block, labels, centroids, n_valid):
         v = _prep_block(block[0])
@@ -229,11 +237,17 @@ def build_sharded_local(params: IVFPQParams, sc, dmesh, seed: int = 0):
             m=m, n_codes=n_codes, iters=params.pq_kmeans_iters,
         )
         codes = pq_ops.encode(residuals, codebooks)
-        perm, row_ids, counts_j, offsets = ivf_ops.sort_by_list(
+        perm, target_pos, row_ids, counts_j, offsets = ivf_ops.sort_by_list(
             labels0, valid, n_lists, capacity
         )
-        sorted_codes = topk_ops.pad_rows(codes[perm], capacity)
-        raw = topk_ops.pad_rows(v[perm], capacity)
+        sorted_codes = (
+            jnp.zeros((capacity, codes.shape[1]), codes.dtype)
+            .at[target_pos].set(codes[perm])
+        )
+        raw = (
+            jnp.zeros((capacity, v.shape[1]), v.dtype)
+            .at[target_pos].set(v[perm])
+        )
         ix = IVFPQIndex(
             codes=sorted_codes,
             row_ids=row_ids,

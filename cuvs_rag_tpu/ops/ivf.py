@@ -23,6 +23,40 @@ from cuvs_rag_tpu.ops import distance as dist_ops
 from cuvs_rag_tpu.ops import topk as topk_ops
 
 
+def balanced_labels_host(
+    vectors_f32,
+    centroids,
+    n_rows: int,
+    balance_factor: float,
+):
+    """Host-orchestrated capacity-bounded assignment (build path).
+
+    Returns (labels (N_pad,) jnp.int32, cap int). vectors_f32 may include pad
+    rows beyond n_rows; their labels are arbitrary (masked by `valid`).
+    """
+    import numpy as np
+
+    from cuvs_rag_tpu.ops import kmeans as kmeans_ops
+
+    n_lists = centroids.shape[0]
+    n_pad = vectors_f32.shape[0]
+    if balance_factor <= 0 or n_lists <= 1:
+        return kmeans_ops.assign_clusters(vectors_f32, centroids), 0
+    cap = max(8, int(-(-balance_factor * n_rows // n_lists)))
+    top, margins = kmeans_ops.assign_topk_clusters(vectors_f32, centroids, t=4)
+    top_h = np.asarray(top)
+    final = kmeans_ops.balance_assignments(
+        top_h[:n_rows], n_lists, cap, margins=np.asarray(margins)[:n_rows]
+    )
+    out = np.zeros((n_pad,), np.int32)
+    out[:n_rows] = final
+    if n_pad > n_rows:
+        out[n_rows:] = top_h[n_rows:, 0]
+    import jax.numpy as _jnp
+
+    return _jnp.asarray(out), cap
+
+
 class IVFLayout(NamedTuple):
     sorted_vectors: jax.Array  # (cap, D) rows sorted by list id, then pad
     sorted_sqnorms: jax.Array  # (cap,)
@@ -32,24 +66,57 @@ class IVFLayout(NamedTuple):
     truncated: jax.Array  # () int32 rows unreachable due to window cap
 
 
-def sort_by_list(labels: jax.Array, valid: jax.Array, n_lists: int, capacity: int):
-    """Core CSR ordering: (perm, padded_row_ids, counts, offsets).
+ALIGN = 8  # list starts are 8-aligned (TPU sublane) so DMA windows can
+# slice the layout directly (Mosaic requires provably-aligned starts)
 
-    perm sorts rows stably by list id with invalid rows last; padded_row_ids
-    is (capacity,) original ids (-1 beyond valid rows).
+
+def capacity_for(n_pad: int, n_lists: int, max_list: int) -> int:
+    """Static capacity bound for the aligned layout: every row plus up to
+    ALIGN-1 pad rows per list, plus one full probe window of tail room."""
+    return topk_ops.round_up(n_pad + ALIGN * n_lists + max_list, ALIGN)
+
+
+def sort_by_list(labels: jax.Array, valid: jax.Array, n_lists: int, capacity: int):
+    """Core aligned-CSR ordering: (perm, target_pos, padded_row_ids, counts,
+    offsets).
+
+    Rows are grouped by list with every list start aligned to ALIGN (gap
+    rows between lists carry row_id -1 and fall beyond each list's count).
+    perm is the label-stable sort order; target_pos maps perm order to the
+    aligned buffer position (callers scatter vectors[perm] -> target_pos).
     """
     n = labels.shape[0]
     assert capacity >= n, (capacity, n)
     key = jnp.where(valid, labels, n_lists)  # invalid rows sort last
     perm = jnp.argsort(key, stable=True)
-    row_ids = jnp.where(valid[perm], perm.astype(jnp.int32), -1)
-    row_ids = jnp.pad(row_ids, (0, capacity - n), constant_values=-1)
+    sorted_key = key[perm]
     weights = valid.astype(jnp.int32)
     counts = jnp.zeros((n_lists,), jnp.int32).at[labels].add(weights)
+    aligned = (
+        (counts + (ALIGN - 1)) // ALIGN * ALIGN
+    ).astype(jnp.int32)
     offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(aligned)[:-1].astype(jnp.int32)]
+    )
+    contig = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
     )
-    return perm, row_ids, counts, offsets
+    total_valid = jnp.sum(counts)
+    aligned_total = jnp.sum(aligned)
+    pos_in_sort = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    is_valid_row = sorted_key < n_lists
+    safe_key = jnp.minimum(sorted_key, n_lists - 1)
+    rank = pos_in_sort - contig[safe_key]
+    target_valid = offsets[safe_key] + rank
+    target_invalid = aligned_total + (pos_in_sort - total_valid)
+    target_pos = jnp.where(is_valid_row, target_valid, target_invalid)
+    target_pos = jnp.clip(target_pos, 0, capacity - 1)
+
+    row_ids = jnp.full((capacity,), -1, jnp.int32)
+    row_ids = row_ids.at[target_pos].set(
+        jnp.where(is_valid_row, perm.astype(jnp.int32), -1)
+    )
+    return perm, target_pos, row_ids, counts, offsets
 
 
 def build_layout(
@@ -69,8 +136,13 @@ def build_layout(
     window stays in bounds. max_list_size: static probe window; rows beyond
     it within one list are counted in `truncated` (searches can't reach them).
     """
-    perm, row_ids, counts, offsets = sort_by_list(labels, valid, n_lists, capacity)
-    sorted_vecs = topk_ops.pad_rows(vectors[perm], capacity)
+    perm, target_pos, row_ids, counts, offsets = sort_by_list(
+        labels, valid, n_lists, capacity
+    )
+    d = vectors.shape[1]
+    sorted_vecs = (
+        jnp.zeros((capacity, d), vectors.dtype).at[target_pos].set(vectors[perm])
+    )
     truncated = jnp.sum(jnp.maximum(counts - max_list_size, 0))
     sorted_sq = dist_ops.sqnorms(sorted_vecs)
     return IVFLayout(
@@ -111,17 +183,25 @@ def scan_probed_lists(
     max_list_size: int,
     metric: str,
     k: int,
+    probe_chunk: int = 4,
 ):
     """Score each query against its probed windows; return per-query top-k.
 
     queries: (Q, D); probe_ids: (Q, P). Returns (scores (Q,k), row_ids (Q,k)).
 
-    Implementation: vmap over queries of a scan over probes. Each probe is a
-    contiguous dynamic-slice window (DMA-friendly); scores for masked
-    positions are -inf. Rows live in exactly one list, so no dedup is needed.
+    Implementation: vmap over queries of a *chunked* loop over probes. Each
+    probe is a contiguous dynamic-slice window (DMA-friendly); probes are
+    processed `probe_chunk` at a time under lax.map so live gather memory is
+    O(Q * probe_chunk * L * D) instead of O(Q * P * L * D) — an unchunked
+    vmap OOM'd at Q=100, P=20, L=10k on a 16 GB chip. Rows live in exactly
+    one list, so no dedup is needed.
     """
     d = queries.shape[1]
     L = max_list_size
+    p_n = probe_ids.shape[1]
+    pc = max(1, min(probe_chunk, p_n))
+    while p_n % pc != 0:
+        pc -= 1
     pos = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)[0]  # (L,)
 
     def one_query(qvec, probes):
@@ -135,7 +215,12 @@ def scan_probed_lists(
             s = jnp.where((pos < cnt) & (win_ids >= 0), s, topk_ops.NEG_INF)
             return s, win_ids
 
-        scores, ids = jax.vmap(one_probe)(probes)  # (P, L)
+        def probe_group(cs):  # (pc,)
+            return jax.vmap(one_probe)(cs)
+
+        scores, ids = jax.lax.map(
+            probe_group, probes.reshape(p_n // pc, pc)
+        )  # (P/pc, pc, L)
         return topk_ops.merge_topk(scores.reshape(-1), ids.reshape(-1), k)
 
     return jax.vmap(one_query)(queries.astype(layout_vectors.dtype), probe_ids)

@@ -17,6 +17,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from cuvs_rag_tpu.ops import distance as dist_ops
 
@@ -27,6 +28,78 @@ def _chunk_rows(n: int, target: int = 8192) -> int:
     while n % c != 0:
         c -= 1
     return c
+
+
+@functools.partial(jax.jit, static_argnames=("t", "chunk"))
+def assign_topk_clusters(
+    data: jax.Array,
+    centroids: jax.Array,
+    t: int = 4,
+    chunk: int = 8192,
+) -> jax.Array:
+    """(N, D), (C, D) -> (N, t) int32: the t nearest centroids per row,
+    best first. Used for capacity-bounded assignment (spill lists)."""
+    n, d = data.shape
+    chunk = _chunk_rows(n, chunk)
+    c_sq = dist_ops.sqnorms(centroids)
+
+    def body(x_chunk):
+        scores = dist_ops.scores_from_tile(x_chunk, centroids, c_sq, "sqeuclidean")
+        top_s, ids = jax.lax.top_k(scores, t)
+        margin = top_s[:, 0] - top_s[:, 1] if t > 1 else top_s[:, 0] * 0
+        return ids.astype(jnp.int32), margin
+
+    labels, margins = jax.lax.map(body, data.reshape(n // chunk, chunk, d))
+    return labels.reshape(n, t), margins.reshape(n)
+
+
+def balance_assignments(
+    top_labels: np.ndarray, n_lists: int, cap: int,
+    margins: np.ndarray | None = None,
+) -> np.ndarray:
+    """Host-side capacity-bounded assignment: rows go to their nearest
+    centroid until a list reaches `cap`, then spill to their next-nearest
+    non-full choice (keeps every row indexed — no truncation — while
+    bounding the probe-window size; spilled rows live in their 2nd/3rd-best
+    list, which nprobe>1 searches still visit).
+
+    top_labels: (N, t) preference-ordered candidate lists per row.
+    margins: optional (N,) score gap to the 2nd-best list — rows with the
+    smallest margin spill first (their 2nd-best list is nearly as good, so
+    residual quality barely degrades).
+    Returns (N,) final labels.
+    """
+    top_labels = np.asarray(top_labels)
+    n, t = top_labels.shape
+    counts = np.bincount(top_labels[:, 0], minlength=n_lists)
+    final = top_labels[:, 0].copy()
+    over = np.where(counts > cap)[0]
+    if len(over) == 0:
+        return final
+    for c in over:
+        rows = np.where(final == c)[0]
+        if margins is not None:
+            # keep the rows most committed to this list; spill small-margin
+            order = np.argsort(-np.asarray(margins)[rows], kind="stable")
+            rows = rows[order]
+        for r in rows[cap:]:
+            placed = False
+            for j in range(1, t):
+                alt = top_labels[r, j]
+                if counts[alt] < cap:
+                    final[r] = alt
+                    counts[alt] += 1
+                    counts[c] -= 1
+                    placed = True
+                    break
+            if not placed:
+                # every preferred list full: global least-loaded list
+                alt = int(np.argmin(counts))
+                final[r] = alt
+                counts[alt] += 1
+                counts[c] -= 1
+    return final
+
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))

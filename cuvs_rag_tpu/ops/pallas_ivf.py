@@ -1,0 +1,188 @@
+"""Pallas TPU kernel: IVF probed-list scan with scalar-prefetched DMA.
+
+The 'IVF gather' hard part (SURVEY.md §7): probing nprobe inverted lists per
+query means data-dependent contiguous window reads from the sorted-CSR
+corpus. The XLA formulation (vmapped dynamic_slice) measured ~71 GB/s at 2M
+rows — gather-lowering overhead dominates. This kernel drives the windows
+as explicit double-buffered async DMAs whose offsets come from scalar
+prefetch (PrefetchScalarGridSpec), so list reads stream at HBM rate and
+overlap compute.
+
+Shape strategy (everything static):
+  * queries are processed in tiles of 8 (sublane minimum); the grid is
+    (query_tiles, 8 * nprobe) with the probe axis fastest. Step s serves
+    local query qi = s // P and its probe p = s % P: one window DMA, scores
+    computed for the whole 8-row tile but masked to row qi (VPU cost is
+    negligible next to the DMA).
+  * the running top-k lives in VMEM scratch (same sort-free k-round
+    selection as pallas_flat); outputs written at the last step.
+  * the kernel returns *positions in the sorted layout*; the caller maps
+    them through sorted_row_ids (a (Q, k) gather) to original corpus ids.
+
+Best for small/medium query batches — the IVF latency regime. At large Q
+with many probes the probed lists cover most of the corpus and brute force
+(pallas_flat) is the right tool anyway.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cuvs_rag_tpu.ops import topk as topk_ops
+from cuvs_rag_tpu.ops.pallas_flat import _select_topk_rounds
+
+MAX_PALLAS_K = 32
+NEG_INF = -float("inf")
+_QT = 8  # query tile (sublane minimum)
+
+
+def _kernel(
+    offs_ref, cnts_ref,  # scalar prefetch: (Qp*P,) int32 each
+    q_ref,               # (QT, D) VMEM — this tile's queries
+    corpus_hbm,          # (cap, D) ANY/HBM
+    out_s_ref, out_i_ref,  # (QT, k)
+    win, sems, s_scr, i_scr,
+    *, k, nprobe, window, metric,
+):
+    s = pl.program_id(1)
+    n_steps = pl.num_programs(1)
+    qt_idx = pl.program_id(0)
+    qi = s // nprobe
+    p = s % nprobe
+    flat_idx = (qt_idx * _QT + qi) * nprobe + p
+
+    @pl.when(s == 0)
+    def _():
+        s_scr[:] = jnp.full_like(s_scr, NEG_INF)
+        i_scr[:] = jnp.full_like(i_scr, -1)
+
+    def dma(slot, step):
+        qi2 = step // nprobe
+        p2 = step % nprobe
+        fi = (qt_idx * _QT + qi2) * nprobe + p2
+        # list starts are ALIGN(=8)-aligned by the layout (ops/ivf.py);
+        # Mosaic needs the proof to slice the tiled HBM memref
+        off = pl.multiple_of(offs_ref[fi], 8)
+        return pltpu.make_async_copy(
+            corpus_hbm.at[pl.ds(off, window), :],
+            win.at[slot],
+            sems.at[slot],
+        )
+
+    # double buffering: start next window while computing this one
+    @pl.when(s == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(s + 1 < n_steps)
+    def _():
+        dma((s + 1) % 2, s + 1).start()
+
+    dma(s % 2, s).wait()
+    w = win[s % 2]  # (window, D)
+
+    q = q_ref[:]  # (QT, D)
+    ip = jax.lax.dot_general(
+        q, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (QT, window)
+    if metric == "sqeuclidean":
+        wf = w.astype(jnp.float32)
+        wsq = jnp.sum(wf * wf, axis=1)
+        scores = 2.0 * ip - wsq[None, :]
+    else:
+        scores = ip
+
+    cnt = cnts_ref[flat_idx]
+    off = offs_ref[flat_idx]
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
+    scores = jnp.where((col < cnt) & (row == qi), scores, NEG_INF)
+
+    # merge this window's candidates into the running top-k (row qi only
+    # changes; other rows merge -inf candidates, a no-op)
+    kth = s_scr[:, k - 1]
+    improved = jnp.any(jnp.max(scores, axis=1) > kth)
+
+    @pl.when(improved)
+    def _():
+        tile_s, tile_arg = _select_topk_rounds(scores, k)
+        tile_pos = jnp.where(tile_s > NEG_INF, tile_arg + off, -1)
+        cand_s = jnp.concatenate([s_scr[:], tile_s], axis=1)
+        cand_i = jnp.concatenate([i_scr[:], tile_pos], axis=1)
+        new_s, new_i = _select_topk_rounds(cand_s, k, payload=cand_i)
+        s_scr[:] = new_s
+        i_scr[:] = jnp.where(new_s > NEG_INF, new_i, -1)
+
+    @pl.when(s == n_steps - 1)
+    def _():
+        out_s_ref[:] = s_scr[:]
+        out_i_ref[:] = i_scr[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "nprobe", "window", "metric", "interpret")
+)
+def ivf_scan_pallas(
+    sorted_vectors: jax.Array,  # (cap, D) storage dtype
+    queries: jax.Array,  # (Q, D)
+    probe_offsets: jax.Array,  # (Q, P) int32 window starts
+    probe_counts: jax.Array,  # (Q, P) int32 true list lengths
+    *,
+    k: int,
+    nprobe: int,
+    window: int,
+    metric: str,
+    interpret: bool = False,
+):
+    """Returns ((Q, k) scores desc, (Q, k) positions in the sorted layout).
+
+    window must satisfy off + window <= cap for every offset (the sorted-CSR
+    build guarantees capacity >= rows + max_list_size).
+    """
+    assert k <= MAX_PALLAS_K, k
+    cap, d = sorted_vectors.shape
+    q_n = queries.shape[0]
+    q_pad = topk_ops.round_up(q_n, _QT)
+    queries_p = topk_ops.pad_rows(
+        queries.astype(sorted_vectors.dtype), q_pad
+    )
+    pad_spec = [(0, q_pad - q_n), (0, 0)]
+    offs = jnp.pad(probe_offsets, pad_spec).reshape(-1).astype(jnp.int32)
+    cnts = jnp.pad(probe_counts, pad_spec).reshape(-1).astype(jnp.int32)
+
+    grid = (q_pad // _QT, _QT * nprobe)
+    kernel = functools.partial(
+        _kernel, k=k, nprobe=nprobe, window=window, metric=metric
+    )
+    out_s, out_i = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((_QT, d), lambda i, s, *_: (i, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),  # corpus stays in HBM
+            ],
+            out_specs=[
+                pl.BlockSpec((_QT, k), lambda i, s, *_: (i, 0)),
+                pl.BlockSpec((_QT, k), lambda i, s, *_: (i, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, window, d), sorted_vectors.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((_QT, k), jnp.float32),
+                pltpu.VMEM((_QT, k), jnp.int32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((q_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((q_pad, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(offs, cnts, queries_p, sorted_vectors)
+    return out_s[:q_n], out_i[:q_n]

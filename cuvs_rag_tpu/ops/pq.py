@@ -199,6 +199,10 @@ def scan_probed_lists_pq(
     luts = adc_lut(t, codebooks, metric)
     luts = luts.reshape(q_n, p_n, *luts.shape[1:])  # (Q, P, m, C)
 
+    pc = max(1, min(4, p_n))
+    while p_n % pc != 0:
+        pc -= 1
+
     def one_query(probes, luts_q, coarse_q):
         def one_probe(c, lut, coarse_score):
             off = list_offsets[c]
@@ -211,7 +215,14 @@ def scan_probed_lists_pq(
             s = jnp.where((pos < cnt) & (win_ids >= 0), s, topk_ops.NEG_INF)
             return s, win_ids
 
-        scores, ids = jax.vmap(one_probe)(probes, luts_q, coarse_q)  # (P, L)
+        def probe_group(args):  # chunked to bound live gather memory
+            return jax.vmap(one_probe)(*args)
+
+        scores, ids = jax.lax.map(probe_group, (
+            probes.reshape(p_n // pc, pc),
+            luts_q.reshape(p_n // pc, pc, *luts_q.shape[1:]),
+            coarse_q.reshape(p_n // pc, pc),
+        ))
         return topk_ops.merge_topk(scores.reshape(-1), ids.reshape(-1), k)
 
     return jax.vmap(one_query)(probe_ids, luts, coarse_scores_at_probes)

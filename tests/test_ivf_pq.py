@@ -62,9 +62,10 @@ def test_ivf_pq_recall(data):
     )
     r0 = recall_lib.recall_at_k(np.asarray(i0), gt, k)
     assert r0 >= 0.45, r0  # ADC-only: quantization noise bounds recall
-    # with refine: near-exact
+    # with refine: near-exact (refine_ratio dominates both ADC noise and the
+    # small residual penalty from capacity balancing)
     _, i2 = ivf_pq.search(
-        IVFPQSearchParams(n_probes=16, refine_ratio=4), ix, jnp.asarray(queries), k
+        IVFPQSearchParams(n_probes=16, refine_ratio=8), ix, jnp.asarray(queries), k
     )
     r2 = recall_lib.recall_at_k(np.asarray(i2), gt, k)
     assert r2 >= 0.95, (r0, r2)
