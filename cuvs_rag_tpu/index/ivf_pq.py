@@ -94,16 +94,21 @@ def build(params: IVFPQParams, dataset: jax.Array, seed: int = 0) -> IVFPQIndex:
     m = params.pq_dim or default_pq_dim(d)
     n_codes = 2 ** params.pq_bits
 
-    vectors = jnp.asarray(dataset).astype(jnp.float32)
+    # Memory discipline: the corpus stays in its input dtype end to end
+    # (a whole-corpus fp32 upcast at 2M x 768 is +6 GB and OOMs a 16 GB
+    # chip); fp32 happens per sample / per chunk inside jitted programs.
+    vectors = jnp.asarray(dataset)
     if params.metric == Metric.COSINE:
-        vectors = dist_ops.l2_normalize(vectors)
+        vectors = dist_ops.l2_normalize(vectors).astype(vectors.dtype)
     vectors = _pad_dim(vectors, m)
 
     # --- coarse quantizer ------------------------------------------------
     sample_n = min(n, params.kmeans_sample)
     n_lists = min(params.n_lists or default_n_lists(n), sample_n)
     sample_pad = topk_ops.round_up(sample_n, 8)
-    sample = topk_ops.pad_rows(vectors[:sample_n], sample_pad)
+    sample = topk_ops.pad_rows(
+        vectors[:sample_n].astype(jnp.float32), sample_pad
+    )
     sweights = (jnp.arange(sample_pad) < sample_n).astype(jnp.float32)
     key = jax.random.PRNGKey(seed)
     k1, k2 = jax.random.split(key)
@@ -118,24 +123,32 @@ def build(params: IVFPQParams, dataset: jax.Array, seed: int = 0) -> IVFPQIndex:
         vec_pad, centroids, n, params.balance_factor
     )
 
-    # --- residual PQ codebooks + encode ---------------------------------
-    residuals = vec_pad - centroids[labels]
-    res_sample = residuals[:sample_pad]
-    dp = vec_pad.shape[1]
+    # --- residual PQ codebooks (trained on a capped fp32 sample) ---------
+    pq_n = min(sample_n, params.pq_train_sample)
+    pq_pad = topk_ops.round_up(pq_n, 8)
+    pq_sample = sample[:pq_pad]
+    pq_w = (jnp.arange(pq_pad) < pq_n).astype(jnp.float32)
+    res_sample = pq_sample - centroids[
+        kmeans_ops.assign_clusters(pq_sample, centroids)
+    ]
     if params.opq:
         rotation = pq_ops.train_opq_rotation(
-            res_sample, sweights, jax.random.fold_in(k2, 1),
+            res_sample, pq_w, jax.random.fold_in(k2, 1),
             m=m, n_codes=n_codes, iters=params.opq_iters,
         )
-        residuals = residuals @ rotation.T
-        res_sample = residuals[:sample_pad]
+        res_sample = res_sample @ rotation.T
     else:
         rotation = jnp.zeros((0, 0), jnp.float32)
     codebooks = pq_ops.train_codebooks(
-        res_sample, sweights, k2, m=m, n_codes=n_codes,
+        res_sample, pq_w, k2, m=m, n_codes=n_codes,
         iters=params.pq_kmeans_iters,
     )
-    codes = pq_ops.encode(residuals, codebooks)
+
+    # --- encode all rows, chunked (fp32 residuals only per chunk) --------
+    codes = _encode_chunked(
+        vec_pad, labels, centroids, codebooks,
+        rotation if params.opq else None,
+    )
 
     counts = np.bincount(np.asarray(labels)[:n], minlength=n_lists)
     max_list = int(topk_ops.round_up(max(int(counts.max()), 8), 8))
@@ -148,10 +161,15 @@ def build(params: IVFPQParams, dataset: jax.Array, seed: int = 0) -> IVFPQIndex:
     sorted_codes = (
         jnp.zeros((capacity, m_codes), codes.dtype).at[target_pos].set(codes[perm])
     )
-    raw = (
-        jnp.zeros((capacity, vec_pad.shape[1]), vec_pad.dtype)
-        .at[target_pos].set(vec_pad[perm])
-    )
+    if params.store_raw:
+        raw = (
+            jnp.zeros((capacity, vec_pad.shape[1]), vec_pad.dtype)
+            .at[target_pos].set(vec_pad[perm])
+        )
+        raw_sq = dist_ops.sqnorms(raw)
+    else:
+        raw = jnp.zeros((0, vec_pad.shape[1]), vec_pad.dtype)
+        raw_sq = jnp.zeros((0,), jnp.float32)
     return IVFPQIndex(
         codes=sorted_codes,
         row_ids=row_ids,
@@ -161,13 +179,42 @@ def build(params: IVFPQParams, dataset: jax.Array, seed: int = 0) -> IVFPQIndex:
         list_offsets=offsets,
         list_counts=jnp.minimum(counts_j, max_list),
         raw_vectors=raw,
-        raw_sqnorms=dist_ops.sqnorms(raw),
+        raw_sqnorms=raw_sq,
         rotation=rotation,
         n_valid=jnp.asarray(n, jnp.int32),
         metric=params.metric,
         max_list_size=max_list,
         dim=d,
     )
+
+
+def _encode_chunked(vec_pad, labels, centroids, codebooks, rotation,
+                    chunk: int = 131_072):
+    """Encode all rows without materializing a full fp32 residual array."""
+    n_pad, dp = vec_pad.shape
+    c = min(chunk, n_pad)
+    while n_pad % c != 0:
+        c //= 2
+    c = max(c, 1)
+
+    @jax.jit
+    def enc(vblocks, lblocks):
+        def body(args):
+            v, lb = args
+            r = v.astype(jnp.float32) - centroids[lb]
+            if rotation is not None:
+                r = dist_ops.dot_general_prec(
+                    r, rotation, (((1,), (1,)), ((), ()))
+                )
+            return pq_ops.encode(r, codebooks)
+
+        return jax.lax.map(body, (vblocks, lblocks))
+
+    codes = enc(
+        vec_pad.reshape(n_pad // c, c, dp),
+        labels.reshape(n_pad // c, c),
+    )
+    return codes.reshape(n_pad, -1)
 
 
 def build_sharded_local(params: IVFPQParams, sc, dmesh, seed: int = 0):
@@ -221,8 +268,9 @@ def build_sharded_local(params: IVFPQParams, sc, dmesh, seed: int = 0):
         v = _prep_block(block[0])
         labels0, cents0 = labels[0], centroids[0]
         valid = jnp.arange(per) < n_valid[0]
-        residuals = v - cents0[labels0]
-        w = valid.astype(jnp.float32)
+        pq_n = min(per, params.pq_train_sample)
+        residuals = (v - cents0[labels0])[:pq_n]
+        w = valid.astype(jnp.float32)[:pq_n]
         if params.opq:
             rotation = pq_ops.train_opq_rotation(
                 residuals, w, jax.random.PRNGKey(seed + 2),
@@ -236,7 +284,10 @@ def build_sharded_local(params: IVFPQParams, sc, dmesh, seed: int = 0):
             jax.random.PRNGKey(seed + 1),
             m=m, n_codes=n_codes, iters=params.pq_kmeans_iters,
         )
-        codes = pq_ops.encode(residuals, codebooks)
+        full_res = v - cents0[labels0]
+        if params.opq:
+            full_res = full_res @ rotation.T
+        codes = pq_ops.encode(full_res, codebooks)
         perm, target_pos, row_ids, counts_j, offsets = ivf_ops.sort_by_list(
             labels0, valid, n_lists, capacity
         )

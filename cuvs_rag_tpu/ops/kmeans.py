@@ -148,7 +148,6 @@ def kmeans_nojit(
     key, k0 = jax.random.split(key)
     first = jnp.argmax(jnp.where(w > 0, jax.random.gumbel(k0, (n,)), -jnp.inf))
     centroids0 = jnp.zeros((n_clusters, d), jnp.float32).at[0].set(data[first])
-    gumbels = jax.random.gumbel(key, (n_clusters, n))
 
     def init_step(t, carry):
         centroids, min_d = carry
@@ -156,7 +155,10 @@ def kmeans_nojit(
         d_new = jnp.sum((data - prev[None, :]) ** 2, axis=1)
         min_d = jnp.minimum(min_d, d_new)
         logits = jnp.where((w > 0) & (min_d > 0), jnp.log(min_d + 1e-30), -jnp.inf)
-        idx = jnp.argmax(logits + gumbels[t])
+        # per-step gumbels: a precomputed (C, N) matrix is 9+ GB when this
+        # k-means runs 96-way vmapped for PQ codebooks
+        g = jax.random.gumbel(jax.random.fold_in(key, t), (n,))
+        idx = jnp.argmax(logits + g)
         return centroids.at[t].set(data[idx]), min_d
 
     centroids, _ = jax.lax.fori_loop(

@@ -136,11 +136,20 @@ class IVFPQParams:
     kmeans_iters: int = 10
     pq_kmeans_iters: int = 10
     kmeans_sample: int = 200_000
+    # Codebook-training sample cap: (sample, ds=8) subspace arrays pad 16x
+    # under TPU (8,128) tiling and training runs m-way vmapped, so memory is
+    # ~16 * 4 * m * sample * ds bytes; 50k rows is plenty for 256-entry
+    # codebooks.
+    pq_train_sample: int = 50_000
     # Looser than IVF-Flat's 2.0: spilled rows encode residuals against a
     # farther centroid, so PQ trades a bit more window size for quantization
     # quality (measured refine-recall 0.95 -> 0.9375 at factor 2.0 on
     # cluster-mismatched data).
     balance_factor: float = 2.5
+    # Keep the raw vectors alongside the codes for exact refine re-ranking.
+    # Costs a full-corpus copy in HBM; disable for max capacity (refine then
+    # silently turns off).
+    store_raw: bool = True
     # OPQ: learn an orthogonal rotation before quantization (Ge et al.) —
     # reduces ADC error substantially on correlated dims, at the cost of one
     # (D, D) matmul per (query, probe) at search time.
