@@ -8,7 +8,7 @@ had. Headless-safe (Agg backend); matplotlib is optional.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Sequence
 
 
 def _mpl():

@@ -10,7 +10,7 @@ recall oracle every approximate index is evaluated against (SURVEY.md §7).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ Three encoders:
 from __future__ import annotations
 
 import hashlib
-from typing import List, Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 

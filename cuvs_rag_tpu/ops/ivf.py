@@ -13,7 +13,6 @@ All functions here are traced (usable under jit / shard_map / vmap).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

@@ -101,7 +101,6 @@ def balance_assignments(
     return final
 
 
-
 @functools.partial(jax.jit, static_argnames=("chunk",))
 def assign_clusters(
     data: jax.Array,

@@ -20,7 +20,7 @@ score = q·x̂ = q·c + Σ_s q_s·r_sc.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -31,7 +31,6 @@ import jax
 import numpy as np
 
 from cuvs_rag_tpu.parallel import search as psearch
-from cuvs_rag_tpu.parallel import shard as shard_lib
 from cuvs_rag_tpu.parallel.mesh import DeviceMesh
 
 logger = logging.getLogger("cuvs_rag_tpu.elastic")

@@ -14,7 +14,7 @@ import dataclasses
 import gzip
 import json
 import os
-from typing import Iterable, List, Optional, Sequence
+from typing import List, Optional
 
 import numpy as np
 

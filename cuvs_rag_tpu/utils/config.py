@@ -11,7 +11,7 @@ whole search path stays inside one jitted program.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import Sequence
 
 
 class Metric:

@@ -13,7 +13,7 @@ import math
 import threading
 import time
 from collections import defaultdict
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 
 @dataclasses.dataclass
