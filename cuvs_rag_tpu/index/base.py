@@ -78,4 +78,6 @@ def storage_dtype(name: str):
         return jnp.float32
     if name in ("bfloat16", "bf16"):
         return jnp.bfloat16
+    if name == "int8":
+        return jnp.int8
     raise ValueError(f"unsupported storage dtype {name!r}")

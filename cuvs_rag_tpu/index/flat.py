@@ -24,10 +24,11 @@ from cuvs_rag_tpu.utils.config import FlatParams, Metric
 @base.register_index
 @dataclasses.dataclass(frozen=True)
 class FlatIndex:
-    """Exact index. Pytree: (vectors, sqnorms, n_valid) are leaves."""
+    """Exact index. Pytree: (vectors, sqnorms, scales, n_valid) are leaves."""
 
     vectors: jax.Array  # (Np, D) padded corpus, storage dtype
-    sqnorms: jax.Array  # (Np,) fp32 row sqnorms
+    sqnorms: jax.Array  # (Np,) fp32 row sqnorms (of the stored reconstruction)
+    scales: jax.Array  # (Np,) fp32 per-row dequant scales (1.0 for float dtypes)
     n_valid: jax.Array  # () int32 — true corpus size (pad rows excluded)
     metric: str
     tile_n: int
@@ -54,16 +55,38 @@ def build(params: FlatParams, dataset: jax.Array) -> FlatIndex:
     vectors = jnp.asarray(dataset)
     if params.metric == Metric.COSINE:
         vectors = dist_ops.l2_normalize(vectors)
-    vectors = vectors.astype(dtype)
-    vectors = topk_ops.pad_rows(vectors, n_padded)
-    sq = dist_ops.sqnorms(vectors)
+    if dtype == jnp.int8:
+        vectors, scales = _quantize_rows(vectors)
+        vectors = topk_ops.pad_rows(vectors, n_padded)
+        scales = topk_ops.pad_rows(scales, n_padded)
+        # sqnorms of the reconstruction keeps the L2 decomposition exact
+        # w.r.t. what is actually scored
+        sq = dist_ops.sqnorms(vectors.astype(jnp.float32)) * scales ** 2
+    else:
+        vectors = topk_ops.pad_rows(vectors.astype(dtype), n_padded)
+        scales = jnp.ones((n_padded,), jnp.float32)
+        sq = dist_ops.sqnorms(vectors)
     return FlatIndex(
         vectors=vectors,
         sqnorms=sq,
+        scales=scales,
         n_valid=jnp.asarray(n, jnp.int32),
         metric=params.metric,
         tile_n=tile_n,
     )
+
+
+@jax.jit
+def _quantize_rows(x: jax.Array):
+    """Symmetric per-row int8 quantization (SQ8) — the TPU-native compressed
+    scan: int8 windows halve HBM traffic vs bf16 and quarter fp32, and the
+    score algebra stays exact w.r.t. the reconstruction (see
+    scores_from_tile_scaled)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=1)
+    scales = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(xf / scales[:, None]), -127, 127).astype(jnp.int8)
+    return q, scales
 
 
 def extend(index: FlatIndex, new_vectors: jax.Array) -> FlatIndex:
@@ -78,13 +101,24 @@ def extend(index: FlatIndex, new_vectors: jax.Array) -> FlatIndex:
     add = jnp.asarray(new_vectors)
     if index.metric == Metric.COSINE:
         add = dist_ops.l2_normalize(add)
-    add = add.astype(index.vectors.dtype)
     total = nv + add.shape[0]
     n_padded = topk_ops.round_up(total, index.tile_n)
-    vectors = topk_ops.pad_rows(jnp.concatenate([old, add], axis=0), n_padded)
+    if index.vectors.dtype == jnp.int8:
+        add_q, add_s = _quantize_rows(add)
+        vectors = topk_ops.pad_rows(jnp.concatenate([old, add_q]), n_padded)
+        scales = topk_ops.pad_rows(
+            jnp.concatenate([index.scales[:nv], add_s]), n_padded
+        )
+        sq = dist_ops.sqnorms(vectors.astype(jnp.float32)) * scales ** 2
+    else:
+        add = add.astype(index.vectors.dtype)
+        vectors = topk_ops.pad_rows(jnp.concatenate([old, add], axis=0), n_padded)
+        scales = jnp.ones((n_padded,), jnp.float32)
+        sq = dist_ops.sqnorms(vectors)
     return FlatIndex(
         vectors=vectors,
-        sqnorms=dist_ops.sqnorms(vectors),
+        sqnorms=sq,
+        scales=scales,
         n_valid=jnp.asarray(total, jnp.int32),
         metric=index.metric,
         tile_n=index.tile_n,
@@ -102,11 +136,18 @@ def build_local(params: FlatParams, block: jax.Array, n_valid: jax.Array) -> Fla
     vectors = block
     if params.metric == Metric.COSINE:
         vectors = dist_ops.l2_normalize(vectors)
-    vectors = vectors.astype(dtype)
     tile_n = params.tile_n if per % params.tile_n == 0 else per
+    if dtype == jnp.int8:
+        vectors, scales = _quantize_rows(vectors)
+        sq = dist_ops.sqnorms(vectors.astype(jnp.float32)) * scales ** 2
+    else:
+        vectors = vectors.astype(dtype)
+        scales = jnp.ones((per,), jnp.float32)
+        sq = dist_ops.sqnorms(vectors)
     return FlatIndex(
         vectors=vectors,
-        sqnorms=dist_ops.sqnorms(vectors),
+        sqnorms=sq,
+        scales=scales,
         n_valid=n_valid.astype(jnp.int32),
         metric=params.metric,
         tile_n=tile_n,
@@ -129,31 +170,50 @@ def search_scores(
     if index.metric == Metric.COSINE:
         queries = dist_ops.l2_normalize(queries)
     if search_params is not None and getattr(search_params, "approx", False):
-        # TPU-native approximate selection (approx_max_k PartialReduce)
+        if _use_pallas(index, k):
+            # Fused Pallas sketch kernel: per-column-class running top-1
+            # (recall ~1 - C(k,2)/tile_c per query); with int8 storage the
+            # matmul also runs int8 x int8 on the MXU. Measured at 2M x 768
+            # k=5: 0.036 ms/query int8 (id agreement 0.97 vs fp32 exact),
+            # 0.056 ms/query bf16 (0.998).
+            return _pallas_search(index, queries, k, mode="sketch")
+        # XLA fallback: approx_max_k PartialReduce per tile
         return topk_ops.flat_topk_search_approx(
             index.vectors, index.sqnorms, queries, index.n_valid,
             k=k, metric=index.metric, tile_n=index.tile_n,
             recall_target=search_params.recall_target,
         )
     if _use_pallas(index, k):
-        from cuvs_rag_tpu.ops import pallas_flat
-
-        pallas_metric = (
-            Metric.SQEUCLIDEAN if index.metric == Metric.SQEUCLIDEAN
-            else Metric.INNER_PRODUCT
-        )
-        return pallas_flat.flat_topk_pallas(
-            index.vectors, index.sqnorms, queries, index.n_valid,
-            k=k, metric=pallas_metric, tile_c=min(index.tile_n, 2048),
-        )
+        return _pallas_search(index, queries, k, mode="exact")
     if index.size <= _DENSE_THRESHOLD:
         return topk_ops.flat_topk_search_dense(
             index.vectors, index.sqnorms, queries, index.n_valid,
+            index.scales,
             k=k, metric=index.metric,
         )
     return topk_ops.flat_topk_search(
         index.vectors, index.sqnorms, queries, index.n_valid,
+        index.scales,
         k=k, metric=index.metric, tile_n=index.tile_n,
+    )
+
+
+def _pallas_search(index: FlatIndex, queries: jax.Array, k: int, *, mode: str):
+    from cuvs_rag_tpu.ops import pallas_flat
+
+    pallas_metric = (
+        Metric.SQEUCLIDEAN if index.metric == Metric.SQEUCLIDEAN
+        else Metric.INNER_PRODUCT
+    )
+    # sketch mode takes the int8 MXU path on quantized storage (the scores
+    # are already sketch-approximate; query quantization costs little more);
+    # exact mode keeps bf16 compute so results match the storage exactly
+    int8_compute = mode == "sketch" and index.vectors.dtype == jnp.int8
+    return pallas_flat.flat_topk_pallas(
+        index.vectors, index.sqnorms, queries, index.n_valid,
+        index.scales,
+        k=k, metric=pallas_metric, tile_c=min(index.tile_n, 2048),
+        mode=mode, int8_compute=int8_compute,
     )
 
 
@@ -161,9 +221,9 @@ def _use_pallas(index: FlatIndex, k: int) -> bool:
     """Fused Pallas kernel eligibility: TPU backend, small k, aligned tiles.
 
     Default ON for TPU: measured exact (id agreement 1.0 vs the XLA oracle
-    at 2M x 768) and 852 GB/s effective HBM bandwidth — hardware
-    speed-of-light, 4.5x the XLA scan path. Kill switch:
-    CUVS_RAG_TPU_DISABLE_PALLAS=1.
+    at 2M x 768) at 493 GB/s effective HBM read — 2.6x the XLA scan path
+    (sketch mode reaches 548 GB/s bf16 / 0.0355 ms/query int8). Kill
+    switch: CUVS_RAG_TPU_DISABLE_PALLAS=1.
     """
     import os
 

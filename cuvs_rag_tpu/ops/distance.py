@@ -112,6 +112,27 @@ def scores_from_tile(
     return ip
 
 
+def scores_from_tile_scaled(
+    queries: jax.Array,
+    corpus_tile: jax.Array,
+    tile_sqnorms: jax.Array,
+    tile_scales: jax.Array,
+    metric: str,
+) -> jax.Array:
+    """scores_from_tile for scalar-quantized storage: rows reconstruct as
+    x̂ = scale * v_int8, so score = 2·scale·(q·v) − ||x̂||² (sqeuclidean) or
+    scale·(q·v) (ip/cosine). With scales = 1 this is scores_from_tile —
+    float-dtype indexes pass unit scales so one code path serves both."""
+    ip = pairwise_inner_product(
+        queries, corpus_tile.astype(queries.dtype)
+        if corpus_tile.dtype == jnp.int8 else corpus_tile
+    )
+    scaled = ip * tile_scales[None, :]
+    if metric == Metric.SQEUCLIDEAN:
+        return 2.0 * scaled - tile_sqnorms[None, :]
+    return scaled
+
+
 def scores_to_distances(scores: jax.Array, query_sqnorms: jax.Array, metric: str) -> jax.Array:
     """Convert internal scores back to the metric's reported distance values."""
     if metric == Metric.SQEUCLIDEAN:

@@ -72,6 +72,7 @@ def flat_topk_search_nojit(
     corpus_sqnorms: jax.Array,
     queries: jax.Array,
     n_valid: jax.Array,
+    corpus_scales: jax.Array | None = None,
     *,
     k: int,
     metric: str,
@@ -92,9 +93,15 @@ def flat_topk_search_nojit(
     num_tiles = n_padded // tile_n
     q = queries.shape[0]
 
+    if corpus_scales is None:
+        corpus_scales = jnp.ones((n_padded,), jnp.float32)
     corpus_t = corpus.reshape(num_tiles, tile_n, d)
     sqnorms_t = corpus_sqnorms.reshape(num_tiles, tile_n)
-    queries = queries.astype(corpus.dtype)
+    scales_t = corpus_scales.reshape(num_tiles, tile_n)
+    queries = (
+        queries.astype(jnp.bfloat16)
+        if corpus.dtype == jnp.int8 else queries.astype(corpus.dtype)
+    )
 
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, tile_n), 1)
 
@@ -103,8 +110,10 @@ def flat_topk_search_nojit(
 
     def body(carry, tile):
         c_scores, c_idx = carry
-        tile_vecs, tile_sq, tile_id = tile
-        scores = dist_ops.scores_from_tile(queries, tile_vecs, tile_sq, metric)
+        tile_vecs, tile_sq, tile_sc, tile_id = tile
+        scores = dist_ops.scores_from_tile_scaled(
+            queries, tile_vecs, tile_sq, tile_sc, metric
+        )
         gidx = tile_id * tile_n + col_iota  # (1, tile_n) global ids
         valid = gidx < n_valid
         scores = jnp.where(valid, scores, NEG_INF)
@@ -116,7 +125,7 @@ def flat_topk_search_nojit(
 
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     (scores, idx), _ = jax.lax.scan(
-        body, (init_scores, init_idx), (corpus_t, sqnorms_t, tile_ids)
+        body, (init_scores, init_idx), (corpus_t, sqnorms_t, scales_t, tile_ids)
     )
     return scores, idx
 
@@ -193,6 +202,7 @@ def flat_topk_search_dense(
     corpus_sqnorms: jax.Array,
     queries: jax.Array,
     n_valid: jax.Array,
+    corpus_scales: jax.Array | None = None,
     *,
     k: int,
     metric: str,
@@ -202,8 +212,15 @@ def flat_topk_search_dense(
     Faster for small corpora (single fused matmul); memory O(Q*Np).
     """
     n_padded = corpus.shape[0]
-    queries = queries.astype(corpus.dtype)
-    scores = dist_ops.scores_from_tile(queries, corpus, corpus_sqnorms, metric)
+    if corpus_scales is None:
+        corpus_scales = jnp.ones((n_padded,), jnp.float32)
+    queries = (
+        queries.astype(jnp.bfloat16)
+        if corpus.dtype == jnp.int8 else queries.astype(corpus.dtype)
+    )
+    scores = dist_ops.scores_from_tile_scaled(
+        queries, corpus, corpus_sqnorms, corpus_scales, metric
+    )
     gidx = jax.lax.broadcasted_iota(jnp.int32, (1, n_padded), 1)
     scores = jnp.where(gidx < n_valid, scores, NEG_INF)
     return merge_topk(scores, jnp.broadcast_to(gidx, scores.shape), k)

@@ -1,0 +1,66 @@
+"""Micro-bench: SQ8 int8 vs bf16 flat search on the real TPU at 2M x 768.
+
+Also measures id-agreement of int8 vs the bf16 ranking (k=5) so we know the
+recall cost of halving HBM traffic. Queue-then-drain timing per bench.py.
+"""
+
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cuvs_rag_tpu.index import flat
+    from cuvs_rag_tpu.utils.config import FlatParams
+
+    N, D, K, BATCH, REPS = 2_000_000, 768, 5, 100, 20
+    key = jax.random.PRNGKey(42)
+
+    mk = jax.jit(lambda k: jax.random.normal(k, (N // 8, D), jnp.bfloat16))
+    corpus = jnp.concatenate([mk(jax.random.fold_in(key, i)) for i in range(8)])
+    jax.block_until_ready(corpus)
+    print("corpus ready", flush=True)
+
+    qrs = [
+        jax.random.normal(jax.random.fold_in(key, 100 + r), (BATCH, D))
+        for r in range(REPS)
+    ]
+    _ = [q.block_until_ready() for q in qrs]
+
+    results = {}
+    for dtype in ("bfloat16", "int8"):
+        t0 = time.time()
+        ix = flat.build(FlatParams(dtype=dtype, tile_n=8192), corpus)
+        jax.block_until_ready(ix.vectors)
+        print(f"{dtype} build {time.time()-t0:.1f}s", flush=True)
+
+        d, i = flat.search(None, ix, qrs[0], K)
+        _ = np.asarray(d)  # compile+warm
+        best = 1e9
+        for _trial in range(2):
+            t0 = time.perf_counter()
+            last = None
+            for q in qrs:
+                last = flat.search(None, ix, q, K)
+            _ = np.asarray(last[0])
+            best = min(best, (time.perf_counter() - t0) / REPS)
+        gbps = ix.vectors.nbytes / best / 1e9
+        results[dtype] = (best, np.asarray(flat.search(None, ix, qrs[0], K)[1]))
+        print(f"{dtype}: {best*1e3:.3f} ms/batch  {best/BATCH*1e3:.4f} ms/q  "
+              f"{gbps:.0f} GB/s", flush=True)
+        del ix
+
+    i_bf, i_q = results["bfloat16"][1], results["int8"][1]
+    agree = np.mean([
+        len(set(i_bf[r]) & set(i_q[r])) / K for r in range(BATCH)
+    ])
+    print(f"int8 vs bf16 id agreement@{K}: {agree:.4f}", flush=True)
+    print(f"speedup int8/bf16: {results['bfloat16'][0]/results['int8'][0]:.2f}x",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

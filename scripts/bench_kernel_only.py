@@ -1,0 +1,74 @@
+"""Kernel-only micro-bench: raw flat_topk_pallas, queue-drain timing."""
+
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cuvs_rag_tpu.index import flat
+    from cuvs_rag_tpu.ops import pallas_flat
+    from cuvs_rag_tpu.utils.config import FlatParams
+
+    N, D, K, BATCH, REPS = 2_000_000, 768, 5, 100, 20
+    dtypes = sys.argv[1:] or ["bfloat16"]
+    key = jax.random.PRNGKey(42)
+
+    mk = jax.jit(lambda k: jax.random.normal(k, (N // 8, D), jnp.bfloat16))
+    corpus = jnp.concatenate([mk(jax.random.fold_in(key, i)) for i in range(8)])
+    jax.block_until_ready(corpus)
+
+    qrs = [
+        jax.random.normal(jax.random.fold_in(key, 100 + r), (BATCH, D))
+        for r in range(REPS)
+    ]
+    _ = [q.block_until_ready() for q in qrs]
+
+    ids = {}
+    for mode in dtypes:
+        import os
+        tile_c = int(os.environ.get("TILE_C", "2048"))
+        dtype, int8_compute, kmode = mode, False, "exact"
+        if mode.endswith("-sketch"):
+            dtype, kmode = mode[:-7], "sketch"
+        if dtype == "int8x8":
+            dtype, int8_compute = "int8", True
+        ix = flat.build(FlatParams(dtype=dtype, tile_n=8192), corpus)
+        jax.block_until_ready(ix.vectors)
+
+        run = lambda q: pallas_flat.flat_topk_pallas(
+            ix.vectors, ix.sqnorms, q, ix.n_valid, ix.scales,
+            k=K, metric="sqeuclidean", tile_c=tile_c,
+            int8_compute=int8_compute, mode=kmode,
+        )
+        _ = np.asarray(run(qrs[0])[0])  # compile + warm
+        ids[mode] = np.asarray(run(qrs[0])[1])
+        best = 1e9
+        for _t in range(3):
+            t0 = time.perf_counter()
+            last = None
+            for q in qrs:
+                last = run(q)
+            _ = np.asarray(last[0])
+            best = min(best, (time.perf_counter() - t0) / REPS)
+        gbps = ix.vectors.nbytes / best / 1e9
+        print(f"{mode} kernel-only: {best*1e3:.3f} ms/batch  "
+              f"{best/BATCH*1e3:.4f} ms/q  {gbps:.0f} GB/s", flush=True)
+        del ix
+
+    if "bfloat16" in ids:
+        for mode, idm in ids.items():
+            agree = np.mean([
+                len(set(ids["bfloat16"][r]) & set(idm[r])) / K
+                for r in range(BATCH)
+            ])
+            print(f"{mode} id agreement@{K} vs bfloat16: {agree:.4f}",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -81,7 +81,7 @@ def test_index_is_pytree(rng):
     corpus = jnp.asarray(rng.standard_normal((20, 8)).astype(np.float32))
     index = flat.build(FlatParams(), corpus)
     leaves = jax.tree_util.tree_leaves(index)
-    assert len(leaves) == 3  # vectors, sqnorms, n_valid
+    assert len(leaves) == 4  # vectors, sqnorms, scales, n_valid
     index2 = jax.tree_util.tree_map(lambda x: x, index)
     assert index2.metric == index.metric
 
@@ -108,6 +108,59 @@ def test_bf16_storage_close_to_fp32(rng):
         for r in range(3)
     ])
     assert agree >= 0.8
+
+
+def test_int8_storage_close_to_fp32(rng):
+    # SQ8 (per-row symmetric int8) quarters HBM traffic; the score algebra
+    # is exact w.r.t. the reconstruction, so ranking loss is quantization-only
+    d, n = 64, 512
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((3, d)).astype(np.float32)
+    for metric in ("sqeuclidean", "inner_product", "cosine"):
+        ix32 = flat.build(FlatParams(dtype="float32", metric=metric), jnp.asarray(corpus))
+        ix8 = flat.build(FlatParams(dtype="int8", metric=metric), jnp.asarray(corpus))
+        assert ix8.vectors.dtype == jnp.int8
+        _, i32 = flat.search(None, ix32, jnp.asarray(queries), 10)
+        _, i8 = flat.search(None, ix8, jnp.asarray(queries), 10)
+        agree = np.mean([
+            len(set(np.asarray(i32)[r]) & set(np.asarray(i8)[r])) / 10
+            for r in range(3)
+        ])
+        assert agree >= 0.8, (metric, agree)
+
+
+def test_int8_extend_matches_one_shot(rng):
+    d, n = 32, 300
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((4, d)).astype(np.float32)
+    ix_full = flat.build(FlatParams(dtype="int8"), jnp.asarray(corpus))
+    ix_part = flat.build(FlatParams(dtype="int8"), jnp.asarray(corpus[:200]))
+    ix_part = flat.extend(ix_part, jnp.asarray(corpus[200:]))
+    assert int(ix_part.n_valid) == n
+    d1, i1 = flat.search(None, ix_full, jnp.asarray(queries), 5)
+    d2, i2 = flat.search(None, ix_part, jnp.asarray(queries), 5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-5, atol=1e-5)
+
+
+def test_int8_tiled_matches_dense(rng):
+    # the scan-tiled and dense paths must agree bit-for-bit on ids
+    from cuvs_rag_tpu.ops import topk as topk_ops
+
+    d, n, k = 32, 1024, 8
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    queries = jnp.asarray(rng.standard_normal((5, d)).astype(np.float32))
+    ix = flat.build(FlatParams(dtype="int8", tile_n=256), jnp.asarray(corpus))
+    s_t, i_t = topk_ops.flat_topk_search(
+        ix.vectors, ix.sqnorms, queries, ix.n_valid, ix.scales,
+        k=k, metric=ix.metric, tile_n=256,
+    )
+    s_d, i_d = topk_ops.flat_topk_search_dense(
+        ix.vectors, ix.sqnorms, queries, ix.n_valid, ix.scales,
+        k=k, metric=ix.metric,
+    )
+    np.testing.assert_array_equal(np.asarray(i_t), np.asarray(i_d))
+    np.testing.assert_allclose(np.asarray(s_t), np.asarray(s_d), rtol=1e-4, atol=1e-4)
 
 
 def test_approx_search_mode(rng):

@@ -26,6 +26,66 @@ def test_pallas_matches_xla(rng, metric):
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4, atol=1e-4)
 
 
+def test_pallas_int8_matches_xla(rng):
+    # int8 storage through the Pallas kernel must agree with the XLA tiled
+    # path exactly (both score the same reconstruction in fp32 accumulate)
+    from cuvs_rag_tpu.index import flat
+    from cuvs_rag_tpu.utils.config import FlatParams
+
+    n, d, q, k = 2048, 64, 10, 5
+    corpus = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    queries = jnp.asarray(rng.standard_normal((q, d)).astype(np.float32))
+    ix = flat.build(FlatParams(dtype="int8", tile_n=1024), corpus)
+    s1, i1 = pallas_flat.flat_topk_pallas(
+        ix.vectors, ix.sqnorms, queries, ix.n_valid, ix.scales,
+        k=k, metric="sqeuclidean", tile_q=8, tile_c=1024, interpret=True,
+    )
+    s2, i2 = topk_ops.flat_topk_search(
+        ix.vectors, ix.sqnorms, queries, ix.n_valid, ix.scales,
+        k=k, metric="sqeuclidean", tile_n=1024,
+    )
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-2, atol=1e-2)
+
+
+@pytest.mark.parametrize("metric", ["sqeuclidean", "inner_product"])
+def test_pallas_sketch_high_recall(rng, metric):
+    # sketch mode: per-column-class top-1; on random data recall@k is
+    # ~1 - C(k,2)/tile_c per query — at n=4096, k=5, tile_c=1024 expect
+    # >= 0.97 overall and exact top-1
+    n, d, q, k = 4096, 64, 32, 5
+    corpus = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    queries = jnp.asarray(rng.standard_normal((q, d)).astype(np.float32))
+    sq = dist_ops.sqnorms(corpus)
+    nv = jnp.int32(n)
+    s1, i1 = pallas_flat.flat_topk_pallas(
+        corpus, sq, queries, nv, k=k, metric=metric,
+        tile_q=8, tile_c=1024, mode="sketch", interpret=True,
+    )
+    s2, i2 = topk_ops.flat_topk_search(
+        corpus, sq, queries, nv, k=k, metric=metric, tile_n=1024
+    )
+    i1, i2 = np.asarray(i1), np.asarray(i2)
+    assert np.array_equal(i1[:, 0], i2[:, 0])  # top-1 exact
+    recall = np.mean([len(set(i1[r]) & set(i2[r])) / k for r in range(q)])
+    assert recall >= 0.97, recall
+
+
+def test_pallas_sketch_respects_n_valid(rng):
+    n, d = 2048, 32
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    queries = corpus[:2].copy()
+    corpus[1200:] = queries[0]
+    cj = jnp.asarray(corpus)
+    sq = dist_ops.sqnorms(cj)
+    s, i = pallas_flat.flat_topk_pallas(
+        cj, sq, jnp.asarray(queries), jnp.int32(1200), k=3,
+        metric="sqeuclidean", tile_q=8, tile_c=1024, mode="sketch",
+        interpret=True,
+    )
+    assert np.asarray(i).max() < 1200
+
+
 def test_pallas_respects_n_valid(rng):
     n, d = 2048, 32
     corpus = rng.standard_normal((n, d)).astype(np.float32)
