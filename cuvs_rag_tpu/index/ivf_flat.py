@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cuvs_rag_tpu.index import base
+from cuvs_rag_tpu.index import flat as flat_family
 from cuvs_rag_tpu.ops import distance as dist_ops
 from cuvs_rag_tpu.ops import ivf as ivf_ops
 from cuvs_rag_tpu.ops import kmeans as kmeans_ops
@@ -28,8 +29,9 @@ from cuvs_rag_tpu.utils.config import IVFFlatParams, IVFFlatSearchParams, Metric
 @base.register_index
 @dataclasses.dataclass(frozen=True)
 class IVFFlatIndex:
-    vectors: jax.Array  # (cap, D) rows sorted by list
-    sqnorms: jax.Array  # (cap,)
+    vectors: jax.Array  # (cap, D) rows sorted by list, storage dtype
+    sqnorms: jax.Array  # (cap,) fp32 sqnorms of the stored reconstruction
+    scales: jax.Array  # (cap,) fp32 per-row dequant scales (1.0 float dtypes)
     row_ids: jax.Array  # (cap,) original corpus ids, -1 on pads
     centroids: jax.Array  # (C, D) fp32
     centroid_sqnorms: jax.Array  # (C,)
@@ -61,7 +63,12 @@ def _prep(params: IVFFlatParams, dataset: jax.Array) -> jax.Array:
     vectors = jnp.asarray(dataset)
     if params.metric == Metric.COSINE:
         vectors = dist_ops.l2_normalize(vectors)
-    return vectors.astype(base.storage_dtype(params.dtype))
+    dtype = base.storage_dtype(params.dtype)
+    if dtype == jnp.int8:
+        # SQ8 is applied at layout time (flat._quantize_rows); k-means and
+        # list assignment run on the original precision
+        return vectors.astype(jnp.float32)
+    return vectors.astype(dtype)
 
 
 def build(
@@ -97,10 +104,16 @@ def build(
     max_list = int(topk_ops.round_up(max(int(counts.max()), 8), 8))
     capacity = ivf_ops.capacity_for(n_pad, n_lists, max_list)
 
-    layout = _layout_jit(vec_pad, labels, valid, n_lists, capacity, max_list)
+    if base.storage_dtype(params.dtype) == jnp.int8:
+        vec_pad, scales = flat_family._quantize_rows(vec_pad)
+    else:
+        scales = None
+    layout = _layout_jit(vec_pad, labels, valid, n_lists, capacity, max_list,
+                         scales)
     return IVFFlatIndex(
         vectors=layout.sorted_vectors,
         sqnorms=layout.sorted_sqnorms,
+        scales=layout.sorted_scales,
         row_ids=layout.sorted_row_ids,
         centroids=centroids,
         centroid_sqnorms=dist_ops.sqnorms(centroids),
@@ -112,7 +125,8 @@ def build(
     )
 
 
-def _layout_jit(vec_pad, labels, valid, n_lists, capacity, max_list):
+def _layout_jit(vec_pad, labels, valid, n_lists, capacity, max_list,
+                scales=None):
     import functools
 
     f = functools.partial(
@@ -121,7 +135,7 @@ def _layout_jit(vec_pad, labels, valid, n_lists, capacity, max_list):
         capacity=capacity,
         max_list_size=max_list,
     )
-    return jax.jit(f)(vec_pad, labels, valid)
+    return jax.jit(f)(vec_pad, labels, valid, scales=scales)
 
 
 def build_local(
@@ -140,10 +154,12 @@ def build_local(
     rows are truncated — see build_sharded_local).
     """
     per, d = block.shape
+    dtype = base.storage_dtype(params.dtype)
     vectors = block
     if params.metric == Metric.COSINE:
         vectors = dist_ops.l2_normalize(vectors)
-    vectors = vectors.astype(base.storage_dtype(params.dtype))
+    if dtype != jnp.int8:
+        vectors = vectors.astype(dtype)
     valid = jnp.arange(per) < n_valid
     weights = valid.astype(jnp.float32)
     key = jax.random.PRNGKey(seed)
@@ -152,13 +168,19 @@ def build_local(
         n_clusters=n_lists, iters=params.kmeans_iters,
     )
     capacity = ivf_ops.capacity_for(per, n_lists, max_list_size)
+    if dtype == jnp.int8:
+        vectors, scales = flat_family._quantize_rows(vectors)
+    else:
+        scales = None
     layout = ivf_ops.build_layout(
         vectors, labels, valid,
         n_lists=n_lists, capacity=capacity, max_list_size=max_list_size,
+        scales=scales,
     )
     return IVFFlatIndex(
         vectors=layout.sorted_vectors,
         sqnorms=layout.sorted_sqnorms,
+        scales=layout.sorted_scales,
         row_ids=layout.sorted_row_ids,
         centroids=centroids,
         centroid_sqnorms=dist_ops.sqnorms(centroids),
@@ -190,6 +212,7 @@ def train(params: IVFFlatParams, sample: jax.Array, seed: int = 0) -> IVFFlatInd
     return IVFFlatIndex(
         vectors=jnp.zeros((cap, d), dtype),
         sqnorms=jnp.zeros((cap,), jnp.float32),
+        scales=jnp.ones((cap,), jnp.float32),
         row_ids=jnp.full((cap,), -1, jnp.int32),
         centroids=centroids,
         centroid_sqnorms=dist_ops.sqnorms(centroids),
@@ -208,12 +231,18 @@ def _recover_rows(index: IVFFlatIndex):
     offsets = np.asarray(index.list_offsets)
     counts = np.asarray(index.list_counts)
     nv = int(index.n_valid)
-    orig = np.zeros((nv, index.dim), vecs.dtype)
+    is_int8 = vecs.dtype == np.int8
+    if is_int8:  # dequantize; requantization at re-layout is idempotent
+        scs = np.asarray(index.scales)
+    orig = np.zeros((nv, index.dim), np.float32 if is_int8 else vecs.dtype)
     labels = np.zeros((nv,), np.int32)
     for c in range(index.n_lists):
         seg = slice(offsets[c], offsets[c] + counts[c])
         rid = ids[seg]
-        orig[rid] = vecs[seg]
+        if is_int8:
+            orig[rid] = vecs[seg].astype(np.float32) * scs[seg][:, None]
+        else:
+            orig[rid] = vecs[seg]
         labels[rid] = c
     return orig, labels
 
@@ -228,7 +257,8 @@ def extend(index: IVFFlatIndex, new_vectors: jax.Array) -> IVFFlatIndex:
     add = jnp.asarray(new_vectors)
     if index.metric == Metric.COSINE:
         add = dist_ops.l2_normalize(add)
-    add = add.astype(index.vectors.dtype)
+    is_int8 = index.vectors.dtype == jnp.int8
+    add = add.astype(jnp.float32 if is_int8 else index.vectors.dtype)
     b = add.shape[0]
     b_pad = topk_ops.round_up(b, 8)
     add_pad = topk_ops.pad_rows(add, b_pad)
@@ -251,10 +281,16 @@ def extend(index: IVFFlatIndex, new_vectors: jax.Array) -> IVFFlatIndex:
     counts = np.bincount(np.asarray(all_labels)[:total], minlength=index.n_lists)
     max_list = int(topk_ops.round_up(max(int(counts.max()), 8), 8))
     capacity = ivf_ops.capacity_for(n_pad, index.n_lists, max_list)
-    layout = _layout_jit(all_vecs, all_labels, valid, index.n_lists, capacity, max_list)
+    if is_int8:
+        all_vecs, scales = flat_family._quantize_rows(all_vecs)
+    else:
+        scales = None
+    layout = _layout_jit(all_vecs, all_labels, valid, index.n_lists, capacity,
+                         max_list, scales)
     return IVFFlatIndex(
         vectors=layout.sorted_vectors,
         sqnorms=layout.sorted_sqnorms,
+        scales=layout.sorted_scales,
         row_ids=layout.sorted_row_ids,
         centroids=index.centroids,
         centroid_sqnorms=index.centroid_sqnorms,
@@ -292,6 +328,8 @@ def build_sharded_local(params: IVFFlatParams, sc, dmesh, seed: int = 0):
         v = block
         if metric == Metric.COSINE:
             v = dist_ops.l2_normalize(v)
+        if dtype == jnp.int8:
+            return v.astype(jnp.float32)  # SQ8 applied in phase B layout
         return v.astype(dtype)
 
     def _phase_a(block, n_valid):
@@ -322,14 +360,20 @@ def build_sharded_local(params: IVFFlatParams, sc, dmesh, seed: int = 0):
     def _phase_b(block, labels, centroids, n_valid):
         v = _prep_block(block[0])
         valid = jnp.arange(per) < n_valid[0]
+        if dtype == jnp.int8:
+            v, scales = flat_family._quantize_rows(v)
+        else:
+            scales = None
         layout = ivf_ops.build_layout(
             v, labels[0], valid,
             n_lists=n_lists, capacity=capacity, max_list_size=max_list,
+            scales=scales,
         )
         c = centroids[0]
         ix = IVFFlatIndex(
             vectors=layout.sorted_vectors,
             sqnorms=layout.sorted_sqnorms,
+            scales=layout.sorted_scales,
             row_ids=layout.sorted_row_ids,
             centroids=c,
             centroid_sqnorms=dist_ops.sqnorms(c),
@@ -367,6 +411,8 @@ def _use_pallas_ivf(index: IVFFlatIndex, k: int) -> bool:
 
     if os.environ.get("CUVS_RAG_TPU_DISABLE_PALLAS") == "1":
         return False
+    if index.vectors.dtype == jnp.int8:
+        return False  # SQ8 scan runs the XLA path (scaled score algebra)
     try:
         if jax.default_backend() in ("cpu",):
             return False
@@ -422,6 +468,7 @@ def search_scores(
         max_list_size=index.max_list_size,
         metric=index.metric,
         k=k,
+        layout_scales=index.scales,
     )
 
 

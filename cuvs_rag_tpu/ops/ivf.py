@@ -59,6 +59,7 @@ def balanced_labels_host(
 class IVFLayout(NamedTuple):
     sorted_vectors: jax.Array  # (cap, D) rows sorted by list id, then pad
     sorted_sqnorms: jax.Array  # (cap,)
+    sorted_scales: jax.Array  # (cap,) per-row dequant scales (1.0 float dtypes)
     sorted_row_ids: jax.Array  # (cap,) original row id, -1 on pad rows
     list_offsets: jax.Array  # (C,) int32 start of each list
     list_counts: jax.Array  # (C,) int32 true list length
@@ -126,6 +127,7 @@ def build_layout(
     n_lists: int,
     capacity: int,
     max_list_size: int,
+    scales: jax.Array | None = None,
 ) -> IVFLayout:
     """Arrange (N, D) rows into the sorted-CSR layout.
 
@@ -134,6 +136,9 @@ def build_layout(
     capacity: static output rows, must be >= N + max_list_size so every
     window stays in bounds. max_list_size: static probe window; rows beyond
     it within one list are counted in `truncated` (searches can't reach them).
+    scales: per-row dequant scales for SQ8 int8 storage (see
+    index/flat._quantize_rows); sorted alongside the rows; sqnorms are of
+    the reconstruction so the L2 score algebra stays exact.
     """
     perm, target_pos, row_ids, counts, offsets = sort_by_list(
         labels, valid, n_lists, capacity
@@ -143,10 +148,22 @@ def build_layout(
         jnp.zeros((capacity, d), vectors.dtype).at[target_pos].set(vectors[perm])
     )
     truncated = jnp.sum(jnp.maximum(counts - max_list_size, 0))
-    sorted_sq = dist_ops.sqnorms(sorted_vecs)
+    if scales is not None:
+        sorted_scales = (
+            jnp.ones((capacity,), jnp.float32)
+            .at[target_pos].set(scales[perm].astype(jnp.float32))
+        )
+        sorted_sq = (
+            dist_ops.sqnorms(sorted_vecs.astype(jnp.float32))
+            * sorted_scales ** 2
+        )
+    else:
+        sorted_scales = jnp.ones((capacity,), jnp.float32)
+        sorted_sq = dist_ops.sqnorms(sorted_vecs)
     return IVFLayout(
         sorted_vectors=sorted_vecs,
         sorted_sqnorms=sorted_sq,
+        sorted_scales=sorted_scales,
         sorted_row_ids=row_ids,
         list_offsets=offsets,
         list_counts=jnp.minimum(counts, max_list_size),
@@ -183,6 +200,7 @@ def scan_probed_lists(
     metric: str,
     k: int,
     probe_chunk: int = 4,
+    layout_scales: jax.Array | None = None,
 ):
     """Score each query against its probed windows; return per-query top-k.
 
@@ -202,6 +220,9 @@ def scan_probed_lists(
     while p_n % pc != 0:
         pc -= 1
     pos = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)[0]  # (L,)
+    is_int8 = layout_vectors.dtype == jnp.int8
+    if layout_scales is None:
+        layout_scales = jnp.ones((layout_vectors.shape[0],), jnp.float32)
 
     def one_query(qvec, probes):
         def one_probe(c):
@@ -210,7 +231,15 @@ def scan_probed_lists(
             win = jax.lax.dynamic_slice(layout_vectors, (off, 0), (L, d))
             win_sq = jax.lax.dynamic_slice(layout_sqnorms, (off,), (L,))
             win_ids = jax.lax.dynamic_slice(layout_row_ids, (off,), (L,))
-            s = dist_ops.scores_from_tile(qvec[None, :], win, win_sq, metric)[0]
+            if is_int8:
+                win_sc = jax.lax.dynamic_slice(layout_scales, (off,), (L,))
+                s = dist_ops.scores_from_tile_scaled(
+                    qvec[None, :], win, win_sq, win_sc, metric
+                )[0]
+            else:
+                s = dist_ops.scores_from_tile(
+                    qvec[None, :], win, win_sq, metric
+                )[0]
             s = jnp.where((pos < cnt) & (win_ids >= 0), s, topk_ops.NEG_INF)
             return s, win_ids
 
@@ -222,4 +251,5 @@ def scan_probed_lists(
         )  # (P/pc, pc, L)
         return topk_ops.merge_topk(scores.reshape(-1), ids.reshape(-1), k)
 
-    return jax.vmap(one_query)(queries.astype(layout_vectors.dtype), probe_ids)
+    qdtype = jnp.bfloat16 if is_int8 else layout_vectors.dtype
+    return jax.vmap(one_query)(queries.astype(qdtype), probe_ids)

@@ -144,14 +144,33 @@ def adc_lut(
     return ip
 
 
+# Select-sum ADC is profitable while C compare+select passes beat a gather
+# lowering; 16 (pq_bits=4) is the sweet spot, 256 falls back to take.
+_SELECT_ADC_MAX_CODES = 16
+
+
 def adc_scan_codes(lut: jax.Array, codes: jax.Array) -> jax.Array:
     """(m, C) LUT + (L, m) codes -> (L,) summed scores.
 
-    The gather-heavy inner loop (SURVEY.md §7 'PQ ADC on TPU'): flat-index
-    take from the (m*C,) LUT. A Pallas LUT-in-VMEM kernel is the planned
-    fast path; this XLA formulation is the correctness baseline.
+    The ADC inner loop (SURVEY.md §7 'PQ ADC on TPU'). Two formulations:
+
+      * C <= 16 (pq_bits=4, "fastscan"): gather-free select-sum — C
+        compare+select passes over the (L, m) code block pick each code's
+        LUT entry, then one lane reduction sums subspaces. All VPU, no
+        gather lowering; this is the TPU analogue of FAISS/cuVS 4-bit
+        fastscan (their SIMD pshufb LUT has no TPU equivalent — Mosaic
+        has no gather — but select-sum hits the same memory economics:
+        the scan reads only the 4-bit codes).
+      * C > 16: flat-index take from the (m*C,) LUT (XLA gather) — the
+        correctness baseline, slow on TPU (gather lowering).
     """
     m, c = lut.shape
+    if c <= _SELECT_ADC_MAX_CODES:
+        codes_i = codes.astype(jnp.int32)  # (L, m)
+        vals = jnp.zeros(codes.shape, jnp.float32)
+        for code in range(c):
+            vals = jnp.where(codes_i == code, lut[None, :, code], vals)
+        return jnp.sum(vals, axis=1)
     flat = lut.reshape(-1)
     offs = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1) * c  # (1, m)
     idx = codes.astype(jnp.int32) + offs  # (L, m)

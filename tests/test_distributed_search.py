@@ -87,3 +87,36 @@ def test_sharded_index_is_pytree(rng, dmesh):
     sindex2 = jax.tree_util.tree_map(lambda x: x, sindex)
     assert sindex2.family == "flat"
     assert sindex2.total == 64
+
+
+def test_sharded_int8_families(rng, dmesh):
+    # SQ8 storage through the SPMD sharded build + fan-out merge, both
+    # families that support it
+    from cuvs_rag_tpu.utils.config import IVFFlatParams, IVFFlatSearchParams
+
+    d, q, k = 32, 4, 5
+    corpus = rng.standard_normal((2000, d)).astype(np.float32)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+
+    sflat = psearch.build_sharded(
+        "flat", FlatParams(tile_n=8, dtype="int8"), corpus, dmesh
+    )
+    d1, i1 = psearch.search_sharded(None, sflat, jnp.asarray(queries), k, dmesh)
+    assert np.asarray(i1).shape == (q, k) and np.asarray(i1).min() >= 0
+
+    sivf = psearch.build_sharded(
+        "ivf_flat", IVFFlatParams(n_lists=8, dtype="int8"), corpus, dmesh
+    )
+    d2, i2 = psearch.search_sharded(
+        IVFFlatSearchParams(n_probes=8), sivf, jnp.asarray(queries), k, dmesh
+    )
+    i2 = np.asarray(i2)
+    assert i2.shape == (q, k) and i2.min() >= 0
+    # int8 sharded flat should agree well with fp32 exact single-device
+    ix = flat.build(FlatParams(), jnp.asarray(corpus))
+    _, gt = flat.search(None, ix, jnp.asarray(queries), k)
+    agree = np.mean([
+        len(set(np.asarray(i1)[r]) & set(np.asarray(gt)[r])) / k
+        for r in range(q)
+    ])
+    assert agree >= 0.8, agree

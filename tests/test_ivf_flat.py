@@ -144,3 +144,43 @@ def test_sharded_ivf_partial_probe_recall(data):
     gt = recall_lib.exact_ground_truth(corpus, queries, k, Metric.SQEUCLIDEAN)
     r = recall_lib.recall_at_k(np.asarray(i_sh), gt, k)
     assert r >= 0.6, r  # unstructured gaussian data, 25% probed per shard
+
+
+def test_int8_storage_recall_close_to_fp32(clustered_data):
+    # SQ8 list storage: same probes, scaled score algebra; ranking loss is
+    # quantization-only so recall should track the fp32 index closely
+    corpus, queries = clustered_data
+    k = 10
+    sp = IVFFlatSearchParams(n_probes=8)
+    ix32 = ivf_flat.build(IVFFlatParams(n_lists=16), jnp.asarray(corpus))
+    ix8 = ivf_flat.build(
+        IVFFlatParams(n_lists=16, dtype="int8"), jnp.asarray(corpus)
+    )
+    assert ix8.vectors.dtype == jnp.int8
+    _, i32 = ivf_flat.search(sp, ix32, jnp.asarray(queries), k)
+    _, i8 = ivf_flat.search(sp, ix8, jnp.asarray(queries), k)
+    agree = np.mean([
+        len(set(np.asarray(i32)[r]) & set(np.asarray(i8)[r])) / k
+        for r in range(queries.shape[0])
+    ])
+    assert agree >= 0.85, agree
+
+
+def test_int8_extend_and_io_round_trip(clustered_data, tmp_path):
+    from cuvs_rag_tpu.index import io as index_io
+
+    corpus, queries = clustered_data
+    k, sp = 5, IVFFlatSearchParams(n_probes=16)
+    ix = ivf_flat.build(
+        IVFFlatParams(n_lists=16, dtype="int8"), jnp.asarray(corpus[:4000])
+    )
+    ix = ivf_flat.extend(ix, jnp.asarray(corpus[4000:]))
+    assert int(ix.n_valid) == 5000
+    d1, i1 = ivf_flat.search(sp, ix, jnp.asarray(queries), k)
+    path = str(tmp_path / "ivf_int8.npz")
+    index_io.save_index(path, ix)
+    ix2 = index_io.load_index(path)
+    assert ix2.vectors.dtype == jnp.int8
+    d2, i2 = ivf_flat.search(sp, ix2, jnp.asarray(queries), k)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-5)
