@@ -52,7 +52,12 @@ class IVFPQIndex:
 
     @property
     def pq_dim(self) -> int:
-        return self.codes.shape[-1]
+        return self.codebooks.shape[-3]
+
+    @property
+    def codes_packed(self) -> bool:
+        """True when 4-bit codes are nibble-packed two per byte."""
+        return self.codes.shape[-1] != self.codebooks.shape[-3]
 
     @property
     def n_lists(self) -> int:
@@ -149,6 +154,9 @@ def build(params: IVFPQParams, dataset: jax.Array, seed: int = 0) -> IVFPQIndex:
         vec_pad, labels, centroids, codebooks,
         rotation if params.opq else None,
     )
+
+    if n_codes <= 16 and m % 2 == 0:
+        codes = pq_ops.pack_nibbles(codes)  # fastscan: 2 codes per byte
 
     counts = np.bincount(np.asarray(labels)[:n], minlength=n_lists)
     max_list = int(topk_ops.round_up(max(int(counts.max()), 8), 8))
@@ -288,6 +296,8 @@ def build_sharded_local(params: IVFPQParams, sc, dmesh, seed: int = 0):
         if params.opq:
             full_res = full_res @ rotation.T
         codes = pq_ops.encode(full_res, codebooks)
+        if n_codes <= 16 and m % 2 == 0:
+            codes = pq_ops.pack_nibbles(codes)
         perm, target_pos, row_ids, counts_j, offsets = ivf_ops.sort_by_list(
             labels0, valid, n_lists, capacity
         )

@@ -131,7 +131,11 @@ class IVFPQParams:
 
     n_lists: int = 0  # 0 → auto: max(1, N // 500), reference heuristic
     pq_dim: int = 0  # number of subquantizers; 0 → auto: D // 8
-    pq_bits: int = 8  # codebook size = 2**pq_bits (8 → 256 centroids)
+    # codebook size = 2**pq_bits. 4 is the TPU fast path ("fastscan"):
+    # nibble-packed codes + gather-free select-sum ADC, ~140x faster than
+    # 8-bit at 2M x 768 (see PERF.md); pair with refine_ratio>=16.
+    # 8 matches the reference's default and has better ADC-only recall.
+    pq_bits: int = 8
     metric: str = Metric.SQEUCLIDEAN
     kmeans_iters: int = 10
     pq_kmeans_iters: int = 10

@@ -1,0 +1,73 @@
+"""CAGRA graph search on the real TPU at 2M x 768 (IVF-bootstrapped build).
+
+Queue-drain timing per bench.py; recall vs the exact Pallas oracle.
+"""
+
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cuvs_rag_tpu.index import cagra, flat
+    from cuvs_rag_tpu.utils.config import CagraParams, CagraSearchParams, FlatParams
+
+    N, D, K, BATCH, REPS = 2_000_000, 768, 10, 100, 10
+    key = jax.random.PRNGKey(42)
+
+    kc = jax.random.fold_in(key, 999)
+    centers = jax.random.normal(kc, (2000, D), jnp.float32)
+    mk = jax.jit(lambda k: (
+        centers[jax.random.randint(k, (N // 8,), 0, 2000)]
+        + 0.3 * jax.random.normal(k, (N // 8, D))
+    ).astype(jnp.bfloat16))
+    corpus = jnp.concatenate([mk(jax.random.fold_in(key, i)) for i in range(8)])
+    jax.block_until_ready(corpus)
+    print("corpus ready", flush=True)
+
+    qk = jax.random.fold_in(key, 777)
+    queries = (
+        centers[jax.random.randint(qk, (BATCH,), 0, 2000)]
+        + 0.3 * jax.random.normal(qk, (BATCH, D))
+    ).astype(jnp.float32)
+    qrs = [
+        queries + 0.01 * jax.random.normal(jax.random.fold_in(key, r), queries.shape)
+        for r in range(REPS)
+    ]
+    _ = [q.block_until_ready() for q in qrs]
+
+    fx = flat.build(FlatParams(dtype="bfloat16", tile_n=8192), corpus)
+    _, gt = flat.search(None, fx, qrs[0], K)
+    gt = np.asarray(gt)
+    del fx
+
+    t0 = time.time()
+    ix = cagra.build(
+        CagraParams(graph_degree=32, intermediate_graph_degree=64), corpus
+    )
+    jax.block_until_ready(ix.graph)
+    print(f"build {time.time()-t0:.0f}s graph {ix.graph.nbytes/1e6:.0f} MB",
+          flush=True)
+
+    for itopk, ne in ((64, 64), (128, 128)):
+        sp = CagraSearchParams(itopk_size=itopk, num_entry_points=ne)
+        d, i = cagra.search(sp, ix, qrs[0], K)
+        i0 = np.asarray(i)
+        rec = np.mean([len(set(i0[r]) & set(gt[r])) / K for r in range(BATCH)])
+        best = 1e9
+        for _t in range(2):
+            t0 = time.perf_counter()
+            last = None
+            for q in qrs:
+                last = cagra.search(sp, ix, q, K)
+            _ = np.asarray(last[0])
+            best = min(best, (time.perf_counter() - t0) / REPS)
+        print(f"itopk={itopk} entries={ne}: {best*1e3:.2f} ms/batch "
+              f"{best/BATCH*1e3:.4f} ms/q  recall@{K}={rec:.3f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -80,6 +80,8 @@ def test_ivf_pq_4bit_recall(data):
         IVFPQParams(n_lists=16, pq_dim=8, pq_bits=4), jnp.asarray(corpus)
     )
     assert ix.codebooks.shape[1] == 16
+    # 4-bit codes are nibble-packed: 2 codes per stored byte
+    assert ix.codes_packed and ix.codes.shape[1] == 4 and ix.pq_dim == 8
     gt = recall_lib.exact_ground_truth(corpus, queries, k, Metric.SQEUCLIDEAN)
     # 4-bit codes are coarse: the ADC candidate list needs a deeper refine
     # than 8-bit (16x here) to recover near-exact recall
