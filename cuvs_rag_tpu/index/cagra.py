@@ -27,6 +27,13 @@ class CagraIndex:
     vectors: jax.Array  # (Np, D) storage dtype
     sqnorms: jax.Array  # (Np,)
     graph: jax.Array  # (Np, graph_degree) int32
+    # Query-adaptive entry points (IVF-bootstrapped builds): the coarse
+    # centroids and each list's medoid row. Beam search seeds from the
+    # medoids of the query's nearest lists — static evenly-spaced entries
+    # cannot reach the right cluster at 2M rows / 2000 clusters in 768-d
+    # (measured recall collapse to 0.02). (0, D)/(0,) when absent.
+    entry_centroids: jax.Array
+    entry_rows: jax.Array
     n_valid: jax.Array  # () int32
     metric: str
 
@@ -42,6 +49,10 @@ class CagraIndex:
     def size(self) -> int:
         return self.vectors.shape[-2]
 
+    @property
+    def has_entry_map(self) -> bool:
+        return self.entry_rows.shape[-1] > 0
+
 
 # Above this many rows, the exact O(N^2 D) graph build switches to the
 # IVF-bootstrapped approximate build (build_algo='auto').
@@ -54,15 +65,29 @@ def _resolve_algo(params: CagraParams, n: int) -> str:
     return "exact" if n <= _EXACT_BUILD_THRESHOLD else "ivf"
 
 
-def _finish(params, vectors, sq, graph, n_valid, final_deg):
+def _finish(params, vectors, sq, graph, n_valid, final_deg,
+            entry_centroids=None, entry_rows=None):
     graph = graph_ops.augment_reverse_edges(graph, final_deg)
+    d = vectors.shape[-1]
+    if entry_centroids is None:
+        entry_centroids = jnp.zeros((0, d), jnp.float32)
+        entry_rows = jnp.zeros((0,), jnp.int32)
     return CagraIndex(
         vectors=vectors,
         sqnorms=sq,
         graph=graph,
+        entry_centroids=entry_centroids,
+        entry_rows=entry_rows,
         n_valid=n_valid.astype(jnp.int32),
         metric=params.metric,
     )
+
+
+def _storage(params: CagraParams):
+    dtype = base.storage_dtype(params.dtype)
+    if dtype == jnp.int8:
+        raise ValueError("cagra storage dtype must be float32 or bfloat16")
+    return dtype
 
 
 def build_local(
@@ -73,7 +98,7 @@ def build_local(
     vectors = block
     if params.metric == Metric.COSINE:
         vectors = dist_ops.l2_normalize(vectors)
-    vectors = vectors.astype(jnp.float32)
+    vectors = vectors.astype(_storage(params))
     sq = dist_ops.sqnorms(vectors)
     inter_deg = min(params.intermediate_graph_degree, max(per - 1, 1))
     final_deg = min(params.graph_degree, inter_deg)
@@ -90,7 +115,7 @@ def _build_local_ivf(
     vectors = block
     if params.metric == Metric.COSINE:
         vectors = dist_ops.l2_normalize(vectors)
-    vectors = vectors.astype(jnp.float32)
+    vectors = vectors.astype(_storage(params))
     sq = dist_ops.sqnorms(vectors)
     per = block.shape[0]
     inter_deg = min(params.intermediate_graph_degree, max(per - 1, 1))
@@ -100,7 +125,11 @@ def _build_local_ivf(
         degree=inter_deg,
         n_probes=params.build_nprobes,
     )
-    return _finish(params, vectors, sq, graph, n_valid, final_deg)
+    return _finish(
+        params, vectors, sq, graph, n_valid, final_deg,
+        entry_centroids=ivf_index.centroids.astype(jnp.float32),
+        entry_rows=graph_ops.list_medoids(ivf_index),
+    )
 
 
 def build(params: CagraParams, dataset: jax.Array) -> CagraIndex:
@@ -109,8 +138,13 @@ def build(params: CagraParams, dataset: jax.Array) -> CagraIndex:
     base.validate_dataset(dataset)
     n = dataset.shape[0]
     n_pad = topk_ops.round_up(n, 8)
-    block = topk_ops.pad_rows(jnp.asarray(dataset).astype(jnp.float32), n_pad)
     nv = jnp.asarray(n, jnp.int32)
+    # memory discipline at multi-GB scale: the padded block is created in
+    # the storage dtype (never a whole-corpus fp32 copy), and the IVF
+    # bootstrap index is built bf16 (it only seeds an approximate graph)
+    block = topk_ops.pad_rows(
+        jnp.asarray(dataset).astype(_storage(params)), n_pad
+    )
     if _resolve_algo(params, n) == "exact":
         return jax.jit(lambda b, v: build_local(params, b, v))(block, nv)
 
@@ -118,7 +152,7 @@ def build(params: CagraParams, dataset: jax.Array) -> CagraIndex:
     from cuvs_rag_tpu.utils.config import IVFFlatParams
 
     ivf_params = IVFFlatParams(
-        n_lists=params.build_nlists, metric=params.metric
+        n_lists=params.build_nlists, metric=params.metric, dtype="bfloat16"
     )
     ivf_ix = ivf_family.build(ivf_params, dataset)
     return jax.jit(
@@ -192,18 +226,44 @@ def search_scores(
     row_valid = (
         jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)[:, 0] < index.n_valid
     )
+    queries = queries.astype(jnp.float32)
+    entry_ids = None
+    if index.has_entry_map:
+        # query-adaptive entries: medoids of the query's nearest lists
+        # (one small (Q, C) matmul; the coarse quantizer plays HNSW's
+        # upper layer — static entries can't reach the right cluster on
+        # clustered corpora at scale: measured recall 0.02 at 2M/2000
+        # lists). When lists are fewer than the entry budget, the
+        # remainder is filled with evenly-spaced static rows (cheap
+        # insurance; they only compete at beam init).
+        cents = index.entry_centroids
+        cscore = dist_ops.scores_from_tile(
+            queries, cents, dist_ops.sqnorms(cents), index.metric
+        )
+        n_e = min(sp.num_entry_points, cents.shape[0])
+        _, top_lists = jax.lax.top_k(cscore, n_e)
+        entry_ids = index.entry_rows[top_lists]  # (Q, n_e)
+        n_static = sp.num_entry_points - n_e
+        if n_static > 0:
+            static = jnp.linspace(0, n_pad - 1, n_static).astype(jnp.int32)
+            entry_ids = jnp.concatenate(
+                [entry_ids,
+                 jnp.broadcast_to(static, (queries.shape[0], n_static))],
+                axis=1,
+            )
     return graph_ops.beam_search(
         index.vectors,
         index.sqnorms,
         row_valid,
         index.graph,
-        queries.astype(jnp.float32),
+        queries,
         k=k,
         metric=index.metric,
         itopk=sp.itopk_size,
         max_iters=sp.max_iterations,
         n_entries=min(sp.num_entry_points, n_pad),
         expansions=sp.search_width,
+        entry_ids=entry_ids,
     )
 
 

@@ -95,7 +95,7 @@ def build(
     n_pad = topk_ops.round_up(n, 8)
     vec_pad = topk_ops.pad_rows(vectors, n_pad)
     labels, _ = ivf_ops.balanced_labels_host(
-        vec_pad.astype(jnp.float32), centroids, n, params.balance_factor
+        vec_pad, centroids, n, params.balance_factor
     )
     valid = jnp.arange(n_pad) < n
     counts = np.bincount(

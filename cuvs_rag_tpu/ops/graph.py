@@ -78,42 +78,135 @@ def build_knn_graph_ivf(
     ivf_index,
     *,
     degree: int,
-    n_probes: int,
-    query_chunk: int = 1024,
+    n_probes: int = 4,
+    query_chunk: int = 0,  # unused; kept for call compatibility
 ) -> jax.Array:
-    """Approximate kNN graph via an IVF index over the same rows.
+    """Approximate kNN graph via an IVF clustering of the same rows.
 
-    Replaces the O(N²D) exact build beyond ~10^5 rows (cuVS uses NN-descent;
-    IVF-bootstrap fits XLA better: every step is the already-tuned probed
-    scan). Cost ≈ (n_probes/n_lists)·N²·D — e.g. 1% of exact at 20/2000.
-    Self-matches are dropped; rows whose neighborhood search returns fewer
-    than `degree` valid ids self-loop (masked at search time).
+    Replaces the O(N²D) exact build beyond ~10^5 rows. cuVS uses NN-descent
+    (gather-bound, data-dependent — wrong shape for XLA); the TPU
+    formulation is *list-centric*: for each IVF list, gather its window
+    plus the windows of its `n_probes-1` nearest sibling lists ONCE, score
+    all own-rows x candidate-rows on the MXU in one matmul, and keep each
+    row's top `degree`. Every row's neighborhood is shared by its whole
+    list, so the corpus is read ~n_probes times total — a query-centric
+    fan-out (per-row window gathers) would re-read each window once per
+    querying row, ~10^4x more HBM traffic at 2M rows (and OOM'd batching
+    the gathers).
+
+    vectors: (n_pad, D) rows in ORIGINAL order (graph ids index into it).
+    ivf_index: an IVFFlatIndex over the same rows (any storage dtype).
+    Self-matches are dropped; rows with fewer than `degree` valid
+    candidates self-loop (masked at search time by row_valid).
     """
-    from cuvs_rag_tpu.index import ivf_flat as ivf_family
-    from cuvs_rag_tpu.utils.config import IVFFlatSearchParams
-
     n_pad, d = vectors.shape
-    chunk = query_chunk
-    while n_pad % chunk != 0:
-        chunk //= 2
-    chunk = max(chunk, 1)
-    sp = IVFFlatSearchParams(n_probes=n_probes)
+    lay_v = ivf_index.vectors
+    lay_sq = ivf_index.sqnorms
+    lay_ids = ivf_index.row_ids
+    offs = ivf_index.list_offsets
+    cnts = ivf_index.list_counts
+    cents = ivf_index.centroids
+    L = ivf_index.max_list_size
+    n_lists = cents.shape[0]
+    r = max(1, min(n_probes, n_lists))
 
-    def body(start):
-        q = jax.lax.dynamic_slice(vectors, (start, 0), (chunk, d))
-        scores, idx = ivf_family.search_scores(
-            sp, ivf_index, q.astype(jnp.float32), degree + 1
-        )
-        rows = start + jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
-        is_self = idx == rows
-        scores = jnp.where(is_self, topk_ops.NEG_INF, scores)
-        scores, order = jax.lax.top_k(scores, degree)
-        picked = jnp.take_along_axis(idx, order, axis=1)
-        return jnp.where(picked >= 0, picked, jnp.broadcast_to(rows, picked.shape))
+    # (C, r) nearest-lists table (self included — it is its own nearest)
+    c_scores = dist_ops.scores_from_tile(
+        cents, cents, dist_ops.sqnorms(cents), "sqeuclidean"
+    )
+    _, list_nbrs = jax.lax.top_k(c_scores, r)  # (C, r)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)[0]  # (L,)
+    qdtype = jnp.bfloat16 if lay_v.dtype == jnp.int8 else lay_v.dtype
 
-    starts = jnp.arange(n_pad // chunk, dtype=jnp.int32) * chunk
-    graph = jax.lax.map(body, starts)
-    return graph.reshape(n_pad, degree).astype(jnp.int32)
+    def one_list(c):
+        def window(j):
+            w = jax.lax.dynamic_slice(lay_v, (offs[j], 0), (L, d))
+            wsq = jax.lax.dynamic_slice(lay_sq, (offs[j],), (L,))
+            wid = jax.lax.dynamic_slice(lay_ids, (offs[j],), (L,))
+            wid = jnp.where(pos < cnts[j], wid, -1)
+            return w, wsq, wid
+
+        own, own_sq, own_ids = window(c)
+        cand = [window(list_nbrs[c, i]) for i in range(r)]
+        cand_v = jnp.concatenate([cv for cv, _, _ in cand])  # (r*L, D)
+        cand_sq = jnp.concatenate([cs for _, cs, _ in cand])
+        cand_ids = jnp.concatenate([ci for _, _, ci in cand])
+
+        own_q = own.astype(jnp.float32) if lay_v.dtype == jnp.int8 else own
+        if lay_v.dtype == jnp.int8:
+            own_sc = jax.lax.dynamic_slice(ivf_index.scales, (offs[c],), (L,))
+            own_q = own_q * own_sc[:, None]
+            cand_sc = jnp.concatenate([
+                jax.lax.dynamic_slice(
+                    ivf_index.scales, (offs[list_nbrs[c, i]],), (L,)
+                ) for i in range(r)
+            ])
+            scores = dist_ops.scores_from_tile_scaled(
+                own_q.astype(qdtype), cand_v, cand_sq, cand_sc, "sqeuclidean"
+            )
+        else:
+            scores = dist_ops.scores_from_tile(
+                own.astype(qdtype), cand_v, cand_sq, "sqeuclidean"
+            )  # (L, r*L)
+        bad = (cand_ids[None, :] < 0) | (cand_ids[None, :] == own_ids[:, None])
+        scores = jnp.where(bad, topk_ops.NEG_INF, scores)
+        top_s, order = jax.lax.top_k(scores, degree)
+        nbrs = cand_ids[order]  # (L, degree)
+        # invalid slots self-loop (harmless; masked by row_valid at search)
+        nbrs = jnp.where(top_s > topk_ops.NEG_INF, nbrs, own_ids[:, None])
+        return own_ids, jnp.maximum(nbrs, 0)
+
+    own_ids_all, nbrs_all = jax.lax.map(
+        one_list, jnp.arange(n_lists, dtype=jnp.int32)
+    )  # (C, L), (C, L, degree)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n_pad, degree), 0)
+    graph = rows  # default: self-loops (pad rows, unwritten slots)
+    scatter_ids = own_ids_all.reshape(-1)
+    scatter_ids = jnp.where(scatter_ids >= 0, scatter_ids, n_pad)  # pad->OOB
+    graph = graph.at[scatter_ids].set(
+        nbrs_all.reshape(-1, degree), mode="drop"
+    )
+    return graph.astype(jnp.int32)
+
+
+def list_medoids(ivf_index) -> jax.Array:
+    """(C,) int32: per IVF list, the original row id nearest its centroid.
+
+    These are the query-adaptive beam entry points: searching seeds from
+    the medoids of the query's nearest lists (a 2-level design — the coarse
+    quantizer plays HNSW's upper layer). Empty lists map to row 0 (masked
+    by row_valid at search when invalid)."""
+    lay_v = ivf_index.vectors
+    lay_sq = ivf_index.sqnorms
+    lay_ids = ivf_index.row_ids
+    offs = ivf_index.list_offsets
+    cnts = ivf_index.list_counts
+    cents = ivf_index.centroids
+    L = ivf_index.max_list_size
+    d = lay_v.shape[1]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)[0]
+    qdtype = jnp.bfloat16 if lay_v.dtype == jnp.int8 else lay_v.dtype
+
+    def one_list(c):
+        w = jax.lax.dynamic_slice(lay_v, (offs[c], 0), (L, d))
+        wsq = jax.lax.dynamic_slice(lay_sq, (offs[c],), (L,))
+        wid = jax.lax.dynamic_slice(lay_ids, (offs[c],), (L,))
+        if lay_v.dtype == jnp.int8:
+            wsc = jax.lax.dynamic_slice(ivf_index.scales, (offs[c],), (L,))
+            s = dist_ops.scores_from_tile_scaled(
+                cents[c][None].astype(qdtype), w, wsq, wsc, "sqeuclidean"
+            )[0]
+        else:
+            s = dist_ops.scores_from_tile(
+                cents[c][None].astype(qdtype), w, wsq, "sqeuclidean"
+            )[0]
+        s = jnp.where((pos < cnts[c]) & (wid >= 0), s, topk_ops.NEG_INF)
+        return jnp.maximum(wid[jnp.argmax(s)], 0)
+
+    return jax.lax.map(
+        one_list, jnp.arange(cents.shape[0], dtype=jnp.int32)
+    ).astype(jnp.int32)
 
 
 def augment_reverse_edges(graph: jax.Array, keep: int) -> jax.Array:
@@ -165,14 +258,17 @@ def beam_search(
     max_iters: int = 0,
     n_entries: int = 32,
     expansions: int = 4,
+    entry_ids: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fixed-iteration greedy beam search over the graph.
 
     vectors (Np, D) storage dtype; row_valid (Np,) bool; graph (Np, G).
-    Returns (scores (Q,k) desc, ids (Q,k)). Deterministic entry points:
-    evenly spaced valid rows. `expansions` best unexpanded candidates are
-    expanded per iteration (batched neighbor gathers — the latency lever;
-    cuVS CAGRA's search_width equivalent).
+    Returns (scores (Q,k) desc, ids (Q,k)). Entry points: `entry_ids`
+    (Q, E) per-query rows when given (the coarse-quantizer medoid map —
+    required for recall on clustered corpora at scale), else evenly spaced
+    rows. `expansions` best unexpanded candidates are expanded per
+    iteration (batched neighbor gathers — the latency lever; cuVS CAGRA's
+    search_width equivalent).
     """
     n_pad, d = vectors.shape
     g = graph.shape[1]
@@ -181,8 +277,11 @@ def beam_search(
     iters = max_iters or min(64, max(8, 2 * -(-b // e)))
     queries = queries.astype(jnp.float32)
 
-    # entry points: evenly spaced rows (static)
-    entries = jnp.linspace(0, n_pad - 1, n_entries).astype(jnp.int32)
+    if entry_ids is None:
+        # entry points: evenly spaced rows (static), shared by all queries
+        ent = jnp.linspace(0, n_pad - 1, n_entries).astype(jnp.int32)
+        entry_ids = jnp.broadcast_to(ent, (queries.shape[0], n_entries))
+    n_entries = entry_ids.shape[1]
 
     def score_rows(qvec, ids):
         vecs = vectors[ids].astype(jnp.float32)  # (M, D)
@@ -193,7 +292,7 @@ def beam_search(
             s = ip
         return jnp.where(row_valid[ids], s, topk_ops.NEG_INF)
 
-    def one_query(qvec):
+    def one_query(qvec, entries):
         e_scores = score_rows(qvec, entries)
         init_scores = jnp.full((b,), topk_ops.NEG_INF)
         init_ids = jnp.full((b,), -1, jnp.int32)
@@ -246,4 +345,4 @@ def beam_search(
         out_i = jnp.where(out_s > topk_ops.NEG_INF, ids[order], -1)
         return out_s, out_i
 
-    return jax.vmap(one_query)(queries)
+    return jax.vmap(one_query)(queries, entry_ids)

@@ -23,26 +23,28 @@ from cuvs_rag_tpu.ops import topk as topk_ops
 
 
 def balanced_labels_host(
-    vectors_f32,
+    vectors,
     centroids,
     n_rows: int,
     balance_factor: float,
 ):
     """Host-orchestrated capacity-bounded assignment (build path).
 
-    Returns (labels (N_pad,) jnp.int32, cap int). vectors_f32 may include pad
-    rows beyond n_rows; their labels are arbitrary (masked by `valid`).
+    Returns (labels (N_pad,) jnp.int32, cap int). vectors may be any float
+    dtype (assignment casts per chunk — no whole-corpus fp32 copy) and may
+    include pad rows beyond n_rows; their labels are arbitrary (masked by
+    `valid`).
     """
     import numpy as np
 
     from cuvs_rag_tpu.ops import kmeans as kmeans_ops
 
     n_lists = centroids.shape[0]
-    n_pad = vectors_f32.shape[0]
+    n_pad = vectors.shape[0]
     if balance_factor <= 0 or n_lists <= 1:
-        return kmeans_ops.assign_clusters(vectors_f32, centroids), 0
+        return kmeans_ops.assign_clusters(vectors, centroids), 0
     cap = max(8, int(-(-balance_factor * n_rows // n_lists)))
-    top, margins = kmeans_ops.assign_topk_clusters(vectors_f32, centroids, t=4)
+    top, margins = kmeans_ops.assign_topk_clusters(vectors, centroids, t=4)
     top_h = np.asarray(top)
     final = kmeans_ops.balance_assignments(
         top_h[:n_rows], n_lists, cap, margins=np.asarray(margins)[:n_rows]

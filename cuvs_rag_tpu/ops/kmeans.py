@@ -44,7 +44,11 @@ def assign_topk_clusters(
     c_sq = dist_ops.sqnorms(centroids)
 
     def body(x_chunk):
-        scores = dist_ops.scores_from_tile(x_chunk, centroids, c_sq, "sqeuclidean")
+        # per-chunk fp32 cast: callers may pass bf16 corpora (never force a
+        # whole-corpus fp32 copy — 6 GB at 2M x 768)
+        scores = dist_ops.scores_from_tile(
+            x_chunk.astype(jnp.float32), centroids, c_sq, "sqeuclidean"
+        )
         top_s, ids = jax.lax.top_k(scores, t)
         margin = top_s[:, 0] - top_s[:, 1] if t > 1 else top_s[:, 0] * 0
         return ids.astype(jnp.int32), margin

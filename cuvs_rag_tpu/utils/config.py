@@ -186,13 +186,19 @@ class CagraParams:
     intermediate_graph_degree: int = 128
     graph_degree: int = 64
     metric: str = Metric.SQEUCLIDEAN
+    # vector storage dtype: float32 or bfloat16 (bf16 halves HBM for the
+    # 2x-overfetch beam gathers; scores still accumulate fp32)
+    dtype: str = "float32"
     # Graph construction: 'exact' brute-force kNN graph (O(N^2 D), best
     # quality, fine to ~10^5 rows/shard on MXU), 'ivf' IVF-bootstrapped
     # approximate graph (~1% of exact cost), 'auto' switches on size.
     build_algo: str = "auto"
-    # IVF bootstrap knobs (used when the ivf path is taken)
+    # IVF bootstrap knobs (used when the ivf path is taken): each list's
+    # rows take their graph neighborhood from the union of the list and its
+    # build_nprobes-1 nearest sibling lists (list-centric build — see
+    # ops/graph.build_knn_graph_ivf). Cost scales linearly in build_nprobes.
     build_nlists: int = 0  # 0 -> N/1000 heuristic
-    build_nprobes: int = 32
+    build_nprobes: int = 4
 
     def __post_init__(self):
         Metric.validate(self.metric)

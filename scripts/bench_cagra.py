@@ -46,7 +46,8 @@ def main():
 
     t0 = time.time()
     ix = cagra.build(
-        CagraParams(graph_degree=32, intermediate_graph_degree=64), corpus
+        CagraParams(graph_degree=32, intermediate_graph_degree=64,
+                    dtype="bfloat16"), corpus
     )
     jax.block_until_ready(ix.graph)
     print(f"build {time.time()-t0:.0f}s graph {ix.graph.nbytes/1e6:.0f} MB",
