@@ -101,7 +101,7 @@ def build(
     counts = np.bincount(
         np.asarray(labels)[: n], minlength=n_lists
     )
-    max_list = int(topk_ops.round_up(max(int(counts.max()), 8), 8))
+    max_list = int(topk_ops.round_up(max(int(counts.max()), 8), ivf_ops.ALIGN))
     capacity = ivf_ops.capacity_for(n_pad, n_lists, max_list)
 
     if base.storage_dtype(params.dtype) == jnp.int8:
@@ -279,7 +279,7 @@ def extend(index: IVFFlatIndex, new_vectors: jax.Array) -> IVFFlatIndex:
     valid = jnp.arange(n_pad) < total
 
     counts = np.bincount(np.asarray(all_labels)[:total], minlength=index.n_lists)
-    max_list = int(topk_ops.round_up(max(int(counts.max()), 8), 8))
+    max_list = int(topk_ops.round_up(max(int(counts.max()), 8), ivf_ops.ALIGN))
     capacity = ivf_ops.capacity_for(n_pad, index.n_lists, max_list)
     if is_int8:
         all_vecs, scales = flat_family._quantize_rows(all_vecs)
@@ -354,7 +354,7 @@ def build_sharded_local(params: IVFFlatParams, sc, dmesh, seed: int = 0):
         )
     )
     centroids_s, labels_s, counts_s = phase_a(sc.data, sc.n_valid)
-    max_list = int(topk_ops.round_up(max(int(np.asarray(counts_s).max()), 8), 8))
+    max_list = int(topk_ops.round_up(max(int(np.asarray(counts_s).max()), 8), ivf_ops.ALIGN))
     capacity = ivf_ops.capacity_for(per, n_lists, max_list)
 
     def _phase_b(block, labels, centroids, n_valid):
@@ -411,8 +411,6 @@ def _use_pallas_ivf(index: IVFFlatIndex, k: int) -> bool:
 
     if os.environ.get("CUVS_RAG_TPU_DISABLE_PALLAS") == "1":
         return False
-    if index.vectors.dtype == jnp.int8:
-        return False  # SQ8 scan runs the XLA path (scaled score algebra)
     try:
         if jax.default_backend() in ("cpu",):
             return False
@@ -425,7 +423,8 @@ def _use_pallas_ivf(index: IVFFlatIndex, k: int) -> bool:
     return (
         k <= pallas_ivf.MAX_PALLAS_K
         and index.dim % 128 == 0
-        and index.max_list_size % 8 == 0
+        and index.max_list_size % 128 == 0
+        and index.size % 128 == 0
         and vmem_win <= 8 * 1024 * 1024
     )
 
@@ -451,7 +450,7 @@ def search_scores(
         offs = index.list_offsets[probes]
         cnts = index.list_counts[probes]
         scores, pos = pallas_ivf.ivf_scan_pallas(
-            index.vectors, queries, offs, cnts,
+            index.vectors, index.sqnorms, index.scales, queries, offs, cnts,
             k=k, nprobe=n_probes, window=index.max_list_size,
             metric=index.metric,
         )

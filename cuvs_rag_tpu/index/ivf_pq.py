@@ -159,7 +159,7 @@ def build(params: IVFPQParams, dataset: jax.Array, seed: int = 0) -> IVFPQIndex:
         codes = pq_ops.pack_nibbles(codes)  # fastscan: 2 codes per byte
 
     counts = np.bincount(np.asarray(labels)[:n], minlength=n_lists)
-    max_list = int(topk_ops.round_up(max(int(counts.max()), 8), 8))
+    max_list = int(topk_ops.round_up(max(int(counts.max()), 8), ivf_ops.ALIGN))
     capacity = ivf_ops.capacity_for(n_pad, n_lists, max_list)
 
     perm, target_pos, row_ids, counts_j, offsets = ivf_ops.sort_by_list(
@@ -269,7 +269,7 @@ def build_sharded_local(params: IVFPQParams, sc, dmesh, seed: int = 0):
         )
     )
     centroids_s, labels_s, counts_s = phase_a(sc.data, sc.n_valid)
-    max_list = int(topk_ops.round_up(max(int(np.asarray(counts_s).max()), 8), 8))
+    max_list = int(topk_ops.round_up(max(int(np.asarray(counts_s).max()), 8), ivf_ops.ALIGN))
     capacity = ivf_ops.capacity_for(per, n_lists, max_list)
 
     def _phase_b(block, labels, centroids, n_valid):

@@ -68,8 +68,10 @@ class IVFLayout(NamedTuple):
     truncated: jax.Array  # () int32 rows unreachable due to window cap
 
 
-ALIGN = 8  # list starts are 8-aligned (TPU sublane) so DMA windows can
-# slice the layout directly (Mosaic requires provably-aligned starts)
+ALIGN = 128  # list starts are 128-aligned (TPU lane width): DMA windows
+# slice the layout directly (Mosaic requires provably-aligned starts), and
+# per-window fp32 side data (sqnorms/scales) reshapes to exact (rows, 128)
+# lane tiles with no padding (ops/pallas_ivf.py)
 
 
 def capacity_for(n_pad: int, n_lists: int, max_list: int) -> int:

@@ -45,9 +45,11 @@ def _kernel(
     offs_ref, cnts_ref,  # scalar prefetch: (Qp*P,) int32 each
     q_ref,               # (QT, D) VMEM — this tile's queries
     corpus_hbm,          # (cap, D) ANY/HBM
+    aux_hbm,             # (cap//128, 2, 128) fp32 ANY/HBM: row-blocked
+                         # [b, 0, l] = sqnorms[b*128+l], [b, 1, l] = scales
     out_s_ref, out_i_ref,  # (QT, k)
-    win, sems, s_scr, i_scr,
-    *, k, nprobe, window, metric,
+    win, aux_win, sems, aux_sems, s_scr, i_scr,
+    *, k, nprobe, window, metric, scaled,
 ):
     s = pl.program_id(1)
     n_steps = pl.num_programs(1)
@@ -65,35 +67,50 @@ def _kernel(
         qi2 = step // nprobe
         p2 = step % nprobe
         fi = (qt_idx * _QT + qi2) * nprobe + p2
-        # list starts are ALIGN(=8)-aligned by the layout (ops/ivf.py);
+        # list starts are ALIGN(=128)-aligned by the layout (ops/ivf.py);
         # Mosaic needs the proof to slice the tiled HBM memref
-        off = pl.multiple_of(offs_ref[fi], 8)
-        return pltpu.make_async_copy(
-            corpus_hbm.at[pl.ds(off, window), :],
-            win.at[slot],
-            sems.at[slot],
+        off = pl.multiple_of(offs_ref[fi], 128)
+        return (
+            pltpu.make_async_copy(
+                corpus_hbm.at[pl.ds(off, window), :],
+                win.at[slot],
+                sems.at[slot],
+            ),
+            pltpu.make_async_copy(
+                aux_hbm.at[pl.ds(off // 128, window // 128)],
+                aux_win.at[slot],
+                aux_sems.at[slot],
+            ),
         )
 
     # double buffering: start next window while computing this one
     @pl.when(s == 0)
     def _():
-        dma(0, 0).start()
+        for c in dma(0, 0):
+            c.start()
 
     @pl.when(s + 1 < n_steps)
     def _():
-        dma((s + 1) % 2, s + 1).start()
+        for c in dma((s + 1) % 2, s + 1):
+            c.start()
 
-    dma(s % 2, s).wait()
+    for c in dma(s % 2, s):
+        c.wait()
     w = win[s % 2]  # (window, D)
+    aux = aux_win[s % 2]  # (window//128, 2, 128): recon sqnorms, scales
 
     q = q_ref[:]  # (QT, D)
+    if w.dtype == jnp.int8:
+        w = w.astype(q.dtype)  # int8 windows: halve DMA bytes, score bf16
     ip = jax.lax.dot_general(
         q, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (QT, window)
+    if scaled:
+        ip = ip * aux[:, 1, :].reshape(1, -1)
     if metric == "sqeuclidean":
-        wf = w.astype(jnp.float32)
-        wsq = jnp.sum(wf * wf, axis=1)
-        scores = 2.0 * ip - wsq[None, :]
+        # sqnorms ride a 16 KB fp32 side DMA — cheaper than recomputing
+        # ||w||² from the multi-MB window every step
+        scores = 2.0 * ip - aux[:, 0, :].reshape(1, -1)
     else:
         scores = ip
 
@@ -129,6 +146,8 @@ def _kernel(
 )
 def ivf_scan_pallas(
     sorted_vectors: jax.Array,  # (cap, D) storage dtype
+    sorted_sqnorms: jax.Array,  # (cap,) fp32 sqnorms of the reconstruction
+    sorted_scales: jax.Array,  # (cap,) fp32 dequant scales (1.0 float dtypes)
     queries: jax.Array,  # (Q, D)
     probe_offsets: jax.Array,  # (Q, P) int32 window starts
     probe_counts: jax.Array,  # (Q, P) int32 true list lengths
@@ -142,22 +161,33 @@ def ivf_scan_pallas(
     """Returns ((Q, k) scores desc, (Q, k) positions in the sorted layout).
 
     window must satisfy off + window <= cap for every offset (the sorted-CSR
-    build guarantees capacity >= rows + max_list_size).
+    build guarantees capacity >= rows + max_list_size); offsets and window
+    must be 128-aligned (ops/ivf.ALIGN). int8 storage is scored against the
+    reconstruction via the per-row scales (SQ8).
     """
     assert k <= MAX_PALLAS_K, k
     cap, d = sorted_vectors.shape
+    assert cap % 128 == 0 and window % 128 == 0, (cap, window)
+    scaled = sorted_vectors.dtype == jnp.int8
     q_n = queries.shape[0]
     q_pad = topk_ops.round_up(q_n, _QT)
-    queries_p = topk_ops.pad_rows(
-        queries.astype(sorted_vectors.dtype), q_pad
-    )
+    qdtype = jnp.bfloat16 if scaled else sorted_vectors.dtype
+    queries_p = topk_ops.pad_rows(queries.astype(qdtype), q_pad)
     pad_spec = [(0, q_pad - q_n), (0, 0)]
     offs = jnp.pad(probe_offsets, pad_spec).reshape(-1).astype(jnp.int32)
     cnts = jnp.pad(probe_counts, pad_spec).reshape(-1).astype(jnp.int32)
+    aux = jnp.stack(
+        [
+            sorted_sqnorms.astype(jnp.float32).reshape(cap // 128, 128),
+            sorted_scales.astype(jnp.float32).reshape(cap // 128, 128),
+        ],
+        axis=1,
+    )  # (cap//128, 2, 128)
 
     grid = (q_pad // _QT, _QT * nprobe)
     kernel = functools.partial(
-        _kernel, k=k, nprobe=nprobe, window=window, metric=metric
+        _kernel, k=k, nprobe=nprobe, window=window, metric=metric,
+        scaled=scaled,
     )
     out_s, out_i = pl.pallas_call(
         kernel,
@@ -167,6 +197,7 @@ def ivf_scan_pallas(
             in_specs=[
                 pl.BlockSpec((_QT, d), lambda i, s, *_: (i, 0)),
                 pl.BlockSpec(memory_space=pl.ANY),  # corpus stays in HBM
+                pl.BlockSpec(memory_space=pl.ANY),  # aux stays in HBM
             ],
             out_specs=[
                 pl.BlockSpec((_QT, k), lambda i, s, *_: (i, 0)),
@@ -174,6 +205,8 @@ def ivf_scan_pallas(
             ],
             scratch_shapes=[
                 pltpu.VMEM((2, window, d), sorted_vectors.dtype),
+                pltpu.VMEM((2, window // 128, 2, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.VMEM((_QT, k), jnp.float32),
                 pltpu.VMEM((_QT, k), jnp.int32),
@@ -184,5 +217,5 @@ def ivf_scan_pallas(
             jax.ShapeDtypeStruct((q_pad, k), jnp.int32),
         ],
         interpret=interpret,
-    )(offs, cnts, queries_p, sorted_vectors)
+    )(offs, cnts, queries_p, sorted_vectors, aux)
     return out_s[:q_n], out_i[:q_n]

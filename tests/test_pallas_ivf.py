@@ -26,7 +26,7 @@ def _pallas_search(ix, queries, k, nprobe, interpret=True):
     offs = ix.list_offsets[probes]
     cnts = ix.list_counts[probes]
     s, pos = pallas_ivf.ivf_scan_pallas(
-        ix.vectors, jnp.asarray(queries), offs, cnts,
+        ix.vectors, ix.sqnorms, ix.scales, jnp.asarray(queries), offs, cnts,
         k=k, nprobe=nprobe, window=ix.max_list_size, metric=ix.metric,
         interpret=interpret,
     )
@@ -62,3 +62,21 @@ def test_pallas_ivf_empty_lists(built):
     s, i = _pallas_search(ix, queries[:2], 3, 1)
     assert np.asarray(i).shape == (2, 3)
     assert np.all(np.asarray(i) >= -1)
+
+
+def test_pallas_ivf_int8_matches_xla():
+    # SQ8 windows through the kernel: scores use the dequant scales and
+    # reconstruction sqnorms from the aux side DMA
+    rng = np.random.default_rng(23)
+    corpus = rng.standard_normal((3000, 128)).astype(np.float32)
+    queries = rng.standard_normal((7, 128)).astype(np.float32)
+    ix = ivf_flat.build(
+        IVFFlatParams(n_lists=16, dtype="int8"), jnp.asarray(corpus)
+    )
+    k, nprobe = 10, 8
+    s1, i1 = _pallas_search(ix, queries, k, nprobe)
+    s2, i2 = ivf_flat.search_scores(
+        IVFFlatSearchParams(n_probes=nprobe), ix, jnp.asarray(queries), k
+    )
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-2, atol=1e-2)
