@@ -71,6 +71,22 @@ def _prep(params: IVFFlatParams, dataset: jax.Array) -> jax.Array:
     return vectors.astype(dtype)
 
 
+def _quantize_residuals(vectors_f, labels, centroids):
+    """Residual SQ8: codes quantize x - c_label (cuVS int8 ivf_flat design).
+
+    Residual norms are a fraction of raw norms on clustered data, so the
+    int8 grid is that much finer — measured recall@10 at 10M x 768 went
+    0.886 (raw SQ8) -> see PERF.md (residual). Returns (codes int8,
+    scales fp32, recon_sqnorms fp32) where the reconstruction is
+    x̂ = c_label + scale * codes and recon_sqnorms = ||x̂||².
+    """
+    x = vectors_f.astype(jnp.float32)
+    cents = centroids.astype(jnp.float32)[labels]
+    codes, scales = flat_family._quantize_rows(x - cents)
+    recon = cents + scales[:, None] * codes.astype(jnp.float32)
+    return codes, scales, dist_ops.sqnorms(recon)
+
+
 def build(
     params: IVFFlatParams, dataset: jax.Array, seed: int = 0
 ) -> IVFFlatIndex:
@@ -105,11 +121,13 @@ def build(
     capacity = ivf_ops.capacity_for(n_pad, n_lists, max_list)
 
     if base.storage_dtype(params.dtype) == jnp.int8:
-        vec_pad, scales = flat_family._quantize_rows(vec_pad)
+        vec_pad, scales, recon_sq = jax.jit(_quantize_residuals)(
+            vec_pad, labels, centroids
+        )
     else:
-        scales = None
+        scales = recon_sq = None
     layout = _layout_jit(vec_pad, labels, valid, n_lists, capacity, max_list,
-                         scales)
+                         scales, recon_sq)
     return IVFFlatIndex(
         vectors=layout.sorted_vectors,
         sqnorms=layout.sorted_sqnorms,
@@ -125,8 +143,149 @@ def build(
     )
 
 
+def build_from_chunks(
+    params: IVFFlatParams,
+    chunk_fn,
+    n: int,
+    d: int,
+    *,
+    n_chunks: int,
+    seed: int = 0,
+) -> IVFFlatIndex:
+    """Memory-bounded build for corpora too large to hold at working
+    precision: the corpus arrives as `n_chunks` device chunks via
+    chunk_fn(i) -> (n // n_chunks, d) float array (loaded or regenerated
+    per call), and only the final storage-dtype layout is ever resident.
+
+    This is the FAISS train-on-sample / add-in-batches flow
+    (faiss-main.ipynb#cell7 force_gpu_allocation) taken to the HBM limit:
+    with dtype="int8" a 10M x 768 corpus (30 GB fp32) builds and serves
+    on one 16 GB v5e. Produces the same index as build() on the
+    concatenated chunks (same assignment, layout, and search results).
+    """
+    import functools
+
+    assert n % n_chunks == 0, (n, n_chunks)
+    chunk_rows = n // n_chunks
+    dtype = base.storage_dtype(params.dtype)
+    n_lists = min(params.n_lists or default_n_lists(n), n)
+    metric = params.metric
+    key = jax.random.PRNGKey(seed)
+
+    def prep(x):
+        x = jnp.asarray(x)
+        if metric == Metric.COSINE:
+            x = dist_ops.l2_normalize(x)
+        return x
+
+    # --- pass 0: coarse quantizer on a sample from the leading chunks ---
+    sample_rows = min(n, params.kmeans_sample)
+    pieces, got = [], 0
+    for i in range(n_chunks):
+        if got >= sample_rows:
+            break
+        c = prep(chunk_fn(i)).astype(jnp.float32)
+        take = min(chunk_rows, sample_rows - got)
+        pieces.append(c[:take])
+        got += take
+    sample_pad = topk_ops.round_up(got, 8)
+    sample = topk_ops.pad_rows(jnp.concatenate(pieces), sample_pad)
+    del pieces
+    w = (jnp.arange(sample_pad) < got).astype(jnp.float32)
+    centroids, _ = kmeans_ops.kmeans(
+        sample, w, key, n_clusters=n_lists, iters=params.kmeans_iters
+    )
+    del sample
+
+    # --- pass 1: capacity-bounded assignment, chunk by chunk ------------
+    tops, margs = [], []
+    for i in range(n_chunks):
+        t, m = kmeans_ops.assign_topk_clusters(prep(chunk_fn(i)), centroids, t=4)
+        tops.append(np.asarray(t))
+        margs.append(np.asarray(m))
+    top = np.concatenate(tops)
+    margins = np.concatenate(margs)
+    del tops, margs
+    if params.balance_factor > 0 and n_lists > 1:
+        cap_per = max(8, int(-(-params.balance_factor * n // n_lists)))
+        labels_h = kmeans_ops.balance_assignments(
+            top, n_lists, cap_per, margins=margins
+        )
+    else:
+        labels_h = top[:, 0]
+    labels_h = np.asarray(labels_h, np.int64)
+    counts = np.bincount(labels_h, minlength=n_lists)
+    max_list = int(topk_ops.round_up(max(int(counts.max()), 8), ivf_ops.ALIGN))
+    capacity = ivf_ops.capacity_for(
+        topk_ops.round_up(n, 8), n_lists, max_list
+    )
+
+    # --- host aligned-CSR placement (sort_by_list math, numpy) ----------
+    aligned = (counts + ivf_ops.ALIGN - 1) // ivf_ops.ALIGN * ivf_ops.ALIGN
+    offsets = np.zeros(n_lists, np.int64)
+    offsets[1:] = np.cumsum(aligned)[:-1]
+    starts = np.zeros(n_lists, np.int64)
+    starts[1:] = np.cumsum(counts)[:-1]
+    order = np.argsort(labels_h, kind="stable")
+    target_pos = np.empty(n, np.int64)
+    target_pos[order] = (
+        offsets[labels_h[order]]
+        + np.arange(n) - starts[labels_h[order]]
+    )
+    row_ids = np.full(capacity, -1, np.int32)
+    row_ids[target_pos] = np.arange(n, dtype=np.int32)
+
+    # --- pass 2: scatter chunks into the storage-dtype layout -----------
+    # donated buffers: XLA updates in place, so peak memory is one layout
+    # plus one working chunk
+    vec_buf = jnp.zeros((capacity, d), dtype)
+    sq_buf = jnp.zeros((capacity,), jnp.float32)
+    sc_buf = jnp.ones((capacity,), jnp.float32)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def scatter(vbuf, sqbuf, scbuf, chunk, chunk_labels, pos):
+        x = chunk
+        if metric == Metric.COSINE:
+            x = dist_ops.l2_normalize(x)
+        if dtype == jnp.int8:
+            q, s, sq = _quantize_residuals(x, chunk_labels, centroids)
+        else:
+            q = x.astype(dtype)
+            s = jnp.ones((q.shape[0],), jnp.float32)
+            sq = dist_ops.sqnorms(q)
+        return (
+            vbuf.at[pos].set(q),
+            sqbuf.at[pos].set(sq),
+            scbuf.at[pos].set(s),
+        )
+
+    for i in range(n_chunks):
+        sl = slice(i * chunk_rows, (i + 1) * chunk_rows)
+        vec_buf, sq_buf, sc_buf = scatter(
+            vec_buf, sq_buf, sc_buf, jnp.asarray(chunk_fn(i)),
+            jnp.asarray(labels_h[sl], dtype=jnp.int32),
+            jnp.asarray(target_pos[sl], jnp.int32),
+        )
+
+    return IVFFlatIndex(
+        vectors=vec_buf,
+        sqnorms=sq_buf,
+        scales=sc_buf,
+        row_ids=jnp.asarray(row_ids),
+        centroids=centroids,
+        centroid_sqnorms=dist_ops.sqnorms(centroids),
+        list_offsets=jnp.asarray(offsets, jnp.int32),
+        list_counts=jnp.asarray(
+            np.minimum(counts, max_list), jnp.int32
+        ),
+        n_valid=jnp.asarray(n, jnp.int32),
+        metric=metric,
+        max_list_size=max_list,
+    )
+
+
 def _layout_jit(vec_pad, labels, valid, n_lists, capacity, max_list,
-                scales=None):
+                scales=None, sqnorms=None):
     import functools
 
     f = functools.partial(
@@ -135,7 +294,7 @@ def _layout_jit(vec_pad, labels, valid, n_lists, capacity, max_list,
         capacity=capacity,
         max_list_size=max_list,
     )
-    return jax.jit(f)(vec_pad, labels, valid, scales=scales)
+    return jax.jit(f)(vec_pad, labels, valid, scales=scales, sqnorms=sqnorms)
 
 
 def build_local(
@@ -169,13 +328,15 @@ def build_local(
     )
     capacity = ivf_ops.capacity_for(per, n_lists, max_list_size)
     if dtype == jnp.int8:
-        vectors, scales = flat_family._quantize_rows(vectors)
+        vectors, scales, recon_sq = _quantize_residuals(
+            vectors, labels, centroids
+        )
     else:
-        scales = None
+        scales = recon_sq = None
     layout = ivf_ops.build_layout(
         vectors, labels, valid,
         n_lists=n_lists, capacity=capacity, max_list_size=max_list_size,
-        scales=scales,
+        scales=scales, sqnorms=recon_sq,
     )
     return IVFFlatIndex(
         vectors=layout.sorted_vectors,
@@ -232,15 +393,19 @@ def _recover_rows(index: IVFFlatIndex):
     counts = np.asarray(index.list_counts)
     nv = int(index.n_valid)
     is_int8 = vecs.dtype == np.int8
-    if is_int8:  # dequantize; requantization at re-layout is idempotent
+    if is_int8:  # reconstruct x̂ = c_list + scale * residual codes
         scs = np.asarray(index.scales)
+        cents = np.asarray(index.centroids, dtype=np.float32)
     orig = np.zeros((nv, index.dim), np.float32 if is_int8 else vecs.dtype)
     labels = np.zeros((nv,), np.int32)
     for c in range(index.n_lists):
         seg = slice(offsets[c], offsets[c] + counts[c])
         rid = ids[seg]
         if is_int8:
-            orig[rid] = vecs[seg].astype(np.float32) * scs[seg][:, None]
+            orig[rid] = (
+                cents[c][None, :]
+                + vecs[seg].astype(np.float32) * scs[seg][:, None]
+            )
         else:
             orig[rid] = vecs[seg]
         labels[rid] = c
@@ -282,11 +447,13 @@ def extend(index: IVFFlatIndex, new_vectors: jax.Array) -> IVFFlatIndex:
     max_list = int(topk_ops.round_up(max(int(counts.max()), 8), ivf_ops.ALIGN))
     capacity = ivf_ops.capacity_for(n_pad, index.n_lists, max_list)
     if is_int8:
-        all_vecs, scales = flat_family._quantize_rows(all_vecs)
+        all_vecs, scales, recon_sq = jax.jit(_quantize_residuals)(
+            all_vecs, all_labels, index.centroids
+        )
     else:
-        scales = None
+        scales = recon_sq = None
     layout = _layout_jit(all_vecs, all_labels, valid, index.n_lists, capacity,
-                         max_list, scales)
+                         max_list, scales, recon_sq)
     return IVFFlatIndex(
         vectors=layout.sorted_vectors,
         sqnorms=layout.sorted_sqnorms,
@@ -361,13 +528,15 @@ def build_sharded_local(params: IVFFlatParams, sc, dmesh, seed: int = 0):
         v = _prep_block(block[0])
         valid = jnp.arange(per) < n_valid[0]
         if dtype == jnp.int8:
-            v, scales = flat_family._quantize_rows(v)
+            v, scales, recon_sq = _quantize_residuals(
+                v, labels[0], centroids[0]
+            )
         else:
-            scales = None
+            scales = recon_sq = None
         layout = ivf_ops.build_layout(
             v, labels[0], valid,
             n_lists=n_lists, capacity=capacity, max_list_size=max_list,
-            scales=scales,
+            scales=scales, sqnorms=recon_sq,
         )
         c = centroids[0]
         ix = IVFFlatIndex(
@@ -441,9 +610,18 @@ def search_scores(
         queries = dist_ops.l2_normalize(queries)
     queries = queries.astype(jnp.float32)
     n_probes = min(sp.n_probes, index.n_lists)
-    _, probes = ivf_ops.probe_lists(
+    coarse_scores, probes = ivf_ops.probe_lists(
         queries, index.centroids, index.centroid_sqnorms, n_probes, index.metric
     )
+    coarse_ip = None
+    if index.vectors.dtype == jnp.int8:
+        # residual SQ8: the per-probe coarse inner product joins the window
+        # score (x̂ = c + s·r). probe scores are 2q·c - ||c||² (sqeuclidean)
+        # or q·c (ip); the window term needs mult·q·c.
+        if index.metric == Metric.SQEUCLIDEAN:
+            coarse_ip = coarse_scores + index.centroid_sqnorms[probes]
+        else:
+            coarse_ip = coarse_scores
     if _use_pallas_ivf(index, k):
         from cuvs_rag_tpu.ops import pallas_ivf
 
@@ -452,7 +630,7 @@ def search_scores(
         scores, pos = pallas_ivf.ivf_scan_pallas(
             index.vectors, index.sqnorms, index.scales, queries, offs, cnts,
             k=k, nprobe=n_probes, window=index.max_list_size,
-            metric=index.metric,
+            metric=index.metric, coarse_ip=coarse_ip,
         )
         ids = jnp.where(pos >= 0, index.row_ids[jnp.maximum(pos, 0)], -1)
         return scores, ids
@@ -468,6 +646,7 @@ def search_scores(
         metric=index.metric,
         k=k,
         layout_scales=index.scales,
+        coarse_ip=coarse_ip,
     )
 
 

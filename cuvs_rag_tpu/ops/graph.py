@@ -128,23 +128,35 @@ def build_knn_graph_ivf(
 
         own, own_sq, own_ids = window(c)
         cand = [window(list_nbrs[c, i]) for i in range(r)]
-        cand_v = jnp.concatenate([cv for cv, _, _ in cand])  # (r*L, D)
-        cand_sq = jnp.concatenate([cs for _, cs, _ in cand])
         cand_ids = jnp.concatenate([ci for _, _, ci in cand])
 
-        own_q = own.astype(jnp.float32) if lay_v.dtype == jnp.int8 else own
         if lay_v.dtype == jnp.int8:
+            # residual SQ8: reconstruct own rows as queries, and add the
+            # per-window coarse term q·c_j to each candidate window's score
             own_sc = jax.lax.dynamic_slice(ivf_index.scales, (offs[c],), (L,))
-            own_q = own_q * own_sc[:, None]
-            cand_sc = jnp.concatenate([
-                jax.lax.dynamic_slice(
-                    ivf_index.scales, (offs[list_nbrs[c, i]],), (L,)
-                ) for i in range(r)
-            ])
-            scores = dist_ops.scores_from_tile_scaled(
-                own_q.astype(qdtype), cand_v, cand_sq, cand_sc, "sqeuclidean"
+            own_q = (
+                cents[c][None, :]
+                + own.astype(jnp.float32) * own_sc[:, None]
             )
+            blocks = []
+            for i in range(r):
+                cv, csq, _ = cand[i]
+                csc = jax.lax.dynamic_slice(
+                    ivf_index.scales, (offs[list_nbrs[c, i]],), (L,)
+                )
+                coarse = 2.0 * dist_ops.dot_general_prec(
+                    own_q, cents[list_nbrs[c, i]][:, None],
+                    (((1,), (0,)), ((), ())),
+                )  # (L, 1)
+                blocks.append(
+                    dist_ops.scores_from_tile_scaled(
+                        own_q.astype(qdtype), cv, csq, csc, "sqeuclidean"
+                    ) + coarse
+                )
+            scores = jnp.concatenate(blocks, axis=1)  # (L, r*L)
         else:
+            cand_v = jnp.concatenate([cv for cv, _, _ in cand])  # (r*L, D)
+            cand_sq = jnp.concatenate([cs for _, cs, _ in cand])
             scores = dist_ops.scores_from_tile(
                 own.astype(qdtype), cand_v, cand_sq, "sqeuclidean"
             )  # (L, r*L)
@@ -193,10 +205,11 @@ def list_medoids(ivf_index) -> jax.Array:
         wsq = jax.lax.dynamic_slice(lay_sq, (offs[c],), (L,))
         wid = jax.lax.dynamic_slice(lay_ids, (offs[c],), (L,))
         if lay_v.dtype == jnp.int8:
+            # residual SQ8: q = c itself, so the coarse term is 2||c||²
             wsc = jax.lax.dynamic_slice(ivf_index.scales, (offs[c],), (L,))
             s = dist_ops.scores_from_tile_scaled(
                 cents[c][None].astype(qdtype), w, wsq, wsc, "sqeuclidean"
-            )[0]
+            )[0] + 2.0 * jnp.sum(cents[c].astype(jnp.float32) ** 2)
         else:
             s = dist_ops.scores_from_tile(
                 cents[c][None].astype(qdtype), w, wsq, "sqeuclidean"

@@ -132,6 +132,7 @@ def build_layout(
     capacity: int,
     max_list_size: int,
     scales: jax.Array | None = None,
+    sqnorms: jax.Array | None = None,
 ) -> IVFLayout:
     """Arrange (N, D) rows into the sorted-CSR layout.
 
@@ -140,9 +141,11 @@ def build_layout(
     capacity: static output rows, must be >= N + max_list_size so every
     window stays in bounds. max_list_size: static probe window; rows beyond
     it within one list are counted in `truncated` (searches can't reach them).
-    scales: per-row dequant scales for SQ8 int8 storage (see
-    index/flat._quantize_rows); sorted alongside the rows; sqnorms are of
-    the reconstruction so the L2 score algebra stays exact.
+    scales: per-row dequant scales for SQ8 int8 storage (residual-quantized
+    — see index/ivf_flat._quantize_residuals); sorted alongside the rows.
+    sqnorms: per-row sqnorms of the RECONSTRUCTION (||c + s·r||² for int8);
+    required when scales is given (the layout cannot recompute them from
+    residual codes alone).
     """
     perm, target_pos, row_ids, counts, offsets = sort_by_list(
         labels, valid, n_lists, capacity
@@ -153,13 +156,14 @@ def build_layout(
     )
     truncated = jnp.sum(jnp.maximum(counts - max_list_size, 0))
     if scales is not None:
+        assert sqnorms is not None, "int8 layouts need reconstruction sqnorms"
         sorted_scales = (
             jnp.ones((capacity,), jnp.float32)
             .at[target_pos].set(scales[perm].astype(jnp.float32))
         )
         sorted_sq = (
-            dist_ops.sqnorms(sorted_vecs.astype(jnp.float32))
-            * sorted_scales ** 2
+            jnp.zeros((capacity,), jnp.float32)
+            .at[target_pos].set(sqnorms[perm].astype(jnp.float32))
         )
     else:
         sorted_scales = jnp.ones((capacity,), jnp.float32)
@@ -205,6 +209,7 @@ def scan_probed_lists(
     k: int,
     probe_chunk: int = 4,
     layout_scales: jax.Array | None = None,
+    coarse_ip: jax.Array | None = None,
 ):
     """Score each query against its probed windows; return per-query top-k.
 
@@ -227,19 +232,23 @@ def scan_probed_lists(
     is_int8 = layout_vectors.dtype == jnp.int8
     if layout_scales is None:
         layout_scales = jnp.ones((layout_vectors.shape[0],), jnp.float32)
+    if coarse_ip is None:
+        coarse_ip = jnp.zeros(probe_ids.shape, jnp.float32)
 
-    def one_query(qvec, probes):
-        def one_probe(c):
+    def one_query(qvec, probes, coarse_q):
+        def one_probe(c, coarse):
             off = list_offsets[c]
             cnt = list_counts[c]
             win = jax.lax.dynamic_slice(layout_vectors, (off, 0), (L, d))
             win_sq = jax.lax.dynamic_slice(layout_sqnorms, (off,), (L,))
             win_ids = jax.lax.dynamic_slice(layout_row_ids, (off,), (L,))
             if is_int8:
+                # residual SQ8: score = mult*q·c (coarse, per probe)
+                #                     + mult*s*(q·r_int8) - ||x̂||²
                 win_sc = jax.lax.dynamic_slice(layout_scales, (off,), (L,))
                 s = dist_ops.scores_from_tile_scaled(
                     qvec[None, :], win, win_sq, win_sc, metric
-                )[0]
+                )[0] + coarse
             else:
                 s = dist_ops.scores_from_tile(
                     qvec[None, :], win, win_sq, metric
@@ -247,13 +256,16 @@ def scan_probed_lists(
             s = jnp.where((pos < cnt) & (win_ids >= 0), s, topk_ops.NEG_INF)
             return s, win_ids
 
-        def probe_group(cs):  # (pc,)
-            return jax.vmap(one_probe)(cs)
+        def probe_group(args):  # ((pc,), (pc,))
+            return jax.vmap(one_probe)(*args)
 
         scores, ids = jax.lax.map(
-            probe_group, probes.reshape(p_n // pc, pc)
+            probe_group,
+            (probes.reshape(p_n // pc, pc), coarse_q.reshape(p_n // pc, pc)),
         )  # (P/pc, pc, L)
         return topk_ops.merge_topk(scores.reshape(-1), ids.reshape(-1), k)
 
     qdtype = jnp.bfloat16 if is_int8 else layout_vectors.dtype
-    return jax.vmap(one_query)(queries.astype(qdtype), probe_ids)
+    return jax.vmap(one_query)(
+        queries.astype(qdtype), probe_ids, coarse_ip.astype(jnp.float32)
+    )

@@ -42,7 +42,7 @@ _QT = 8  # query tile (sublane minimum)
 
 
 def _kernel(
-    offs_ref, cnts_ref,  # scalar prefetch: (Qp*P,) int32 each
+    offs_ref, cnts_ref, coarse_ref,  # scalar prefetch: (Qp*P,) each
     q_ref,               # (QT, D) VMEM — this tile's queries
     corpus_hbm,          # (cap, D) ANY/HBM
     aux_hbm,             # (cap//128, 2, 128) fp32 ANY/HBM: row-blocked
@@ -105,11 +105,15 @@ def _kernel(
     ip = jax.lax.dot_general(
         q, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (QT, window)
+    mult = 2.0 if metric == "sqeuclidean" else 1.0
     if scaled:
+        # residual SQ8: scores = mult*q·c (coarse scalar, prefetched)
+        #                      + mult*s*(q·r_int8) - ||x̂||²
+        # sqnorms/scales ride a 16 KB fp32 side DMA — cheaper than
+        # recomputing ||w||² from the multi-MB window every step
         ip = ip * aux[:, 1, :].reshape(1, -1)
-    if metric == "sqeuclidean":
-        # sqnorms ride a 16 KB fp32 side DMA — cheaper than recomputing
-        # ||w||² from the multi-MB window every step
+        scores = mult * ip - aux[:, 0, :].reshape(1, -1) + coarse_ref[flat_idx]
+    elif metric == "sqeuclidean":
         scores = 2.0 * ip - aux[:, 0, :].reshape(1, -1)
     else:
         scores = ip
@@ -156,6 +160,7 @@ def ivf_scan_pallas(
     nprobe: int,
     window: int,
     metric: str,
+    coarse_ip: jax.Array | None = None,
     interpret: bool = False,
 ):
     """Returns ((Q, k) scores desc, (Q, k) positions in the sorted layout).
@@ -176,6 +181,9 @@ def ivf_scan_pallas(
     pad_spec = [(0, q_pad - q_n), (0, 0)]
     offs = jnp.pad(probe_offsets, pad_spec).reshape(-1).astype(jnp.int32)
     cnts = jnp.pad(probe_counts, pad_spec).reshape(-1).astype(jnp.int32)
+    if coarse_ip is None:
+        coarse_ip = jnp.zeros(probe_offsets.shape, jnp.float32)
+    coarse = jnp.pad(coarse_ip, pad_spec).reshape(-1).astype(jnp.float32)
     aux = jnp.stack(
         [
             sorted_sqnorms.astype(jnp.float32).reshape(cap // 128, 128),
@@ -192,7 +200,7 @@ def ivf_scan_pallas(
     out_s, out_i = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((_QT, d), lambda i, s, *_: (i, 0)),
@@ -217,5 +225,5 @@ def ivf_scan_pallas(
             jax.ShapeDtypeStruct((q_pad, k), jnp.int32),
         ],
         interpret=interpret,
-    )(offs, cnts, queries_p, sorted_vectors, aux)
+    )(offs, cnts, coarse, queries_p, sorted_vectors, aux)
     return out_s[:q_n], out_i[:q_n]

@@ -1,0 +1,117 @@
+"""North-star benchmark (SURVEY.md §6 / BASELINE.json): 10M x 768 on ONE
+v5e (16 GB HBM), recall@10 >= 0.95 target at A100-class QPS.
+
+10M x 768 is 30 GB fp32 / 15.4 GB bf16 — int8 SQ8 storage (7.7 GB + layout
+padding) is what makes single-chip serving possible. The corpus is
+deterministic (jax.random per chunk), so the build streams chunks
+(build_from_chunks) and the exact ground truth re-generates chunks on the
+fly — nothing but the final index is ever resident.
+"""
+
+import time
+
+import numpy as np
+
+N = 10_000_000
+D = 768
+K = 10
+BATCH = 100
+N_CHUNKS = 80
+N_LISTS = 4096
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cuvs_rag_tpu.index import ivf_flat
+    from cuvs_rag_tpu.ops import distance as dist_ops
+    from cuvs_rag_tpu.ops import topk as topk_ops
+    from cuvs_rag_tpu.utils.config import IVFFlatParams, IVFFlatSearchParams
+
+    key = jax.random.PRNGKey(42)
+    rows = N // N_CHUNKS
+    kc = jax.random.fold_in(key, 999)
+    centers = jax.random.normal(kc, (N_LISTS, D), jnp.float32)
+
+    @jax.jit
+    def make_chunk(i):
+        k = jax.random.fold_in(key, i)
+        idx = jax.random.randint(k, (rows,), 0, N_LISTS)
+        # noise sigma 1.0: clusters overlap (realistic embedding geometry;
+        # sigma 0.3 makes ~2400 near-equidistant rows per cluster, where
+        # ANY two quantizations disagree on top-10 ties — recall plateaus
+        # ~0.9 regardless of nprobe, an artifact of the synthetic data)
+        return (centers[idx] + 1.0 * jax.random.normal(k, (rows, D))
+                ).astype(jnp.bfloat16)
+
+    qk = jax.random.fold_in(key, 777)
+    queries = (
+        centers[jax.random.randint(qk, (BATCH,), 0, N_LISTS)]
+        + 1.0 * jax.random.normal(qk, (BATCH, D))
+    ).astype(jnp.float32)
+    jax.block_until_ready(queries)
+
+    # --- exact ground truth, streaming over regenerated chunks ----------
+    @jax.jit
+    def gt_step(i, carry):
+        best_s, best_i = carry
+        c = make_chunk(i)
+        sq = dist_ops.sqnorms(c)
+        s, idx = topk_ops.flat_topk_search_nojit(
+            c, sq, queries.astype(jnp.bfloat16), jnp.int32(rows),
+            k=K, metric="sqeuclidean", tile_n=12_500,
+        )
+        idx = jnp.where(idx >= 0, idx + i * rows, -1)
+        return topk_ops.merge_topk(
+            jnp.concatenate([best_s, s], axis=1),
+            jnp.concatenate([best_i, idx], axis=1), K,
+        )
+
+    t0 = time.time()
+    best = (jnp.full((BATCH, K), -jnp.inf), jnp.full((BATCH, K), -1, jnp.int32))
+    for i in range(N_CHUNKS):
+        best = gt_step(jnp.int32(i), best)
+    gt = np.asarray(best[1])
+    print(f"exact GT (streamed, bf16) {time.time()-t0:.0f}s", flush=True)
+
+    # --- memory-bounded int8 build ---------------------------------------
+    t0 = time.time()
+    ix = ivf_flat.build_from_chunks(
+        IVFFlatParams(n_lists=N_LISTS, dtype="int8", kmeans_sample=250_000),
+        lambda i: make_chunk(jnp.int32(i)),
+        N, D, n_chunks=N_CHUNKS,
+    )
+    jax.block_until_ready(ix.vectors)
+    build_s = time.time() - t0
+    print(f"build {build_s:.0f}s  layout {ix.vectors.nbytes/1e9:.2f} GB "
+          f"window {ix.max_list_size}", flush=True)
+
+    reps = 10
+    qrs = [
+        queries + 0.01 * jax.random.normal(jax.random.fold_in(key, 5000 + r),
+                                           queries.shape)
+        for r in range(reps)
+    ]
+    _ = [q.block_until_ready() for q in qrs]
+
+    for np_ in (10, 20, 32):
+        sp = IVFFlatSearchParams(n_probes=np_)
+        d, i = ivf_flat.search(sp, ix, qrs[0], K)
+        i0 = np.asarray(i)
+        rec = np.mean([len(set(i0[r]) & set(gt[r])) / K for r in range(BATCH)])
+        t_best = 1e9
+        for _t in range(2):
+            t0 = time.perf_counter()
+            last = None
+            for q in qrs:
+                last = ivf_flat.search(sp, ix, q, K)
+            _ = np.asarray(last[0])
+            t_best = min(t_best, (time.perf_counter() - t0) / reps)
+        print(f"nprobe={np_}: {t_best*1e3:.2f} ms/batch "
+              f"{t_best/BATCH*1e3:.4f} ms/q  qps={BATCH/t_best:.0f}  "
+              f"recall@{K}={rec:.3f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -184,3 +184,25 @@ def test_int8_extend_and_io_round_trip(clustered_data, tmp_path):
     d2, i2 = ivf_flat.search(sp, ix2, jnp.asarray(queries), k)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-5)
+
+
+@pytest.mark.parametrize("dtype", ["float32", "int8"])
+def test_build_from_chunks_matches_build(clustered_data, dtype):
+    # the memory-bounded chunked build must produce the same index as the
+    # one-shot build on the concatenated chunks
+    corpus, queries = clustered_data
+    n = 4800  # divides into 4 chunks
+    data = corpus[:n]
+    params = IVFFlatParams(n_lists=16, dtype=dtype, kmeans_sample=1200)
+    ix1 = ivf_flat.build(params, jnp.asarray(data))
+    ix2 = ivf_flat.build_from_chunks(
+        params, lambda i: jnp.asarray(data[i * 1200:(i + 1) * 1200]),
+        n, corpus.shape[1], n_chunks=4,
+    )
+    assert int(ix2.n_valid) == n
+    assert ix2.vectors.dtype == ix1.vectors.dtype
+    sp = IVFFlatSearchParams(n_probes=8)
+    d1, i1 = ivf_flat.search(sp, ix1, jnp.asarray(queries), 10)
+    d2, i2 = ivf_flat.search(sp, ix2, jnp.asarray(queries), 10)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-4, atol=1e-4)

@@ -20,15 +20,18 @@ def built():
 
 
 def _pallas_search(ix, queries, k, nprobe, interpret=True):
-    _, probes = ivf_ops.probe_lists(
+    coarse_scores, probes = ivf_ops.probe_lists(
         jnp.asarray(queries), ix.centroids, ix.centroid_sqnorms, nprobe, ix.metric
     )
+    coarse_ip = None
+    if ix.vectors.dtype == jnp.int8:
+        coarse_ip = coarse_scores + ix.centroid_sqnorms[probes]
     offs = ix.list_offsets[probes]
     cnts = ix.list_counts[probes]
     s, pos = pallas_ivf.ivf_scan_pallas(
         ix.vectors, ix.sqnorms, ix.scales, jnp.asarray(queries), offs, cnts,
         k=k, nprobe=nprobe, window=ix.max_list_size, metric=ix.metric,
-        interpret=interpret,
+        coarse_ip=coarse_ip, interpret=interpret,
     )
     ids = jnp.where(pos >= 0, ix.row_ids[jnp.maximum(pos, 0)], -1)
     return s, ids
