@@ -19,5 +19,25 @@ Layering (bottom-up), replacing the reference's stack:
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("CUVS_RAG_TPU_NO_COMPILE_CACHE") != "1":
+    # Persistent XLA compilation cache: index builds are one-shot programs,
+    # so without this every fresh process pays 10-30 s of compile time per
+    # family (cuVS/FAISS ship precompiled kernels; this is our equivalent).
+    import jax as _jax
+
+    _cache_dir = _os.environ.get(
+        "CUVS_RAG_TPU_COMPILE_CACHE",
+        _os.path.expanduser("~/.cache/cuvs_rag_tpu/jax_cache"),
+    )
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - cache is a best-effort speedup
+        pass
+
 from cuvs_rag_tpu.index.flat import FlatIndex  # noqa: F401
 from cuvs_rag_tpu.utils.config import SearchConfig  # noqa: F401

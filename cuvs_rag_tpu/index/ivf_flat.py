@@ -107,16 +107,14 @@ def build(
         sample, weights, key, n_clusters=n_lists, iters=params.kmeans_iters
     )
 
-    # --- assign all rows, choose exact window size (host) ---------------
+    # --- assign all rows on device; only (C,) counts cross to host -------
     n_pad = topk_ops.round_up(n, 8)
     vec_pad = topk_ops.pad_rows(vectors, n_pad)
-    labels, _ = ivf_ops.balanced_labels_host(
+    labels, _ = ivf_ops.balanced_labels_device(
         vec_pad, centroids, n, params.balance_factor
     )
     valid = jnp.arange(n_pad) < n
-    counts = np.bincount(
-        np.asarray(labels)[: n], minlength=n_lists
-    )
+    counts = np.asarray(ivf_ops.list_counts_device(labels, valid, centroids))
     max_list = int(topk_ops.round_up(max(int(counts.max()), 8), ivf_ops.ALIGN))
     capacity = ivf_ops.capacity_for(n_pad, n_lists, max_list)
 
@@ -197,43 +195,40 @@ def build_from_chunks(
     )
     del sample
 
-    # --- pass 1: capacity-bounded assignment, chunk by chunk ------------
+    # --- pass 1: capacity-bounded assignment, chunk by chunk (device) ---
+    # Everything stays device-resident: at 10M rows the (N, 4) candidate
+    # labels are 160 MB — a D2H round-trip through the test tunnel costs
+    # minutes; only the (C,) counts cross to host (to fix static shapes).
     tops, margs = [], []
+    t_pref = int(min(8, n_lists))
     for i in range(n_chunks):
-        t, m = kmeans_ops.assign_topk_clusters(prep(chunk_fn(i)), centroids, t=4)
-        tops.append(np.asarray(t))
-        margs.append(np.asarray(m))
-    top = np.concatenate(tops)
-    margins = np.concatenate(margs)
+        t, m = kmeans_ops.assign_topk_clusters(
+            prep(chunk_fn(i)), centroids, t=t_pref
+        )
+        tops.append(t)
+        margs.append(m)
+    top = jnp.concatenate(tops)
+    margins = jnp.concatenate(margs)
     del tops, margs
+    valid = jnp.ones((n,), bool)
     if params.balance_factor > 0 and n_lists > 1:
         cap_per = max(8, int(-(-params.balance_factor * n // n_lists)))
-        labels_h = kmeans_ops.balance_assignments(
-            top, n_lists, cap_per, margins=margins
+        labels = kmeans_ops.balance_assignments_device(
+            top, margins, valid, n_lists=n_lists, cap=cap_per
         )
     else:
-        labels_h = top[:, 0]
-    labels_h = np.asarray(labels_h, np.int64)
-    counts = np.bincount(labels_h, minlength=n_lists)
+        labels = top[:, 0].astype(jnp.int32)
+    del top, margins
+    counts = np.asarray(ivf_ops.list_counts_device(labels, valid, centroids))
     max_list = int(topk_ops.round_up(max(int(counts.max()), 8), ivf_ops.ALIGN))
     capacity = ivf_ops.capacity_for(
         topk_ops.round_up(n, 8), n_lists, max_list
     )
 
-    # --- host aligned-CSR placement (sort_by_list math, numpy) ----------
-    aligned = (counts + ivf_ops.ALIGN - 1) // ivf_ops.ALIGN * ivf_ops.ALIGN
-    offsets = np.zeros(n_lists, np.int64)
-    offsets[1:] = np.cumsum(aligned)[:-1]
-    starts = np.zeros(n_lists, np.int64)
-    starts[1:] = np.cumsum(counts)[:-1]
-    order = np.argsort(labels_h, kind="stable")
-    target_pos = np.empty(n, np.int64)
-    target_pos[order] = (
-        offsets[labels_h[order]]
-        + np.arange(n) - starts[labels_h[order]]
+    # --- device aligned-CSR placement (sort_by_list math) ---------------
+    pos_of_row, row_ids, offsets, counts_d = _chunks_placement(
+        labels, valid, n_lists=n_lists, capacity=capacity
     )
-    row_ids = np.full(capacity, -1, np.int32)
-    row_ids[target_pos] = np.arange(n, dtype=np.int32)
 
     # --- pass 2: scatter chunks into the storage-dtype layout -----------
     # donated buffers: XLA updates in place, so peak memory is one layout
@@ -263,38 +258,61 @@ def build_from_chunks(
         sl = slice(i * chunk_rows, (i + 1) * chunk_rows)
         vec_buf, sq_buf, sc_buf = scatter(
             vec_buf, sq_buf, sc_buf, jnp.asarray(chunk_fn(i)),
-            jnp.asarray(labels_h[sl], dtype=jnp.int32),
-            jnp.asarray(target_pos[sl], jnp.int32),
+            labels[sl], pos_of_row[sl],
         )
 
     return IVFFlatIndex(
         vectors=vec_buf,
         sqnorms=sq_buf,
         scales=sc_buf,
-        row_ids=jnp.asarray(row_ids),
+        row_ids=row_ids,
         centroids=centroids,
         centroid_sqnorms=dist_ops.sqnorms(centroids),
-        list_offsets=jnp.asarray(offsets, jnp.int32),
-        list_counts=jnp.asarray(
-            np.minimum(counts, max_list), jnp.int32
-        ),
+        list_offsets=offsets,
+        list_counts=jnp.minimum(counts_d, max_list),
         n_valid=jnp.asarray(n, jnp.int32),
         metric=metric,
         max_list_size=max_list,
     )
 
 
+import functools as _functools
+
+
+@_functools.partial(
+    jax.jit, static_argnames=("n_lists", "capacity", "max_list_size")
+)
+def _layout_call(vec_pad, labels, valid, scales, sqnorms, *,
+                 n_lists, capacity, max_list_size):
+    return ivf_ops.build_layout(
+        vec_pad, labels, valid,
+        n_lists=n_lists, capacity=capacity, max_list_size=max_list_size,
+        scales=scales, sqnorms=sqnorms,
+    )
+
+
+@_functools.partial(jax.jit, static_argnames=("n_lists", "capacity"))
+def _chunks_placement(labels, valid, *, n_lists, capacity):
+    """Aligned-CSR placement for the chunked build: per-row target slot,
+    slot->row ids, list offsets, and true counts — all device-resident."""
+    perm, target_pos, row_ids, counts, offsets = ivf_ops.sort_by_list(
+        labels, valid, n_lists, capacity
+    )
+    n = labels.shape[0]
+    pos_of_row = (
+        jnp.zeros((n,), jnp.int32).at[perm].set(target_pos.astype(jnp.int32))
+    )
+    return pos_of_row, row_ids, offsets, counts
+
+
 def _layout_jit(vec_pad, labels, valid, n_lists, capacity, max_list,
                 scales=None, sqnorms=None):
-    import functools
-
-    f = functools.partial(
-        ivf_ops.build_layout,
-        n_lists=n_lists,
-        capacity=capacity,
-        max_list_size=max_list,
+    # module-level cached jit: a fresh jax.jit wrapper per build recompiled
+    # the (cheap, ~100 ms) layout program every call — 15 s at 2M x 768
+    return _layout_call(
+        vec_pad, labels, valid, scales, sqnorms,
+        n_lists=n_lists, capacity=capacity, max_list_size=max_list,
     )
-    return jax.jit(f)(vec_pad, labels, valid, scales=scales, sqnorms=sqnorms)
 
 
 def build_local(
@@ -385,31 +403,34 @@ def train(params: IVFFlatParams, sample: jax.Array, seed: int = 0) -> IVFFlatInd
     )
 
 
-def _recover_rows(index: IVFFlatIndex):
-    """Host-side: original-order vectors + labels from the sorted layout."""
-    vecs = np.asarray(index.vectors)
-    ids = np.asarray(index.row_ids)
-    offsets = np.asarray(index.list_offsets)
-    counts = np.asarray(index.list_counts)
-    nv = int(index.n_valid)
-    is_int8 = vecs.dtype == np.int8
-    if is_int8:  # reconstruct x̂ = c_list + scale * residual codes
-        scs = np.asarray(index.scales)
-        cents = np.asarray(index.centroids, dtype=np.float32)
-    orig = np.zeros((nv, index.dim), np.float32 if is_int8 else vecs.dtype)
-    labels = np.zeros((nv,), np.int32)
-    for c in range(index.n_lists):
-        seg = slice(offsets[c], offsets[c] + counts[c])
-        rid = ids[seg]
-        if is_int8:
-            orig[rid] = (
-                cents[c][None, :]
-                + vecs[seg].astype(np.float32) * scs[seg][:, None]
-            )
-        else:
-            orig[rid] = vecs[seg]
-        labels[rid] = c
-    return orig, labels
+@_functools.partial(jax.jit, static_argnames=("nv",))
+def _recover_rows(index: IVFFlatIndex, nv: int):
+    """Device-side: original-order vectors + labels from the sorted layout.
+
+    (A host loop here would D2H the whole corpus — 3 GB at 2M x 768 through
+    a ~0.3 MB/s test tunnel.) Returns ((nv, D) rows in storage precision —
+    fp32 reconstruction for int8 layouts — and (nv,) int32 labels.)
+    """
+    cap = index.size
+    slot_iota = jnp.arange(cap, dtype=jnp.int32)
+    slot_ok = index.row_ids >= 0
+    # inverse map: original row -> its slot (one small int32 scatter)
+    rid = jnp.where(slot_ok, index.row_ids, nv)
+    slot_of = (
+        jnp.zeros((nv,), jnp.int32).at[rid].set(slot_iota, mode="drop")
+    )
+    vecs = index.vectors[slot_of]
+    label_of_slot = (
+        jnp.searchsorted(index.list_offsets, slot_iota, side="right") - 1
+    ).astype(jnp.int32)
+    labels = label_of_slot[slot_of]
+    if index.vectors.dtype == jnp.int8:
+        # reconstruct x̂ = c_list + scale * residual codes
+        vecs = (
+            index.centroids.astype(jnp.float32)[labels]
+            + index.scales[slot_of][:, None] * vecs.astype(jnp.float32)
+        )
+    return vecs, labels
 
 
 def extend(index: IVFFlatIndex, new_vectors: jax.Array) -> IVFFlatIndex:
@@ -427,23 +448,23 @@ def extend(index: IVFFlatIndex, new_vectors: jax.Array) -> IVFFlatIndex:
     b = add.shape[0]
     b_pad = topk_ops.round_up(b, 8)
     add_pad = topk_ops.pad_rows(add, b_pad)
-    new_labels = np.asarray(
-        kmeans_ops.assign_clusters(add_pad.astype(jnp.float32), index.centroids)
+    new_labels = kmeans_ops.assign_clusters(
+        add_pad.astype(jnp.float32), index.centroids
     )[:b]
 
-    old_vecs, old_labels = _recover_rows(index)
     nv = int(index.n_valid)
+    old_vecs, old_labels = _recover_rows(index, nv=nv)
     total = nv + b
-    all_vecs = jnp.concatenate([jnp.asarray(old_vecs), add], axis=0)
-    all_labels = jnp.concatenate(
-        [jnp.asarray(old_labels), jnp.asarray(new_labels, np.int32)]
-    )
+    all_vecs = jnp.concatenate([old_vecs.astype(add.dtype), add], axis=0)
+    all_labels = jnp.concatenate([old_labels, new_labels])
     n_pad = topk_ops.round_up(total, 8)
     all_vecs = topk_ops.pad_rows(all_vecs, n_pad)
     all_labels = topk_ops.pad_rows(all_labels, n_pad)
     valid = jnp.arange(n_pad) < total
 
-    counts = np.bincount(np.asarray(all_labels)[:total], minlength=index.n_lists)
+    counts = np.asarray(
+        ivf_ops.list_counts_device(all_labels, valid, index.centroids)
+    )
     max_list = int(topk_ops.round_up(max(int(counts.max()), 8), ivf_ops.ALIGN))
     capacity = ivf_ops.capacity_for(n_pad, index.n_lists, max_list)
     if is_int8:

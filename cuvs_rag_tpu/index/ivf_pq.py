@@ -124,7 +124,7 @@ def build(params: IVFPQParams, dataset: jax.Array, seed: int = 0) -> IVFPQIndex:
     n_pad = topk_ops.round_up(n, 8)
     vec_pad = topk_ops.pad_rows(vectors, n_pad)
     valid = jnp.arange(n_pad) < n
-    labels, _ = ivf_ops.balanced_labels_host(
+    labels, _ = ivf_ops.balanced_labels_device(
         vec_pad, centroids, n, params.balance_factor
     )
 
@@ -158,26 +158,15 @@ def build(params: IVFPQParams, dataset: jax.Array, seed: int = 0) -> IVFPQIndex:
     if n_codes <= 16 and m % 2 == 0:
         codes = pq_ops.pack_nibbles(codes)  # fastscan: 2 codes per byte
 
-    counts = np.bincount(np.asarray(labels)[:n], minlength=n_lists)
+    counts = np.asarray(ivf_ops.list_counts_device(labels, valid, centroids))
     max_list = int(topk_ops.round_up(max(int(counts.max()), 8), ivf_ops.ALIGN))
     capacity = ivf_ops.capacity_for(n_pad, n_lists, max_list)
 
-    perm, target_pos, row_ids, counts_j, offsets = ivf_ops.sort_by_list(
-        labels, valid, n_lists, capacity
+    sorted_codes, row_ids, offsets, counts_j, raw, raw_sq = _pq_layout(
+        codes, vec_pad, labels, valid,
+        n_lists=n_lists, capacity=capacity, max_list_size=max_list,
+        store_raw=params.store_raw,
     )
-    m_codes = codes.shape[1]
-    sorted_codes = (
-        jnp.zeros((capacity, m_codes), codes.dtype).at[target_pos].set(codes[perm])
-    )
-    if params.store_raw:
-        raw = (
-            jnp.zeros((capacity, vec_pad.shape[1]), vec_pad.dtype)
-            .at[target_pos].set(vec_pad[perm])
-        )
-        raw_sq = dist_ops.sqnorms(raw)
-    else:
-        raw = jnp.zeros((0, vec_pad.shape[1]), vec_pad.dtype)
-        raw_sq = jnp.zeros((0,), jnp.float32)
     return IVFPQIndex(
         codes=sorted_codes,
         row_ids=row_ids,
@@ -185,7 +174,7 @@ def build(params: IVFPQParams, dataset: jax.Array, seed: int = 0) -> IVFPQIndex:
         centroid_sqnorms=dist_ops.sqnorms(centroids),
         codebooks=codebooks,
         list_offsets=offsets,
-        list_counts=jnp.minimum(counts_j, max_list),
+        list_counts=counts_j,
         raw_vectors=raw,
         raw_sqnorms=raw_sq,
         rotation=rotation,
@@ -193,6 +182,39 @@ def build(params: IVFPQParams, dataset: jax.Array, seed: int = 0) -> IVFPQIndex:
         metric=params.metric,
         max_list_size=max_list,
         dim=d,
+    )
+
+
+import functools as _functools
+
+
+@_functools.partial(
+    jax.jit,
+    static_argnames=("n_lists", "capacity", "max_list_size", "store_raw"),
+)
+def _pq_layout(codes, vec_pad, labels, valid, *,
+               n_lists, capacity, max_list_size, store_raw):
+    """Sorted-CSR layout for PQ codes (+optional raw rows) — one cached
+    jitted program; the row move is a gather (see ops/ivf.build_layout)."""
+    perm, target_pos, row_ids, counts, offsets = ivf_ops.sort_by_list(
+        labels, valid, n_lists, capacity
+    )
+    slot_ok = row_ids >= 0
+    src = jnp.maximum(row_ids, 0)
+    sorted_codes = jnp.where(
+        slot_ok[:, None], codes[src], jnp.zeros((), codes.dtype)
+    )
+    if store_raw:
+        raw = jnp.where(
+            slot_ok[:, None], vec_pad[src], jnp.zeros((), vec_pad.dtype)
+        )
+        raw_sq = dist_ops.sqnorms(raw)
+    else:
+        raw = jnp.zeros((0, vec_pad.shape[1]), vec_pad.dtype)
+        raw_sq = jnp.zeros((0,), jnp.float32)
+    return (
+        sorted_codes, row_ids, offsets,
+        jnp.minimum(counts, max_list_size), raw, raw_sq,
     )
 
 
