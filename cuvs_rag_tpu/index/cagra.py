@@ -155,9 +155,63 @@ def build(params: CagraParams, dataset: jax.Array) -> CagraIndex:
         n_lists=params.build_nlists, metric=params.metric, dtype="bfloat16"
     )
     ivf_ix = ivf_family.build(ivf_params, dataset)
-    return jax.jit(
-        lambda b, v, ix: _build_local_ivf(params, b, v, ix)
-    )(block, nv, ivf_ix)
+    # memory barrier: drain the queue before enqueueing the graph program.
+    # Dispatch is async (the tunnel acks before execution), so without this
+    # the graph build's buffers are allocated while the IVF layout's
+    # temporaries are still live — OOMs at 2M x 768 on a 16 GB chip.
+    import numpy as _np
+
+    _np.asarray(ivf_ix.list_counts)
+
+    # Two-phase build: (A) graph construction reads the IVF layout; (B)
+    # reverse-edge pruning reads only the intermediate graph. Fusing them
+    # (the old _build_local_ivf) holds corpus (3 GB) + IVF layout (3.5 GB)
+    # + an output vector copy (3 GB) + graph temps in ONE program — over
+    # 16 GB HBM at 2M x 768. The index's `vectors` is the prepared block
+    # ITSELF (no jit output copy); only graph/sqnorm programs run on
+    # device, with drains between phases so frees land before the next
+    # phase allocates (dispatch and deletes are both async).
+    per = block.shape[0]
+    inter_deg = min(params.intermediate_graph_degree, max(per - 1, 1))
+    final_deg = min(params.graph_degree, inter_deg)
+    metric = params.metric
+    storage = _storage(params)
+    if metric == Metric.COSINE:
+        block = jax.jit(lambda b: dist_ops.l2_normalize(b).astype(storage))(
+            block
+        )
+    elif block.dtype != storage:
+        block = jax.jit(lambda b: b.astype(storage))(block)
+
+    def _phase_a(b, v, ix):
+        graph = graph_ops.build_knn_graph_ivf(
+            b, v, ix, degree=inter_deg, n_probes=params.build_nprobes,
+        )
+        return graph, graph_ops.list_medoids(ix)
+
+    graph, entry_rows = jax.jit(_phase_a)(block, nv, ivf_ix)
+    entry_centroids = ivf_ix.centroids.astype(jnp.float32)
+    _np.asarray(entry_rows)  # drain: phase A done, IVF layout freeable
+    del ivf_ix
+    # one more round-trip AFTER the deletes so the frees actually land
+    # device-side before phase B's buffers are allocated (deletes are async
+    # client messages; without this the 3.5 GB layout still counts against
+    # phase B's allocation and the build OOMs)
+    _np.asarray(entry_centroids[:1])
+
+    graph_final = jax.jit(
+        lambda g: graph_ops.augment_reverse_edges(g, final_deg)
+    )(graph)
+    sq = jax.jit(dist_ops.sqnorms)(block)
+    return CagraIndex(
+        vectors=block,
+        sqnorms=sq,
+        graph=graph_final,
+        entry_centroids=entry_centroids,
+        entry_rows=entry_rows,
+        n_valid=nv.astype(jnp.int32),
+        metric=metric,
+    )
 
 
 def build_sharded_local(params: CagraParams, sc, dmesh, seed: int = 0):

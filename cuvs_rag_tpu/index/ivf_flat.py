@@ -66,12 +66,13 @@ def _prep(params: IVFFlatParams, dataset: jax.Array) -> jax.Array:
     dtype = base.storage_dtype(params.dtype)
     if dtype == jnp.int8:
         # SQ8 is applied at layout time (flat._quantize_rows); k-means and
-        # list assignment run on the original precision
-        return vectors.astype(jnp.float32)
+        # list assignment cast per chunk — never a whole-corpus fp32 copy
+        # (+6 GB at 2M x 768)
+        return vectors
     return vectors.astype(dtype)
 
 
-def _quantize_residuals(vectors_f, labels, centroids):
+def _quantize_residuals(vectors_f, labels, centroids, chunk: int = 131_072):
     """Residual SQ8: codes quantize x - c_label (cuVS int8 ivf_flat design).
 
     Residual norms are a fraction of raw norms on clustered data, so the
@@ -79,12 +80,26 @@ def _quantize_residuals(vectors_f, labels, centroids):
     0.886 (raw SQ8) -> see PERF.md (residual). Returns (codes int8,
     scales fp32, recon_sqnorms fp32) where the reconstruction is
     x̂ = c_label + scale * codes and recon_sqnorms = ||x̂||².
+
+    Chunked over rows: the unchunked form holds three (N, D) fp32 temps
+    (input cast, gathered centroids, reconstruction) — 17.2 GB at 2M x 768,
+    a compile-time OOM on a 16 GB chip.
     """
-    x = vectors_f.astype(jnp.float32)
-    cents = centroids.astype(jnp.float32)[labels]
-    codes, scales = flat_family._quantize_rows(x - cents)
-    recon = cents + scales[:, None] * codes.astype(jnp.float32)
-    return codes, scales, dist_ops.sqnorms(recon)
+    n, d = vectors_f.shape
+    c = kmeans_ops._chunk_rows(n, chunk)
+
+    def body(args):
+        v, lb = args
+        x = v.astype(jnp.float32)
+        cents = centroids.astype(jnp.float32)[lb]
+        codes, scales = flat_family._quantize_rows(x - cents)
+        recon = cents + scales[:, None] * codes.astype(jnp.float32)
+        return codes, scales, dist_ops.sqnorms(recon)
+
+    codes, scales, sq = jax.lax.map(
+        body, (vectors_f.reshape(n // c, c, d), labels.reshape(n // c, c))
+    )
+    return codes.reshape(n, d), scales.reshape(n), sq.reshape(n)
 
 
 def build(

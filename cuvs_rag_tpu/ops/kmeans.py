@@ -241,11 +241,16 @@ def kmeans_nojit(
     n_clusters: int,
     iters: int = 10,
     chunk: int = 8192,
+    split_small_frac: float = 0.5,
 ):
     """Lloyd's k-means. Returns (centroids (C, D) fp32, labels (N,) int32).
 
-    Init: random distinct-ish rows (weighted sampling via gumbel top-k, so pad
-    rows are never picked). Empty clusters keep their previous centroid.
+    Init: blocked k-means++ (gumbel top-B D² sampling; pad rows never
+    picked). split_small_frac: clusters below this fraction of the mean
+    size are killed and reseeded as perturbed copies of oversized clusters
+    (see lloyd_iter). 0.5 balances hard (IVF coarse quantizers — bounded
+    probe windows); 0.0 only recycles EMPTY clusters (PQ codebooks, where
+    size imbalance is legitimate mass allocation, not a defect).
     """
     n, d = data.shape
     data = data.astype(jnp.float32)
@@ -258,9 +263,12 @@ def kmeans_nojit(
     # distribution conditioned on all *previous blocks*) cuts that to C/B
     # MXU-sized steps with near-identical seeding quality; Lloyd's
     # empty-cluster reseeding cleans up any within-block redundancy.
-    # ≥16 blocks so small-C inits keep near-sequential D² quality (b=1 IS
-    # classic k-means++); b caps at 64 so large-C inits stay ~32 MXU steps
-    b = int(max(1, min(64, -(-n_clusters // 16), n)))
+    # ≥32 blocks so small-C inits keep near-sequential D² quality (b=1 IS
+    # classic k-means++); b caps at 32 so large-C inits stay ~64 MXU steps.
+    # Larger blocks (b=64) measurably double-seed clusters on 2000-blob
+    # corpora (86 merged lists at 2M x 768) — within a block the D² draws
+    # don't see each other.
+    b = int(max(1, min(32, -(-n_clusters // 32), n)))
     nb = -(-n_clusters // b)
     c_pad = nb * b
     x_sq = jnp.sum(data * data, axis=1)
@@ -301,17 +309,15 @@ def kmeans_nojit(
     data_c = data.reshape(n // chunk, chunk, d)
     w_c = w.reshape(n // chunk, chunk)
 
-    # rows tracked for empty-cluster reseeding (farthest-from-centroid rows)
-    n_far = min(64, n_clusters, n)
+    total_w = jnp.sum(w)
 
-    def lloyd_iter(_, centroids):
+    def lloyd_iter(it, centroids):
         c_sq = dist_ops.sqnorms(centroids)
 
         def scan_body(carry, xs):
-            sums, counts, far_d, far_rows = carry
+            sums, counts = carry
             x, wts = xs
             scores = dist_ops.scores_from_tile(x, centroids, c_sq, "sqeuclidean")
-            best = jnp.max(scores, axis=1)
             labels = jnp.argmax(scores, axis=1)
             onehot = (
                 jax.nn.one_hot(labels, n_clusters, dtype=jnp.float32)
@@ -322,35 +328,48 @@ def kmeans_nojit(
                 onehot, x, (((0,), (0,)), ((), ()))
             )
             counts = counts + jnp.sum(onehot, axis=0)
-            # distance of each row to its nearest centroid (pad rows -> -inf
-            # so they are never used as reseeds)
-            x_sq = jnp.sum(x * x, axis=1)
-            ndist = jnp.where(wts > 0, x_sq - best, -jnp.inf)
-            cat_d = jnp.concatenate([far_d, ndist])
-            cat_rows = jnp.concatenate([far_rows, x])
-            far_d, far_args = jax.lax.top_k(cat_d, n_far)
-            far_rows = cat_rows[far_args]
-            return (sums, counts, far_d, far_rows), None
+            return (sums, counts), None
 
-        (sums, counts, far_d, far_rows), _ = jax.lax.scan(
+        (sums, counts), _ = jax.lax.scan(
             scan_body,
             (
                 jnp.zeros((n_clusters, d), jnp.float32),
                 jnp.zeros((n_clusters,), jnp.float32),
-                jnp.full((n_far,), -jnp.inf, jnp.float32),
-                jnp.zeros((n_far, d), jnp.float32),
             ),
             (data_c, w_c),
         )
         new = sums / jnp.maximum(counts, 1.0)[:, None]
-        # reseed empty clusters to the rows farthest from their centroid —
-        # fixes random-init collisions (the j-th empty cluster takes the
-        # j-th farthest row; beyond n_far reseeds, keep the old centroid)
-        empty = counts <= 0
-        rank = jnp.cumsum(empty.astype(jnp.int32)) - 1
-        reseed = far_rows[jnp.clip(rank, 0, n_far - 1)]
-        usable = empty & (rank < n_far) & jnp.isfinite(far_d[jnp.clip(rank, 0, n_far - 1)])
-        new = jnp.where(usable[:, None], reseed, jnp.where(empty[:, None], centroids, new))
+        new = jnp.where((counts <= 0)[:, None], centroids, new)
+        # FAISS-style cluster splitting: pair the rank-j SMALLEST cluster
+        # with the rank-j LARGEST; while the large one holds > 1.5x mean mass (a merged
+        # pair of equal blobs is exactly 2x — strict 2x never fires)
+        # and the small one < mean/2, kill the small centroid and reseed it
+        # as a perturbed copy of the large one — the copy/original pair
+        # splits the oversized cluster on the next assignment and Lloyd
+        # refines both. Threshold-based reseeding (reseed clusters below a
+        # fixed fraction of mean) provably stalls here: splitting a blob
+        # leaves both halves above any fixed threshold while a merged pair
+        # elsewhere survives untouched (measured: 86 over-cap lists at
+        # 2M x 768 / 2000 blobs, stable across iterations). Pairing
+        # biggest-with-smallest always fires while imbalance exists.
+        mean_w = total_w / n_clusters
+        big_order = jnp.argsort(-counts).astype(jnp.int32)
+        small_order = jnp.argsort(counts).astype(jnp.int32)
+        # never split on the final iteration: a fresh copy-pair is a raw
+        # perturbation, not a Lloyd-refined centroid — one more assignment
+        # pass is required for the split to improve quantization error
+        split_ok = (
+            (counts[big_order] > 1.5 * mean_w)
+            & (counts[small_order] <= split_small_frac * mean_w)
+            & (it + 1 < iters)
+        )
+        s = jnp.sign(jax.random.normal(
+            jax.random.fold_in(key, 7919 + it), (n_clusters, d)
+        ))
+        cand = new[big_order] * (1.0 + 1e-3 * s)
+        new = new.at[small_order].set(
+            jnp.where(split_ok[:, None], cand, new[small_order])
+        )
         return new
 
     centroids = jax.lax.fori_loop(0, iters, lloyd_iter, centroids)
@@ -359,5 +378,6 @@ def kmeans_nojit(
 
 
 kmeans = jax.jit(
-    kmeans_nojit, static_argnames=("n_clusters", "iters", "chunk")
+    kmeans_nojit,
+    static_argnames=("n_clusters", "iters", "chunk", "split_small_frac"),
 )

@@ -148,7 +148,12 @@ def _kernel(
     # expected number of improving tiles is ~k·ln(nc); the filter mostly
     # pays off at small batch (at batch ~100 the union of improving tiles
     # covers nearly every tile — the sketch kernel below is the fast path
-    # there).
+    # there). Finer gating was measured and REJECTED: per-8/16/32-query
+    # sub-block pl.when gates (expected improving fraction 25-67%) ran at
+    # 391-454 GB/s vs 490 whole-tile — 16 scalar branches per tile plus
+    # narrow (8, 2048) reductions cost more than the selection they skip.
+    # The practical ceiling here is ~550 GB/s (XLA's own full-corpus reduce
+    # measures 425; the branch-free sketch kernel reaches 548).
     kth = s_scr[:, k - 1]
     tile_best = jnp.max(scores, axis=1)
     improved = jnp.any(tile_best > kth)

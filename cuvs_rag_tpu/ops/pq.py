@@ -55,8 +55,12 @@ def train_codebooks(
     """
     subs = split_subspaces(residuals.astype(jnp.float32), m)  # (m, N, ds)
     keys = jax.random.split(key, m)
+    # split_small_frac=0.0: only recycle EMPTY codewords — codebook size
+    # imbalance is legitimate mass allocation, and forced balancing churns
+    # codewords every iteration (measured ~1pt ADC recall loss)
     f = functools.partial(
-        kmeans_ops.kmeans_nojit, n_clusters=n_codes, iters=iters
+        kmeans_ops.kmeans_nojit, n_clusters=n_codes, iters=iters,
+        split_small_frac=0.0,
     )
     codebooks, _ = jax.vmap(lambda d, k: f(d, weights, k))(subs, keys)
     return codebooks  # (m, n_codes, ds)

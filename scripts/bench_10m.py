@@ -8,6 +8,13 @@ deterministic (jax.random per chunk), so the build streams chunks
 fly — nothing but the final index is ever resident.
 """
 
+# runnable from any cwd: put the repo root on sys.path
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import time
 
 import numpy as np

@@ -3,6 +3,13 @@
 Queue-drain timing per bench.py; recall vs the exact Pallas oracle.
 """
 
+# runnable from any cwd: put the repo root on sys.path
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import time
 
 import numpy as np

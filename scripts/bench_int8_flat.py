@@ -4,6 +4,13 @@ Also measures id-agreement of int8 vs the bf16 ranking (k=5) so we know the
 recall cost of halving HBM traffic. Queue-then-drain timing per bench.py.
 """
 
+# runnable from any cwd: put the repo root on sys.path
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import time
 
 import numpy as np

@@ -1,6 +1,13 @@
 """IVF-Flat at 2M x 768 on the real TPU: bf16 (Pallas DMA-scan kernel) vs
 int8 SQ8 (XLA scaled scan). Queue-drain timing; recall vs exact oracle."""
 
+# runnable from any cwd: put the repo root on sys.path
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import time
 
 import numpy as np

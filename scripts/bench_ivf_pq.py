@@ -1,6 +1,13 @@
 """IVF-PQ search on the real TPU at 2M x 768: 8-bit gather ADC vs 4-bit
 select-sum ADC, with and without refine. Queue-drain timing (see bench.py)."""
 
+# runnable from any cwd: put the repo root on sys.path
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import time
 
 import numpy as np

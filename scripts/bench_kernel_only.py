@@ -1,5 +1,12 @@
 """Kernel-only micro-bench: raw flat_topk_pallas, queue-drain timing."""
 
+# runnable from any cwd: put the repo root on sys.path
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import sys
 import time
 
