@@ -55,3 +55,72 @@ def test_kmeans_ignores_zero_weight_rows(rng):
     )
     # no centroid anywhere near the garbage
     assert np.abs(np.asarray(centroids)).max() < 50.0
+
+
+def test_balance_device_bounds_max_count(rng):
+    import jax
+
+    n, C, t, cap = 8000, 16, 8, 800
+    pref = np.zeros((n, t), np.int64)
+    for i in range(n):
+        pref[i] = rng.permutation(C)[:t]
+    hot = rng.random(n) < 0.5
+    pref[hot, 0] = 0  # half the rows prefer list 0
+    m = rng.random(n).astype(np.float32)
+    labels = kmeans_ops.balance_assignments_device(
+        jnp.asarray(pref, jnp.int32), jnp.asarray(m),
+        jnp.ones((n,), bool), n_lists=C, cap=cap,
+    )
+    counts = np.bincount(np.asarray(labels), minlength=C)
+    # the dump pass makes the cap exact (total room 16*800 >= 8000)
+    assert counts.max() <= cap, counts
+    assert counts.sum() == n
+
+
+def test_balance_device_prefers_preference_lists(rng):
+    # with ample room, every row must stay in one of its preferred lists
+    n, C, t, cap = 2000, 16, 4, 1000
+    pref = np.zeros((n, t), np.int64)
+    for i in range(n):
+        pref[i] = rng.permutation(C)[:t]
+    m = rng.random(n).astype(np.float32)
+    labels = np.asarray(kmeans_ops.balance_assignments_device(
+        jnp.asarray(pref, jnp.int32), jnp.asarray(m),
+        jnp.ones((n,), bool), n_lists=C, cap=cap,
+    ))
+    in_pref = (labels[:, None] == pref).any(axis=1)
+    assert in_pref.all()
+
+
+def test_balance_device_pads_never_counted(rng):
+    n_real, n_pad, C, cap = 100, 128, 4, 40
+    pref = np.tile(np.arange(4), (n_pad, 1))  # everyone prefers 0,1,2,3
+    m = rng.random(n_pad).astype(np.float32)
+    valid = np.arange(n_pad) < n_real
+    labels = np.asarray(kmeans_ops.balance_assignments_device(
+        jnp.asarray(pref, jnp.int32), jnp.asarray(m),
+        jnp.asarray(valid), n_lists=C, cap=cap,
+    ))
+    counts = np.bincount(labels[:n_real], minlength=C)
+    assert counts.max() <= cap
+    assert counts.sum() == n_real
+
+
+def test_kmeans_splits_merged_clusters(rng):
+    # collided inits leave merged blobs; the split policy must separate
+    # them (threshold-based reseeding provably stalls here)
+    C, D, per = 16, 32, 100
+    centers = rng.standard_normal((C, D)).astype(np.float32) * 6
+    data = np.concatenate([
+        c + 0.1 * rng.standard_normal((per, D)).astype(np.float32)
+        for c in centers
+    ])
+    w = np.ones(len(data), np.float32)
+    cents, lab = kmeans_ops.kmeans(
+        jnp.asarray(data), jnp.asarray(w), jax.random.PRNGKey(0),
+        n_clusters=C, iters=12,
+    )
+    counts = np.bincount(np.asarray(lab), minlength=C)
+    # every blob gets its own cluster: all counts exactly `per`
+    assert counts.max() <= int(1.5 * per), counts
+    assert counts.min() >= per // 2, counts
