@@ -394,7 +394,10 @@ def search_scores(
     )
 
     do_refine = sp.refine_ratio > 0 and index.has_raw
-    k_adc = min(k * sp.refine_ratio, k + 256) if do_refine else k
+    # cap bounds the ADC top-k + raw re-rank cost; k+1024 lets deep refine
+    # (refine_ratio 64-100) actually widen the candidate pool (a k+256 cap
+    # silently clamped refine_ratio>25 at k=10 — measured recall plateau)
+    k_adc = min(k * sp.refine_ratio, k + 1024) if do_refine else k
 
     # ADC pass returns *sorted-layout positions* so refine can gather raw
     # rows without an id->position map; positions convert to row ids at the end.
