@@ -96,6 +96,62 @@ def main():
         _ = np.asarray(last[0])
         t_sk = min(t_sk, (time.perf_counter() - t0) / reps)
     sketch_ms_q = t_sk / BATCH * 1e3
+    del ix8
+
+    # tertiary: IVF-Flat with CERTIFIED recall — the apples-to-apples row
+    # against the baseline metric itself (cuVS IVF-Flat, approximate). A
+    # clustered corpus + in-distribution queries (IVF on i.i.d. gaussian is
+    # degenerate for every engine); recall measured against the exact flat
+    # oracle over the same corpus.
+    from cuvs_rag_tpu.index import ivf_flat
+    from cuvs_rag_tpu.utils.config import IVFFlatParams, IVFFlatSearchParams
+
+    kc = jax.random.fold_in(key, 999)
+    centers = jax.random.normal(kc, (2000, D), jnp.float32)
+    mkc = jax.jit(lambda k: (
+        centers[jax.random.randint(k, (N // 8,), 0, 2000)]
+        + 0.3 * jax.random.normal(k, (N // 8, D))
+    ).astype(jnp.bfloat16))
+    corpus_c = jnp.concatenate(
+        [mkc(jax.random.fold_in(key, 50 + i)) for i in range(8)]
+    )
+    qk = jax.random.fold_in(key, 777)
+    queries_c = (
+        centers[jax.random.randint(qk, (BATCH,), 0, 2000)]
+        + 0.3 * jax.random.normal(qk, (BATCH, D))
+    ).astype(jnp.float32)
+    fx = flat.build(FlatParams(dtype="bfloat16", tile_n=8192), corpus_c)
+    _, gt = flat.search(None, fx, queries_c, 10)
+    gt = np.asarray(gt)
+    del fx
+    # bf16 storage: halves window DMA bytes and keeps the double-buffered
+    # probe window inside the Pallas kernel's VMEM budget (fp32 storage
+    # falls back to the XLA scan path — 0.33 vs 0.08 ms/query measured)
+    ivf = ivf_flat.build(
+        IVFFlatParams(n_lists=2000, dtype="bfloat16"), corpus_c
+    )
+    _ = np.asarray(ivf.list_counts)  # drain before timing
+    spi = IVFFlatSearchParams(n_probes=10)
+    _, iv = ivf_flat.search(spi, ivf, queries_c, 10)
+    iv = np.asarray(iv)
+    ivf_recall = float(np.mean(
+        [len(set(iv[r]) & set(gt[r])) / 10 for r in range(BATCH)]
+    ))
+    qcs = [
+        queries_c + 0.01 * jax.random.normal(
+            jax.random.fold_in(key, 300 + r), queries_c.shape)
+        for r in range(reps)
+    ]
+    _ = [q.block_until_ready() for q in qcs]
+    t_ivf = 1e9
+    for _trial in range(2):
+        t0 = time.perf_counter()
+        last = None
+        for qr in qcs:
+            last = ivf_flat.search(spi, ivf, qr, 10)
+        _ = np.asarray(last[0])
+        t_ivf = min(t_ivf, (time.perf_counter() - t0) / reps)
+    ivf_ms_q = t_ivf / BATCH * 1e3
 
     print(json.dumps({
         "metric": f"exact_search_ms_per_query_{N}x{D}_k{K}_batch{BATCH}",
@@ -112,6 +168,12 @@ def main():
             "sketch_int8_note": "approx=True + int8 storage/MXU; recall "
                                 "0.97@5 vs fp32 exact (reference's own "
                                 "search is approximate)",
+            "ivf_bf16_ms_per_query": round(ivf_ms_q, 4),
+            "ivf_bf16_vs_baseline": round(BASELINE_MS / ivf_ms_q, 2),
+            "ivf_bf16_recall_at_10": round(ivf_recall, 3),
+            "ivf_note": "IVF-Flat nprobe=10 on a clustered 2M corpus, "
+                        "recall certified vs the exact flat oracle — the "
+                        "same index family as the baseline metric",
             "baseline": "A100 cuVS IVF-Flat 2M approx search = 2.01 ms/query",
             "note": "ours is exact brute-force (fused Pallas kernel), "
                     "reference is approximate",

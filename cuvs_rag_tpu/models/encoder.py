@@ -120,8 +120,26 @@ class TransformersEncoder:
         return np.concatenate(outs, axis=0)
 
 
-def make_encoder(name: str = "hashing", **kwargs):
-    """Factory: 'hashing' or an HF model name."""
+def make_encoder(name: str = "hashing", *, on_tpu: bool = False, **kwargs):
+    """Factory: 'hashing' or an HF model name.
+
+    on_tpu=True hosts the model in flax on the accelerator:
+    BERT-family checkpoints (MiniLM/DistilBERT-class) via
+    models.flax_encoder, Qwen3-family (the reference's
+    Qwen3-Embedding pipeline, generate_embeddings.py) via
+    models.flax_qwen — picked by the checkpoint's model_type.
+    """
     if name == "hashing":
         return HashingEncoder(**kwargs)
+    if on_tpu:
+        from transformers import AutoConfig
+
+        model_type = getattr(AutoConfig.from_pretrained(name), "model_type", "")
+        if model_type.startswith("qwen"):
+            from cuvs_rag_tpu.models.flax_qwen import QwenEmbeddingEncoder
+
+            return QwenEmbeddingEncoder.from_pretrained(name, **kwargs)
+        from cuvs_rag_tpu.models.flax_encoder import FlaxSentenceEncoder
+
+        return FlaxSentenceEncoder.from_pretrained(name, **kwargs)
     return TransformersEncoder(model_name=name, **kwargs)

@@ -1,0 +1,256 @@
+"""Flax Qwen3-family decoder encoder — TPU-native instruct embeddings.
+
+The reference's strongest embedding front end is Qwen3-Embedding-8B run
+through HF transformers with flash-attention-2, last-token pooling and L2
+normalization (generate_embeddings.py:11-21,50-68, SURVEY.md §2 #10). This
+module hosts that model family *on the TPU*: a compact flax implementation
+of the Qwen3 decoder stack (RMSNorm, GQA with per-head q/k RMSNorm, RoPE,
+SwiGLU) whose parameters load from any HF torch checkpoint via
+`convert_hf_state_dict`. flash-attention-2 is a CUDA kernel; here attention
+is XLA-fused softmax attention, which XLA maps onto the MXU — splash/flash
+Pallas attention only pays off beyond the sequence lengths used for corpus
+encoding.
+
+Inference-only, bf16-friendly, jitted end to end. Pooling follows the
+reference exactly: last non-pad token, then L2 normalize.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    import flax.linen as nn
+except ImportError:  # pragma: no cover
+    nn = None
+
+
+@dataclasses.dataclass(frozen=True)
+class QwenConfig:
+    vocab_size: int = 151_936
+    hidden_size: int = 1024
+    num_layers: int = 28
+    num_heads: int = 16
+    num_kv_heads: int = 8
+    head_dim: int = 128
+    intermediate_size: int = 3072
+    rope_theta: float = 1_000_000.0
+    rms_eps: float = 1e-6
+
+    @classmethod
+    def from_hf(cls, hf_config) -> "QwenConfig":
+        return cls(
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=hf_config.num_key_value_heads,
+            head_dim=getattr(
+                hf_config, "head_dim",
+                hf_config.hidden_size // hf_config.num_attention_heads,
+            ),
+            intermediate_size=hf_config.intermediate_size,
+            rope_theta=getattr(hf_config, "rope_theta", 1_000_000.0),
+            rms_eps=getattr(hf_config, "rms_norm_eps", 1e-6),
+        )
+
+
+def _rms_norm(x, w, eps):
+    xf = x.astype(jnp.float32)
+    inv = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (xf * inv).astype(x.dtype) * w
+
+
+def _rope(x, positions, theta):
+    """HF-style rotary embedding on (..., S, H, hd): half-split rotation."""
+    hd = x.shape[-1]
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd)
+    )  # (hd/2,)
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq  # (B,S,hd/2)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)  # (B, S, hd)
+    cos = jnp.cos(emb)[..., None, :]  # (B, S, 1, hd)
+    sin = jnp.sin(emb)[..., None, :]
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    return (x.astype(jnp.float32) * cos + rotated.astype(jnp.float32) * sin
+            ).astype(x.dtype)
+
+
+if nn is not None:
+
+    class _QwenBlock(nn.Module):
+        cfg: QwenConfig
+
+        @nn.compact
+        def __call__(self, x, mask, positions):
+            c = self.cfg
+            b, s, h = x.shape
+            nh, nkv, hd = c.num_heads, c.num_kv_heads, c.head_dim
+
+            ln1 = self.param("input_ln", nn.initializers.ones, (h,))
+            y = _rms_norm(x, ln1, c.rms_eps)
+
+            q = nn.Dense(nh * hd, use_bias=False, name="q_proj")(y)
+            k = nn.Dense(nkv * hd, use_bias=False, name="k_proj")(y)
+            v = nn.Dense(nkv * hd, use_bias=False, name="v_proj")(y)
+            q = q.reshape(b, s, nh, hd)
+            k = k.reshape(b, s, nkv, hd)
+            v = v.reshape(b, s, nkv, hd)
+            # Qwen3: per-head RMSNorm on q/k before RoPE
+            qn = self.param("q_norm", nn.initializers.ones, (hd,))
+            kn = self.param("k_norm", nn.initializers.ones, (hd,))
+            q = _rms_norm(q, qn, c.rms_eps)
+            k = _rms_norm(k, kn, c.rms_eps)
+            q = _rope(q, positions, c.rope_theta)
+            k = _rope(k, positions, c.rope_theta)
+            # GQA: repeat kv heads
+            rep = nh // nkv
+            k = jnp.repeat(k, rep, axis=2)
+            v = jnp.repeat(v, rep, axis=2)
+
+            scores = jnp.einsum(
+                "bqhd,bkhd->bhqk", q, k,
+                preferred_element_type=jnp.float32,
+            ) / np.sqrt(hd)
+            causal = jnp.tril(jnp.ones((s, s), bool))
+            valid = causal[None, None] & mask[:, None, None, :].astype(bool)
+            scores = jnp.where(valid, scores, -1e30)
+            probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+            attn = nn.Dense(h, use_bias=False, name="o_proj")(
+                ctx.reshape(b, s, nh * hd)
+            )
+            x = x + attn
+
+            ln2 = self.param("post_ln", nn.initializers.ones, (h,))
+            y = _rms_norm(x, ln2, c.rms_eps)
+            gate = nn.Dense(c.intermediate_size, use_bias=False,
+                            name="gate_proj")(y)
+            up = nn.Dense(c.intermediate_size, use_bias=False,
+                          name="up_proj")(y)
+            mlp = nn.Dense(h, use_bias=False, name="down_proj")(
+                nn.silu(gate) * up
+            )
+            return x + mlp
+
+    class QwenModel(nn.Module):
+        cfg: QwenConfig
+
+        @nn.compact
+        def __call__(self, input_ids, attention_mask):
+            c = self.cfg
+            x = nn.Embed(c.vocab_size, c.hidden_size, name="embed")(input_ids)
+            positions = jnp.cumsum(attention_mask, axis=-1) - 1
+            positions = jnp.maximum(positions, 0)
+            for i in range(c.num_layers):
+                x = _QwenBlock(c, name=f"layer_{i}")(
+                    x, attention_mask, positions
+                )
+            fn = self.param("final_ln", nn.initializers.ones, (c.hidden_size,))
+            return _rms_norm(x, fn, c.rms_eps)  # (B, S, H)
+
+
+def last_token_pool(hidden, attention_mask):
+    """Reference pooling (generate_embeddings.py:11-21): the hidden state
+    of each sequence's LAST non-pad token (right padding assumed)."""
+    last = jnp.sum(attention_mask, axis=1).astype(jnp.int32) - 1
+    last = jnp.maximum(last, 0)
+    return hidden[jnp.arange(hidden.shape[0]), last]
+
+
+def convert_hf_state_dict(state_dict: Dict[str, Any], cfg: QwenConfig):
+    """HF Qwen3Model state dict -> flax params for QwenModel."""
+    def g(name):
+        t = state_dict[name]
+        return np.asarray(
+            t.detach().cpu().numpy() if hasattr(t, "detach") else t,
+            dtype=np.float32,
+        )
+
+    params: Dict[str, Any] = {
+        "embed": {"embedding": g("embed_tokens.weight")},
+        "final_ln": g("norm.weight"),
+    }
+    for i in range(cfg.num_layers):
+        p = f"layers.{i}."
+        params[f"layer_{i}"] = {
+            "input_ln": g(p + "input_layernorm.weight"),
+            "post_ln": g(p + "post_attention_layernorm.weight"),
+            "q_norm": g(p + "self_attn.q_norm.weight"),
+            "k_norm": g(p + "self_attn.k_norm.weight"),
+            "q_proj": {"kernel": g(p + "self_attn.q_proj.weight").T},
+            "k_proj": {"kernel": g(p + "self_attn.k_proj.weight").T},
+            "v_proj": {"kernel": g(p + "self_attn.v_proj.weight").T},
+            "o_proj": {"kernel": g(p + "self_attn.o_proj.weight").T},
+            "gate_proj": {"kernel": g(p + "mlp.gate_proj.weight").T},
+            "up_proj": {"kernel": g(p + "mlp.up_proj.weight").T},
+            "down_proj": {"kernel": g(p + "mlp.down_proj.weight").T},
+        }
+    return {"params": params}
+
+
+class QwenEmbeddingEncoder:
+    """Qwen3-Embedding-style encoder: tokenize -> decoder stack ->
+    last-token pool -> L2 normalize, all jitted on the accelerator.
+
+    Mirrors the reference pipeline (generate_embeddings.py): instruct
+    formatting via models.encoder.get_detailed_instruct, last-token
+    pooling, normalized fp32 output.
+    """
+
+    def __init__(self, cfg: QwenConfig, params, tokenizer, *,
+                 max_length: int = 512, dtype=jnp.bfloat16):
+        if nn is None:  # pragma: no cover
+            raise ImportError("flax is required for QwenEmbeddingEncoder")
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.max_length = max_length
+        model = QwenModel(cfg)
+        cast = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, dtype)
+            if np.asarray(x).ndim >= 2 else jnp.asarray(x, jnp.float32),
+            params,
+        )
+        self._params = cast
+
+        def fwd(p, ids, mask):
+            hidden = model.apply(p, ids, mask)
+            emb = last_token_pool(hidden, mask).astype(jnp.float32)
+            return emb / jnp.maximum(
+                jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12
+            )
+
+        self._fwd = jax.jit(fwd)
+
+    @classmethod
+    def from_pretrained(cls, name_or_path: str, **kwargs):
+        """Load config/weights/tokenizer from an HF Qwen3 checkpoint."""
+        from transformers import AutoConfig, AutoModel, AutoTokenizer
+
+        hf_cfg = AutoConfig.from_pretrained(name_or_path)
+        cfg = QwenConfig.from_hf(hf_cfg)
+        model = AutoModel.from_pretrained(name_or_path)
+        params = convert_hf_state_dict(model.state_dict(), cfg)
+        tok = AutoTokenizer.from_pretrained(name_or_path)
+        return cls(cfg, params, tok, **kwargs)
+
+    def encode(self, texts, batch_size: int = 16) -> np.ndarray:
+        out = []
+        for i in range(0, len(texts), batch_size):
+            batch = list(texts[i:i + batch_size])
+            enc = self.tokenizer(
+                batch, padding="max_length", truncation=True,
+                max_length=self.max_length, return_tensors="np",
+            )
+            out.append(np.asarray(self._fwd(
+                self._params,
+                jnp.asarray(enc["input_ids"], jnp.int32),
+                jnp.asarray(enc["attention_mask"], jnp.int32),
+            )))
+        return np.concatenate(out) if out else np.zeros((0, 0), np.float32)
