@@ -73,7 +73,20 @@ def validate_queries(queries: jax.Array, dim: int) -> jax.Array:
     return queries
 
 
-def storage_dtype(name: str):
+def storage_dtype(name: str, data_dtype=None):
+    """Resolve a storage-dtype config string.
+
+    "auto" (cuVS parity: store as given) keeps a float dataset's own dtype
+    — fp32 corpora stay exact, bf16 corpora take the halved-DMA Pallas
+    fast path; non-float inputs store fp32. Callers that pass "auto" must
+    supply data_dtype.
+    """
+    if name == "auto":
+        if data_dtype is None:
+            raise ValueError("storage_dtype('auto') needs the data dtype")
+        if data_dtype in (jnp.float32, jnp.bfloat16):
+            return data_dtype
+        return jnp.float32
     if name in ("float32", "fp32"):
         return jnp.float32
     if name in ("bfloat16", "bf16"):

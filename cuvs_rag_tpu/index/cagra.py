@@ -83,8 +83,8 @@ def _finish(params, vectors, sq, graph, n_valid, final_deg,
     )
 
 
-def _storage(params: CagraParams):
-    dtype = base.storage_dtype(params.dtype)
+def _storage(params: CagraParams, data_dtype=None):
+    dtype = base.storage_dtype(params.dtype, data_dtype)
     if dtype == jnp.int8:
         raise ValueError("cagra storage dtype must be float32 or bfloat16")
     return dtype
@@ -98,7 +98,7 @@ def build_local(
     vectors = block
     if params.metric == Metric.COSINE:
         vectors = dist_ops.l2_normalize(vectors)
-    vectors = vectors.astype(_storage(params))
+    vectors = vectors.astype(_storage(params, block.dtype))
     sq = dist_ops.sqnorms(vectors)
     inter_deg = min(params.intermediate_graph_degree, max(per - 1, 1))
     final_deg = min(params.graph_degree, inter_deg)
@@ -115,7 +115,7 @@ def _build_local_ivf(
     vectors = block
     if params.metric == Metric.COSINE:
         vectors = dist_ops.l2_normalize(vectors)
-    vectors = vectors.astype(_storage(params))
+    vectors = vectors.astype(_storage(params, block.dtype))
     sq = dist_ops.sqnorms(vectors)
     per = block.shape[0]
     inter_deg = min(params.intermediate_graph_degree, max(per - 1, 1))
@@ -142,8 +142,9 @@ def build(params: CagraParams, dataset: jax.Array) -> CagraIndex:
     # memory discipline at multi-GB scale: the padded block is created in
     # the storage dtype (never a whole-corpus fp32 copy), and the IVF
     # bootstrap index is built bf16 (it only seeds an approximate graph)
+    dataset = jnp.asarray(dataset)
     block = topk_ops.pad_rows(
-        jnp.asarray(dataset).astype(_storage(params)), n_pad
+        dataset.astype(_storage(params, dataset.dtype)), n_pad
     )
     if _resolve_algo(params, n) == "exact":
         return jax.jit(lambda b, v: build_local(params, b, v))(block, nv)
@@ -175,7 +176,7 @@ def build(params: CagraParams, dataset: jax.Array) -> CagraIndex:
     inter_deg = min(params.intermediate_graph_degree, max(per - 1, 1))
     final_deg = min(params.graph_degree, inter_deg)
     metric = params.metric
-    storage = _storage(params)
+    storage = _storage(params, block.dtype)
     if metric == Metric.COSINE:
         block = jax.jit(lambda b: dist_ops.l2_normalize(b).astype(storage))(
             block

@@ -47,7 +47,7 @@ class FlatIndex:
 def build(params: FlatParams, dataset: jax.Array) -> FlatIndex:
     """Build an exact index. cuVS-style surface: build(params, dataset)."""
     base.validate_dataset(dataset)
-    dtype = base.storage_dtype(params.dtype)
+    dtype = base.storage_dtype(params.dtype, jnp.asarray(dataset).dtype)
     n, _ = dataset.shape
     tile_n = min(params.tile_n, topk_ops.round_up(n, 8))
     n_padded = topk_ops.round_up(n, tile_n)
@@ -132,7 +132,7 @@ def build_local(params: FlatParams, block: jax.Array, n_valid: jax.Array) -> Fla
     Runs under shard_map — no host-side validation or padding here.
     """
     per = block.shape[0]
-    dtype = base.storage_dtype(params.dtype)
+    dtype = base.storage_dtype(params.dtype, block.dtype)
     vectors = block
     if params.metric == Metric.COSINE:
         vectors = dist_ops.l2_normalize(vectors)

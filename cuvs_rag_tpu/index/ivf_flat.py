@@ -63,7 +63,7 @@ def _prep(params: IVFFlatParams, dataset: jax.Array) -> jax.Array:
     vectors = jnp.asarray(dataset)
     if params.metric == Metric.COSINE:
         vectors = dist_ops.l2_normalize(vectors)
-    dtype = base.storage_dtype(params.dtype)
+    dtype = base.storage_dtype(params.dtype, vectors.dtype)
     if dtype == jnp.int8:
         # SQ8 is applied at layout time (flat._quantize_rows); k-means and
         # list assignment cast per chunk — never a whole-corpus fp32 copy
@@ -133,7 +133,7 @@ def build(
     max_list = int(topk_ops.round_up(max(int(counts.max()), 8), ivf_ops.ALIGN))
     capacity = ivf_ops.capacity_for(n_pad, n_lists, max_list)
 
-    if base.storage_dtype(params.dtype) == jnp.int8:
+    if base.storage_dtype(params.dtype, vec_pad.dtype) == jnp.int8:
         vec_pad, scales, recon_sq = jax.jit(_quantize_residuals)(
             vec_pad, labels, centroids
         )
@@ -180,7 +180,6 @@ def build_from_chunks(
 
     assert n % n_chunks == 0, (n, n_chunks)
     chunk_rows = n // n_chunks
-    dtype = base.storage_dtype(params.dtype)
     n_lists = min(params.n_lists or default_n_lists(n), n)
     metric = params.metric
     key = jax.random.PRNGKey(seed)
@@ -194,12 +193,17 @@ def build_from_chunks(
     # --- pass 0: coarse quantizer on a sample from the leading chunks ---
     sample_rows = min(n, params.kmeans_sample)
     pieces, got = [], 0
+    dtype = None
     for i in range(n_chunks):
         if got >= sample_rows:
             break
-        c = prep(chunk_fn(i)).astype(jnp.float32)
+        raw = prep(chunk_fn(i))
+        if dtype is None:
+            dtype = base.storage_dtype(params.dtype, raw.dtype)
+        c = raw.astype(jnp.float32)
         take = min(chunk_rows, sample_rows - got)
         pieces.append(c[:take])
+        del raw
         got += take
     sample_pad = topk_ops.round_up(got, 8)
     sample = topk_ops.pad_rows(jnp.concatenate(pieces), sample_pad)
@@ -346,7 +350,7 @@ def build_local(
     rows are truncated — see build_sharded_local).
     """
     per, d = block.shape
-    dtype = base.storage_dtype(params.dtype)
+    dtype = base.storage_dtype(params.dtype, block.dtype)
     vectors = block
     if params.metric == Metric.COSINE:
         vectors = dist_ops.l2_normalize(vectors)
@@ -402,7 +406,7 @@ def train(params: IVFFlatParams, sample: jax.Array, seed: int = 0) -> IVFFlatInd
         n_clusters=n_lists, iters=params.kmeans_iters,
     )
     cap = 8
-    dtype = base.storage_dtype(params.dtype)
+    dtype = base.storage_dtype(params.dtype, vectors.dtype)
     return IVFFlatIndex(
         vectors=jnp.zeros((cap, d), dtype),
         sqnorms=jnp.zeros((cap,), jnp.float32),
@@ -525,7 +529,7 @@ def build_sharded_local(params: IVFFlatParams, sc, dmesh, seed: int = 0):
     n_lists = min(n_lists, avg_valid)
 
     metric = params.metric
-    dtype = base.storage_dtype(params.dtype)
+    dtype = base.storage_dtype(params.dtype, sc.data.dtype)
 
     def _prep_block(block):
         v = block
