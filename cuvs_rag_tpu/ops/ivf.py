@@ -22,42 +22,6 @@ from cuvs_rag_tpu.ops import distance as dist_ops
 from cuvs_rag_tpu.ops import topk as topk_ops
 
 
-def balanced_labels_host(
-    vectors,
-    centroids,
-    n_rows: int,
-    balance_factor: float,
-):
-    """Host-orchestrated capacity-bounded assignment (build path).
-
-    Returns (labels (N_pad,) jnp.int32, cap int). vectors may be any float
-    dtype (assignment casts per chunk — no whole-corpus fp32 copy) and may
-    include pad rows beyond n_rows; their labels are arbitrary (masked by
-    `valid`).
-    """
-    import numpy as np
-
-    from cuvs_rag_tpu.ops import kmeans as kmeans_ops
-
-    n_lists = centroids.shape[0]
-    n_pad = vectors.shape[0]
-    if balance_factor <= 0 or n_lists <= 1:
-        return kmeans_ops.assign_clusters(vectors, centroids), 0
-    cap = max(8, int(-(-balance_factor * n_rows // n_lists)))
-    top, margins = kmeans_ops.assign_topk_clusters(vectors, centroids, t=4)
-    top_h = np.asarray(top)
-    final = kmeans_ops.balance_assignments(
-        top_h[:n_rows], n_lists, cap, margins=np.asarray(margins)[:n_rows]
-    )
-    out = np.zeros((n_pad,), np.int32)
-    out[:n_rows] = final
-    if n_pad > n_rows:
-        out[n_rows:] = top_h[n_rows:, 0]
-    import jax.numpy as _jnp
-
-    return _jnp.asarray(out), cap
-
-
 def balanced_labels_device(
     vectors,
     centroids,
@@ -65,13 +29,12 @@ def balanced_labels_device(
     balance_factor: float,
     passes: int = 3,
 ):
-    """Device-resident capacity-bounded assignment — no O(N) host traffic.
-
-    Same contract as balanced_labels_host but the (N, t) candidate labels
-    never leave the device (the host round-trip measured 140 s at 2M rows
-    through the test tunnel). Returns (labels (N_pad,) int32 device array,
-    cap int). The cap is soft (see kmeans.balance_assignments_device);
-    callers size probe windows from the final counts.
+    """Device-resident capacity-bounded assignment — no O(N) host traffic
+    (a host round-trip of the (N, t) candidate labels measured 140 s at 2M
+    rows through the test tunnel). Returns (labels (N_pad,) int32 device
+    array, cap int). Lists are bounded by cap exactly for
+    balance_factor >= 1 (see kmeans.balance_assignments_device); callers
+    size probe windows from the final counts.
     """
     from cuvs_rag_tpu.ops import kmeans as kmeans_ops
 

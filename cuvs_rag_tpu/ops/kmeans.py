@@ -64,54 +64,6 @@ def assign_topk_clusters(
     return labels.reshape(n, t), margins.reshape(n)
 
 
-def balance_assignments(
-    top_labels: np.ndarray, n_lists: int, cap: int,
-    margins: np.ndarray | None = None,
-) -> np.ndarray:
-    """Host-side capacity-bounded assignment: rows go to their nearest
-    centroid until a list reaches `cap`, then spill to their next-nearest
-    non-full choice (keeps every row indexed — no truncation — while
-    bounding the probe-window size; spilled rows live in their 2nd/3rd-best
-    list, which nprobe>1 searches still visit).
-
-    top_labels: (N, t) preference-ordered candidate lists per row.
-    margins: optional (N,) score gap to the 2nd-best list — rows with the
-    smallest margin spill first (their 2nd-best list is nearly as good, so
-    residual quality barely degrades).
-    Returns (N,) final labels.
-    """
-    top_labels = np.asarray(top_labels)
-    n, t = top_labels.shape
-    counts = np.bincount(top_labels[:, 0], minlength=n_lists)
-    final = top_labels[:, 0].copy()
-    over = np.where(counts > cap)[0]
-    if len(over) == 0:
-        return final
-    for c in over:
-        rows = np.where(final == c)[0]
-        if margins is not None:
-            # keep the rows most committed to this list; spill small-margin
-            order = np.argsort(-np.asarray(margins)[rows], kind="stable")
-            rows = rows[order]
-        for r in rows[cap:]:
-            placed = False
-            for j in range(1, t):
-                alt = top_labels[r, j]
-                if counts[alt] < cap:
-                    final[r] = alt
-                    counts[alt] += 1
-                    counts[c] -= 1
-                    placed = True
-                    break
-            if not placed:
-                # every preferred list full: global least-loaded list
-                alt = int(np.argmin(counts))
-                final[r] = alt
-                counts[alt] += 1
-                counts[c] -= 1
-    return final
-
-
 @functools.partial(jax.jit, static_argnames=("n_lists", "cap", "passes"))
 def balance_assignments_device(
     top: jax.Array,
@@ -122,16 +74,15 @@ def balance_assignments_device(
     cap: int,
     passes: int = 3,
 ) -> jax.Array:
-    """Device-resident capacity-bounded assignment (soft cap).
+    """Device-resident capacity-bounded assignment.
 
-    Same policy as `balance_assignments` (rows spill from over-cap lists to
-    their next preference, smallest-margin rows first) but expressed as a
-    fixed number of sort passes so it runs entirely on device — the host
-    version needs a (N, t) label D2H round-trip, which through the test
-    tunnel measured 140 s at 2M rows vs ~50 ms here. The cap is *soft*:
-    after `passes` passes a list can exceed `cap` by late spill-ins; callers
-    size the probe window from the final measured counts, so nothing is
-    truncated.
+    Rows spill from over-cap lists to their next preference (smallest
+    margin first), expressed as a fixed number of admission-controlled
+    sort passes plus an exact cumulative-room dump pass, entirely on
+    device (a host implementation needs an (N, t) label D2H round-trip —
+    140 s at 2M rows through the test tunnel vs ~50 ms here). For
+    balance_factor >= 1 the final max list size is <= cap exactly;
+    nothing is ever truncated.
 
     top: (N, t) preference-ordered candidate lists; margins: (N,) score gap
     to the runner-up (commitment); valid: (N,) bool, pad rows never spill.
