@@ -158,9 +158,15 @@ if nn is not None:
 
 def last_token_pool(hidden, attention_mask):
     """Reference pooling (generate_embeddings.py:11-21): the hidden state
-    of each sequence's LAST non-pad token (right padding assumed)."""
-    last = jnp.sum(attention_mask, axis=1).astype(jnp.int32) - 1
-    last = jnp.maximum(last, 0)
+    of each sequence's LAST non-pad token. Handles right AND left padding
+    (the reference branches on whether the final column is all non-pad;
+    here the check is per sequence: a non-pad last column means the last
+    token IS the sequence end — left padding or no padding)."""
+    seq_len = hidden.shape[1]
+    by_length = jnp.sum(attention_mask, axis=1).astype(jnp.int32) - 1
+    last = jnp.where(
+        attention_mask[:, -1] > 0, seq_len - 1, jnp.maximum(by_length, 0)
+    )
     return hidden[jnp.arange(hidden.shape[0]), last]
 
 

@@ -59,6 +59,12 @@ def test_last_token_pool_matches_reference_semantics():
     pooled = np.asarray(flax_qwen.last_token_pool(hidden, mask))
     np.testing.assert_array_equal(pooled[0], np.asarray(hidden)[0, 2])
     np.testing.assert_array_equal(pooled[1], np.asarray(hidden)[1, 3])
+    # left padding (the reference's flash-attention path pads left): the
+    # last column is non-pad, so the last token is the sequence end
+    mask_l = jnp.asarray([[0, 0, 1, 1], [0, 1, 1, 1]], jnp.int32)
+    pooled_l = np.asarray(flax_qwen.last_token_pool(hidden, mask_l))
+    np.testing.assert_array_equal(pooled_l[0], np.asarray(hidden)[0, 3])
+    np.testing.assert_array_equal(pooled_l[1], np.asarray(hidden)[1, 3])
 
 
 class _StubTok:
