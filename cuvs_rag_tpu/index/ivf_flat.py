@@ -11,6 +11,7 @@ reference's heuristic n_lists ≈ N/1000 (improved_multi_gpu_rag.py:128).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -176,8 +177,6 @@ def build_from_chunks(
     on one 16 GB v5e. Produces the same index as build() on the
     concatenated chunks (same assignment, layout, and search results).
     """
-    import functools
-
     assert n % n_chunks == 0, (n, n_chunks)
     chunk_rows = n // n_chunks
     n_lists = min(params.n_lists or default_n_lists(n), n)
@@ -295,10 +294,7 @@ def build_from_chunks(
     )
 
 
-import functools as _functools
-
-
-@_functools.partial(
+@functools.partial(
     jax.jit, static_argnames=("n_lists", "capacity", "max_list_size")
 )
 def _layout_call(vec_pad, labels, valid, scales, sqnorms, *,
@@ -310,7 +306,7 @@ def _layout_call(vec_pad, labels, valid, scales, sqnorms, *,
     )
 
 
-@_functools.partial(jax.jit, static_argnames=("n_lists", "capacity"))
+@functools.partial(jax.jit, static_argnames=("n_lists", "capacity"))
 def _chunks_placement(labels, valid, *, n_lists, capacity):
     """Aligned-CSR placement for the chunked build: per-row target slot,
     slot->row ids, list offsets, and true counts — all device-resident."""
@@ -422,7 +418,7 @@ def train(params: IVFFlatParams, sample: jax.Array, seed: int = 0) -> IVFFlatInd
     )
 
 
-@_functools.partial(jax.jit, static_argnames=("nv",))
+@functools.partial(jax.jit, static_argnames=("nv",))
 def _recover_rows(index: IVFFlatIndex, nv: int):
     """Device-side: original-order vectors + labels from the sorted layout.
 
@@ -519,8 +515,6 @@ def build_sharded_local(params: IVFFlatParams, sc, dmesh, seed: int = 0):
     static probe-window size — so, unlike a one-shot traced build, no rows
     are ever truncated. Phase B (shard_map): sorted-CSR layout per shard.
     """
-    import functools
-
     from jax.sharding import PartitionSpec as P
 
     per = sc.per_shard
@@ -688,9 +682,6 @@ def search_scores(
         layout_scales=index.scales,
         coarse_ip=coarse_ip,
     )
-
-
-import functools
 
 
 @functools.partial(jax.jit, static_argnames=("search_params", "k"))

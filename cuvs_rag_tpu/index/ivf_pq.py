@@ -13,6 +13,7 @@ heuristic n_lists ≈ N/500 (improved_multi_gpu_rag.py:135).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -185,10 +186,7 @@ def build(params: IVFPQParams, dataset: jax.Array, seed: int = 0) -> IVFPQIndex:
     )
 
 
-import functools as _functools
-
-
-@_functools.partial(
+@functools.partial(
     jax.jit,
     static_argnames=("n_lists", "capacity", "max_list_size", "store_raw"),
 )
@@ -440,9 +438,6 @@ def search_scores(
         positions >= 0, index.row_ids[jnp.maximum(positions, 0)], -1
     )
     return scores, row_ids
-
-
-import functools
 
 
 @functools.partial(jax.jit, static_argnames=("search_params", "k"))

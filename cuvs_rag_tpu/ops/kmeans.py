@@ -17,7 +17,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from cuvs_rag_tpu.ops import distance as dist_ops
 
