@@ -36,14 +36,24 @@ class BenchResult:
     latency_ms_per_query: float
 
 
+def _drain(x) -> None:
+    """Force completion of `x` (and everything queued before it).
+
+    block_until_ready is NOT sufficient on async-dispatch backends (the
+    test tunnel acks dispatches before execution); fetching a tiny slice
+    creates a real data dependency."""
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(leaf[(slice(0, 1),) * leaf.ndim])
+
+
 def time_fn(fn: Callable[[], Any], iters: int = 5, warmup: int = 1):
     """Warmup-then-time protocol (reference #cell33). Returns (mean, std)."""
     for _ in range(warmup):
-        jax.block_until_ready(fn())
+        _drain(fn())
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
+        _drain(fn())
         ts.append(time.perf_counter() - t0)
     return float(np.mean(ts)), float(np.std(ts))
 
@@ -108,15 +118,32 @@ def scaling_stress(
     rng = np.random.default_rng(seed)
     queries = rng.standard_normal((n_queries, dim)).astype(np.float32)
 
+    def device_corpus(n):
+        # generate ON DEVICE in bf16: a host-generated fp32 corpus at 2M x
+        # 768 is 6 GB of H2D (minutes through the test tunnel) and doubles
+        # HBM vs bf16 — the harness then measures the transfer, not the
+        # engine. The breaking-point protocol probes the ENGINE's limits.
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), n)
+        chunk = max(1, n // 8)
+        mk = jax.jit(
+            lambda k, r: jax.random.normal(k, (r, dim), jnp.bfloat16),
+            static_argnames="r",
+        )
+        parts = [
+            mk(jax.random.fold_in(key, i), min(chunk, n - i * chunk))
+            for i in range((n + chunk - 1) // chunk)
+        ]
+        return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
     for n in sizes:
-        corpus = rng.standard_normal((n, dim)).astype(np.float32)
+        corpus = device_corpus(n)
         try:
             params = make_params(n)
             t0 = time.perf_counter()
             if sharded:
                 dm = dmesh or DeviceMesh()
                 index = psearch.build_sharded(family, params, corpus, dm)
-                jax.block_until_ready(jax.tree_util.tree_leaves(index.local)[0])
+                _drain(index.local)
                 build_s = time.perf_counter() - t0
 
                 def do_search():
@@ -124,8 +151,8 @@ def scaling_stress(
                         search_params_fn(n), index, jnp.asarray(queries), k, dm
                     )
             else:
-                index = mod.build(params, jnp.asarray(corpus))
-                jax.block_until_ready(jax.tree_util.tree_leaves(index)[0])
+                index = mod.build(params, corpus)
+                _drain(index)
                 build_s = time.perf_counter() - t0
 
                 def do_search():
@@ -138,7 +165,8 @@ def scaling_stress(
             if eval_recall:
                 _, idx = do_search()
                 gt = recall_lib.exact_ground_truth(
-                    corpus, queries, k, Metric.SQEUCLIDEAN
+                    np.asarray(corpus, dtype=np.float32), queries, k,
+                    Metric.SQEUCLIDEAN,
                 )
                 r = recall_lib.recall_at_k(np.asarray(idx), gt, k)
             rows.append(
