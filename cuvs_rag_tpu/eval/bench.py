@@ -36,14 +36,7 @@ class BenchResult:
     latency_ms_per_query: float
 
 
-def _drain(x) -> None:
-    """Force completion of `x` (and everything queued before it).
-
-    block_until_ready is NOT sufficient on async-dispatch backends (the
-    test tunnel acks dispatches before execution); fetching a tiny slice
-    creates a real data dependency."""
-    leaf = jax.tree_util.tree_leaves(x)[0]
-    np.asarray(leaf[(slice(0, 1),) * leaf.ndim])
+from cuvs_rag_tpu.utils.profiling import drain as _drain
 
 
 def time_fn(fn: Callable[[], Any], iters: int = 5, warmup: int = 1):

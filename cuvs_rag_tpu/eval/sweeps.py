@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cuvs_rag_tpu.eval import recall as recall_lib
+from cuvs_rag_tpu.utils import profiling
 
 
 @dataclasses.dataclass
@@ -45,11 +46,11 @@ def operating_curve(
     out = []
     for label, fn in search_fns:
         d, i = fn(qj, k)
-        jax.block_until_ready((d, i))
+        profiling.drain(d)
         t0 = time.perf_counter()
         for _ in range(iters):
             d, i = fn(qj, k)
-            jax.block_until_ready((d, i))
+        profiling.drain(d)  # queue-then-drain: device executes in order
         dt = (time.perf_counter() - t0) / iters
         r = recall_lib.recall_at_k(np.asarray(i), ground_truth, k)
         out.append(SweepPoint(

@@ -31,6 +31,7 @@ def run_family(family, corpus, queries, k, args, dmesh, gt):
 
     from cuvs_rag_tpu.eval import recall as recall_lib
     from cuvs_rag_tpu.parallel import search as psearch
+    from cuvs_rag_tpu.utils import profiling
     from cuvs_rag_tpu.utils.config import (
         CagraParams, CagraSearchParams, FlatParams, IVFFlatParams,
         IVFFlatSearchParams, IVFPQParams, IVFPQSearchParams,
@@ -53,14 +54,14 @@ def run_family(family, corpus, queries, k, args, dmesh, gt):
     t0 = time.perf_counter()
     if args.placement == "shard":
         index = psearch.build_sharded(family, params, corpus, dmesh)
-        jax.block_until_ready(jax.tree_util.tree_leaves(index.local)[0])
+        profiling.drain(index.local)
         build_s = time.perf_counter() - t0
 
         def do_search(qb):
             return psearch.search_sharded(sp, index, qb, k, dmesh)
     else:
         index = psearch.build_replicated(family, params, corpus, dmesh)
-        jax.block_until_ready(jax.tree_util.tree_leaves(index.index)[0])
+        profiling.drain(index.index)
         build_s = time.perf_counter() - t0
 
         def do_search(qb):
@@ -68,12 +69,12 @@ def run_family(family, corpus, queries, k, args, dmesh, gt):
 
     qj = jnp.asarray(queries)
     dists, idx = do_search(qj)  # compile + run
-    jax.block_until_ready((dists, idx))
+    profiling.drain(dists)
     t0 = time.perf_counter()
     iters = 3
     for _ in range(iters):
         dists, idx = do_search(qj)
-        jax.block_until_ready((dists, idx))
+    profiling.drain(dists)  # queue-then-drain
     search_ms = (time.perf_counter() - t0) / iters * 1e3
 
     recalls = recall_lib.recall_multiple_k(

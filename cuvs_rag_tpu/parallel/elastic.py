@@ -117,7 +117,9 @@ class DeviceHealthMonitor:
                 continue
             try:
                 x = jax.device_put(np.ones((8,), np.float32), d)
-                jax.block_until_ready(x + 1.0)
+                # fetch (not block_until_ready): async-dispatch backends
+                # ack before executing, so only a D2H read proves health
+                assert float(np.asarray((x + 1.0)[0])) == 2.0
                 health.append(True)
             except Exception as e:  # noqa: BLE001
                 logger.error("device %d failed probe: %s", i, e)

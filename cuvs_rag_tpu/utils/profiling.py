@@ -19,6 +19,20 @@ from collections import defaultdict
 from typing import Dict, Iterator, List, Optional
 
 import jax
+import numpy as np
+
+
+def drain(x) -> None:
+    """Force completion of `x` and everything queued before it.
+
+    `jax.block_until_ready` is NOT sufficient on async-dispatch backends
+    (the test tunnel acks dispatches before execution); fetching a tiny
+    slice creates a real host-side data dependency. Use this around any
+    wall-clock timing of device work.
+    """
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    arr = np.asarray(leaf[(slice(0, 1),) * getattr(leaf, "ndim", 0)])
+    del arr
 
 
 @dataclasses.dataclass
@@ -41,7 +55,7 @@ class Timer:
             yield
         finally:
             if block_on is not None:
-                jax.block_until_ready(block_on)
+                drain(block_on)
             self.spans.append(Span(name, time.perf_counter() - t0, t0))
 
     def summary(self) -> Dict[str, Dict[str, float]]:
