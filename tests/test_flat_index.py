@@ -182,3 +182,20 @@ def test_approx_search_mode(rng):
         for r in range(q)
     ])
     assert overlap >= 0.9, overlap
+
+
+def test_auto_storage_dtype_follows_dataset(rng):
+    import jax.numpy as jnp
+
+    from cuvs_rag_tpu.index import base, flat
+    from cuvs_rag_tpu.utils.config import FlatParams
+
+    corpus = rng.standard_normal((64, 16)).astype(np.float32)
+    ix32 = flat.build(FlatParams(), jnp.asarray(corpus))
+    assert ix32.vectors.dtype == jnp.float32
+    ix16 = flat.build(FlatParams(), jnp.asarray(corpus).astype(jnp.bfloat16))
+    assert ix16.vectors.dtype == jnp.bfloat16
+    # non-float inputs store fp32
+    assert base.storage_dtype("auto", jnp.int32) == jnp.float32
+    # explicit dtypes are unaffected
+    assert base.storage_dtype("bfloat16", jnp.float32) == jnp.bfloat16
