@@ -82,6 +82,42 @@ def _select_topk_rounds(scores, k, payload=None):
     return jnp.stack(out_s, axis=1), jnp.stack(out_i, axis=1)
 
 
+def _select_topk_fused(scores, k):
+    """(TQ, C) -> ((TQ, k) scores desc, (TQ, k) col ids), C <= 2048.
+
+    Combined-key selection: each fp32 score is mapped to a uint32 whose
+    order matches float order (sign-flip trick), the low 11 bits are
+    replaced by the column index, and each round is ONE uint max reduction
+    + mask — vs max + argmax + onehot-sum in _select_topk_rounds. Scores
+    come back with 11 mantissa bits truncated (bf16-grade, fine for
+    distances); exact scores survive in the running-merge stage which
+    keeps fp32.
+    """
+    tq, c = scores.shape
+    assert c <= 2048, c  # column index must fit the 11 low bits
+    u = jax.lax.bitcast_convert_type(scores, jnp.uint32)
+    key = jnp.where(
+        scores >= 0, u | jnp.uint32(0x80000000), ~u
+    )
+    col = jax.lax.broadcasted_iota(jnp.uint32, (tq, c), 1)
+    cur = (key & jnp.uint32(0xFFFFF800)) | col
+    out_s = []
+    out_i = []
+    for _ in range(k):
+        best = jnp.max(cur, axis=1)  # one reduction: score AND column
+        hit = cur == best[:, None]
+        sk = best & jnp.uint32(0xFFFFF800)
+        restored = jnp.where(
+            (sk & jnp.uint32(0x80000000)) > 0,
+            sk & jnp.uint32(0x7FFFFFFF),
+            ~sk,
+        )
+        out_s.append(jax.lax.bitcast_convert_type(restored, jnp.float32))
+        out_i.append((best & jnp.uint32(0x7FF)).astype(jnp.int32))
+        cur = jnp.where(hit, jnp.uint32(0), cur)
+    return jnp.stack(out_s, axis=1), jnp.stack(out_i, axis=1)
+
+
 # Pad-row scores: pad rows carry +_PAD_PENALTY in the kernel's csq slot, so
 # the existing FMA pass drives their scores to ~-1e30 — no separate masking
 # passes anywhere in the kernel. Any score <= _VALID_MIN is an invalid slot.
@@ -123,7 +159,7 @@ def _score_tile(
 def _kernel(
     q_ref, c_ref, csq_ref, csc_ref, qsc_ref,
     out_s_ref, out_i_ref, s_scr, i_scr,
-    *, k, tile_c, metric, scaled, int8_compute,
+    *, k, tile_c, metric, scaled, int8_compute, fused_select=True,
 ):
     j = pl.program_id(1)
     nc = pl.num_programs(1)
@@ -160,7 +196,10 @@ def _kernel(
 
     @pl.when(improved)
     def _():
-        tile_s, tile_arg = _select_topk_rounds(scores, k)
+        if fused_select and tile_c <= 2048:
+            tile_s, tile_arg = _select_topk_fused(scores, k)
+        else:
+            tile_s, tile_arg = _select_topk_rounds(scores, k)
         tile_i = tile_arg + base
         cand_s = jnp.concatenate([s_scr[:], tile_s], axis=1)  # (TQ, 2k)
         cand_i = jnp.concatenate([i_scr[:], tile_i], axis=1)
@@ -239,7 +278,7 @@ def _quantize_query_rows(x: jax.Array):
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "tile_q", "tile_c", "int8_compute",
-                     "mode", "interpret"),
+                     "mode", "interpret", "fused_select"),
 )
 def flat_topk_pallas(
     corpus: jax.Array,
@@ -255,6 +294,7 @@ def flat_topk_pallas(
     int8_compute: bool = False,
     mode: str = "exact",
     interpret: bool = False,
+    fused_select: bool = True,
 ):
     """Drop-in for ops.topk.flat_topk_search (same contract), k <= 32.
 
@@ -314,11 +354,17 @@ def flat_topk_pallas(
     csc_t = corpus_scales.reshape(nc, 8, tile_c // 8).astype(jnp.float32)
 
     grid = (q_pad // tile_q, nc)
-    kern = _sketch_kernel if mode == "sketch" else _kernel
-    kernel = functools.partial(
-        kern, k=k, tile_c=tile_c, metric=metric,
-        scaled=scaled, int8_compute=int8_compute,
-    )
+    if mode == "sketch":
+        kernel = functools.partial(
+            _sketch_kernel, k=k, tile_c=tile_c, metric=metric,
+            scaled=scaled, int8_compute=int8_compute,
+        )
+    else:
+        kernel = functools.partial(
+            _kernel, k=k, tile_c=tile_c, metric=metric,
+            scaled=scaled, int8_compute=int8_compute,
+            fused_select=fused_select,
+        )
     scr_cols = tile_c if mode == "sketch" else k
     out_s, out_i = pl.pallas_call(
         kernel,

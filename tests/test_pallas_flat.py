@@ -23,7 +23,10 @@ def test_pallas_matches_xla(rng, metric):
         corpus, sq, queries, nv, k=k, metric=metric, tile_n=1024
     )
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
-    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4, atol=1e-4)
+    # ids are exact; scores from the fused combined-key selection carry 11
+    # truncated mantissa bits (<= 2^-12 relative — far below the bf16
+    # storage noise the kernel's production inputs already have)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-3, atol=1e-3)
 
 
 def test_pallas_int8_matches_xla(rng):
