@@ -32,10 +32,15 @@ if _os.environ.get("CUVS_RAG_TPU_NO_COMPILE_CACHE") != "1":
         _os.path.expanduser("~/.cache/cuvs_rag_tpu/jax_cache"),
     )
     try:
-        _os.makedirs(_cache_dir, exist_ok=True)
-        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        # Don't clobber a cache the host application already configured
+        # (library import must not override app-level JAX config).
+        if not _jax.config.jax_compilation_cache_dir:
+            _os.makedirs(_cache_dir, exist_ok=True)
+            _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+            _jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.5
+            )
+            _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:  # pragma: no cover - cache is a best-effort speedup
         pass
 

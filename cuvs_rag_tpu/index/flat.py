@@ -217,6 +217,13 @@ def _pallas_search(index: FlatIndex, queries: jax.Array, k: int, *, mode: str):
     )
 
 
+# Set to True the first time a Pallas kernel fails to lower/compile on the
+# real backend: search() falls back to the XLA paths for the rest of the
+# process instead of hard-failing every call (the round-1 bench died on
+# exactly this — a Mosaic NotImplementedError at lowering with no guard).
+_PALLAS_BROKEN = False
+
+
 def _use_pallas(index: FlatIndex, k: int) -> bool:
     """Fused Pallas kernel eligibility: TPU backend, small k, aligned tiles.
 
@@ -227,6 +234,8 @@ def _use_pallas(index: FlatIndex, k: int) -> bool:
     """
     import os
 
+    if _PALLAS_BROKEN:
+        return False
     if os.environ.get("CUVS_RAG_TPU_DISABLE_PALLAS") == "1":
         return False
     try:
@@ -281,4 +290,17 @@ def search(
     device dispatch per call.
     """
     queries = base.validate_queries(queries, index.dim)
-    return _search_core(search_params, index, queries, k)
+    try:
+        return _search_core(search_params, index, queries, k)
+    except Exception as e:  # pragma: no cover - requires a backend lowering bug
+        global _PALLAS_BROKEN
+        if _PALLAS_BROKEN or not _use_pallas(index, k):
+            raise  # not a pallas-path failure — propagate
+        import logging
+
+        logging.getLogger(__name__).error(
+            "Pallas flat kernel failed to compile/run (%s: %s); falling back "
+            "to the XLA path for the rest of this process", type(e).__name__, e
+        )
+        _PALLAS_BROKEN = True
+        return _search_core(search_params, index, queries, k)

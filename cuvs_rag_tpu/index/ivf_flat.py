@@ -103,6 +103,12 @@ def _quantize_residuals(vectors_f, labels, centroids, chunk: int = 131_072):
     return codes.reshape(n, d), scales.reshape(n), sq.reshape(n)
 
 
+# Module-level cached jit: a fresh jax.jit(_quantize_residuals) per build
+# retraced+recompiled on every int8 build/extend (same class of leak as the
+# per-call _layout_jit that cost 15 s at 2M x 768).
+_quantize_residuals_jit = jax.jit(_quantize_residuals)
+
+
 def build(
     params: IVFFlatParams, dataset: jax.Array, seed: int = 0
 ) -> IVFFlatIndex:
@@ -135,7 +141,7 @@ def build(
     capacity = ivf_ops.capacity_for(n_pad, n_lists, max_list)
 
     if base.storage_dtype(params.dtype, vec_pad.dtype) == jnp.int8:
-        vec_pad, scales, recon_sq = jax.jit(_quantize_residuals)(
+        vec_pad, scales, recon_sq = _quantize_residuals_jit(
             vec_pad, labels, centroids
         )
     else:
@@ -483,7 +489,7 @@ def extend(index: IVFFlatIndex, new_vectors: jax.Array) -> IVFFlatIndex:
     max_list = int(topk_ops.round_up(max(int(counts.max()), 8), ivf_ops.ALIGN))
     capacity = ivf_ops.capacity_for(n_pad, index.n_lists, max_list)
     if is_int8:
-        all_vecs, scales, recon_sq = jax.jit(_quantize_residuals)(
+        all_vecs, scales, recon_sq = _quantize_residuals_jit(
             all_vecs, all_labels, index.centroids
         )
     else:
@@ -606,12 +612,19 @@ def default_search_params() -> IVFFlatSearchParams:
     return IVFFlatSearchParams()
 
 
+# Flipped on the first Pallas lowering/compile failure: search() degrades to
+# the XLA gather path instead of hard-failing (see index/flat.py counterpart).
+_PALLAS_BROKEN = False
+
+
 def _use_pallas_ivf(index: IVFFlatIndex, k: int) -> bool:
     """Pallas DMA-scan eligibility: TPU, small k, 128-aligned dim, window
     fits a double buffer in VMEM. Measured 3.3x the XLA gather path at 2M
     (and far more once inside one jitted dispatch); id-identical results."""
     import os
 
+    if _PALLAS_BROKEN:
+        return False
     if os.environ.get("CUVS_RAG_TPU_DISABLE_PALLAS") == "1":
         return False
     try:
@@ -702,4 +715,17 @@ def search(
     """cuVS surface: search(SearchParams(n_probes), index, queries, k).
     One jitted program per call (prep + probe + scan + conversion)."""
     queries = base.validate_queries(queries, index.dim)
-    return _search_core(search_params, index, queries, k)
+    try:
+        return _search_core(search_params, index, queries, k)
+    except Exception as e:  # pragma: no cover - requires a backend lowering bug
+        global _PALLAS_BROKEN
+        if _PALLAS_BROKEN or not _use_pallas_ivf(index, k):
+            raise  # not a pallas-path failure — propagate
+        import logging
+
+        logging.getLogger(__name__).error(
+            "Pallas IVF kernel failed to compile/run (%s: %s); falling back "
+            "to the XLA path for the rest of this process", type(e).__name__, e
+        )
+        _PALLAS_BROKEN = True
+        return _search_core(search_params, index, queries, k)

@@ -98,10 +98,16 @@ def balance_assignments_device(
             [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
         )
 
+    vone = valid.astype(jnp.int32)  # room/occupancy never counts pad rows
+
     def one_pass(_, state):
         labels, choice = state
-        # 1) who must leave: in-list rank by descending margin >= cap
+        # 1) who must leave: in-list rank by descending margin >= cap.
+        # starts/rank use FULL counts (pads included — they sort last in
+        # their segment so real rows' ranks are unaffected); room below
+        # uses valid-only counts so pads never consume list capacity.
         counts = jnp.zeros((n_lists,), jnp.int32).at[labels].add(1)
+        vcounts = jnp.zeros((n_lists,), jnp.int32).at[labels].add(vone)
         starts = _exclusive_starts(counts)
         _, _, rows = jax.lax.sort(
             (labels, neg_m, rows_iota), num_keys=2, is_stable=True
@@ -124,7 +130,7 @@ def balance_assignments_device(
         pstarts = _exclusive_starts(pcounts)
         key_sorted = prop_key[prows]
         prank = rows_iota - pstarts[jnp.minimum(key_sorted, n_lists - 1)]
-        room = cap - jnp.minimum(counts, cap)
+        room = cap - jnp.minimum(vcounts, cap)
         admit_sorted = (key_sorted < n_lists) & (
             prank < room[jnp.minimum(key_sorted, n_lists - 1)]
         )
@@ -146,6 +152,7 @@ def balance_assignments_device(
     #    max list size by cap EXACTLY (for balance_factor >= 1), which sets
     #    the probe-window DMA size and hence search latency.
     counts = jnp.zeros((n_lists,), jnp.int32).at[labels].add(1)
+    vcounts = jnp.zeros((n_lists,), jnp.int32).at[labels].add(vone)
     starts = _exclusive_starts(counts)
     _, _, rows = jax.lax.sort(
         (labels, neg_m, rows_iota), num_keys=2, is_stable=True
@@ -155,7 +162,8 @@ def balance_assignments_device(
     movers_per_list = (
         jnp.zeros((n_lists,), jnp.int32).at[labels].add(mover.astype(jnp.int32))
     )
-    room = jnp.maximum(cap - (counts - movers_per_list), 0)
+    # valid-only occupancy: pads must not consume dump-pass room either
+    room = jnp.maximum(cap - (vcounts - movers_per_list), 0)
     cum_room = jnp.cumsum(room)
     total_room = cum_room[-1]
     # global mover rank (most-committed rows dump last)

@@ -85,36 +85,39 @@ def _select_topk_rounds(scores, k, payload=None):
 def _select_topk_fused(scores, k):
     """(TQ, C) -> ((TQ, k) scores desc, (TQ, k) col ids), C <= 2048.
 
-    Combined-key selection: each fp32 score is mapped to a uint32 whose
-    order matches float order (sign-flip trick), the low 11 bits are
-    replaced by the column index, and each round is ONE uint max reduction
-    + mask — vs max + argmax + onehot-sum in _select_topk_rounds. Scores
-    come back with 11 mantissa bits truncated (bf16-grade, fine for
+    Combined-key selection: each fp32 score is mapped to an int32 whose
+    SIGNED order matches float order (XOR the magnitude bits of negatives
+    — Mosaic has no unsigned reductions, which killed the earlier uint32
+    variant at lowering: "Reductions over unsigned integers not
+    implemented", BENCH_r01), the low 11 bits are replaced by the column
+    index, and each round is ONE signed max reduction + mask — vs
+    max + argmax + onehot-sum in _select_topk_rounds. Scores come back
+    with 11 mantissa bits truncated toward -inf (bf16-grade, fine for
     distances); exact scores survive in the running-merge stage which
     keeps fp32.
     """
     tq, c = scores.shape
     assert c <= 2048, c  # column index must fit the 11 low bits
-    u = jax.lax.bitcast_convert_type(scores, jnp.uint32)
-    key = jnp.where(
-        scores >= 0, u | jnp.uint32(0x80000000), ~u
-    )
-    col = jax.lax.broadcasted_iota(jnp.uint32, (tq, c), 1)
-    cur = (key & jnp.uint32(0xFFFFF800)) | col
+    b = jax.lax.bitcast_convert_type(scores, jnp.int32)
+    # monotone int32 key: non-negative floats already sort correctly as
+    # int32; negatives sort reversed, fixed by flipping their 31 low bits
+    # (-0.0 -> -1, -inf -> near INT_MIN). Strictly monotone in the float.
+    key = jnp.where(b >= 0, b, b ^ jnp.int32(0x7FFFFFFF))
+    col = jax.lax.broadcasted_iota(jnp.int32, (tq, c), 1)
+    # key & -2048 truncates the 11 low bits (bitwise AND keeps two's-
+    # complement order for equal high bits); OR-in the column id.
+    cur = (key & jnp.int32(-2048)) | col
+    int_min = jnp.int32(-(2 ** 31))
     out_s = []
     out_i = []
     for _ in range(k):
         best = jnp.max(cur, axis=1)  # one reduction: score AND column
         hit = cur == best[:, None]
-        sk = best & jnp.uint32(0xFFFFF800)
-        restored = jnp.where(
-            (sk & jnp.uint32(0x80000000)) > 0,
-            sk & jnp.uint32(0x7FFFFFFF),
-            ~sk,
-        )
+        sk = best & jnp.int32(-2048)
+        restored = jnp.where(sk >= 0, sk, sk ^ jnp.int32(0x7FFFFFFF))
         out_s.append(jax.lax.bitcast_convert_type(restored, jnp.float32))
-        out_i.append((best & jnp.uint32(0x7FF)).astype(jnp.int32))
-        cur = jnp.where(hit, jnp.uint32(0), cur)
+        out_i.append(best & jnp.int32(0x7FF))
+        cur = jnp.where(hit, int_min, cur)
     return jnp.stack(out_s, axis=1), jnp.stack(out_i, axis=1)
 
 

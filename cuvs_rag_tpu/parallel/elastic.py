@@ -118,8 +118,12 @@ class DeviceHealthMonitor:
             try:
                 x = jax.device_put(np.ones((8,), np.float32), d)
                 # fetch (not block_until_ready): async-dispatch backends
-                # ack before executing, so only a D2H read proves health
-                assert float(np.asarray((x + 1.0)[0])) == 2.0
+                # ack before executing, so only a D2H read proves health.
+                # NOT an assert — `python -O` would strip it, silently
+                # reverting the probe to a dispatch-ack-only check.
+                v = float(np.asarray((x + 1.0)[0]))
+                if v != 2.0:
+                    raise RuntimeError(f"probe returned {v}, expected 2.0")
                 health.append(True)
             except Exception as e:  # noqa: BLE001
                 logger.error("device %d failed probe: %s", i, e)

@@ -1,0 +1,85 @@
+"""Cross-platform Mosaic lowering gate for every Pallas kernel.
+
+Round 1 shipped a kernel that passed its whole (interpret=True) test suite
+and then died at Mosaic lowering on the real TPU ("Reductions over unsigned
+integers not implemented" — BENCH_r01). The lowering step that raised is
+pure Python (`jax._src.pallas.mosaic.lowering.lower_jaxpr_to_module`), so it
+can run on a CPU-only host via JAX's AOT cross-lowering API. These tests
+lower every kernel variant FOR TPU on the CPU CI host — any Mosaic
+NotImplementedError/verification failure fails CI before it can reach
+hardware. (Full Mosaic→LLO compilation still needs a real chip; that final
+gate is scripts/tpu_smoke.py.)
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cuvs_rag_tpu.ops import pallas_flat, pallas_ivf
+
+D = 256
+NP_ROWS = 4096  # corpus rows, multiple of tile_c
+TILE_C = 2048
+
+
+def _lower_tpu(fn, *args):
+    """Trace + lower for the TPU platform; raises on Mosaic lowering bugs."""
+    jax.jit(fn).trace(*args).lower(lowering_platforms=("tpu",))
+
+
+def _flat_args(dtype):
+    corpus = jnp.zeros((NP_ROWS, D), dtype)
+    sq = jnp.zeros((NP_ROWS,), jnp.float32)
+    scales = jnp.ones((NP_ROWS,), jnp.float32)
+    q = jnp.zeros((24, D), jnp.float32)
+    nv = jnp.asarray(NP_ROWS - 5, jnp.int32)
+    return corpus, sq, q, nv, scales
+
+
+@pytest.mark.parametrize("mode", ["exact", "sketch"])
+@pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float32, jnp.int8])
+def test_flat_kernel_lowers_for_tpu(mode, dtype):
+    fn = functools.partial(
+        pallas_flat.flat_topk_pallas,
+        k=5, metric="sqeuclidean", tile_c=TILE_C, mode=mode,
+    )
+    _lower_tpu(fn, *_flat_args(dtype))
+
+
+@pytest.mark.parametrize("fused", [True, False])
+def test_flat_exact_select_variants_lower_for_tpu(fused):
+    fn = functools.partial(
+        pallas_flat.flat_topk_pallas,
+        k=10, metric="inner_product", tile_c=TILE_C, mode="exact",
+        fused_select=fused,
+    )
+    _lower_tpu(fn, *_flat_args(jnp.bfloat16))
+
+
+def test_flat_int8_compute_lowers_for_tpu():
+    fn = functools.partial(
+        pallas_flat.flat_topk_pallas,
+        k=5, metric="sqeuclidean", tile_c=TILE_C, mode="sketch",
+        int8_compute=True,
+    )
+    _lower_tpu(fn, *_flat_args(jnp.int8))
+
+
+@pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.int8])
+def test_ivf_scan_lowers_for_tpu(dtype):
+    cap, window, nprobe, qn = 2048, 256, 4, 8
+    fn = functools.partial(
+        pallas_ivf.ivf_scan_pallas,
+        k=5, nprobe=nprobe, window=window, metric="sqeuclidean",
+    )
+    _lower_tpu(
+        fn,
+        jnp.zeros((cap, D), dtype),
+        jnp.zeros((cap,), jnp.float32),
+        jnp.ones((cap,), jnp.float32),
+        jnp.zeros((qn, D), jnp.float32),
+        jnp.zeros((qn, nprobe), jnp.int32),
+        jnp.full((qn, nprobe), 100, jnp.int32),
+    )
