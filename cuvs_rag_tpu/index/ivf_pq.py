@@ -41,11 +41,13 @@ class IVFPQIndex:
     list_counts: jax.Array  # (C,)
     raw_vectors: jax.Array  # (cap, Dp) storage for refine, or (0, Dp)
     raw_sqnorms: jax.Array  # (cap,) or (0,)
+    norm_corr: jax.Array  # (cap,) fp32 two-level c1·c2 cross term, or (0,)
     rotation: jax.Array  # (Dp, Dp) OPQ rotation, or (0, 0) when disabled
     n_valid: jax.Array  # () int32
     metric: str
     max_list_size: int
     dim: int  # original (unpadded) dim
+    levels: int  # 1 = plain PQ; 2 = two-level additive nibble PQ (8-bit)
 
     @property
     def padded_dim(self) -> int:
@@ -53,7 +55,7 @@ class IVFPQIndex:
 
     @property
     def pq_dim(self) -> int:
-        return self.codebooks.shape[-3]
+        return self.codebooks.shape[-3] // self.levels
 
     @property
     def codes_packed(self) -> bool:
@@ -145,28 +147,41 @@ def build(params: IVFPQParams, dataset: jax.Array, seed: int = 0) -> IVFPQIndex:
         res_sample = res_sample @ rotation.T
     else:
         rotation = jnp.zeros((0, 0), jnp.float32)
-    codebooks = pq_ops.train_codebooks(
-        res_sample, pq_w, k2, m=m, n_codes=n_codes,
-        iters=params.pq_kmeans_iters,
-    )
+    levels = 2 if (params.pq_bits == 8 and params.two_level) else 1
+    if levels == 2:
+        codebooks = pq_ops.train_two_level_codebooks(
+            res_sample, pq_w, k2, m=m, iters=params.pq_kmeans_iters,
+        )
+    else:
+        codebooks = pq_ops.train_codebooks(
+            res_sample, pq_w, k2, m=m, n_codes=n_codes,
+            iters=params.pq_kmeans_iters,
+        )
 
     # --- encode all rows, chunked (fp32 residuals only per chunk) --------
     codes = _encode_chunked(
         vec_pad, labels, centroids, codebooks,
-        rotation if params.opq else None,
+        rotation if params.opq else None, levels=levels,
     )
 
-    if n_codes <= 16 and m % 2 == 0:
-        codes = pq_ops.pack_nibbles(codes)  # fastscan: 2 codes per byte
+    if levels == 2:
+        norm_corr = _norm_corr_jit(codes, codebooks)
+        codes = pq_ops.pack_nibbles(codes)  # (N, 2m) nibbles -> m bytes
+    else:
+        norm_corr = jnp.zeros((0,), jnp.float32)
+        if n_codes <= 16 and m % 2 == 0:
+            codes = pq_ops.pack_nibbles(codes)  # fastscan: 2 codes per byte
 
     counts = np.asarray(ivf_ops.list_counts_device(labels, valid, centroids))
     max_list = int(topk_ops.round_up(max(int(counts.max()), 8), ivf_ops.ALIGN))
     capacity = ivf_ops.capacity_for(n_pad, n_lists, max_list)
 
-    sorted_codes, row_ids, offsets, counts_j, raw, raw_sq = _pq_layout(
-        codes, vec_pad, labels, valid,
-        n_lists=n_lists, capacity=capacity, max_list_size=max_list,
-        store_raw=params.store_raw,
+    sorted_codes, row_ids, offsets, counts_j, raw, raw_sq, sorted_corr = (
+        _pq_layout(
+            codes, vec_pad, labels, valid, norm_corr,
+            n_lists=n_lists, capacity=capacity, max_list_size=max_list,
+            store_raw=params.store_raw,
+        )
     )
     return IVFPQIndex(
         codes=sorted_codes,
@@ -178,19 +193,24 @@ def build(params: IVFPQParams, dataset: jax.Array, seed: int = 0) -> IVFPQIndex:
         list_counts=counts_j,
         raw_vectors=raw,
         raw_sqnorms=raw_sq,
+        norm_corr=sorted_corr,
         rotation=rotation,
         n_valid=jnp.asarray(n, jnp.int32),
         metric=params.metric,
         max_list_size=max_list,
         dim=d,
+        levels=levels,
     )
+
+
+_norm_corr_jit = jax.jit(pq_ops.norm_correction)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("n_lists", "capacity", "max_list_size", "store_raw"),
 )
-def _pq_layout(codes, vec_pad, labels, valid, *,
+def _pq_layout(codes, vec_pad, labels, valid, norm_corr, *,
                n_lists, capacity, max_list_size, store_raw):
     """Sorted-CSR layout for PQ codes (+optional raw rows) — one cached
     jitted program; the row move is a gather (see ops/ivf.build_layout)."""
@@ -210,14 +230,18 @@ def _pq_layout(codes, vec_pad, labels, valid, *,
     else:
         raw = jnp.zeros((0, vec_pad.shape[1]), vec_pad.dtype)
         raw_sq = jnp.zeros((0,), jnp.float32)
+    if norm_corr.shape[0] > 0:
+        sorted_corr = jnp.where(slot_ok, norm_corr[src], 0.0)
+    else:
+        sorted_corr = jnp.zeros((0,), jnp.float32)
     return (
         sorted_codes, row_ids, offsets,
-        jnp.minimum(counts, max_list_size), raw, raw_sq,
+        jnp.minimum(counts, max_list_size), raw, raw_sq, sorted_corr,
     )
 
 
 def _encode_chunked(vec_pad, labels, centroids, codebooks, rotation,
-                    chunk: int = 131_072):
+                    chunk: int = 131_072, levels: int = 1):
     """Encode all rows without materializing a full fp32 residual array."""
     n_pad, dp = vec_pad.shape
     c = min(chunk, n_pad)
@@ -234,6 +258,8 @@ def _encode_chunked(vec_pad, labels, centroids, codebooks, rotation,
                 r = dist_ops.dot_general_prec(
                     r, rotation, (((1,), (1,)), ((), ()))
                 )
+            if levels == 2:
+                return pq_ops.encode_two_level(r, codebooks)
             return pq_ops.encode(r, codebooks)
 
         return jax.lax.map(body, (vblocks, lblocks))
@@ -307,17 +333,30 @@ def build_sharded_local(params: IVFPQParams, sc, dmesh, seed: int = 0):
             residuals = residuals @ rotation.T
         else:
             rotation = jnp.zeros((0, 0), jnp.float32)
-        codebooks = pq_ops.train_codebooks(
-            residuals, w,
-            jax.random.PRNGKey(seed + 1),
-            m=m, n_codes=n_codes, iters=params.pq_kmeans_iters,
-        )
+        levels = 2 if (params.pq_bits == 8 and params.two_level) else 1
+        if levels == 2:
+            codebooks = pq_ops.train_two_level_codebooks(
+                residuals, w, jax.random.PRNGKey(seed + 1),
+                m=m, iters=params.pq_kmeans_iters,
+            )
+        else:
+            codebooks = pq_ops.train_codebooks(
+                residuals, w,
+                jax.random.PRNGKey(seed + 1),
+                m=m, n_codes=n_codes, iters=params.pq_kmeans_iters,
+            )
         full_res = v - cents0[labels0]
         if params.opq:
             full_res = full_res @ rotation.T
-        codes = pq_ops.encode(full_res, codebooks)
-        if n_codes <= 16 and m % 2 == 0:
+        if levels == 2:
+            codes = pq_ops.encode_two_level(full_res, codebooks)
+            norm_corr = pq_ops.norm_correction(codes, codebooks)
             codes = pq_ops.pack_nibbles(codes)
+        else:
+            norm_corr = jnp.zeros((0,), jnp.float32)
+            codes = pq_ops.encode(full_res, codebooks)
+            if n_codes <= 16 and m % 2 == 0:
+                codes = pq_ops.pack_nibbles(codes)
         perm, target_pos, row_ids, counts_j, offsets = ivf_ops.sort_by_list(
             labels0, valid, n_lists, capacity
         )
@@ -329,6 +368,13 @@ def build_sharded_local(params: IVFPQParams, sc, dmesh, seed: int = 0):
             jnp.zeros((capacity, v.shape[1]), v.dtype)
             .at[target_pos].set(v[perm])
         )
+        if levels == 2:
+            sorted_corr = (
+                jnp.zeros((capacity,), jnp.float32)
+                .at[target_pos].set(norm_corr[perm])
+            )
+        else:
+            sorted_corr = jnp.zeros((0,), jnp.float32)
         ix = IVFPQIndex(
             codes=sorted_codes,
             row_ids=row_ids,
@@ -339,11 +385,13 @@ def build_sharded_local(params: IVFPQParams, sc, dmesh, seed: int = 0):
             list_counts=jnp.minimum(counts_j, max_list),
             raw_vectors=raw,
             raw_sqnorms=dist_ops.sqnorms(raw),
+            norm_corr=sorted_corr,
             rotation=rotation,
             n_valid=n_valid[0].astype(jnp.int32),
             metric=metric,
             max_list_size=max_list,
             dim=d,
+            levels=levels,
         )
         return jax.tree_util.tree_map(lambda x: x[None], ix)
 
@@ -416,6 +464,8 @@ def search_scores(
         metric=index.metric,
         k=k_adc,
         rotation=index.rotation if index.has_opq else None,
+        sorted_norm_corr=index.norm_corr if index.levels == 2 else None,
+        levels=index.levels,
     )
 
     if do_refine:

@@ -65,11 +65,17 @@ class ShardedCorpus:
             )
         if np.any(n_valid < 0) or np.any(n_valid > self.per_shard):
             raise AssertionError(f"shard size out of bounds: {n_valid.tolist()}")
-        # contiguity: shard i starts exactly at i*per_shard (no gaps/overlaps)
-        expect = np.arange(self.num_shards) * self.per_shard
-        if not np.array_equal(offsets, expect):
+        # no gaps/overlaps, two legal layouts:
+        #  (a) equal padded shards: offset_i = i*per_shard, padding at the
+        #      global end only (even strategy);
+        #  (b) proportional shards: offset_{i+1} = offset_i + n_valid_i
+        #      (memory_based strategy; each block front-packed).
+        even = np.arange(self.num_shards) * self.per_shard
+        prop = np.concatenate([[0], np.cumsum(n_valid)[:-1]])
+        if not (np.array_equal(offsets, even) or np.array_equal(offsets, prop)):
             raise AssertionError(
-                f"offsets {offsets.tolist()} not contiguous (expected {expect.tolist()})"
+                f"offsets {offsets.tolist()} match neither the equal-padded "
+                f"({even.tolist()}) nor proportional ({prop.tolist()}) layout"
             )
 
     def gather_to_host(self) -> np.ndarray:
@@ -99,20 +105,38 @@ def shard_corpus(
     corpus: jax.Array,
     dmesh: DeviceMesh,
     row_multiple: int = 8,
+    strategy: str = "even",
 ) -> ShardedCorpus:
     """Shard an (N, D) corpus across the mesh.
 
     Replaces distribute_embeddings (embedding_distribution_manager.py:97-207):
     the per-device H2D copies + thread bookkeeping become one device_put with a
     NamedSharding.
+
+    strategy: 'even' (equal padded shards — the SPMD-preferred layout on
+    homogeneous TPU slices) or 'memory_based' (rows proportional to each
+    device's free memory, gpu_resource_manager.py:204-223; every block is
+    padded to the largest shard so the SPMD program stays static-shaped,
+    but valid-row counts and global offsets are exact per shard).
     """
     if corpus.ndim != 2 or corpus.shape[0] == 0:
         raise ValueError(f"corpus must be non-empty (N, D), got {corpus.shape}")
     n, d = corpus.shape
     s = dmesh.num_devices
-    per, n_valid, offsets = shard_layout(n, s, row_multiple)
-    padded = topk_ops.pad_rows(jnp.asarray(corpus), per * s)
-    blocks = padded.reshape(s, per, d)
+    if strategy == "even":
+        per, n_valid, offsets = shard_layout(n, s, row_multiple)
+        padded = topk_ops.pad_rows(jnp.asarray(corpus), per * s)
+        blocks = padded.reshape(s, per, d)
+    else:
+        sizes = dmesh.split_sizes(n, strategy)  # validates the strategy name
+        per = topk_ops.round_up(max(max(sizes), 1), row_multiple)
+        n_valid = np.asarray(sizes, np.int32)
+        offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int32)
+        host = np.asarray(corpus)
+        blocks_np = np.zeros((s, per, d), host.dtype)
+        for i, (off, sz) in enumerate(zip(offsets, sizes)):
+            blocks_np[i, :sz] = host[off : off + sz]
+        blocks = jnp.asarray(blocks_np)
     data = jax.device_put(blocks, dmesh.sharding(dmesh.axis_name, None, None))
     out = ShardedCorpus(
         data=data,

@@ -112,6 +112,38 @@ def load_qa_json(path: str) -> List[QARecord]:
         return [QARecord(**r) for r in json.load(f)]
 
 
+# The reference ships 100 REAL medical QA pairs as data
+# (Latest/cuVS-2-gpu/medical_qa_data/medical_qa_test.json — the
+# prepare_dataset.py:112-129 test split of the HF medical-QA dataset).
+# Read-only data fixture, not code; used for the real-text end-to-end demo.
+REFERENCE_MEDICAL_QA = (
+    "/root/reference/Latest/cuVS-2-gpu/medical_qa_data/medical_qa_test.json"
+)
+
+
+def load_reference_medical_qa(path: str | None = None) -> List[QARecord]:
+    """Load the reference's real 100-pair medical QA fixture.
+
+    Records are {instruction, input (patient question), output (doctor
+    answer)}; topic is unknown ("") for real data. Raises FileNotFoundError
+    when the fixture isn't present (callers/tests skip then).
+    """
+    path = path or os.environ.get(
+        "CUVS_RAG_TPU_MEDICAL_QA", REFERENCE_MEDICAL_QA
+    )
+    with open(path) as f:
+        rows = json.load(f)
+    return [
+        QARecord(
+            instruction=r.get("instruction", ""),
+            input=r.get("input", ""),
+            output=r.get("output", ""),
+            topic=r.get("topic", ""),
+        )
+        for r in rows
+    ]
+
+
 def synthetic_topic_corpus(
     n: int, dim: int, n_topics: int = 50, spread: float = 0.5, seed: int = 42
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:

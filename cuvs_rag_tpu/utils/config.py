@@ -167,6 +167,14 @@ class IVFPQParams:
     # (D, D) matmul per (query, probe) at search time.
     opq: bool = False
     opq_iters: int = 3
+    # pq_bits=8 realization. True (default): two-level additive nibble PQ —
+    # each subspace residual is CB1[c1] + CB2[c2] (16+16 entries, exact
+    # scoring via a stored per-row cross term), so the ADC scan is the
+    # 4-bit fastscan select-sum (32 passes) at identical code memory
+    # (m bytes/vector). False: flat 256-entry codebooks scored by a 256-pass
+    # select-sum — ADC-optimal but ~50x slower on the gather-less VPU
+    # (29.6 ms/query at 2M x 768, PERF.md round 1).
+    two_level: bool = True
 
     def __post_init__(self):
         Metric.validate(self.metric)

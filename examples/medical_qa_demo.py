@@ -1,0 +1,100 @@
+"""Real-data RAG end-to-end: the reference's 100 REAL medical QA pairs.
+
+The reference demonstrably ran on real text (medical-QA corpus,
+prepare_dataset.py:30-34; retrieval printout
+VectorSearch_QuestionRetrieval.ipynb#cell6). This demo drives the same flow
+on the reference's shipped real fixture (medical_qa_data/medical_qa_test.json,
+read-only data): doctor answers are the passage corpus, real patient
+questions are the queries, and every index family retrieves passages that
+answer them. Ground truth is the known question->answer pairing (each query
+has exactly one paired answer in the corpus), so the hit-rate is real — not
+the reference's broken random-GT recall (SURVEY.md §6).
+
+Encoder: an HF checkpoint when one is available/cached (CUVS_RAG_TPU_ENCODER
+env var, e.g. sentence-transformers/all-MiniLM-L6-v2), else the
+dependency-free HashingEncoder (lexical, not semantic — but real text in,
+real text out; a question and its answer share enough vocabulary that the
+pairing is recoverable).
+
+Usage:  python examples/medical_qa_demo.py [k]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def paired_answer_hit_rate(retriever, questions, k):
+    """Fraction of real patient questions whose own doctor answer is
+    retrieved in the top-k (query i's paired answer is corpus row i)."""
+    results = retriever.retrieve_batch(questions, k)
+    hits = sum(
+        any(p.index == i for p in res.passages)
+        for i, res in enumerate(results)
+    )
+    return hits / len(questions), results
+
+
+def main(k: int = 5):
+    from cuvs_rag_tpu.models.encoder import make_encoder
+    from cuvs_rag_tpu.rag.corpus import Corpus
+    from cuvs_rag_tpu.rag.datasets import load_reference_medical_qa
+    from cuvs_rag_tpu.rag.pipeline import Retriever
+    from cuvs_rag_tpu.utils.config import (
+        CagraParams, IVFFlatParams, IVFPQParams, IVFPQSearchParams,
+    )
+
+    records = load_reference_medical_qa()
+    # the real fixture has 2 empty answers (rows 30, 92) — drop those pairs
+    records = [r for r in records if len(r.output.strip()) >= 5]
+    print(f"loaded {len(records)} REAL medical QA pairs "
+          f"(reference fixture, empty answers dropped)")
+    answers = [r.output for r in records]
+    questions = [r.input for r in records]
+
+    enc_name = os.environ.get("CUVS_RAG_TPU_ENCODER", "tfidf")
+    try:
+        encoder = make_encoder(enc_name)
+    except Exception as e:  # no cached checkpoint in zero-egress envs
+        print(f"encoder {enc_name!r} unavailable ({e}); using tfidf")
+        encoder = make_encoder("tfidf")
+    if hasattr(encoder, "fit"):
+        encoder.fit(answers)
+
+    corpus = Corpus(passages=answers)
+    # small-N friendly family configs (100 passages)
+    family_params = {
+        "flat": None,
+        "ivf_flat": IVFFlatParams(n_lists=8),
+        "ivf_pq": IVFPQParams(n_lists=8, pq_dim=48),
+        "cagra": CagraParams(graph_degree=16, intermediate_graph_degree=32),
+    }
+    family_sp = {
+        "ivf_flat": None,  # default n_probes covers all 8 lists
+        "ivf_pq": IVFPQSearchParams(n_probes=8, refine_ratio=8),
+    }
+
+    shown = False
+    for family, params in family_params.items():
+        r = Retriever.build(
+            corpus, encoder, family=family, params=params,
+            search_params=family_sp.get(family),
+        )
+        rate, results = paired_answer_hit_rate(r, questions, k)
+        print(f"{family:10s} paired-answer hit-rate@{k}: {rate:.2f}")
+        if not shown:
+            shown = True
+            q = questions[0]
+            print("\n--- sample retrieval (real text) ---")
+            print(f"QUESTION: {q[:200]}...")
+            for p in results[0].passages[:2]:
+                print(f"  [{p.index}] d={p.distance:.3f}  {p.text[:160]}...")
+            print()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(int(sys.argv[1]) if len(sys.argv) > 1 else 5))

@@ -123,3 +123,39 @@ def test_ivf_bootstrapped_sharded_build(data):
     _, i = psearch.search_sharded(CagraSearchParams(), sindex, queries, 10, dmesh)
     r = recall_lib.recall_at_k(np.asarray(i), gt, 10)
     assert r >= 0.8, r
+
+
+def test_reverse_edges_collision_free():
+    """Many sources pointing at one destination within the same rank must
+    ALL land (the round-1 per-rank scatter kept only the last writer)."""
+    import jax.numpy as jnp
+
+    from cuvs_rag_tpu.ops import graph as graph_ops
+
+    n, g, keep = 8, 4, 4
+    cap = keep - keep // 2
+    # every node's rank-0 edge points at node 0 -> 7 reverse candidates
+    # for node 0 from a single rank pass
+    fwd = np.tile(np.array([0, 1, 2, 3], np.int32), (n, 1))
+    fwd[0] = [1, 2, 3, 4]
+    out = np.asarray(
+        graph_ops.augment_reverse_edges(jnp.asarray(fwd), keep)
+    )
+    rev0 = out[0, keep // 2:]
+    # node 0's reverse slots hold DISTINCT low-rank sources (1..7 point at 0
+    # via rank 0; slots fill in source order), not one survivor + fallbacks
+    assert len(set(rev0.tolist())) == cap
+    assert set(rev0.tolist()) <= set(range(1, n))
+
+
+def test_reverse_edges_invalid_dst_dropped():
+    import jax.numpy as jnp
+
+    from cuvs_rag_tpu.ops import graph as graph_ops
+
+    fwd = np.array([[1, -1, 2, 3], [-1, 0, 2, 3], [0, 1, -1, 3],
+                    [0, 1, 2, -1]], np.int32)
+    out = np.asarray(graph_ops.augment_reverse_edges(jnp.asarray(fwd), 4))
+    assert out.shape == (4, 4)
+    # no negative ids leak into the kept edges beyond legitimate fallback
+    assert (out[:, :2] == fwd[:, :2]).all()

@@ -63,7 +63,9 @@ def test_reference_ivfpq_geometry(rng):
     ix = ivf_pq.build(IVFPQParams(n_lists=8, pq_dim=96), jnp.asarray(corpus))
     assert ix.pq_dim == 96
     assert ix.codes.shape[-1] == 96
-    assert ix.codebooks.shape == (96, 256, 8)
+    # pq_bits=8 default is the two-level additive realization: 2x96 nibble
+    # codebooks at the same 96 B/vector code memory as flat 256-entry PQ
+    assert ix.codebooks.shape == (192, 16, 8)
     # memory parity claim: codes are 96 B/vec vs 3072 B raw fp32 (32x; the
     # reference measured only 4x because it kept 75% savings)
     assert ix.codes.shape[-1] / (768 * 4) < 1 / 30
