@@ -304,18 +304,21 @@ def build_sharded_local(params: IVFPQParams, sc, dmesh, seed: int = 0):
         counts = jnp.zeros((n_lists,), jnp.int32).at[labels].add(
             valid.astype(jnp.int32)
         )
-        return centroids[None], labels[None], counts[None]
+        # replicated global max count — addressable on every process of a
+        # multi-host mesh (see ivf_flat.build_sharded_local)
+        gmax = jax.lax.pmax(jnp.max(counts), dmesh.axis_name)
+        return centroids[None], labels[None], gmax
 
     phase_a = jax.jit(
         jax.shard_map(
             _phase_a, mesh=dmesh.mesh,
             in_specs=(P(dmesh.axis_name, None, None), P(dmesh.axis_name)),
-            out_specs=(P(dmesh.axis_name),) * 3,
+            out_specs=(P(dmesh.axis_name), P(dmesh.axis_name), P()),
             check_vma=False,
         )
     )
-    centroids_s, labels_s, counts_s = phase_a(sc.data, sc.n_valid)
-    max_list = int(topk_ops.round_up(max(int(np.asarray(counts_s).max()), 8), ivf_ops.ALIGN))
+    centroids_s, labels_s, gmax_count = phase_a(sc.data, sc.n_valid)
+    max_list = int(topk_ops.round_up(max(int(gmax_count), 8), ivf_ops.ALIGN))
     capacity = ivf_ops.capacity_for(per, n_lists, max_list)
 
     def _phase_b(block, labels, centroids, n_valid):

@@ -55,28 +55,14 @@ class ShardedCorpus:
         return self.data.shape[2]
 
     def validate(self) -> None:
-        """Recheck the distribution invariants (reference :209-272)."""
-        n_valid = np.asarray(self.n_valid)
-        offsets = np.asarray(self.offsets)
-        if n_valid.sum() != self.total:
-            raise AssertionError(
-                f"coverage violated: shard sizes {n_valid.tolist()} "
-                f"sum to {n_valid.sum()}, expected {self.total}"
-            )
-        if np.any(n_valid < 0) or np.any(n_valid > self.per_shard):
-            raise AssertionError(f"shard size out of bounds: {n_valid.tolist()}")
-        # no gaps/overlaps, two legal layouts:
-        #  (a) equal padded shards: offset_i = i*per_shard, padding at the
-        #      global end only (even strategy);
-        #  (b) proportional shards: offset_{i+1} = offset_i + n_valid_i
-        #      (memory_based strategy; each block front-packed).
-        even = np.arange(self.num_shards) * self.per_shard
-        prop = np.concatenate([[0], np.cumsum(n_valid)[:-1]])
-        if not (np.array_equal(offsets, even) or np.array_equal(offsets, prop)):
-            raise AssertionError(
-                f"offsets {offsets.tolist()} match neither the equal-padded "
-                f"({even.tolist()}) nor proportional ({prop.tolist()}) layout"
-            )
+        """Recheck the distribution invariants (reference :209-272).
+
+        Requires addressable n_valid/offsets (single-process, or call with
+        host copies via _validate_layout in multi-process flows)."""
+        _validate_layout(
+            self.total, self.per_shard,
+            np.asarray(self.n_valid), np.asarray(self.offsets),
+        )
 
     def gather_to_host(self) -> np.ndarray:
         """Collect the original (N, D) corpus back to host memory."""
@@ -85,6 +71,51 @@ class ShardedCorpus:
         return np.concatenate(
             [blocks[i, : n_valid[i]] for i in range(self.num_shards)], axis=0
         )
+
+
+def _validate_layout(total, per_shard, n_valid, offsets) -> None:
+    """Distribution invariants on host values (reference :209-272)."""
+    num_shards = len(n_valid)
+    if n_valid.sum() != total:
+        raise AssertionError(
+            f"coverage violated: shard sizes {n_valid.tolist()} "
+            f"sum to {n_valid.sum()}, expected {total}"
+        )
+    if np.any(n_valid < 0) or np.any(n_valid > per_shard):
+        raise AssertionError(f"shard size out of bounds: {n_valid.tolist()}")
+    # no gaps/overlaps, two legal layouts:
+    #  (a) equal padded shards: offset_i = i*per_shard, padding at the
+    #      global end only (even strategy);
+    #  (b) proportional shards: offset_{i+1} = offset_i + n_valid_i
+    #      (memory_based strategy; each block front-packed).
+    even = np.arange(num_shards) * per_shard
+    prop = np.concatenate([[0], np.cumsum(n_valid)[:-1]])
+    if not (np.array_equal(offsets, even) or np.array_equal(offsets, prop)):
+        raise AssertionError(
+            f"offsets {offsets.tolist()} match neither the equal-padded "
+            f"({even.tolist()}) nor proportional ({prop.tolist()}) layout"
+        )
+
+
+def global_put(host_array, sharding) -> jax.Array:
+    """Create a (possibly process-spanning) global Array from a host array.
+
+    Single-process this is jax.device_put; multi-process
+    (jax.distributed.initialize) each process materializes only its
+    addressable shards — the DCN-capable path the reference lacked entirely
+    (its 'interconnect' was D2H copies + numpy, SURVEY.md §2b).
+    Every process must hold the same full `host_array`.
+    """
+    if jax.process_count() == 1:
+        # device-resident inputs reshard on-device (no D2H — the corpus may
+        # be a 3 GB device array behind a slow host link)
+        return jax.device_put(host_array, sharding)
+    import numpy as _np
+
+    host_array = _np.asarray(host_array)
+    return jax.make_array_from_callback(
+        host_array.shape, sharding, lambda idx: host_array[idx]
+    )
 
 
 def shard_layout(total: int, num_shards: int, row_multiple: int = 8):
@@ -136,16 +167,22 @@ def shard_corpus(
         blocks_np = np.zeros((s, per, d), host.dtype)
         for i, (off, sz) in enumerate(zip(offsets, sizes)):
             blocks_np[i, :sz] = host[off : off + sz]
-        blocks = jnp.asarray(blocks_np)
-    data = jax.device_put(blocks, dmesh.sharding(dmesh.axis_name, None, None))
-    out = ShardedCorpus(
+        blocks = blocks_np
+    # validate on host values (the device copies may span processes)
+    _validate_layout(
+        n, per, np.asarray(n_valid, np.int32), np.asarray(offsets, np.int32)
+    )
+    data = global_put(blocks, dmesh.sharding(dmesh.axis_name, None, None))
+    return ShardedCorpus(
         data=data,
-        n_valid=jnp.asarray(n_valid),
-        offsets=jnp.asarray(offsets),
+        n_valid=global_put(
+            np.asarray(n_valid, np.int32), dmesh.sharding(dmesh.axis_name)
+        ),
+        offsets=global_put(
+            np.asarray(offsets, np.int32), dmesh.sharding(dmesh.axis_name)
+        ),
         total=n,
     )
-    out.validate()
-    return out
 
 
 def reshard(corpus: ShardedCorpus, dmesh: DeviceMesh) -> ShardedCorpus:

@@ -1,0 +1,94 @@
+"""Multi-process SPMD worker: one process of a jax.distributed job.
+
+Run by tests/test_multihost.py (2 CPU processes x 4 spoofed devices = one
+8-device process-spanning mesh) and by infra/run_multihost.sh on real
+multi-host slices. Builds a sharded index over the GLOBAL mesh and runs the
+distributed search — the same shard_map program as single-process, with the
+candidate all_gather now riding the process interconnect (DCN on real
+slices). Proves the path the reference never had (its SLURM job was
+single-process per node, SURVEY.md §2b 'communication backend: none').
+
+Usage:
+  python infra/multihost_worker.py <coordinator> <num_processes> <process_id>
+
+Prints `MULTIHOST OK <checksum>` on success; the checksum is the sum of the
+global top-k ids for a fixed query set, identical on every process (results
+are replicated) and to the single-process oracle.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(coordinator: str, num_processes: int, process_id: int) -> int:
+    import jax
+
+    # The ambient TPU plugin overrides JAX_PLATFORMS at import, so platform
+    # selection must go through jax.config BEFORE backend init (same pattern
+    # as tests/conftest.py). CUVS_RAG_TPU_MULTIHOST_PLATFORM=tpu on real
+    # multi-host slices.
+    platform = os.environ.get("CUVS_RAG_TPU_MULTIHOST_PLATFORM", "cpu")
+    jax.config.update("jax_platforms", platform)
+    if platform == "cpu":
+        jax.config.update(
+            "jax_num_cpu_devices",
+            int(os.environ.get("CUVS_RAG_TPU_MULTIHOST_LOCAL_DEVICES", "4")),
+        )
+        # CPU multi-process needs cross-process collectives (real TPU slices
+        # get this from the TPU runtime); must be set before backend init
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    assert jax.process_count() == num_processes, jax.process_count()
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from cuvs_rag_tpu.parallel import search as psearch
+    from cuvs_rag_tpu.parallel.mesh import DeviceMesh
+    from cuvs_rag_tpu.utils.config import FlatParams, IVFFlatParams
+
+    n, d, k = 4096, 64, 10
+    rng = np.random.default_rng(0)  # identical corpus on every process
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    queries = corpus[[7, 1033, 2048, 4000]] + 0.01 * rng.standard_normal(
+        (4, d)
+    ).astype(np.float32)
+
+    dmesh = DeviceMesh()  # global devices across both processes
+    assert dmesh.num_devices == jax.device_count()
+
+    # exact single-machine oracle (numpy brute force — no device involved)
+    d2 = ((queries[:, None, :] - corpus[None]) ** 2).sum(-1)
+    want = np.argsort(d2, axis=1, kind="stable")[:, :k]
+
+    checks = []
+    for family, params in (
+        ("flat", FlatParams()),
+        ("ivf_flat", IVFFlatParams(n_lists=8)),
+    ):
+        six = psearch.build_sharded(family, params, corpus, dmesh)
+        dist, ids = psearch.search_sharded(
+            None, six, jnp.asarray(queries), k, dmesh
+        )
+        ids = np.asarray(ids)
+        agree = np.mean([
+            len(set(ids[r]) & set(want[r])) / k for r in range(len(queries))
+        ])
+        floor = 1.0 if family == "flat" else 0.5  # IVF probes default lists
+        if agree < floor:
+            print(f"MULTIHOST FAIL {family} agree={agree}", flush=True)
+            return 1
+        checks.append(int(ids.sum()))
+
+    print(f"MULTIHOST OK {checks[0]}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], int(sys.argv[2]), int(sys.argv[3])))

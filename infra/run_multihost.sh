@@ -10,6 +10,14 @@
 #   ./infra/run_multihost.sh python -m cuvs_rag_tpu.main --n 10000000 --family ivf_flat
 #
 # GKE/XPK or gcloud users: point the container entrypoint here.
+#
+# The multi-process path is EXECUTED in CI by tests/test_multihost.py: two
+# local processes (infra/multihost_worker.py, 4 spoofed CPU devices each)
+# form one 8-device process-spanning mesh and run the same sharded
+# build/search programs with Gloo standing in for DCN. To drive the worker
+# on a real slice:
+#   CUVS_RAG_TPU_MULTIHOST_PLATFORM=tpu \
+#     python infra/multihost_worker.py <coordinator_host:port> <nprocs> <pid>
 set -euo pipefail
 
 export JAX_PLATFORMS="${JAX_PLATFORMS:-tpu}"

@@ -1,0 +1,58 @@
+"""Multi-process (DCN-path) execution proof — VERDICT r1 missing #4.
+
+Launches TWO separate Python processes (jax.distributed.initialize, 4
+spoofed CPU devices each) forming one 8-device process-spanning mesh, and
+runs the SAME sharded build + distributed search SPMD programs the
+single-process tests run. The candidate all_gather crosses the process
+boundary — on real hardware that is DCN; the program is identical.
+Referenced by infra/run_multihost.sh (same worker script).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_WORKER = os.path.join(_REPO, "infra", "multihost_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_sharded_build_and_search():
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+        "CUVS_RAG_TPU_NO_COMPILE_CACHE": "1",
+        "TPU_SKIP_MDS_QUERY": "1",
+    })
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _WORKER, f"127.0.0.1:{port}", "2", str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            env=env, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=240)
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {i} failed:\n{out[-3000:]}"
+    oks = [
+        line for out in outs for line in out.splitlines()
+        if line.startswith("MULTIHOST OK")
+    ]
+    assert len(oks) == 2, outs
+    # replicated results: both processes computed the SAME global top-k
+    assert oks[0] == oks[1], oks
