@@ -157,9 +157,10 @@ def scaling_stress(
             r = None
             if eval_recall:
                 _, idx = do_search()
-                gt = recall_lib.exact_ground_truth(
-                    np.asarray(corpus, dtype=np.float32), queries, k,
-                    Metric.SQEUCLIDEAN,
+                # device-streamed oracle: the corpus never crosses to host
+                # (a 2M x 768 D2H measured minutes through the test tunnel)
+                gt = recall_lib.exact_ground_truth_streamed(
+                    corpus, queries, k, Metric.SQEUCLIDEAN,
                 )
                 r = recall_lib.recall_at_k(np.asarray(idx), gt, k)
             rows.append(

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cuvs_rag_tpu.index import flat as flat_family
-from cuvs_rag_tpu.utils.config import FlatParams
+from cuvs_rag_tpu.utils.config import FlatParams, Metric
 
 
 def recall_at_k(retrieved: np.ndarray, relevant: np.ndarray, k: int) -> float:
@@ -55,3 +55,53 @@ def exact_ground_truth(
     )
     _, idx = flat_family.search(None, index, jnp.asarray(queries), k)
     return np.asarray(idx)
+
+
+def exact_ground_truth_streamed(
+    corpus_dev, queries: np.ndarray, k: int, metric: str,
+    chunk_rows: int = 262_144,
+) -> np.ndarray:
+    """(Q, k) exact ids from a DEVICE-resident corpus, streamed in chunks.
+
+    Neither copies the corpus (no 2x HBM flat-index build) nor fetches it to
+    host (a 3 GB D2H measured minutes through the test tunnel — round-1
+    weakness #7); only the (Q, k) result crosses to host. Chunks slice the
+    existing array; per-chunk temps are (Q, chunk) scores + running top-k.
+    """
+    import jax
+
+    from cuvs_rag_tpu.ops import distance as dist_ops
+    from cuvs_rag_tpu.ops import topk as topk_ops
+
+    n, d = corpus_dev.shape
+    q = jnp.asarray(queries, jnp.float32)
+    qn = dist_ops.l2_normalize(q) if metric == Metric.COSINE else q
+    inner_metric = (
+        Metric.SQEUCLIDEAN if metric == Metric.SQEUCLIDEAN
+        else Metric.INNER_PRODUCT
+    )
+    c = min(chunk_rows, n)
+
+    @jax.jit
+    def step(start, rows, best_s, best_i):
+        x = rows.astype(jnp.float32)
+        if metric == Metric.COSINE:
+            x = dist_ops.l2_normalize(x)
+        sq = dist_ops.sqnorms(x)
+        scores = dist_ops.scores_from_tile(qn, x, sq, inner_metric)
+        ids = start + jax.lax.broadcasted_iota(
+            jnp.int32, scores.shape, 1
+        )
+        cand_s = jnp.concatenate([best_s, scores], axis=1)
+        cand_i = jnp.concatenate([best_i, ids], axis=1)
+        return topk_ops.merge_topk(cand_s, cand_i, k)
+
+    best_s = jnp.full((q.shape[0], k), -jnp.inf, jnp.float32)
+    best_i = jnp.full((q.shape[0], k), -1, jnp.int32)
+    for start in range(0, n, c):
+        rows = jax.lax.dynamic_slice_in_dim(
+            corpus_dev, start, min(c, n - start), axis=0
+        )
+        best_s, best_i = step(start, rows, best_s, best_i)
+    return np.asarray(best_i)
+

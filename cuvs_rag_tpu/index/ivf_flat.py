@@ -301,14 +301,15 @@ def build_from_chunks(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_lists", "capacity", "max_list_size")
+    jax.jit,
+    static_argnames=("n_lists", "capacity", "max_list_size", "headroom"),
 )
 def _layout_call(vec_pad, labels, valid, scales, sqnorms, *,
-                 n_lists, capacity, max_list_size):
+                 n_lists, capacity, max_list_size, headroom=0):
     return ivf_ops.build_layout(
         vec_pad, labels, valid,
         n_lists=n_lists, capacity=capacity, max_list_size=max_list_size,
-        scales=scales, sqnorms=sqnorms,
+        scales=scales, sqnorms=sqnorms, headroom=headroom,
     )
 
 
@@ -327,12 +328,13 @@ def _chunks_placement(labels, valid, *, n_lists, capacity):
 
 
 def _layout_jit(vec_pad, labels, valid, n_lists, capacity, max_list,
-                scales=None, sqnorms=None):
+                scales=None, sqnorms=None, headroom=0):
     # module-level cached jit: a fresh jax.jit wrapper per build recompiled
     # the (cheap, ~100 ms) layout program every call — 15 s at 2M x 768
     return _layout_call(
         vec_pad, labels, valid, scales, sqnorms,
         n_lists=n_lists, capacity=capacity, max_list_size=max_list,
+        headroom=headroom,
     )
 
 
@@ -456,7 +458,14 @@ def _recover_rows(index: IVFFlatIndex, nv: int):
 
 def extend(index: IVFFlatIndex, new_vectors: jax.Array) -> IVFFlatIndex:
     """Append rows to a trained index (FAISS `add`); the coarse quantizer is
-    frozen (train-once semantics), lists and windows grow as needed."""
+    frozen (train-once semantics), lists and windows grow as needed.
+
+    O(batch) when every touched list still fits its aligned region and the
+    probe window (the common case — each list carries up to ALIGN-1 slack
+    slots); the big layout buffers are updated IN PLACE (donated), so the
+    input `index` must not be used afterwards (FAISS `add` mutation
+    semantics). Overflowing lists trigger a full re-layout with regrown
+    windows."""
     if new_vectors.ndim != 2 or new_vectors.shape[1] != index.dim:
         raise ValueError(
             f"new vectors must be (B, {index.dim}), got {new_vectors.shape}"
@@ -474,8 +483,56 @@ def extend(index: IVFFlatIndex, new_vectors: jax.Array) -> IVFFlatIndex:
     )[:b]
 
     nv = int(index.n_valid)
-    old_vecs, old_labels = _recover_rows(index, nv=nv)
     total = nv + b
+
+    # ---- O(batch) fast path ---------------------------------------------
+    # The aligned-CSR layout leaves 0..ALIGN-1 slack slots per list and a
+    # full max_list window of tail room (capacity_for), so appends land
+    # in-place at offset[l] + count[l] + rank as long as no list outgrows
+    # its region or the probe window. Overflow falls back to the full
+    # re-layout below — amortized O(batch) like FAISS `add` (round-1
+    # weakness #6: every append was an O(N) rebuild).
+    counts_h = np.asarray(index.list_counts)
+    offsets_h = np.asarray(index.list_offsets)
+    adds_h = np.bincount(
+        np.asarray(new_labels), minlength=index.n_lists
+    ).astype(np.int64)
+    region = np.diff(np.append(offsets_h, offsets_h[-1] + index.max_list_size))
+    fits = np.all(
+        counts_h + adds_h <= np.minimum(region, index.max_list_size)
+    )
+    if fits:
+        if is_int8:
+            add_q, add_scales, add_sq = _quantize_residuals_jit(
+                add_pad, topk_ops.pad_rows(new_labels, b_pad), index.centroids
+            )
+            add_q, add_scales, add_sq = add_q[:b], add_scales[:b], add_sq[:b]
+        else:
+            add_q = add
+            add_scales = jnp.ones((b,), jnp.float32)
+            add_sq = dist_ops.sqnorms(add)
+        vecs, sq, sc, rid, cnts = _extend_fast_jit(
+            index.vectors, index.sqnorms, index.scales, index.row_ids,
+            index.list_counts, index.list_offsets,
+            add_q, add_sq, add_scales, new_labels,
+            jnp.asarray(nv, jnp.int32),
+        )
+        return IVFFlatIndex(
+            vectors=vecs,
+            sqnorms=sq,
+            scales=sc,
+            row_ids=rid,
+            centroids=index.centroids,
+            centroid_sqnorms=index.centroid_sqnorms,
+            list_offsets=index.list_offsets,
+            list_counts=cnts,
+            n_valid=jnp.asarray(total, jnp.int32),
+            metric=index.metric,
+            max_list_size=index.max_list_size,
+        )
+
+    # ---- overflow: full re-layout (windows/regions grow) ----------------
+    old_vecs, old_labels = _recover_rows(index, nv=nv)
     all_vecs = jnp.concatenate([old_vecs.astype(add.dtype), add], axis=0)
     all_labels = jnp.concatenate([old_labels, new_labels])
     n_pad = topk_ops.round_up(total, 8)
@@ -486,8 +543,19 @@ def extend(index: IVFFlatIndex, new_vectors: jax.Array) -> IVFFlatIndex:
     counts = np.asarray(
         ivf_ops.list_counts_device(all_labels, valid, index.centroids)
     )
-    max_list = int(topk_ops.round_up(max(int(counts.max()), 8), ivf_ops.ALIGN))
-    capacity = ivf_ops.capacity_for(n_pad, index.n_lists, max_list)
+    # growth policy: re-layout with ~50%-of-average per-list headroom so the
+    # NEXT appends land on the fast path (amortized O(batch), dynamic-array
+    # style). The probe window also covers the headroom, so grown lists
+    # remain fully searchable without another re-layout.
+    headroom = int(topk_ops.round_up(
+        max(ivf_ops.ALIGN, total // (2 * index.n_lists)), ivf_ops.ALIGN
+    ))
+    max_list = int(topk_ops.round_up(
+        max(int(counts.max()) + headroom, 8), ivf_ops.ALIGN
+    ))
+    capacity = ivf_ops.capacity_for(
+        n_pad, index.n_lists, max_list, headroom=headroom
+    )
     if is_int8:
         all_vecs, scales, recon_sq = _quantize_residuals_jit(
             all_vecs, all_labels, index.centroids
@@ -495,7 +563,7 @@ def extend(index: IVFFlatIndex, new_vectors: jax.Array) -> IVFFlatIndex:
     else:
         scales = recon_sq = None
     layout = _layout_jit(all_vecs, all_labels, valid, index.n_lists, capacity,
-                         max_list, scales, recon_sq)
+                         max_list, scales, recon_sq, headroom=headroom)
     return IVFFlatIndex(
         vectors=layout.sorted_vectors,
         sqnorms=layout.sorted_sqnorms,
@@ -509,6 +577,33 @@ def extend(index: IVFFlatIndex, new_vectors: jax.Array) -> IVFFlatIndex:
         metric=index.metric,
         max_list_size=max_list,
     )
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+def _extend_fast(vectors, sqnorms, scales, row_ids, counts, offsets,
+                 add_vecs, add_sq, add_scales, labels_new, start_id):
+    """In-place aligned-CSR append: new rows scatter to
+    offset[l] + count[l] + within-list-rank. The big layout leaves are
+    DONATED (true in-place update; the caller's old index is consumed,
+    matching FAISS `add` mutation semantics)."""
+    b = labels_new.shape[0]
+    n_lists = counts.shape[0]
+    cnt_new = jnp.zeros((n_lists,), jnp.int32).at[labels_new].add(1)
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt_new)[:-1].astype(jnp.int32)]
+    )
+    order = jnp.argsort(labels_new, stable=True)
+    lab_s = labels_new[order]
+    rank = jnp.arange(b, dtype=jnp.int32) - starts[lab_s]
+    target = offsets[lab_s] + counts[lab_s] + rank
+    vectors = vectors.at[target].set(add_vecs[order])
+    sqnorms = sqnorms.at[target].set(add_sq[order])
+    scales = scales.at[target].set(add_scales[order])
+    row_ids = row_ids.at[target].set(start_id + order.astype(jnp.int32))
+    return vectors, sqnorms, scales, row_ids, counts + cnt_new
+
+
+_extend_fast_jit = _extend_fast
 
 
 def build_sharded_local(params: IVFFlatParams, sc, dmesh, seed: int = 0):

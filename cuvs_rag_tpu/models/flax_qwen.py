@@ -6,10 +6,13 @@ normalization (generate_embeddings.py:11-21,50-68, SURVEY.md §2 #10). This
 module hosts that model family *on the TPU*: a compact flax implementation
 of the Qwen3 decoder stack (RMSNorm, GQA with per-head q/k RMSNorm, RoPE,
 SwiGLU) whose parameters load from any HF torch checkpoint via
-`convert_hf_state_dict`. flash-attention-2 is a CUDA kernel; here attention
-is XLA-fused softmax attention, which XLA maps onto the MXU — splash/flash
-Pallas attention only pays off beyond the sequence lengths used for corpus
-encoding.
+`convert_hf_state_dict`. flash-attention-2 is a CUDA kernel; the TPU
+equivalent here is the Pallas TPU flash-attention kernel (blockwise online
+softmax, O(S) memory, causal + pad masking via segment ids), used
+automatically for long sequences on a TPU backend — the dense XLA softmax
+path materializes B·H·S² fp32 scores (4.3 GB per sequence at S=8192) and is
+kept only for short sequences and CPU tests. max_length defaults to 8192,
+the reference's config (generate_embeddings.py:52-59,83).
 
 Inference-only, bf16-friendly, jitted end to end. Pooling follows the
 reference exactly: last non-pad token, then L2 normalize.
@@ -86,6 +89,7 @@ if nn is not None:
 
     class _QwenBlock(nn.Module):
         cfg: QwenConfig
+        use_flash: bool = False
 
         @nn.compact
         def __call__(self, x, mask, positions):
@@ -114,15 +118,39 @@ if nn is not None:
             k = jnp.repeat(k, rep, axis=2)
             v = jnp.repeat(v, rep, axis=2)
 
-            scores = jnp.einsum(
-                "bqhd,bkhd->bhqk", q, k,
-                preferred_element_type=jnp.float32,
-            ) / np.sqrt(hd)
-            causal = jnp.tril(jnp.ones((s, s), bool))
-            valid = causal[None, None] & mask[:, None, None, :].astype(bool)
-            scores = jnp.where(valid, scores, -1e30)
-            probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+            if self.use_flash:
+                # Pallas TPU flash attention — the 8192-token regime
+                # (reference: flash-attention-2 + max_length 8192,
+                # generate_embeddings.py:52-59,83). O(S) memory: the
+                # dense path materializes B*H*S² fp32 scores = 4.3 GB
+                # per sequence at S=8192, an instant OOM. Pad masking
+                # via segment ids (pads get segment 0, real tokens 1).
+                from jax.experimental.pallas.ops.tpu import (
+                    flash_attention as fa,
+                )
+
+                seg = fa.SegmentIds(
+                    q=mask.astype(jnp.int32), kv=mask.astype(jnp.int32)
+                )
+                ctx = fa.flash_attention(
+                    jnp.moveaxis(q, 2, 1),  # (B, H, S, hd)
+                    jnp.moveaxis(k, 2, 1),
+                    jnp.moveaxis(v, 2, 1),
+                    segment_ids=seg,
+                    causal=True,
+                    sm_scale=float(1.0 / np.sqrt(hd)),
+                )
+                ctx = jnp.moveaxis(ctx, 1, 2)  # (B, S, H, hd)
+            else:
+                scores = jnp.einsum(
+                    "bqhd,bkhd->bhqk", q, k,
+                    preferred_element_type=jnp.float32,
+                ) / np.sqrt(hd)
+                causal = jnp.tril(jnp.ones((s, s), bool))
+                valid = causal[None, None] & mask[:, None, None, :].astype(bool)
+                scores = jnp.where(valid, scores, -1e30)
+                probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+                ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
             attn = nn.Dense(h, use_bias=False, name="o_proj")(
                 ctx.reshape(b, s, nh * hd)
             )
@@ -141,6 +169,7 @@ if nn is not None:
 
     class QwenModel(nn.Module):
         cfg: QwenConfig
+        use_flash: bool = False
 
         @nn.compact
         def __call__(self, input_ids, attention_mask):
@@ -149,7 +178,7 @@ if nn is not None:
             positions = jnp.cumsum(attention_mask, axis=-1) - 1
             positions = jnp.maximum(positions, 0)
             for i in range(c.num_layers):
-                x = _QwenBlock(c, name=f"layer_{i}")(
+                x = _QwenBlock(c, self.use_flash, name=f"layer_{i}")(
                     x, attention_mask, positions
                 )
             fn = self.param("final_ln", nn.initializers.ones, (c.hidden_size,))
@@ -211,13 +240,24 @@ class QwenEmbeddingEncoder:
     """
 
     def __init__(self, cfg: QwenConfig, params, tokenizer, *,
-                 max_length: int = 512, dtype=jnp.bfloat16):
+                 max_length: int = 8192, dtype=jnp.bfloat16,
+                 use_flash: bool | None = None):
         if nn is None:  # pragma: no cover
             raise ImportError("flax is required for QwenEmbeddingEncoder")
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.max_length = max_length
-        model = QwenModel(cfg)
+        if use_flash is None:
+            # the Pallas flash kernel needs a TPU backend and a sequence
+            # divisible into its 512-wide blocks; the dense path OOMs past
+            # ~2k tokens (B·H·S² fp32 scores), so long sequences need TPU
+            import jax as _jax
+
+            use_flash = (
+                _jax.default_backend() == "tpu" and max_length % 512 == 0
+            )
+        self.use_flash = use_flash
+        model = QwenModel(cfg, use_flash)
         cast = jax.tree_util.tree_map(
             lambda x: jnp.asarray(x, dtype)
             if np.asarray(x).ndim >= 2 else jnp.asarray(x, jnp.float32),

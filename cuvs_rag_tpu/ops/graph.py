@@ -252,19 +252,32 @@ def augment_reverse_edges(graph: jax.Array, keep: int) -> jax.Array:
     prio = jnp.tile(jnp.arange(half, dtype=jnp.int32), n)
     # invalid destinations (padding/-1) route to a dummy segment n
     dst = jnp.where(dst >= 0, dst, n)
+    # dedup: a reverse candidate that duplicates one of dst's own forward
+    # edges wastes a slot on a neighbor the search already has (measured
+    # beam recall@10 0.970 -> 0.981 at 100k, itopk=64). Chunked gather of
+    # each candidate's fwd[dst] row bounds the temp at (n, half) per step.
+    def _dup_chunk(args):
+        d_c, s_c = args
+        rows = fwd[jnp.minimum(d_c, n - 1)]  # (chunk, half)
+        return jnp.any(rows == s_c[:, None], axis=1)
+
+    dup = jax.lax.map(
+        _dup_chunk, (dst.reshape(half, n), src.reshape(half, n))
+    ).reshape(-1)
+    dst = jnp.where(dup, n, dst)
 
     counts = jnp.zeros((n + 1,), jnp.int32).at[dst].add(1)
     starts = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
     )
-    dst_s, _, src_s = jax.lax.sort((dst, prio, src), num_keys=2, is_stable=True)
-    pos = jnp.arange(n * half, dtype=jnp.int32) - starts[dst_s]
-    ok = pos < cap
-    rev = (
-        jnp.full((n + 1, cap), -1, jnp.int32)
-        .at[jnp.where(ok, dst_s, n), jnp.minimum(pos, cap - 1)]
-        .set(jnp.where(ok, src_s, -1), mode="drop")
-    )[:n]
+    _, _, src_s = jax.lax.sort((dst, prio, src), num_keys=2, is_stable=True)
+    # segment GATHER from the sorted candidates: rev[d, p] is the p-th
+    # lowest-rank source targeting d. (A 2-D scatter formulation of the
+    # same fill measured minutes of Mosaic/XLA compile at 32M indices;
+    # the gather lowers and runs in well under a second.)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (n, cap), 1)
+    gidx = jnp.minimum(starts[:n, None] + slot, n * half - 1)
+    rev = jnp.where(slot < counts[:n, None], src_s[gidx], -1)
     # fill unfilled reverse slots with remaining forward edges
     fallback = graph[:, half:keep]
     rev = jnp.where(rev >= 0, rev, fallback[:, :cap])

@@ -76,13 +76,20 @@ ALIGN = 128  # list starts are 128-aligned (TPU lane width): DMA windows
 # lane tiles with no padding (ops/pallas_ivf.py)
 
 
-def capacity_for(n_pad: int, n_lists: int, max_list: int) -> int:
+def capacity_for(
+    n_pad: int, n_lists: int, max_list: int, headroom: int = 0
+) -> int:
     """Static capacity bound for the aligned layout: every row plus up to
-    ALIGN-1 pad rows per list, plus one full probe window of tail room."""
-    return topk_ops.round_up(n_pad + ALIGN * n_lists + max_list, ALIGN)
+    ALIGN-1 pad rows per list, plus optional per-list growth headroom
+    (incremental-add slack, see index/ivf_flat.extend), plus one full probe
+    window of tail room."""
+    return topk_ops.round_up(
+        n_pad + (ALIGN + headroom) * n_lists + max_list, ALIGN
+    )
 
 
-def sort_by_list(labels: jax.Array, valid: jax.Array, n_lists: int, capacity: int):
+def sort_by_list(labels: jax.Array, valid: jax.Array, n_lists: int,
+                 capacity: int, headroom: int = 0):
     """Core aligned-CSR ordering: (perm, target_pos, padded_row_ids, counts,
     offsets).
 
@@ -98,8 +105,10 @@ def sort_by_list(labels: jax.Array, valid: jax.Array, n_lists: int, capacity: in
     sorted_key = key[perm]
     weights = valid.astype(jnp.int32)
     counts = jnp.zeros((n_lists,), jnp.int32).at[labels].add(weights)
+    # headroom: extra reserved slots per list so incremental appends land
+    # in place (amortized O(batch) extend — dynamic-array growth policy)
     aligned = (
-        (counts + (ALIGN - 1)) // ALIGN * ALIGN
+        (counts + headroom + (ALIGN - 1)) // ALIGN * ALIGN
     ).astype(jnp.int32)
     offsets = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(aligned)[:-1].astype(jnp.int32)]
@@ -135,6 +144,7 @@ def build_layout(
     max_list_size: int,
     scales: jax.Array | None = None,
     sqnorms: jax.Array | None = None,
+    headroom: int = 0,
 ) -> IVFLayout:
     """Arrange (N, D) rows into the sorted-CSR layout.
 
@@ -150,7 +160,7 @@ def build_layout(
     residual codes alone).
     """
     perm, target_pos, row_ids, counts, offsets = sort_by_list(
-        labels, valid, n_lists, capacity
+        labels, valid, n_lists, capacity, headroom
     )
     # Gather formulation: row_ids already inverts the permutation (slot ->
     # source row, -1 on gaps), so the big row move is ONE gather over the

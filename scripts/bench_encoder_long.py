@@ -1,0 +1,86 @@
+"""Long-sequence encoder on the real TPU: flash vs dense, up to 8192 tokens.
+
+The reference's embedding pipeline runs Qwen3-Embedding with
+flash-attention-2 at max_length 8192 (generate_embeddings.py:52-59,83).
+This bench drives the TPU equivalent (Pallas TPU flash attention inside the
+flax Qwen stack) with randomly-initialized weights at the Qwen3-0.6B shape
+(hidden 1024 / 28 layers / 16 heads / GQA 8) — weights don't change the
+compute profile, and no checkpoint is downloadable in this environment.
+
+  1. parity: flash vs dense outputs at S=512 (same params, real hardware)
+  2. throughput: tokens/s at S = 2048 / 8192 (flash; dense is O(S²) memory
+     — B·H·S² fp32 scores = 4.3 GB/sequence at 8192 — and is not run)
+"""
+
+import os as _os
+import sys as _sys
+import time
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cuvs_rag_tpu.models import flax_qwen as fq
+
+    cfg = fq.QwenConfig()  # Qwen3-0.6B shape
+    key = jax.random.PRNGKey(0)
+
+    def make(use_flash, s):
+        model = fq.QwenModel(cfg, use_flash=use_flash)
+        ids = jnp.zeros((1, s), jnp.int32)
+        mask = jnp.ones((1, s), jnp.int32)
+        return model, ids, mask
+
+    # params once (dense init at short length; shapes are length-free)
+    model0, ids0, mask0 = make(False, 128)
+    params = jax.jit(model0.init)(key, ids0, mask0)
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.ndim >= 2 else x, params
+    )
+
+    # --- parity at S=512 ------------------------------------------------
+    s = 512
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(1, cfg.vocab_size, (2, s)), jnp.int32)
+    mask = jnp.asarray(
+        (np.arange(s)[None, :] < np.array([[s], [s // 2]])), jnp.int32
+    )
+    md, _, _ = make(False, s)
+    mf, _, _ = make(True, s)
+    hd = np.asarray(jax.jit(md.apply)(params, ids, mask), np.float32)
+    hf = np.asarray(jax.jit(mf.apply)(params, ids, mask), np.float32)
+    # compare on valid positions only
+    m = np.asarray(mask, bool)
+    rel = (np.linalg.norm((hd - hf)[m]) / max(np.linalg.norm(hd[m]), 1e-9))
+    print(f"parity S=512 rel-err dense vs flash: {rel:.4f}", flush=True)
+    assert rel < 0.05, rel
+
+    # --- throughput -----------------------------------------------------
+    for s, b in ((2048, 4), (8192, 1)):
+        model, ids, mask = make(True, s)
+        ids = jnp.asarray(
+            rng.integers(1, cfg.vocab_size, (b, s)), jnp.int32
+        )
+        mask = jnp.ones((b, s), jnp.int32)
+        fwd = jax.jit(model.apply)
+        out = fwd(params, ids, mask)
+        jax.block_until_ready(out)  # compile + warm
+        reps = 5
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fwd(params, ids, mask)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / reps
+        print(
+            f"flash S={s} B={b}: {dt*1e3:8.1f} ms/step  "
+            f"{b*s/dt:10.0f} tokens/s", flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -66,3 +66,46 @@ def test_build_history_records_failures(rng):
     with pytest.raises(KeyError):
         elastic.ElasticShardedIndex("nonexistent_family", FlatParams(), corpus,
                                     max_retries=0)
+
+
+def test_elastic_corpus_source_heals_without_ram_copy(rng, tmp_path):
+    """heal() with a corpus_source callable (memmap-style lazy reload) —
+    no duplicate in-RAM corpus is kept between rebuilds."""
+    import jax.numpy as jnp
+
+    corpus = rng.standard_normal((800, 16)).astype(np.float32)
+    path = tmp_path / "corpus.npy"
+    np.save(path, corpus)
+
+    calls = {"n": 0}
+
+    def source():
+        calls["n"] += 1
+        return np.load(path, mmap_mode="r")
+
+    mon = elastic.DeviceHealthMonitor()
+    eix = elastic.ElasticShardedIndex(
+        "flat", FlatParams(), corpus_source=source, monitor=mon,
+    )
+    assert eix.corpus_host is None and calls["n"] == 1
+    mon.fail_device_ids = {0, 5}
+    assert eix.heal()
+    assert calls["n"] == 2  # re-read from storage, not from RAM
+    assert eix.dmesh.num_devices == 6
+    from cuvs_rag_tpu.parallel import search as psearch
+
+    _, ids = psearch.search_sharded(
+        None, eix.index, jnp.asarray(corpus[[3, 700]]), 1, eix.dmesh
+    )
+    assert np.asarray(ids)[:, 0].tolist() == [3, 700]
+
+
+def test_elastic_requires_exactly_one_corpus_argument(rng):
+    with pytest.raises(ValueError, match="exactly one"):
+        elastic.ElasticShardedIndex("flat", FlatParams())
+    with pytest.raises(ValueError, match="exactly one"):
+        elastic.ElasticShardedIndex(
+            "flat", FlatParams(),
+            corpus_host=np.zeros((8, 4), np.float32),
+            corpus_source=lambda: None,
+        )

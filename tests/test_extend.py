@@ -63,3 +63,62 @@ def test_extend_matches_one_shot_build(rng):
     _, i2 = ivf_flat.search(sp, inc, jnp.asarray(queries), 5)
     # same data, full probe -> identical exact results
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_extend_amortized_fast_path(rng):
+    """Appends are amortized O(batch): the first overflow re-layouts WITH
+    per-list growth headroom, after which further appends land in place
+    (layout geometry unchanged); ids stay exact throughout."""
+    full = rng.standard_normal((2400, 24)).astype(np.float32)
+    ix = ivf_flat.build(IVFFlatParams(n_lists=8), jnp.asarray(full[:1900]))
+    ix = ivf_flat.extend(ix, jnp.asarray(full[1900:2000]))  # may re-layout
+    offsets_after_growth = np.asarray(ix.list_offsets).copy()
+    ml_after_growth = ix.max_list_size
+    # subsequent appends fit the reserved headroom -> in-place fast path
+    for start in range(2000, 2400, 100):
+        ix = ivf_flat.extend(ix, jnp.asarray(full[start : start + 100]))
+        np.testing.assert_array_equal(
+            np.asarray(ix.list_offsets), offsets_after_growth
+        )
+        assert ix.max_list_size == ml_after_growth
+    assert int(ix.n_valid) == 2400
+    q = full[[1900, 2050, 2399, 5]]
+    _, i = ivf_flat.search(IVFFlatSearchParams(n_probes=8), ix,
+                           jnp.asarray(q), 1)
+    assert np.asarray(i)[:, 0].tolist() == [1900, 2050, 2399, 5]
+
+
+def test_extend_overflow_triggers_relayout(rng):
+    """Appends that outgrow a list's region/window fall back to the full
+    re-layout with regrown windows — nothing is truncated."""
+    base = rng.standard_normal((600, 16)).astype(np.float32)
+    ix = ivf_flat.build(IVFFlatParams(n_lists=4), jnp.asarray(base))
+    ml_before = ix.max_list_size
+    # a large clustered burst targeting one list forces window growth
+    centroid0 = np.asarray(ix.centroids)[0]
+    burst = (centroid0[None, :]
+             + 0.01 * rng.standard_normal((700, 16))).astype(np.float32)
+    ix2 = ivf_flat.extend(ix, jnp.asarray(burst))
+    assert int(ix2.n_valid) == 1300
+    assert ix2.max_list_size > ml_before
+    assert int(np.asarray(ix2.list_counts).sum()) == 1300
+    q = burst[[0, 699]]
+    _, i = ivf_flat.search(IVFFlatSearchParams(n_probes=4), ix2,
+                           jnp.asarray(q), 1)
+    assert np.asarray(i)[:, 0].tolist() == [600, 1299]
+
+
+def test_extend_fast_path_int8(rng):
+    full = rng.standard_normal((2200, 24)).astype(np.float32)
+    ix = ivf_flat.build(
+        IVFFlatParams(n_lists=8, dtype="int8"), jnp.asarray(full[:1900])
+    )
+    ix = ivf_flat.extend(ix, jnp.asarray(full[1900:2000]))  # may re-layout
+    offsets_after = np.asarray(ix.list_offsets).copy()
+    ix2 = ivf_flat.extend(ix, jnp.asarray(full[2000:]))  # fast path
+    assert int(ix2.n_valid) == 2200
+    np.testing.assert_array_equal(np.asarray(ix2.list_offsets), offsets_after)
+    q = full[[2000, 2199]]
+    _, i = ivf_flat.search(IVFFlatSearchParams(n_probes=8), ix2,
+                           jnp.asarray(q), 1)
+    assert np.asarray(i)[:, 0].tolist() == [2000, 2199]

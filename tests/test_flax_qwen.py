@@ -98,3 +98,32 @@ def test_encoder_end_to_end_normalized():
     q = get_detailed_instruct("Retrieve passages", "what is a quokka")
     e = enc.encode([q])
     assert e.shape == (1, 64)
+
+
+def test_flash_attention_path_lowers_for_tpu():
+    """The use_flash=True Qwen block (Pallas TPU flash attention with
+    causal + segment-id pad masking) must lower through Mosaic — checked
+    for the TPU platform on the CPU CI host (same gate as
+    test_mosaic_lowering.py). Execution parity is checked on real hardware
+    by scripts/bench_encoder_long.py."""
+    import jax
+
+    from cuvs_rag_tpu.models import flax_qwen as fq
+
+    cfg = fq.QwenConfig(
+        vocab_size=128, hidden_size=64, num_layers=1, num_heads=2,
+        num_kv_heads=1, head_dim=128, intermediate_size=128,
+    )
+    model = fq.QwenModel(cfg, use_flash=True)
+    ids = jnp.zeros((1, 1024), jnp.int32)
+    mask = jnp.ones((1, 1024), jnp.int32)
+    # init with the dense variant: Module.init EXECUTES the forward, and
+    # the flash kernel can't execute on the CPU host — params are identical
+    params = fq.QwenModel(cfg, use_flash=False).init(
+        jax.random.PRNGKey(0), ids, mask
+    )
+
+    def fwd(p, i, m):
+        return model.apply(p, i, m)
+
+    jax.jit(fwd).trace(params, ids, mask).lower(lowering_platforms=("tpu",))

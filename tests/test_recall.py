@@ -34,3 +34,21 @@ def test_exact_ground_truth_self_retrieval(rng):
     corpus = rng.standard_normal((50, 16)).astype(np.float32)
     gt = recall_lib.exact_ground_truth(corpus, corpus[:5], 1, Metric.SQEUCLIDEAN)
     assert gt[:, 0].tolist() == [0, 1, 2, 3, 4]
+
+
+def test_streamed_gt_matches_flat_oracle(rng):
+    import jax.numpy as jnp
+
+    corpus = rng.standard_normal((3000, 32)).astype(np.float32)
+    queries = rng.standard_normal((7, 32)).astype(np.float32)
+    for metric in (Metric.SQEUCLIDEAN, Metric.INNER_PRODUCT, Metric.COSINE):
+        want = recall_lib.exact_ground_truth(corpus, queries, 10, metric)
+        got = recall_lib.exact_ground_truth_streamed(
+            jnp.asarray(corpus), queries, 10, metric, chunk_rows=1024
+        )
+        # identical oracle through a chunked device-resident scan
+        # (fp32 both ways; tie order may differ on exact-equal scores)
+        agree = np.mean([
+            len(set(got[r]) & set(want[r])) / 10 for r in range(7)
+        ])
+        assert agree >= 0.99, (metric, agree)
