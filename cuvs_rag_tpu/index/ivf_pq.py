@@ -412,6 +412,194 @@ def build_sharded_local(params: IVFPQParams, sc, dmesh, seed: int = 0):
     return phase_b(sc.data, labels_s, centroids_s, sc.n_valid)
 
 
+def extend(index: IVFPQIndex, new_vectors: jax.Array) -> IVFPQIndex:
+    """Append rows with frozen quantizers (FAISS IVFPQ `add` flow,
+    faiss-main.ipynb#cell7 re-adds in batches after training on a sample).
+
+    Coarse centroids, codebooks and the OPQ rotation are train-once; new
+    rows are assigned, residual-encoded, and scattered IN PLACE into the
+    aligned layout's per-list slack — amortized O(batch) like
+    ivf_flat.extend, with a full re-layout (plus ~50%-of-average per-list
+    growth headroom) when a list outgrows its region or the probe window.
+    New rows get ids n_valid..n_valid+B-1."""
+    if new_vectors.ndim != 2 or new_vectors.shape[1] != index.dim:
+        raise ValueError(
+            f"new vectors must be (B, {index.dim}), got {new_vectors.shape}"
+        )
+    add = jnp.asarray(new_vectors)
+    if index.metric == Metric.COSINE:
+        add = dist_ops.l2_normalize(add).astype(add.dtype)
+    add = _pad_dim(add, index.pq_dim)
+    b = add.shape[0]
+    nv = int(index.n_valid)
+    total = nv + b
+    m = index.pq_dim
+
+    labels = kmeans_ops.assign_clusters(
+        add.astype(jnp.float32), index.centroids
+    )
+    codes_new, corr_new = _encode_rows_jit(
+        add, labels, index.centroids, index.codebooks,
+        index.rotation if index.has_opq else None, index.levels,
+    )
+
+    counts_h = np.asarray(index.list_counts)
+    offsets_h = np.asarray(index.list_offsets)
+    adds_h = np.bincount(np.asarray(labels), minlength=index.n_lists)
+    region = np.diff(
+        np.append(offsets_h, offsets_h[-1] + index.max_list_size)
+    )
+    if np.all(counts_h + adds_h <= np.minimum(region, index.max_list_size)):
+        raw_add = add.astype(index.raw_vectors.dtype) if index.has_raw else None
+        out = _pq_extend_fast(
+            index.codes, index.row_ids, index.norm_corr,
+            index.raw_vectors, index.raw_sqnorms, index.list_counts,
+            index.list_offsets, codes_new, corr_new, raw_add, labels,
+            jnp.asarray(nv, jnp.int32),
+        )
+        codes, row_ids, norm_corr, raw, raw_sq, cnts = out
+        return dataclasses.replace(
+            index, codes=codes, row_ids=row_ids, norm_corr=norm_corr,
+            raw_vectors=raw, raw_sqnorms=raw_sq, list_counts=cnts,
+            n_valid=jnp.asarray(total, jnp.int32),
+        )
+
+    # overflow: recover everything in original order and re-lay out with
+    # growth headroom (same amortization policy as ivf_flat.extend)
+    cap = index.codes.shape[0]
+    slot_iota = jnp.arange(cap, dtype=jnp.int32)
+    rid = jnp.where(index.row_ids >= 0, index.row_ids, nv)
+    slot_of = jnp.zeros((nv,), jnp.int32).at[rid].set(slot_iota, mode="drop")
+    label_of_slot = (
+        jnp.searchsorted(index.list_offsets, slot_iota, side="right") - 1
+    ).astype(jnp.int32)
+    all_codes = jnp.concatenate([index.codes[slot_of], codes_new])
+    all_labels = jnp.concatenate([label_of_slot[slot_of], labels])
+    if index.levels == 2:
+        all_corr = jnp.concatenate([index.norm_corr[slot_of], corr_new])
+    else:
+        all_corr = jnp.zeros((0,), jnp.float32)
+    dp = index.padded_dim
+    if index.has_raw:
+        all_raw = jnp.concatenate([
+            index.raw_vectors[slot_of],
+            add.astype(index.raw_vectors.dtype),
+        ])
+    else:
+        all_raw = jnp.zeros((total, dp), add.dtype)
+    n_pad = topk_ops.round_up(total, 8)
+    all_codes = topk_ops.pad_rows(all_codes, n_pad)
+    all_labels = topk_ops.pad_rows(all_labels, n_pad)
+    all_raw = topk_ops.pad_rows(all_raw, n_pad)
+    if all_corr.shape[0] > 0:
+        all_corr = topk_ops.pad_rows(all_corr[:, None], n_pad)[:, 0]
+    valid = jnp.arange(n_pad) < total
+
+    counts_new = counts_h + adds_h
+    headroom = int(topk_ops.round_up(
+        max(ivf_ops.ALIGN, total // (2 * index.n_lists)), ivf_ops.ALIGN
+    ))
+    max_list = int(topk_ops.round_up(
+        int(counts_new.max()) + headroom, ivf_ops.ALIGN
+    ))
+    capacity = ivf_ops.capacity_for(
+        n_pad, index.n_lists, max_list, headroom=headroom
+    )
+    sorted_codes, row_ids, offsets, counts_j, raw, raw_sq, sorted_corr = (
+        _pq_relayout(
+            all_codes, all_raw, all_labels, valid, all_corr,
+            n_lists=index.n_lists, capacity=capacity,
+            max_list_size=max_list, store_raw=index.has_raw,
+            headroom=headroom,
+        )
+    )
+    return dataclasses.replace(
+        index, codes=sorted_codes, row_ids=row_ids, norm_corr=sorted_corr,
+        raw_vectors=raw, raw_sqnorms=raw_sq, list_offsets=offsets,
+        list_counts=counts_j, n_valid=jnp.asarray(total, jnp.int32),
+        max_list_size=max_list,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("levels",), donate_argnums=()
+)
+def _encode_rows_jit(add, labels, centroids, codebooks, rotation, levels):
+    """Encode a batch with frozen quantizers -> (packed codes, corr)."""
+    r = add.astype(jnp.float32) - centroids[labels]
+    if rotation is not None:
+        r = dist_ops.dot_general_prec(r, rotation, (((1,), (1,)), ((), ())))
+    if levels == 2:
+        codes2 = pq_ops.encode_two_level(r, codebooks)
+        corr = pq_ops.norm_correction(codes2, codebooks)
+        return pq_ops.pack_nibbles(codes2), corr
+    codes = pq_ops.encode(r, codebooks)
+    m, n_codes = codebooks.shape[0], codebooks.shape[1]
+    if n_codes <= 16 and m % 2 == 0:
+        codes = pq_ops.pack_nibbles(codes)
+    return codes, jnp.zeros((0,), jnp.float32)
+
+
+@jax.jit
+def _pq_extend_fast(codes, row_ids, norm_corr, raw, raw_sq, counts, offsets,
+                    codes_new, corr_new, raw_add, labels_new, start_id):
+    """In-place aligned-CSR append of PQ codes (+corr/raw side arrays)."""
+    bsz = labels_new.shape[0]
+    n_lists = counts.shape[0]
+    cnt_new = jnp.zeros((n_lists,), jnp.int32).at[labels_new].add(1)
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt_new)[:-1].astype(jnp.int32)]
+    )
+    order = jnp.argsort(labels_new, stable=True)
+    lab_s = labels_new[order]
+    rank = jnp.arange(bsz, dtype=jnp.int32) - starts[lab_s]
+    target = offsets[lab_s] + counts[lab_s] + rank
+    codes = codes.at[target].set(codes_new[order])
+    row_ids = row_ids.at[target].set(start_id + order.astype(jnp.int32))
+    if norm_corr.shape[0] > 0:
+        norm_corr = norm_corr.at[target].set(corr_new[order])
+    if raw_add is not None:
+        raw = raw.at[target].set(raw_add[order])
+        raw_sq = raw_sq.at[target].set(
+            dist_ops.sqnorms(raw_add[order].astype(jnp.float32))
+        )
+    return codes, row_ids, norm_corr, raw, raw_sq, counts + cnt_new
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_lists", "capacity", "max_list_size", "store_raw", "headroom",
+    ),
+)
+def _pq_relayout(codes, vec_pad, labels, valid, norm_corr, *,
+                 n_lists, capacity, max_list_size, store_raw, headroom):
+    perm, target_pos, row_ids, counts, offsets = ivf_ops.sort_by_list(
+        labels, valid, n_lists, capacity, headroom
+    )
+    slot_ok = row_ids >= 0
+    src = jnp.maximum(row_ids, 0)
+    sorted_codes = jnp.where(
+        slot_ok[:, None], codes[src], jnp.zeros((), codes.dtype)
+    )
+    if store_raw:
+        raw = jnp.where(
+            slot_ok[:, None], vec_pad[src], jnp.zeros((), vec_pad.dtype)
+        )
+        raw_sq = dist_ops.sqnorms(raw)
+    else:
+        raw = jnp.zeros((0, vec_pad.shape[1]), vec_pad.dtype)
+        raw_sq = jnp.zeros((0,), jnp.float32)
+    if norm_corr.shape[0] > 0:
+        sorted_corr = jnp.where(slot_ok, norm_corr[src], 0.0)
+    else:
+        sorted_corr = jnp.zeros((0,), jnp.float32)
+    return (
+        sorted_codes, row_ids, offsets,
+        jnp.minimum(counts, max_list_size), raw, raw_sq, sorted_corr,
+    )
+
+
 def strip_raw(index: IVFPQIndex) -> IVFPQIndex:
     """Drop the raw-vector store (refine disabled, full PQ memory savings)."""
     dp = index.padded_dim

@@ -40,7 +40,8 @@ def run_family(family, corpus, queries, k, args, dmesh, gt):
     params = {
         "flat": FlatParams(dtype=args.dtype),
         "ivf_flat": IVFFlatParams(n_lists=args.n_lists, dtype=args.dtype),
-        "ivf_pq": IVFPQParams(n_lists=args.n_lists, pq_dim=args.pq_dim),
+        "ivf_pq": IVFPQParams(n_lists=args.n_lists, pq_dim=args.pq_dim,
+                              pq_bits=args.pq_bits),
         "cagra": CagraParams(),
     }[family]
     sp = {
@@ -102,6 +103,9 @@ def main(argv=None):
     p.add_argument("--n-lists", type=int, default=0)
     p.add_argument("--n-probes", type=int, default=20)
     p.add_argument("--pq-dim", type=int, default=0)
+    p.add_argument("--pq-bits", type=int, default=8, choices=[4, 8],
+                   help="8 = two-level additive nibble PQ (default), "
+                        "4 = fastscan")
     p.add_argument("--refine-ratio", type=int, default=2)
     p.add_argument("--topics", type=int, default=100)
     p.add_argument("--json", action="store_true", help="machine-readable output")

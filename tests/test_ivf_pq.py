@@ -303,3 +303,47 @@ def test_two_level_io_round_trip(data, tmp_path):
     _, i1 = ivf_pq.search(sp, ix, jnp.asarray(queries), 5)
     _, i2 = ivf_pq.search(sp, ix2, jnp.asarray(queries), 5)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+@pytest.mark.parametrize("two_level", [True, False])
+def test_ivf_pq_extend(data, two_level):
+    """FAISS IVFPQ add-flow parity: frozen quantizers, in-place append,
+    overflow re-layout — ids exact, recall preserved."""
+    corpus, queries = data
+    k = 10
+    base_n = 3000
+    ix = ivf_pq.build(
+        IVFPQParams(n_lists=16, pq_dim=8, two_level=two_level),
+        jnp.asarray(corpus[:base_n]),
+    )
+    offsets_before = np.asarray(ix.list_offsets).copy()
+    ix = ivf_pq.extend(ix, jnp.asarray(corpus[base_n:]))
+    assert int(ix.n_valid) == len(corpus)
+    assert int(np.asarray(ix.list_counts).sum()) == len(corpus)
+    sp = IVFPQSearchParams(n_probes=16, refine_ratio=8)
+    # appended rows must be retrievable under their global ids
+    q = corpus[[base_n, base_n + 500, len(corpus) - 1]]
+    _, i = ivf_pq.search(sp, ix, jnp.asarray(q), 1)
+    assert np.asarray(i)[:, 0].tolist() == [
+        base_n, base_n + 500, len(corpus) - 1
+    ]
+    gt = recall_lib.exact_ground_truth(corpus, queries, k, Metric.SQEUCLIDEAN)
+    _, i10 = ivf_pq.search(sp, ix, jnp.asarray(queries), k)
+    r = recall_lib.recall_at_k(np.asarray(i10), gt, k)
+    assert r >= 0.9, r
+    del offsets_before
+
+
+def test_ivf_pq_extend_fast_path_geometry(data):
+    """Post-growth appends keep the layout geometry (in-place path)."""
+    corpus, _ = data
+    ix = ivf_pq.build(
+        IVFPQParams(n_lists=16, pq_dim=8), jnp.asarray(corpus[:3000])
+    )
+    ix = ivf_pq.extend(ix, jnp.asarray(corpus[3000:3500]))  # may re-layout
+    offsets_after = np.asarray(ix.list_offsets).copy()
+    ml_after = ix.max_list_size
+    ix = ivf_pq.extend(ix, jnp.asarray(corpus[3500:4000]))  # fast path
+    np.testing.assert_array_equal(np.asarray(ix.list_offsets), offsets_after)
+    assert ix.max_list_size == ml_after
+    assert int(ix.n_valid) == 4000
