@@ -10,8 +10,10 @@ recall@K is meaningful for every approximate index.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -68,33 +70,12 @@ def exact_ground_truth_streamed(
     weakness #7); only the (Q, k) result crosses to host. Chunks slice the
     existing array; per-chunk temps are (Q, chunk) scores + running top-k.
     """
-    import jax
-
     from cuvs_rag_tpu.ops import distance as dist_ops
-    from cuvs_rag_tpu.ops import topk as topk_ops
 
     n, d = corpus_dev.shape
     q = jnp.asarray(queries, jnp.float32)
     qn = dist_ops.l2_normalize(q) if metric == Metric.COSINE else q
-    inner_metric = (
-        Metric.SQEUCLIDEAN if metric == Metric.SQEUCLIDEAN
-        else Metric.INNER_PRODUCT
-    )
     c = min(chunk_rows, n)
-
-    @jax.jit
-    def step(start, rows, best_s, best_i):
-        x = rows.astype(jnp.float32)
-        if metric == Metric.COSINE:
-            x = dist_ops.l2_normalize(x)
-        sq = dist_ops.sqnorms(x)
-        scores = dist_ops.scores_from_tile(qn, x, sq, inner_metric)
-        ids = start + jax.lax.broadcasted_iota(
-            jnp.int32, scores.shape, 1
-        )
-        cand_s = jnp.concatenate([best_s, scores], axis=1)
-        cand_i = jnp.concatenate([best_i, ids], axis=1)
-        return topk_ops.merge_topk(cand_s, cand_i, k)
 
     best_s = jnp.full((q.shape[0], k), -jnp.inf, jnp.float32)
     best_i = jnp.full((q.shape[0], k), -1, jnp.int32)
@@ -102,6 +83,31 @@ def exact_ground_truth_streamed(
         rows = jax.lax.dynamic_slice_in_dim(
             corpus_dev, start, min(c, n - start), axis=0
         )
-        best_s, best_i = step(start, rows, best_s, best_i)
+        best_s, best_i = _gt_chunk_step(start, rows, best_s, best_i, qn, metric)
     return np.asarray(best_i)
+
+
+# Module-level jit: one compiled program per (metric, shapes) for the life of
+# the process. A closure-level @jax.jit here recompiled the chunk scan on
+# EVERY exact_ground_truth_streamed call (~seconds per bench data point —
+# the same per-call-jit leak fixed for _layout_jit / _quantize_residuals).
+@functools.partial(jax.jit, static_argnames=("metric",))
+def _gt_chunk_step(start, rows, best_s, best_i, qn, metric):
+    from cuvs_rag_tpu.ops import distance as dist_ops
+    from cuvs_rag_tpu.ops import topk as topk_ops
+
+    k = best_s.shape[1]
+    inner_metric = (
+        Metric.SQEUCLIDEAN if metric == Metric.SQEUCLIDEAN
+        else Metric.INNER_PRODUCT
+    )
+    x = rows.astype(jnp.float32)
+    if metric == Metric.COSINE:
+        x = dist_ops.l2_normalize(x)
+    sq = dist_ops.sqnorms(x)
+    scores = dist_ops.scores_from_tile(qn, x, sq, inner_metric)
+    ids = start + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    cand_s = jnp.concatenate([best_s, scores], axis=1)
+    cand_i = jnp.concatenate([best_i, ids], axis=1)
+    return topk_ops.merge_topk(cand_s, cand_i, k)
 

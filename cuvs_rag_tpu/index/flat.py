@@ -160,17 +160,24 @@ _DENSE_THRESHOLD = 262_144
 
 
 def search_scores(
-    search_params, index: FlatIndex, queries: jax.Array, k: int
+    search_params, index: FlatIndex, queries: jax.Array, k: int,
+    *, use_pallas: "Optional[bool]" = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Internal family-protocol entry: (scores larger-better, local indices).
 
     Handles query prep (cosine normalization) but no metric conversion —
     the distributed merge layer works in score space and converts at the edge.
+    `use_pallas` overrides the auto kernel choice (None = `_use_pallas`);
+    search() threads it as a STATIC jit argument so its Pallas->XLA fallback
+    retry compiles a distinct program instead of hitting the cached
+    executable that just failed.
     """
+    if use_pallas is None:
+        use_pallas = _use_pallas(index, k)
     if index.metric == Metric.COSINE:
         queries = dist_ops.l2_normalize(queries)
     if search_params is not None and getattr(search_params, "approx", False):
-        if _use_pallas(index, k):
+        if use_pallas:
             # Fused Pallas sketch kernel: per-column-class running top-1
             # (recall ~1 - C(k,2)/tile_c per query); with int8 storage the
             # matmul also runs int8 x int8 on the MXU. Measured at 2M x 768
@@ -183,7 +190,7 @@ def search_scores(
             k=k, metric=index.metric, tile_n=index.tile_n,
             recall_target=search_params.recall_target,
         )
-    if _use_pallas(index, k):
+    if use_pallas:
         return _pallas_search(index, queries, k, mode="exact")
     if index.size <= _DENSE_THRESHOLD:
         return topk_ops.flat_topk_search_dense(
@@ -263,9 +270,13 @@ def default_search_params():
 import functools
 
 
-@functools.partial(jax.jit, static_argnames=("search_params", "k"))
-def _search_core(search_params, index, queries, k):
-    scores, idx = search_scores(search_params, index, queries, k)
+@functools.partial(
+    jax.jit, static_argnames=("search_params", "k", "use_pallas")
+)
+def _search_core(search_params, index, queries, k, use_pallas):
+    scores, idx = search_scores(
+        search_params, index, queries, k, use_pallas=use_pallas
+    )
     qn = (
         dist_ops.l2_normalize(queries)
         if index.metric == Metric.COSINE else queries
@@ -290,12 +301,23 @@ def search(
     device dispatch per call.
     """
     queries = base.validate_queries(queries, index.dim)
+    up = _use_pallas(index, k)
     try:
-        return _search_core(search_params, index, queries, k)
+        return _search_core(search_params, index, queries, k, up)
     except Exception as e:  # pragma: no cover - requires a backend lowering bug
+        if not up:
+            raise  # the XLA path failed — nothing to fall back to
+        # Retry on the XLA path. use_pallas is a STATIC jit arg, so this
+        # compiles a distinct program — the cached Pallas executable that
+        # just failed is never reused. Pallas is disabled for the process
+        # only if the retry succeeds; a failure that hits both paths (e.g.
+        # transient device OOM) propagates without misattributing the error
+        # to the kernel.
+        try:
+            out = _search_core(search_params, index, queries, k, False)
+        except Exception:
+            raise e
         global _PALLAS_BROKEN
-        if _PALLAS_BROKEN or not _use_pallas(index, k):
-            raise  # not a pallas-path failure — propagate
         import logging
 
         logging.getLogger(__name__).error(
@@ -303,4 +325,4 @@ def search(
             "to the XLA path for the rest of this process", type(e).__name__, e
         )
         _PALLAS_BROKEN = True
-        return _search_core(search_params, index, queries, k)
+        return out

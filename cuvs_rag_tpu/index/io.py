@@ -155,19 +155,64 @@ def _recover_rows_pq(index: Any, nv: int) -> jax.Array:
     return xhat[slot_of][:, : index.dim]
 
 
-def save_sharded(prefix: str, sindex: Any) -> None:
-    """Persist a ShardedIndex as `{prefix}_part{i}.npz` + `{prefix}.json`."""
+def _local_shard_ids(dmesh) -> list:
+    """Global shard indices whose device is addressable from this process
+    (shard i lives on the i-th mesh device)."""
+    pidx = jax.process_index()
+    return [
+        i for i, dev in enumerate(dmesh.devices)
+        if dev.process_index == pidx
+    ]
+
+
+def save_sharded(prefix: str, sindex: Any, dmesh=None) -> None:
+    """Persist a ShardedIndex as `{prefix}_part{i}.npz` + `{prefix}.json`.
+
+    Multi-process (process-spanning mesh): each process writes ONLY its
+    addressable shards' part files — pass the mesh's `dmesh`; shards on
+    other processes cannot be fetched here. Process 0 writes the manifest.
+    Single-process: writes every part + the manifest.
+    """
     s = sindex.num_shards
-    for i in range(s):
-        part = jax.tree_util.tree_map(lambda x: x[i], sindex.local)
+    if jax.process_count() == 1:
+        ids = range(s)
+    else:
+        if dmesh is None:
+            raise ValueError(
+                "multi-process save_sharded needs `dmesh` to locate this "
+                "process's addressable shards"
+            )
+        ids = _local_shard_ids(dmesh)
+
+    def _shard_i(x, i):
+        if jax.process_count() == 1:
+            return x[i]
+        for sh in x.addressable_shards:
+            if (sh.index[0].start or 0) == i:
+                return jnp.asarray(np.asarray(sh.data)[0])
+        raise ValueError(f"shard {i} is not addressable from this process")
+
+    for i in ids:
+        part = jax.tree_util.tree_map(lambda x: _shard_i(x, i), sindex.local)
         save_index(f"{prefix}_part{i}.npz", part)
-    with open(f"{prefix}.json", "w") as f:
-        json.dump({
-            "family": sindex.family,
-            "total": sindex.total,
-            "offsets": np.asarray(sindex.offsets).tolist(),
-            "num_shards": s,
-        }, f)
+    if jax.process_count() == 1:
+        offs = np.asarray(sindex.offsets)
+    else:
+        # offsets is mesh-sharded: replicate through one collective so the
+        # manifest writer can read it (every process must run this jit)
+        offs = np.asarray(
+            jax.jit(lambda x: x, out_shardings=dmesh.replicated())(
+                sindex.offsets
+            )
+        )
+    if jax.process_index() == 0:
+        with open(f"{prefix}.json", "w") as f:
+            json.dump({
+                "family": sindex.family,
+                "total": sindex.total,
+                "offsets": offs.tolist(),
+                "num_shards": s,
+            }, f)
 
 
 def load_sharded(prefix: str, dmesh, params: Any = None) -> Any:
@@ -179,27 +224,61 @@ def load_sharded(prefix: str, dmesh, params: Any = None) -> Any:
     the reference's reload/re-chunk flow (cuVS-2GPU.ipynb#cell12).
     """
     from cuvs_rag_tpu.parallel import search as psearch
+    from cuvs_rag_tpu.parallel.shard import global_put
 
     with open(f"{prefix}.json") as f:
         meta = json.load(f)
     s = meta["num_shards"]
-    parts = [load_index(f"{prefix}_part{i}.npz") for i in range(s)]
 
     if dmesh.num_devices == s:
-        local = jax.tree_util.tree_map(
-            lambda *xs: jax.device_put(
-                jnp.stack(xs),
-                dmesh.sharding(*( [dmesh.axis_name] + [None] * xs[0].ndim )),
-            ),
-            *parts,
-        )
+        if jax.process_count() == 1:
+            parts = [load_index(f"{prefix}_part{i}.npz") for i in range(s)]
+            local = jax.tree_util.tree_map(
+                lambda *xs: jax.device_put(
+                    jnp.stack(xs),
+                    dmesh.sharding(
+                        *([dmesh.axis_name] + [None] * xs[0].ndim)
+                    ),
+                ),
+                *parts,
+            )
+        else:
+            # each process loads ONLY its addressable shards' part files and
+            # assembles global arrays shard-locally (the shared-FS layout
+            # the reference's per-GPU _part{i}.pt files assumed)
+            ids = _local_shard_ids(dmesh)
+            owned = {i: load_index(f"{prefix}_part{i}.npz") for i in ids}
+            sample = owned[ids[0]]
+            fields = type(sample)._array_fields
+            kwargs: dict = {
+                f.name: getattr(sample, f.name)
+                for f in dataclasses.fields(sample)
+                if f.name not in fields
+            }
+            for name in fields:
+                datas = {
+                    i: np.asarray(jax.device_get(getattr(p, name)))[None]
+                    for i, p in owned.items()
+                }
+                shape = (s,) + datas[ids[0]].shape[1:]
+                sh = dmesh.sharding(
+                    *([dmesh.axis_name] + [None] * (len(shape) - 1))
+                )
+                kwargs[name] = jax.make_array_from_callback(
+                    shape, sh, lambda idx, d=datas: d[idx[0].start or 0]
+                )
+            local = type(sample)(**kwargs)
         return psearch.ShardedIndex(
             local=local,
-            offsets=jnp.asarray(meta["offsets"], jnp.int32),
+            offsets=global_put(
+                np.asarray(meta["offsets"], np.int32),
+                dmesh.sharding(dmesh.axis_name),
+            ),
             family=meta["family"],
             total=meta["total"],
             axis_name=dmesh.axis_name,
         )
+    parts = [load_index(f"{prefix}_part{i}.npz") for i in range(s)]
 
     if params is None:
         raise ValueError(

@@ -511,7 +511,7 @@ def extend(index: IVFFlatIndex, new_vectors: jax.Array) -> IVFFlatIndex:
             add_q = add
             add_scales = jnp.ones((b,), jnp.float32)
             add_sq = dist_ops.sqnorms(add)
-        vecs, sq, sc, rid, cnts = _extend_fast_jit(
+        vecs, sq, sc, rid, cnts = _extend_fast(
             index.vectors, index.sqnorms, index.scales, index.row_ids,
             index.list_counts, index.list_offsets,
             add_q, add_sq, add_scales, new_labels,
@@ -601,9 +601,6 @@ def _extend_fast(vectors, sqnorms, scales, row_ids, counts, offsets,
     scales = scales.at[target].set(add_scales[order])
     row_ids = row_ids.at[target].set(start_id + order.astype(jnp.int32))
     return vectors, sqnorms, scales, row_ids, counts + cnt_new
-
-
-_extend_fast_jit = _extend_fast
 
 
 def build_sharded_local(params: IVFFlatParams, sc, dmesh, seed: int = 0):
@@ -749,8 +746,16 @@ def search_scores(
     index: IVFFlatIndex,
     queries: jax.Array,
     k: int,
+    *, use_pallas: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Family-protocol entry: (scores larger-better, original row ids)."""
+    """Family-protocol entry: (scores larger-better, original row ids).
+
+    `use_pallas` overrides the auto kernel choice (None = `_use_pallas_ivf`);
+    search() threads it as a STATIC jit argument so the Pallas->XLA fallback
+    retry compiles a distinct program rather than reusing a cached failing
+    executable."""
+    if use_pallas is None:
+        use_pallas = _use_pallas_ivf(index, k)
     sp = search_params or default_search_params()
     if index.metric == Metric.COSINE:
         queries = dist_ops.l2_normalize(queries)
@@ -768,7 +773,7 @@ def search_scores(
             coarse_ip = coarse_scores + index.centroid_sqnorms[probes]
         else:
             coarse_ip = coarse_scores
-    if _use_pallas_ivf(index, k):
+    if use_pallas:
         from cuvs_rag_tpu.ops import pallas_ivf
 
         offs = index.list_offsets[probes]
@@ -796,9 +801,13 @@ def search_scores(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("search_params", "k"))
-def _search_core(search_params, index, queries, k):
-    scores, idx = search_scores(search_params, index, queries, k)
+@functools.partial(
+    jax.jit, static_argnames=("search_params", "k", "use_pallas")
+)
+def _search_core(search_params, index, queries, k, use_pallas):
+    scores, idx = search_scores(
+        search_params, index, queries, k, use_pallas=use_pallas
+    )
     qn = dist_ops.l2_normalize(queries) if index.metric == Metric.COSINE else queries
     return dist_ops.scores_to_distances(
         scores, dist_ops.sqnorms(qn), index.metric
@@ -814,12 +823,21 @@ def search(
     """cuVS surface: search(SearchParams(n_probes), index, queries, k).
     One jitted program per call (prep + probe + scan + conversion)."""
     queries = base.validate_queries(queries, index.dim)
+    up = _use_pallas_ivf(index, k)
     try:
-        return _search_core(search_params, index, queries, k)
+        return _search_core(search_params, index, queries, k, up)
     except Exception as e:  # pragma: no cover - requires a backend lowering bug
+        if not up:
+            raise  # the XLA path failed — nothing to fall back to
+        # Retry on the XLA path (distinct static arg -> distinct program;
+        # the failed Pallas executable is never reused). Pallas is disabled
+        # for the process only if the retry succeeds — a failure hitting
+        # both paths (transient OOM etc.) propagates unmisattributed.
+        try:
+            out = _search_core(search_params, index, queries, k, False)
+        except Exception:
+            raise e
         global _PALLAS_BROKEN
-        if _PALLAS_BROKEN or not _use_pallas_ivf(index, k):
-            raise  # not a pallas-path failure — propagate
         import logging
 
         logging.getLogger(__name__).error(
@@ -827,4 +845,4 @@ def search(
             "to the XLA path for the rest of this process", type(e).__name__, e
         )
         _PALLAS_BROKEN = True
-        return _search_core(search_params, index, queries, k)
+        return out

@@ -433,7 +433,6 @@ def extend(index: IVFPQIndex, new_vectors: jax.Array) -> IVFPQIndex:
     b = add.shape[0]
     nv = int(index.n_valid)
     total = nv + b
-    m = index.pq_dim
 
     labels = kmeans_ops.assign_clusters(
         add.astype(jnp.float32), index.centroids
@@ -540,10 +539,15 @@ def _encode_rows_jit(add, labels, centroids, codebooks, rotation, levels):
     return codes, jnp.zeros((0,), jnp.float32)
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
 def _pq_extend_fast(codes, row_ids, norm_corr, raw, raw_sq, counts, offsets,
                     codes_new, corr_new, raw_add, labels_new, start_id):
-    """In-place aligned-CSR append of PQ codes (+corr/raw side arrays)."""
+    """In-place aligned-CSR append of PQ codes (+corr/raw side arrays).
+
+    The big layout leaves (codes, ids, corr, raw store) are DONATED — a true
+    in-place scatter, amortized O(batch). Without donation XLA copies the
+    multi-GB raw store on every small append (FAISS `add` mutation
+    semantics: the caller's old index is consumed)."""
     bsz = labels_new.shape[0]
     n_lists = counts.shape[0]
     cnt_new = jnp.zeros((n_lists,), jnp.int32).at[labels_new].add(1)

@@ -58,8 +58,6 @@ class TfidfHashingEncoder:
     unfit too, with uniform weights).
     """
 
-    _TOKEN = None  # compiled lazily
-
     def __init__(self, dim: int = 1024):
         self.dim = dim
         self.idf: dict = {}

@@ -187,15 +187,14 @@ if nn is not None:
 
 def last_token_pool(hidden, attention_mask):
     """Reference pooling (generate_embeddings.py:11-21): the hidden state
-    of each sequence's LAST non-pad token. Handles right AND left padding
-    (the reference branches on whether the final column is all non-pad;
-    here the check is per sequence: a non-pad last column means the last
-    token IS the sequence end — left padding or no padding)."""
+    of each sequence's LAST non-pad token. The index is the largest
+    position whose mask is set — correct for right padding, left padding,
+    AND left-then-right mixed layouts (a left-padding tokenizer batch that
+    encode() then right-pads to a bucket length; the reference's
+    branch-on-final-column trick mishandles exactly that case)."""
     seq_len = hidden.shape[1]
-    by_length = jnp.sum(attention_mask, axis=1).astype(jnp.int32) - 1
-    last = jnp.where(
-        attention_mask[:, -1] > 0, seq_len - 1, jnp.maximum(by_length, 0)
-    )
+    iota = jnp.arange(seq_len, dtype=jnp.int32)
+    last = jnp.max(iota[None, :] * (attention_mask > 0), axis=1)
     return hidden[jnp.arange(hidden.shape[0]), last]
 
 
@@ -286,17 +285,38 @@ class QwenEmbeddingEncoder:
         tok = AutoTokenizer.from_pretrained(name_or_path)
         return cls(cfg, params, tok, **kwargs)
 
+    def _bucket_len(self, longest: int) -> int:
+        """Smallest padded length >= longest: flash rounds to its 512-wide
+        blocks, the dense path to powers of two (>=128). Bucketing keeps the
+        jit-compile count O(log max_length) while never padding a batch of
+        short texts out to max_length — the dense O(S²) path at the default
+        max_length=8192 would materialize ~4 GB of scores per sequence."""
+        if self.use_flash:
+            s = max(512, -(-longest // 512) * 512)
+        else:
+            s = 128
+            while s < longest:
+                s *= 2
+        return min(s, self.max_length)
+
     def encode(self, texts, batch_size: int = 16) -> np.ndarray:
         out = []
         for i in range(0, len(texts), batch_size):
             batch = list(texts[i:i + batch_size])
             enc = self.tokenizer(
-                batch, padding="max_length", truncation=True,
+                batch, padding="longest", truncation=True,
                 max_length=self.max_length, return_tensors="np",
             )
+            ids = np.asarray(enc["input_ids"])
+            mask = np.asarray(enc["attention_mask"])
+            s = self._bucket_len(ids.shape[1])
+            if s > ids.shape[1]:
+                pad = ((0, 0), (0, s - ids.shape[1]))
+                ids = np.pad(ids, pad)
+                mask = np.pad(mask, pad)
             out.append(np.asarray(self._fwd(
                 self._params,
-                jnp.asarray(enc["input_ids"], jnp.int32),
-                jnp.asarray(enc["attention_mask"], jnp.int32),
+                jnp.asarray(ids, jnp.int32),
+                jnp.asarray(mask, jnp.int32),
             )))
         return np.concatenate(out) if out else np.zeros((0, 0), np.float32)

@@ -193,8 +193,11 @@ class ElasticShardedIndex:
         def attempt():
             attempt_box["n"] += 1
             t0 = time.perf_counter()
-            corpus = self._corpus()
             try:
+                # inside the try: a corpus_source fetch failure (transient
+                # I/O re-reading parts during heal) must land in the history
+                # like any other failed attempt, not bypass it
+                corpus = self._corpus()
                 ix = psearch.build_sharded(
                     self.family, self.params, corpus, self.dmesh
                 )

@@ -156,23 +156,45 @@ def shard_corpus(
     s = dmesh.num_devices
     if strategy == "even":
         per, n_valid, offsets = shard_layout(n, s, row_multiple)
-        padded = topk_ops.pad_rows(jnp.asarray(corpus), per * s)
-        blocks = padded.reshape(s, per, d)
     else:
         sizes = dmesh.split_sizes(n, strategy)  # validates the strategy name
         per = topk_ops.round_up(max(max(sizes), 1), row_multiple)
         n_valid = np.asarray(sizes, np.int32)
         offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int32)
-        host = np.asarray(corpus)
-        blocks_np = np.zeros((s, per, d), host.dtype)
-        for i, (off, sz) in enumerate(zip(offsets, sizes)):
-            blocks_np[i, :sz] = host[off : off + sz]
-        blocks = blocks_np
     # validate on host values (the device copies may span processes)
     _validate_layout(
         n, per, np.asarray(n_valid, np.int32), np.asarray(offsets, np.int32)
     )
-    data = global_put(blocks, dmesh.sharding(dmesh.axis_name, None, None))
+    data_sharding = dmesh.sharding(dmesh.axis_name, None, None)
+    if jax.process_count() == 1:
+        if strategy == "even":
+            # device path: a device-resident corpus reshards on-device
+            # (no D2H — it may be a 3 GB array behind a slow host link)
+            padded = topk_ops.pad_rows(jnp.asarray(corpus), per * s)
+            blocks = padded.reshape(s, per, d)
+        else:
+            host = np.asarray(corpus)
+            blocks_np = np.zeros((s, per, d), host.dtype)
+            for i, (off, sz) in enumerate(zip(offsets, n_valid)):
+                blocks_np[i, :sz] = host[off : off + sz]
+            blocks = blocks_np
+        data = global_put(blocks, data_sharding)
+    else:
+        # multi-process: materialize ONLY this process's addressable blocks,
+        # sliced straight from the host corpus. The old flow padded the
+        # whole global corpus onto one local device (OOM risk) and then
+        # global_put D2H'd it back before re-uploading shards.
+        host = np.asarray(corpus)
+        offs_h = np.asarray(offsets, np.int64)
+        nv_h = np.asarray(n_valid, np.int64)
+
+        def _block(idx):
+            i = idx[0].start or 0
+            blk = np.zeros((1, per, d), host.dtype)
+            blk[0, : nv_h[i]] = host[offs_h[i] : offs_h[i] + nv_h[i]]
+            return blk
+
+        data = jax.make_array_from_callback((s, per, d), data_sharding, _block)
     return ShardedCorpus(
         data=data,
         n_valid=global_put(

@@ -86,6 +86,26 @@ def main(coordinator: str, num_processes: int, process_id: int) -> int:
             return 1
         checks.append(int(ids.sum()))
 
+    # sharded checkpoint round-trip over the process-spanning mesh: each
+    # process writes its own addressable part files (reference parity with
+    # per-GPU _part{i}.pt persistence, cuVS-2GPU.ipynb#cell10-12)
+    ckpt_dir = os.environ.get("CUVS_RAG_TPU_MULTIHOST_CKPT")
+    if ckpt_dir:
+        from jax.experimental import multihost_utils
+
+        from cuvs_rag_tpu.index import io as index_io
+
+        prefix = os.path.join(ckpt_dir, "mh_ivf")
+        index_io.save_sharded(prefix, six, dmesh)
+        multihost_utils.sync_global_devices("ckpt saved")
+        six2 = index_io.load_sharded(prefix, dmesh)
+        _, ids2 = psearch.search_sharded(
+            None, six2, jnp.asarray(queries), k, dmesh
+        )
+        if not np.array_equal(np.asarray(ids2), ids):
+            print("MULTIHOST FAIL ckpt roundtrip", flush=True)
+            return 1
+
     print(f"MULTIHOST OK {checks[0]}", flush=True)
     return 0
 

@@ -25,7 +25,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_sharded_build_and_search():
+def test_two_process_sharded_build_and_search(tmp_path):
     port = _free_port()
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
@@ -34,6 +34,8 @@ def test_two_process_sharded_build_and_search():
         "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
         "CUVS_RAG_TPU_NO_COMPILE_CACHE": "1",
         "TPU_SKIP_MDS_QUERY": "1",
+        # exercises the per-process save_sharded/load_sharded path too
+        "CUVS_RAG_TPU_MULTIHOST_CKPT": str(tmp_path),
     })
     procs = [
         subprocess.Popen(
