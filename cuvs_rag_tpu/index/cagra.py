@@ -9,6 +9,7 @@ See ops/graph.py for the XLA-shaped redesign of both phases.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -132,6 +133,31 @@ def _build_local_ivf(
     )
 
 
+# Module-level cached jits for build(): per-call `jax.jit(lambda ...)`
+# closures retraced the multi-second graph programs on EVERY build.
+_prep_cosine_jit = jax.jit(
+    lambda b, storage: dist_ops.l2_normalize(b).astype(storage),
+    static_argnums=(1,),
+)
+_prep_cast_jit = jax.jit(
+    lambda b, storage: b.astype(storage), static_argnums=(1,)
+)
+
+
+@functools.partial(jax.jit, static_argnames=("inter_deg", "n_probes"))
+def _phase_a_jit(block, nv, ivf_ix, inter_deg, n_probes):
+    graph = graph_ops.build_knn_graph_ivf(
+        block, nv, ivf_ix, degree=inter_deg, n_probes=n_probes
+    )
+    return graph, graph_ops.list_medoids(ivf_ix)
+
+
+_augment_jit = jax.jit(
+    graph_ops.augment_reverse_edges, static_argnums=(1,)
+)
+_sqnorms_jit = jax.jit(dist_ops.sqnorms)
+
+
 def build(params: CagraParams, dataset: jax.Array) -> CagraIndex:
     """cuVS surface: build(IndexParams, dataset). Graph construction is
     exact below ~131k rows, IVF-bootstrapped above (build_algo='auto')."""
@@ -178,19 +204,13 @@ def build(params: CagraParams, dataset: jax.Array) -> CagraIndex:
     metric = params.metric
     storage = _storage(params, block.dtype)
     if metric == Metric.COSINE:
-        block = jax.jit(lambda b: dist_ops.l2_normalize(b).astype(storage))(
-            block
-        )
+        block = _prep_cosine_jit(block, storage)
     elif block.dtype != storage:
-        block = jax.jit(lambda b: b.astype(storage))(block)
+        block = _prep_cast_jit(block, storage)
 
-    def _phase_a(b, v, ix):
-        graph = graph_ops.build_knn_graph_ivf(
-            b, v, ix, degree=inter_deg, n_probes=params.build_nprobes,
-        )
-        return graph, graph_ops.list_medoids(ix)
-
-    graph, entry_rows = jax.jit(_phase_a)(block, nv, ivf_ix)
+    graph, entry_rows = _phase_a_jit(
+        block, nv, ivf_ix, inter_deg, params.build_nprobes
+    )
     entry_centroids = ivf_ix.centroids.astype(jnp.float32)
     _np.asarray(entry_rows)  # drain: phase A done, IVF layout freeable
     del ivf_ix
@@ -200,10 +220,8 @@ def build(params: CagraParams, dataset: jax.Array) -> CagraIndex:
     # phase B's allocation and the build OOMs)
     _np.asarray(entry_centroids[:1])
 
-    graph_final = jax.jit(
-        lambda g: graph_ops.augment_reverse_edges(g, final_deg)
-    )(graph)
-    sq = jax.jit(dist_ops.sqnorms)(block)
+    graph_final = _augment_jit(graph, final_deg)
+    sq = _sqnorms_jit(block)
     return CagraIndex(
         vectors=block,
         sqnorms=sq,

@@ -248,27 +248,32 @@ def _encode_chunked(vec_pad, labels, centroids, codebooks, rotation,
     while n_pad % c != 0:
         c //= 2
     c = max(c, 1)
-
-    @jax.jit
-    def enc(vblocks, lblocks):
-        def body(args):
-            v, lb = args
-            r = v.astype(jnp.float32) - centroids[lb]
-            if rotation is not None:
-                r = dist_ops.dot_general_prec(
-                    r, rotation, (((1,), (1,)), ((), ()))
-                )
-            if levels == 2:
-                return pq_ops.encode_two_level(r, codebooks)
-            return pq_ops.encode(r, codebooks)
-
-        return jax.lax.map(body, (vblocks, lblocks))
-
-    codes = enc(
+    codes = _encode_blocks_jit(
         vec_pad.reshape(n_pad // c, c, dp),
         labels.reshape(n_pad // c, c),
+        centroids, codebooks, rotation, levels,
     )
     return codes.reshape(n_pad, -1)
+
+
+# Module-level cached jit: the closure-level @jax.jit this replaces
+# recompiled the whole-corpus encode scan on EVERY build call (the same
+# per-call-jit leak fixed for _layout_jit / _quantize_residuals).
+@functools.partial(jax.jit, static_argnames=("levels",))
+def _encode_blocks_jit(vblocks, lblocks, centroids, codebooks, rotation,
+                       levels):
+    def body(args):
+        v, lb = args
+        r = v.astype(jnp.float32) - centroids[lb]
+        if rotation is not None:
+            r = dist_ops.dot_general_prec(
+                r, rotation, (((1,), (1,)), ((), ()))
+            )
+        if levels == 2:
+            return pq_ops.encode_two_level(r, codebooks)
+        return pq_ops.encode(r, codebooks)
+
+    return jax.lax.map(body, (vblocks, lblocks))
 
 
 def build_sharded_local(params: IVFPQParams, sc, dmesh, seed: int = 0):
