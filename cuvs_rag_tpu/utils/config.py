@@ -230,9 +230,14 @@ class CagraSearchParams:
     # (a cluster no entry point lands in is unreachable by greedy descent),
     # so the default is generous; scoring entries is one cheap batched matmul.
     num_entry_points: int = 128
-    # Candidates expanded per iteration (cuVS search_width equivalent):
-    # batches the neighbor gathers, cutting sequential iterations ~4x.
-    search_width: int = 4
+    # Candidates expanded per iteration (cuVS search_width equivalent).
+    # The auto iteration count is 2*ceil(itopk/search_width) (floor 8), so
+    # total expanded candidates stay ~2*itopk while wider expansion batches
+    # the neighbor gathers into fewer sequential sort/top_k rounds. Measured
+    # strictly dominant at 16 on 2M x 768 (scripts/bench_cagra_sw.py):
+    # itopk=64 0.365->0.355 ms/q with recall 0.956->0.964, itopk=128
+    # 0.96->0.75 ms/q at equal recall 0.982.
+    search_width: int = 16
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,92 @@
+"""CAGRA search-width sweep on the real TPU at 2M x 768.
+
+search_width (cuVS's term; `expansions` in ops/graph.beam_search) trades
+iterations for per-iteration width: the auto iteration count is
+2*ceil(itopk/search_width), so total expanded candidates are constant
+(~2*itopk) while the number of sequential sort/top_k rounds shrinks as
+width grows. Same corpus/build/timing protocol as scripts/bench_cagra.py.
+"""
+
+# runnable from any cwd: put the repo root on sys.path
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cuvs_rag_tpu.index import cagra, flat
+    from cuvs_rag_tpu.utils.config import CagraParams, CagraSearchParams, FlatParams
+
+    N, D, K, BATCH, REPS = 2_000_000, 768, 10, 100, 10
+    key = jax.random.PRNGKey(42)
+
+    kc = jax.random.fold_in(key, 999)
+    centers = jax.random.normal(kc, (2000, D), jnp.float32)
+    mk = jax.jit(lambda k: (
+        centers[jax.random.randint(k, (N // 8,), 0, 2000)]
+        + 0.3 * jax.random.normal(k, (N // 8, D))
+    ).astype(jnp.bfloat16))
+    corpus = jnp.concatenate([mk(jax.random.fold_in(key, i)) for i in range(8)])
+    jax.block_until_ready(corpus)
+    print("corpus ready", flush=True)
+
+    qk = jax.random.fold_in(key, 777)
+    queries = (
+        centers[jax.random.randint(qk, (BATCH,), 0, 2000)]
+        + 0.3 * jax.random.normal(qk, (BATCH, D))
+    ).astype(jnp.float32)
+    qrs = [
+        queries + 0.01 * jax.random.normal(jax.random.fold_in(key, r), queries.shape)
+        for r in range(REPS)
+    ]
+    _ = [q.block_until_ready() for q in qrs]
+
+    fx = flat.build(FlatParams(dtype="bfloat16", tile_n=8192), corpus)
+    _, gt = flat.search(None, fx, qrs[0], K)
+    gt = np.asarray(gt)
+    del fx
+
+    t0 = time.time()
+    ix = cagra.build(
+        CagraParams(graph_degree=32, intermediate_graph_degree=64,
+                    dtype="bfloat16"), corpus
+    )
+    jax.block_until_ready(ix.graph)
+    print(f"build {time.time()-t0:.0f}s", flush=True)
+
+    import itertools
+    grid = [(64, 4, 0), (64, 8, 0), (64, 16, 0), (128, 8, 0), (128, 16, 0)]
+    if "--iters" in _sys.argv:
+        # follow-up: the auto count floors at 8 iterations; probe shallower
+        # traversals (entry medoids already land in the query's cluster)
+        grid = [(64, 16, 4), (64, 16, 6), (128, 16, 4), (128, 16, 6),
+                (128, 32, 4)]
+    for itopk, sw, mi in grid:
+        sp = CagraSearchParams(itopk_size=itopk, num_entry_points=itopk,
+                               search_width=sw, max_iterations=mi)
+        d, i = cagra.search(sp, ix, qrs[0], K)
+        i0 = np.asarray(i)
+        rec = np.mean([len(set(i0[r]) & set(gt[r])) / K for r in range(BATCH)])
+        best = 1e9
+        for _t in range(2):
+            t0 = time.perf_counter()
+            last = None
+            for q in qrs:
+                last = cagra.search(sp, ix, q, K)
+            _ = np.asarray(last[0])
+            best = min(best, (time.perf_counter() - t0) / REPS)
+        print(f"itopk={itopk} sw={sw} mi={mi}: {best/BATCH*1e3:.4f} ms/q "
+              f"recall@{K}={rec:.3f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

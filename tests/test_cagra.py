@@ -159,3 +159,26 @@ def test_reverse_edges_invalid_dst_dropped():
     assert out.shape == (4, 4)
     # no negative ids leak into the kept edges beyond legitimate fallback
     assert (out[:, :2] == fwd[:, :2]).all()
+
+
+def test_cagra_search_width(data):
+    # wide expansion (search_width=16 -> 8 auto iterations) must match or
+    # beat the narrow default's recall: total expanded candidates are
+    # constant (2*itopk), only the sequential round count changes.
+    # Measured on hardware (scripts/bench_cagra_sw.py): sw=16 is both
+    # faster and higher-recall at 2M x 768.
+    corpus, queries = data
+    k = 10
+    ix = cagra.build(CagraParams(intermediate_graph_degree=48, graph_degree=32),
+                     jnp.asarray(corpus))
+    gt = recall_lib.exact_ground_truth(corpus, queries, k, Metric.SQEUCLIDEAN)
+    recs = {}
+    for sw in (4, 16):
+        _, i = cagra.search(
+            CagraSearchParams(itopk_size=64, num_entry_points=64,
+                              search_width=sw),
+            ix, jnp.asarray(queries), k,
+        )
+        recs[sw] = recall_lib.recall_at_k(np.asarray(i), gt, k)
+    assert recs[16] >= 0.9, recs
+    assert recs[16] >= recs[4] - 0.05, recs
