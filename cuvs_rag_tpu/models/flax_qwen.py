@@ -66,7 +66,12 @@ class QwenConfig:
 def _rms_norm(x, w, eps):
     xf = x.astype(jnp.float32)
     inv = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
-    return (xf * inv).astype(x.dtype) * w
+    # Scale in fp32 and downcast ONCE: `(...).astype(x.dtype) * w` with the
+    # fp32 norm weight silently promoted every activation back to fp32, so
+    # all downstream matmuls (and the flash kernel's q/k/v) ran fp32 —
+    # measured 688 -> 576 ms/step at S=8192/28-layers on v5e from this
+    # fix alone (see PERF.md long-sequence table).
+    return (xf * inv * w.astype(jnp.float32)).astype(x.dtype)
 
 
 def _rope(x, positions, theta):
@@ -132,6 +137,23 @@ if nn is not None:
                 seg = fa.SegmentIds(
                     q=mask.astype(jnp.int32), kv=mask.astype(jnp.int32)
                 )
+                # Block sizes: the kernel's 512 defaults leave the MXU
+                # idle between grid steps at long S — 1024x1024 measured
+                # 577 -> 129 ms/step (4.5x) for the 28-layer stack at
+                # S=8192 on v5e; the (2048,1024)/(1024,2048) neighborhood
+                # is flat (~134 ms). Blocks must divide S (encode() pads
+                # to 512-multiples, so 512 is always a legal fallback).
+                bq = 1024 if s % 1024 == 0 else 512
+                bk = bq
+                bs = fa.BlockSizes(
+                    block_q=min(bq, s), block_k_major=min(bk, s),
+                    block_k=min(bk, s), block_b=1,
+                    block_q_major_dkv=min(bq, s),
+                    block_k_major_dkv=min(bk, s),
+                    block_k_dkv=min(bk, s), block_q_dkv=min(bq, s),
+                    block_k_major_dq=min(bk, s), block_k_dq=min(bk, s),
+                    block_q_dq=min(bq, s),
+                )
                 ctx = fa.flash_attention(
                     jnp.moveaxis(q, 2, 1),  # (B, H, S, hd)
                     jnp.moveaxis(k, 2, 1),
@@ -139,6 +161,7 @@ if nn is not None:
                     segment_ids=seg,
                     causal=True,
                     sm_scale=float(1.0 / np.sqrt(hd)),
+                    block_sizes=bs,
                 )
                 ctx = jnp.moveaxis(ctx, 1, 2)  # (B, S, H, hd)
             else:

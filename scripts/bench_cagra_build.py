@@ -1,0 +1,128 @@
+"""CAGRA build phase profile + phase-A variants on the real TPU (2M x 768).
+
+Phases (each drained): IVF bootstrap build, phase A (list-centric graph),
+reverse-edge augment. Variants probe where phase A's time goes:
+  - bf16 scores: cast the (L, r*L) score tile to bf16 in the matmul
+    epilogue so approx_max_k reads half the bytes (neighbor ranking at
+    bf16 precision; reverse-edge augmentation absorbs small misses)
+  - n_probes=3: one fewer candidate window per list (25% less work)
+Graph quality is checked by running beam search on each variant's graph
+against the exact oracle.
+"""
+
+import os as _os
+import sys as _sys
+import time
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cuvs_rag_tpu.index import cagra, flat, ivf_flat
+    from cuvs_rag_tpu.ops import distance as dist_ops
+    from cuvs_rag_tpu.ops import graph as graph_ops
+    from cuvs_rag_tpu.utils.config import (
+        CagraParams, CagraSearchParams, FlatParams, IVFFlatParams)
+
+    N, D, K, BATCH = 2_000_000, 768, 10, 100
+    key = jax.random.PRNGKey(42)
+    kc = jax.random.fold_in(key, 999)
+    centers = jax.random.normal(kc, (2000, D), jnp.float32)
+    mk = jax.jit(lambda k: (
+        centers[jax.random.randint(k, (N // 8,), 0, 2000)]
+        + 0.3 * jax.random.normal(k, (N // 8, D))
+    ).astype(jnp.bfloat16))
+    corpus = jnp.concatenate([mk(jax.random.fold_in(key, i)) for i in range(8)])
+    np.asarray(corpus[:1])  # drain
+    print("corpus ready", flush=True)
+
+    qk = jax.random.fold_in(key, 777)
+    queries = (
+        centers[jax.random.randint(qk, (BATCH,), 0, 2000)]
+        + 0.3 * jax.random.normal(qk, (BATCH, D))
+    ).astype(jnp.float32)
+    fx = flat.build(FlatParams(dtype="bfloat16", tile_n=8192), corpus)
+    _, gt = flat.search(None, fx, queries, K)
+    gt = np.asarray(gt)
+    del fx
+
+    params = CagraParams(graph_degree=32, intermediate_graph_degree=64,
+                         dtype="bfloat16")
+
+    # --- warm + phase-by-phase timing (2nd build; compiles cached) -------
+    ix = cagra.build(params, corpus)
+    np.asarray(ix.graph[:1])
+    del ix
+
+    nv = jnp.asarray(N, jnp.int32)
+    t0 = time.time()
+    ivf_ix = ivf_flat.build(
+        IVFFlatParams(n_lists=params.build_nlists, dtype="bfloat16"), corpus)
+    np.asarray(ivf_ix.list_counts)
+    t_ivf = time.time() - t0
+
+    t0 = time.time()
+    graph, entry_rows = cagra._phase_a_jit(
+        corpus, nv, ivf_ix, 64, params.build_nprobes)
+    np.asarray(entry_rows)
+    t_a = time.time() - t0
+    cents = ivf_ix.centroids.astype(jnp.float32)
+    del ivf_ix
+    np.asarray(cents[:1])
+
+    t0 = time.time()
+    gfinal = cagra._augment_jit(graph, 32)
+    np.asarray(gfinal[:1, :1])
+    t_aug = time.time() - t0
+    print(f"phases: ivf={t_ivf:.1f}s  phase_a={t_a:.1f}s  augment={t_aug:.1f}s",
+          flush=True)
+
+    def quality(g):
+        sq = jax.jit(dist_ops.sqnorms)(corpus)
+        rv = jnp.arange(corpus.shape[0]) < N
+        cs = 2.0 * (queries @ cents.T) - (cents ** 2).sum(-1)[None, :]
+        ids = entry_rows[jax.lax.top_k(cs, 32)[1]]  # (Q, 32) medoid rows
+        _, i = jax.jit(lambda q, e: graph_ops.beam_search(
+            corpus, sq, rv, g, q, k=K, metric="sqeuclidean", itopk=64,
+            n_entries=32, expansions=16, entry_ids=e))(queries, ids)
+        i = np.asarray(i)
+        return np.mean([len(set(i[r]) & set(gt[r])) / K for r in range(BATCH)])
+
+    print(f"baseline recall@{K}: {quality(gfinal):.3f}", flush=True)
+    del graph, gfinal
+
+    # --- variant: bf16 score tiles --------------------------------------
+    orig = dist_ops.scores_from_tile
+    def bf16_scores(q, c, sq, metric):
+        return orig(q, c, sq, metric).astype(jnp.bfloat16)
+    dist_ops.scores_from_tile = bf16_scores
+    try:
+        ivf_ix = ivf_flat.build(
+            IVFFlatParams(n_lists=params.build_nlists, dtype="bfloat16"),
+            corpus)
+        np.asarray(ivf_ix.list_counts)
+        for probes in (4, 3):
+            fn = jax.jit(lambda b, v, ix: graph_ops.build_knn_graph_ivf(
+                b, v, ix, degree=64, n_probes=probes))
+            g = fn(corpus, nv, ivf_ix)
+            np.asarray(g[:1, :1])  # warm (compile)
+            t0 = time.time()
+            g = fn(corpus, nv, ivf_ix)
+            np.asarray(g[:1, :1])
+            t_v = time.time() - t0
+            gf = cagra._augment_jit(g, 32)
+            rec = quality(gf)
+            print(f"bf16-scores r={probes}: phase_a={t_v:.1f}s "
+                  f"recall@{K}={rec:.3f}", flush=True)
+            del g, gf
+    finally:
+        dist_ops.scores_from_tile = orig
+
+
+if __name__ == "__main__":
+    main()

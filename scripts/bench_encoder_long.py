@@ -61,20 +61,27 @@ def main():
     assert rel < 0.05, rel
 
     # --- throughput -----------------------------------------------------
-    for s, b in ((2048, 4), (8192, 1)):
+    # queue-then-drain timing: block_until_ready does NOT block through the
+    # async test tunnel; a small D2H fetch of the LAST queued result is the
+    # only reliable fence (same protocol as bench.py).
+    def drain(x):
+        return np.asarray(x[:1, :2, :2])
+
+    grid = ((2048, 4), (8192, 1), (8192, 2), (8192, 4))
+    for s, b in grid:
         model, ids, mask = make(True, s)
         ids = jnp.asarray(
             rng.integers(1, cfg.vocab_size, (b, s)), jnp.int32
         )
         mask = jnp.ones((b, s), jnp.int32)
         fwd = jax.jit(model.apply)
-        out = fwd(params, ids, mask)
-        jax.block_until_ready(out)  # compile + warm
+        drain(fwd(params, ids, mask))  # compile + warm
         reps = 5
         t0 = time.perf_counter()
+        out = None
         for _ in range(reps):
             out = fwd(params, ids, mask)
-        jax.block_until_ready(out)
+        drain(out)
         dt = (time.perf_counter() - t0) / reps
         print(
             f"flash S={s} B={b}: {dt*1e3:8.1f} ms/step  "
