@@ -83,3 +83,27 @@ def test_ivf_scan_lowers_for_tpu(dtype):
         jnp.zeros((qn, nprobe), jnp.int32),
         jnp.full((qn, nprobe), 100, jnp.int32),
     )
+
+
+@pytest.mark.parametrize("s", [512, 1024])
+def test_qwen_flash_attention_lowers_for_tpu(s):
+    # Gates the flax Qwen flash path incl. the tuned 1024-wide block
+    # config (and the 512 fallback when S is not a 1024-multiple) —
+    # a bad BlockSizes combination fails at Mosaic lowering, exactly the
+    # class of bug this file exists to catch before hardware.
+    flax = pytest.importorskip("flax")
+    import dataclasses
+
+    from cuvs_rag_tpu.models import flax_qwen as fq
+
+    cfg = dataclasses.replace(
+        fq.QwenConfig(), num_layers=1, vocab_size=128, hidden_size=256,
+        num_heads=4, num_kv_heads=2, head_dim=64, intermediate_size=512,
+    )
+    model = fq.QwenModel(cfg, use_flash=True)
+    ids = jnp.zeros((1, s), jnp.int32)
+    mask = jnp.ones((1, s), jnp.int32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), ids, mask)
+    jax.jit(model.apply).trace(params, ids, mask).lower(
+        lowering_platforms=("tpu",)
+    )
