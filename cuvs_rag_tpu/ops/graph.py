@@ -161,7 +161,12 @@ def build_knn_graph_ivf(
                 own.astype(qdtype), cand_v, cand_sq, "sqeuclidean"
             )  # (L, r*L)
         bad = (cand_ids[None, :] < 0) | (cand_ids[None, :] == own_ids[:, None])
-        scores = jnp.where(bad, topk_ops.NEG_INF, scores)
+        # bf16 score tiles: the cast fuses into the matmul epilogue, so
+        # approx_max_k reads half the bytes. Candidate RANKING at bf16
+        # precision is enough for an approximate graph (phase A 7.8 s ->
+        # 6.7 s at 2M x 768, beam recall@10 0.958 -> 0.960 — see
+        # scripts/bench_cagra_build.py).
+        scores = jnp.where(bad, topk_ops.NEG_INF, scores.astype(jnp.bfloat16))
         # approx_max_k: XLA's TPU-native partial-reduce selection — the
         # exact lax.top_k lowers to a full sort of each (L, r*L) row and
         # dominated the build (27 s of a 31 s 2M build). The graph is
