@@ -94,3 +94,56 @@ def storage_dtype(name: str, data_dtype=None):
     if name == "int8":
         return jnp.int8
     raise ValueError(f"unsupported storage dtype {name!r}")
+
+
+# Error substrings that identify a Mosaic/Pallas LOWERING or COMPILE bug —
+# deterministic per program, so retrying the kernel can never succeed and
+# the process-wide kill switch is the right response. Anything else (e.g.
+# a transient device OOM from the larger fused executable) falls back for
+# the one call only, leaving the kernel enabled. Round 1 shipped exactly
+# the permanent kind ("Reductions over unsigned integers not implemented")
+# with no guard; round-2 review flagged the latch as too eager for the
+# transient kind.
+_LOWERING_MARKERS = ("Mosaic", "NotImplemented", "Unimplemented", "lowering")
+
+
+def run_with_pallas_fallback(primary, fallback, *, kernel_name, disable):
+    """Run primary(); on failure retry fallback(); classify the error.
+
+    `primary`/`fallback` are thunks compiling DISTINCT jitted programs (the
+    use_pallas static arg), so the failed executable is never reused.
+    `disable()` latches the caller's process-wide kill switch — invoked only
+    for lowering/compile-class errors. A failure that hits both paths
+    propagates the original error (never misattributed to the kernel).
+
+    Limitation (by async-dispatch design): only errors raised synchronously
+    at the call are caught; a fault surfacing later at the caller's
+    result fetch propagates normally.
+    """
+    import logging
+
+    try:
+        return primary()
+    except Exception as e:  # pragma: no cover - requires a backend bug
+        try:
+            out = fallback()
+        except Exception:
+            raise e
+        log = logging.getLogger(__name__)
+        permanent = isinstance(e, NotImplementedError) or any(
+            m in str(e) for m in _LOWERING_MARKERS
+        )
+        if permanent:
+            log.error(
+                "Pallas %s kernel failed to lower/compile (%s: %s); using "
+                "the XLA path for the rest of this process",
+                kernel_name, type(e).__name__, e,
+            )
+            disable()
+        else:
+            log.warning(
+                "Pallas %s kernel failed transiently (%s: %s); this call "
+                "used the XLA path, the kernel stays enabled",
+                kernel_name, type(e).__name__, e,
+            )
+        return out

@@ -301,28 +301,15 @@ def search(
     device dispatch per call.
     """
     queries = base.validate_queries(queries, index.dim)
-    up = _use_pallas(index, k)
-    try:
-        return _search_core(search_params, index, queries, k, up)
-    except Exception as e:  # pragma: no cover - requires a backend lowering bug
-        if not up:
-            raise  # the XLA path failed — nothing to fall back to
-        # Retry on the XLA path. use_pallas is a STATIC jit arg, so this
-        # compiles a distinct program — the cached Pallas executable that
-        # just failed is never reused. Pallas is disabled for the process
-        # only if the retry succeeds; a failure that hits both paths (e.g.
-        # transient device OOM) propagates without misattributing the error
-        # to the kernel.
-        try:
-            out = _search_core(search_params, index, queries, k, False)
-        except Exception:
-            raise e
-        global _PALLAS_BROKEN
-        import logging
+    if not _use_pallas(index, k):
+        return _search_core(search_params, index, queries, k, False)
+    return base.run_with_pallas_fallback(
+        lambda: _search_core(search_params, index, queries, k, True),
+        lambda: _search_core(search_params, index, queries, k, False),
+        kernel_name="flat", disable=_disable_pallas,
+    )
 
-        logging.getLogger(__name__).error(
-            "Pallas flat kernel failed to compile/run (%s: %s); falling back "
-            "to the XLA path for the rest of this process", type(e).__name__, e
-        )
-        _PALLAS_BROKEN = True
-        return out
+
+def _disable_pallas():  # latched only for lowering-class errors (base.py)
+    global _PALLAS_BROKEN
+    _PALLAS_BROKEN = True

@@ -128,11 +128,11 @@ def _recover_rows_pq(index: Any, nv: int) -> jax.Array:
     present, else the PQ reconstruction (centroid + decoded residual)."""
     from cuvs_rag_tpu.ops import pq as pq_ops
 
-    cap = index.codes.shape[0]
-    slot_iota = jnp.arange(cap, dtype=jnp.int32)
-    slot_ok = index.row_ids >= 0
-    rid = jnp.where(slot_ok, index.row_ids, nv)
-    slot_of = jnp.zeros((nv,), jnp.int32).at[rid].set(slot_iota, mode="drop")
+    from cuvs_rag_tpu.ops import ivf as ivf_ops
+
+    slot_of, label_of_slot = ivf_ops.invert_layout(
+        index.row_ids, index.list_offsets, nv
+    )
     if index.has_raw:
         return index.raw_vectors[slot_of][:, : index.dim]
     codes = index.codes
@@ -148,9 +148,6 @@ def _recover_rows_pq(index: Any, nv: int) -> jax.Array:
         res = pq_ops.reconstruct(codes, index.codebooks)
     if index.has_opq:
         res = res @ index.rotation  # inverse of r @ R.T
-    label_of_slot = (
-        jnp.searchsorted(index.list_offsets, slot_iota, side="right") - 1
-    ).astype(jnp.int32)
     xhat = index.centroids[label_of_slot] + res
     return xhat[slot_of][:, : index.dim]
 
@@ -248,7 +245,13 @@ def load_sharded(prefix: str, dmesh, params: Any = None) -> Any:
             # the reference's per-GPU _part{i}.pt files assumed)
             ids = _local_shard_ids(dmesh)
             owned = {i: load_index(f"{prefix}_part{i}.npz") for i in ids}
-            sample = owned[ids[0]]
+            # a process whose devices own no shard of this mesh still must
+            # join the collective make_array_from_callback calls below —
+            # load shard 0 as a shape/dtype template only (same shared-FS
+            # assumption as the per-shard loads; its callback never fires)
+            sample = owned[ids[0]] if ids else load_index(
+                f"{prefix}_part0.npz"
+            )
             fields = type(sample)._array_fields
             kwargs: dict = {
                 f.name: getattr(sample, f.name)
@@ -260,7 +263,9 @@ def load_sharded(prefix: str, dmesh, params: Any = None) -> Any:
                     i: np.asarray(jax.device_get(getattr(p, name)))[None]
                     for i, p in owned.items()
                 }
-                shape = (s,) + datas[ids[0]].shape[1:]
+                shape = (s,) + np.asarray(
+                    jax.device_get(getattr(sample, name))
+                ).shape
                 sh = dmesh.sharding(
                     *([dmesh.axis_name] + [None] * (len(shape) - 1))
                 )

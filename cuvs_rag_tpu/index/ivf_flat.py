@@ -434,18 +434,10 @@ def _recover_rows(index: IVFFlatIndex, nv: int):
     a ~0.3 MB/s test tunnel.) Returns ((nv, D) rows in storage precision —
     fp32 reconstruction for int8 layouts — and (nv,) int32 labels.)
     """
-    cap = index.size
-    slot_iota = jnp.arange(cap, dtype=jnp.int32)
-    slot_ok = index.row_ids >= 0
-    # inverse map: original row -> its slot (one small int32 scatter)
-    rid = jnp.where(slot_ok, index.row_ids, nv)
-    slot_of = (
-        jnp.zeros((nv,), jnp.int32).at[rid].set(slot_iota, mode="drop")
+    slot_of, label_of_slot = ivf_ops.invert_layout(
+        index.row_ids, index.list_offsets, nv
     )
     vecs = index.vectors[slot_of]
-    label_of_slot = (
-        jnp.searchsorted(index.list_offsets, slot_iota, side="right") - 1
-    ).astype(jnp.int32)
     labels = label_of_slot[slot_of]
     if index.vectors.dtype == jnp.int8:
         # reconstruct x̂ = c_list + scale * residual codes
@@ -586,16 +578,9 @@ def _extend_fast(vectors, sqnorms, scales, row_ids, counts, offsets,
     offset[l] + count[l] + within-list-rank. The big layout leaves are
     DONATED (true in-place update; the caller's old index is consumed,
     matching FAISS `add` mutation semantics)."""
-    b = labels_new.shape[0]
-    n_lists = counts.shape[0]
-    cnt_new = jnp.zeros((n_lists,), jnp.int32).at[labels_new].add(1)
-    starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt_new)[:-1].astype(jnp.int32)]
+    order, target, cnt_new = ivf_ops.append_targets(
+        labels_new, counts, offsets
     )
-    order = jnp.argsort(labels_new, stable=True)
-    lab_s = labels_new[order]
-    rank = jnp.arange(b, dtype=jnp.int32) - starts[lab_s]
-    target = offsets[lab_s] + counts[lab_s] + rank
     vectors = vectors.at[target].set(add_vecs[order])
     sqnorms = sqnorms.at[target].set(add_sq[order])
     scales = scales.at[target].set(add_scales[order])
@@ -823,26 +808,15 @@ def search(
     """cuVS surface: search(SearchParams(n_probes), index, queries, k).
     One jitted program per call (prep + probe + scan + conversion)."""
     queries = base.validate_queries(queries, index.dim)
-    up = _use_pallas_ivf(index, k)
-    try:
-        return _search_core(search_params, index, queries, k, up)
-    except Exception as e:  # pragma: no cover - requires a backend lowering bug
-        if not up:
-            raise  # the XLA path failed — nothing to fall back to
-        # Retry on the XLA path (distinct static arg -> distinct program;
-        # the failed Pallas executable is never reused). Pallas is disabled
-        # for the process only if the retry succeeds — a failure hitting
-        # both paths (transient OOM etc.) propagates unmisattributed.
-        try:
-            out = _search_core(search_params, index, queries, k, False)
-        except Exception:
-            raise e
-        global _PALLAS_BROKEN
-        import logging
+    if not _use_pallas_ivf(index, k):
+        return _search_core(search_params, index, queries, k, False)
+    return base.run_with_pallas_fallback(
+        lambda: _search_core(search_params, index, queries, k, True),
+        lambda: _search_core(search_params, index, queries, k, False),
+        kernel_name="IVF", disable=_disable_pallas,
+    )
 
-        logging.getLogger(__name__).error(
-            "Pallas IVF kernel failed to compile/run (%s: %s); falling back "
-            "to the XLA path for the rest of this process", type(e).__name__, e
-        )
-        _PALLAS_BROKEN = True
-        return out
+
+def _disable_pallas():  # latched only for lowering-class errors (base.py)
+    global _PALLAS_BROKEN
+    _PALLAS_BROKEN = True

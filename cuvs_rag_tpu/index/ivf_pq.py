@@ -208,14 +208,17 @@ _norm_corr_jit = jax.jit(pq_ops.norm_correction)
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_lists", "capacity", "max_list_size", "store_raw"),
+    static_argnames=(
+        "n_lists", "capacity", "max_list_size", "store_raw", "headroom",
+    ),
 )
 def _pq_layout(codes, vec_pad, labels, valid, norm_corr, *,
-               n_lists, capacity, max_list_size, store_raw):
+               n_lists, capacity, max_list_size, store_raw, headroom=0):
     """Sorted-CSR layout for PQ codes (+optional raw rows) — one cached
-    jitted program; the row move is a gather (see ops/ivf.build_layout)."""
+    jitted program; the row move is a gather (see ops/ivf.build_layout).
+    `headroom` > 0 reserves per-list growth slack (extend's re-layout)."""
     perm, target_pos, row_ids, counts, offsets = ivf_ops.sort_by_list(
-        labels, valid, n_lists, capacity
+        labels, valid, n_lists, capacity, headroom
     )
     slot_ok = row_ids >= 0
     src = jnp.maximum(row_ids, 0)
@@ -470,13 +473,9 @@ def extend(index: IVFPQIndex, new_vectors: jax.Array) -> IVFPQIndex:
 
     # overflow: recover everything in original order and re-lay out with
     # growth headroom (same amortization policy as ivf_flat.extend)
-    cap = index.codes.shape[0]
-    slot_iota = jnp.arange(cap, dtype=jnp.int32)
-    rid = jnp.where(index.row_ids >= 0, index.row_ids, nv)
-    slot_of = jnp.zeros((nv,), jnp.int32).at[rid].set(slot_iota, mode="drop")
-    label_of_slot = (
-        jnp.searchsorted(index.list_offsets, slot_iota, side="right") - 1
-    ).astype(jnp.int32)
+    slot_of, label_of_slot = ivf_ops.invert_layout(
+        index.row_ids, index.list_offsets, nv
+    )
     all_codes = jnp.concatenate([index.codes[slot_of], codes_new])
     all_labels = jnp.concatenate([label_of_slot[slot_of], labels])
     if index.levels == 2:
@@ -490,11 +489,15 @@ def extend(index: IVFPQIndex, new_vectors: jax.Array) -> IVFPQIndex:
             add.astype(index.raw_vectors.dtype),
         ])
     else:
-        all_raw = jnp.zeros((total, dp), add.dtype)
+        # (0, dp) placeholder, as build's _pq_layout receives: a full-size
+        # zeros buffer here would allocate GBs on exactly the store_raw=False
+        # memory-savings configuration (codes are ~32x smaller than raw)
+        all_raw = jnp.zeros((0, dp), add.dtype)
     n_pad = topk_ops.round_up(total, 8)
     all_codes = topk_ops.pad_rows(all_codes, n_pad)
     all_labels = topk_ops.pad_rows(all_labels, n_pad)
-    all_raw = topk_ops.pad_rows(all_raw, n_pad)
+    if index.has_raw:
+        all_raw = topk_ops.pad_rows(all_raw, n_pad)
     if all_corr.shape[0] > 0:
         all_corr = topk_ops.pad_rows(all_corr[:, None], n_pad)[:, 0]
     valid = jnp.arange(n_pad) < total
@@ -510,7 +513,7 @@ def extend(index: IVFPQIndex, new_vectors: jax.Array) -> IVFPQIndex:
         n_pad, index.n_lists, max_list, headroom=headroom
     )
     sorted_codes, row_ids, offsets, counts_j, raw, raw_sq, sorted_corr = (
-        _pq_relayout(
+        _pq_layout(
             all_codes, all_raw, all_labels, valid, all_corr,
             n_lists=index.n_lists, capacity=capacity,
             max_list_size=max_list, store_raw=index.has_raw,
@@ -553,16 +556,9 @@ def _pq_extend_fast(codes, row_ids, norm_corr, raw, raw_sq, counts, offsets,
     in-place scatter, amortized O(batch). Without donation XLA copies the
     multi-GB raw store on every small append (FAISS `add` mutation
     semantics: the caller's old index is consumed)."""
-    bsz = labels_new.shape[0]
-    n_lists = counts.shape[0]
-    cnt_new = jnp.zeros((n_lists,), jnp.int32).at[labels_new].add(1)
-    starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt_new)[:-1].astype(jnp.int32)]
+    order, target, cnt_new = ivf_ops.append_targets(
+        labels_new, counts, offsets
     )
-    order = jnp.argsort(labels_new, stable=True)
-    lab_s = labels_new[order]
-    rank = jnp.arange(bsz, dtype=jnp.int32) - starts[lab_s]
-    target = offsets[lab_s] + counts[lab_s] + rank
     codes = codes.at[target].set(codes_new[order])
     row_ids = row_ids.at[target].set(start_id + order.astype(jnp.int32))
     if norm_corr.shape[0] > 0:
@@ -573,40 +569,6 @@ def _pq_extend_fast(codes, row_ids, norm_corr, raw, raw_sq, counts, offsets,
             dist_ops.sqnorms(raw_add[order].astype(jnp.float32))
         )
     return codes, row_ids, norm_corr, raw, raw_sq, counts + cnt_new
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "n_lists", "capacity", "max_list_size", "store_raw", "headroom",
-    ),
-)
-def _pq_relayout(codes, vec_pad, labels, valid, norm_corr, *,
-                 n_lists, capacity, max_list_size, store_raw, headroom):
-    perm, target_pos, row_ids, counts, offsets = ivf_ops.sort_by_list(
-        labels, valid, n_lists, capacity, headroom
-    )
-    slot_ok = row_ids >= 0
-    src = jnp.maximum(row_ids, 0)
-    sorted_codes = jnp.where(
-        slot_ok[:, None], codes[src], jnp.zeros((), codes.dtype)
-    )
-    if store_raw:
-        raw = jnp.where(
-            slot_ok[:, None], vec_pad[src], jnp.zeros((), vec_pad.dtype)
-        )
-        raw_sq = dist_ops.sqnorms(raw)
-    else:
-        raw = jnp.zeros((0, vec_pad.shape[1]), vec_pad.dtype)
-        raw_sq = jnp.zeros((0,), jnp.float32)
-    if norm_corr.shape[0] > 0:
-        sorted_corr = jnp.where(slot_ok, norm_corr[src], 0.0)
-    else:
-        sorted_corr = jnp.zeros((0,), jnp.float32)
-    return (
-        sorted_codes, row_ids, offsets,
-        jnp.minimum(counts, max_list_size), raw, raw_sq, sorted_corr,
-    )
 
 
 def strip_raw(index: IVFPQIndex) -> IVFPQIndex:

@@ -278,6 +278,15 @@ class QwenEmbeddingEncoder:
             use_flash = (
                 _jax.default_backend() == "tpu" and max_length % 512 == 0
             )
+        elif use_flash and max_length % 512 != 0:
+            # fail at construction, not deep inside the Pallas kernel:
+            # _bucket_len caps padded length at max_length, and the flash
+            # block sizes (512/1024) must divide the sequence length
+            raise ValueError(
+                f"use_flash=True requires max_length % 512 == 0 "
+                f"(got {max_length}); flash blocks must divide the padded "
+                f"sequence length"
+            )
         self.use_flash = use_flash
         model = QwenModel(cfg, use_flash)
         cast = jax.tree_util.tree_map(

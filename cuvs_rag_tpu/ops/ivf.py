@@ -280,3 +280,48 @@ def scan_probed_lists(
     return jax.vmap(one_query)(
         queries.astype(qdtype), probe_ids, coarse_ip.astype(jnp.float32)
     )
+
+
+def invert_layout(row_ids: jax.Array, list_offsets: jax.Array, nv: int):
+    """Inverse maps of an aligned sorted-CSR layout.
+
+    Returns (slot_of (nv,), label_of_slot (cap,)): slot_of[orig_row] is the
+    row's slot in the sorted layout (one small int32 scatter — never a host
+    loop, which would D2H the corpus); label_of_slot[slot] is the slot's
+    list id via searchsorted over the aligned offsets (gap/pad slots map to
+    the preceding list, harmless because only slots reached through slot_of
+    are ever read). Single home for the recovery idiom used by
+    ivf_flat._recover_rows, ivf_pq.extend's re-layout, and
+    io._recover_rows_pq — the layout contract lives here with sort_by_list.
+    """
+    cap = row_ids.shape[0]
+    slot_iota = jnp.arange(cap, dtype=jnp.int32)
+    rid = jnp.where(row_ids >= 0, row_ids, nv)
+    slot_of = jnp.zeros((nv,), jnp.int32).at[rid].set(slot_iota, mode="drop")
+    label_of_slot = (
+        jnp.searchsorted(list_offsets, slot_iota, side="right") - 1
+    ).astype(jnp.int32)
+    return slot_of, label_of_slot
+
+
+def append_targets(labels_new: jax.Array, counts: jax.Array,
+                   offsets: jax.Array):
+    """Scatter plan for an in-place aligned-CSR append (FAISS `add`).
+
+    New rows go to offset[l] + count[l] + within-list-rank. Returns
+    (order, target, cnt_new): callers scatter payload[order] -> target and
+    bump counts by cnt_new. One home for the rank/target math shared by
+    ivf_flat._extend_fast and ivf_pq._pq_extend_fast (callers have already
+    verified on host that every list's region fits the appended rows).
+    """
+    b = labels_new.shape[0]
+    n_lists = counts.shape[0]
+    cnt_new = jnp.zeros((n_lists,), jnp.int32).at[labels_new].add(1)
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt_new)[:-1].astype(jnp.int32)]
+    )
+    order = jnp.argsort(labels_new, stable=True)
+    lab_s = labels_new[order]
+    rank = jnp.arange(b, dtype=jnp.int32) - starts[lab_s]
+    target = offsets[lab_s] + counts[lab_s] + rank
+    return order, target, cnt_new

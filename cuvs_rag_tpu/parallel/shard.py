@@ -18,6 +18,7 @@ and padded-global ids equal original corpus ids for all real rows.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -132,6 +133,20 @@ def shard_layout(total: int, num_shards: int, row_multiple: int = 8):
     return per, n_valid, offsets
 
 
+@functools.partial(jax.jit, static_argnames=("per",))
+def _uneven_blocks(src, offsets, n_valid, per):
+    """(S, per, D) blocks for uneven contiguous shards, sliced on-device.
+    `src` is the corpus padded with `per` extra rows so every window fits."""
+    d = src.shape[1]
+
+    def one(off, nv):
+        blk = jax.lax.dynamic_slice(src, (off, 0), (per, d))
+        keep = jax.lax.broadcasted_iota(jnp.int32, (per, 1), 0) < nv
+        return jnp.where(keep, blk, jnp.zeros((), src.dtype))
+
+    return jax.vmap(one)(offsets, n_valid)
+
+
 def shard_corpus(
     corpus: jax.Array,
     dmesh: DeviceMesh,
@@ -173,11 +188,14 @@ def shard_corpus(
             padded = topk_ops.pad_rows(jnp.asarray(corpus), per * s)
             blocks = padded.reshape(s, per, d)
         else:
-            host = np.asarray(corpus)
-            blocks_np = np.zeros((s, per, d), host.dtype)
-            for i, (off, sz) in enumerate(zip(offsets, n_valid)):
-                blocks_np[i, :sz] = host[off : off + sz]
-            blocks = blocks_np
+            # uneven shards slice on-device too — np.asarray(corpus) here
+            # would D2H the whole (possibly multi-GB) corpus through the
+            # slow host link the even path explicitly avoids
+            src = topk_ops.pad_rows(jnp.asarray(corpus), n + per)
+            blocks = _uneven_blocks(
+                src, jnp.asarray(offsets, jnp.int32),
+                jnp.asarray(n_valid, jnp.int32), per,
+            )
         data = global_put(blocks, data_sharding)
     else:
         # multi-process: materialize ONLY this process's addressable blocks,

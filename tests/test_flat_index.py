@@ -199,3 +199,55 @@ def test_auto_storage_dtype_follows_dataset(rng):
     assert base.storage_dtype("auto", jnp.int32) == jnp.float32
     # explicit dtypes are unaffected
     assert base.storage_dtype("bfloat16", jnp.float32) == jnp.bfloat16
+
+
+class TestPallasFallbackPolicy:
+    """base.run_with_pallas_fallback: latch only on lowering-class errors."""
+
+    def _run(self, exc, fallback_ok=True):
+        from cuvs_rag_tpu.index import base
+
+        disabled = []
+
+        def primary():
+            raise exc
+
+        def fallback():
+            if not fallback_ok:
+                raise RuntimeError("xla also failed")
+            return "xla-result"
+
+        out = base.run_with_pallas_fallback(
+            primary, fallback, kernel_name="test",
+            disable=lambda: disabled.append(True),
+        )
+        return out, bool(disabled)
+
+    def test_lowering_error_latches(self):
+        out, latched = self._run(
+            NotImplementedError("Reductions over unsigned integers")
+        )
+        assert out == "xla-result" and latched
+
+    def test_mosaic_marker_latches(self):
+        out, latched = self._run(RuntimeError("Mosaic failed to compile"))
+        assert out == "xla-result" and latched
+
+    def test_transient_error_does_not_latch(self):
+        out, latched = self._run(RuntimeError("RESOURCE_EXHAUSTED: hbm"))
+        assert out == "xla-result" and not latched
+
+    def test_both_paths_fail_propagates_original(self):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="original"):
+            self._run(ValueError("original"), fallback_ok=False)
+
+    def test_success_passthrough(self):
+        from cuvs_rag_tpu.index import base
+
+        out = base.run_with_pallas_fallback(
+            lambda: "pallas", lambda: "xla", kernel_name="t",
+            disable=lambda: None,
+        )
+        assert out == "pallas"
