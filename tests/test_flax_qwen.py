@@ -127,3 +127,30 @@ def test_flash_attention_path_lowers_for_tpu():
         return model.apply(p, i, m)
 
     jax.jit(fwd).trace(params, ids, mask).lower(lowering_platforms=("tpu",))
+
+
+def test_use_flash_requires_512_multiple_max_length():
+    import pytest as _pytest
+
+    from cuvs_rag_tpu.models import flax_qwen as fq
+
+    cfg = fq.QwenConfig(
+        vocab_size=64, hidden_size=64, num_layers=1, num_heads=2,
+        num_kv_heads=1, head_dim=32, intermediate_size=128,
+    )
+
+    class _Tok:  # tokenizer unused before encode()
+        pass
+
+    model = fq.QwenModel(cfg, use_flash=False)
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    params = _jax.jit(model.init)(
+        _jax.random.PRNGKey(0), _jnp.zeros((1, 8), _jnp.int32),
+        _jnp.ones((1, 8), _jnp.int32),
+    )
+    with _pytest.raises(ValueError, match="max_length % 512"):
+        fq.QwenEmbeddingEncoder(
+            cfg, params, _Tok(), max_length=1000, use_flash=True
+        )
