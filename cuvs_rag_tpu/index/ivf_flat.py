@@ -129,14 +129,15 @@ def build(
         sample, weights, key, n_clusters=n_lists, iters=params.kmeans_iters
     )
 
-    # --- assign all rows on device; only (C,) counts cross to host -------
+    # --- assign all rows on device; only (C,) counts cross to host.
+    # Balance passes run only on actual cap overflow (fast path: ~0.7 s of
+    # full-N spill sorts skipped when the natural assignment is in-bounds)
     n_pad = topk_ops.round_up(n, 8)
     vec_pad = topk_ops.pad_rows(vectors, n_pad)
-    labels, _ = ivf_ops.balanced_labels_device(
-        vec_pad, centroids, n, params.balance_factor
-    )
     valid = jnp.arange(n_pad) < n
-    counts = np.asarray(ivf_ops.list_counts_device(labels, valid, centroids))
+    labels, counts = ivf_ops.labels_with_counts(
+        vec_pad, centroids, n, params.balance_factor, valid
+    )
     max_list = int(topk_ops.round_up(max(int(counts.max()), 8), ivf_ops.ALIGN))
     capacity = ivf_ops.capacity_for(n_pad, n_lists, max_list)
 

@@ -127,8 +127,8 @@ def build(params: IVFPQParams, dataset: jax.Array, seed: int = 0) -> IVFPQIndex:
     n_pad = topk_ops.round_up(n, 8)
     vec_pad = topk_ops.pad_rows(vectors, n_pad)
     valid = jnp.arange(n_pad) < n
-    labels, _ = ivf_ops.balanced_labels_device(
-        vec_pad, centroids, n, params.balance_factor
+    labels, _pq_counts = ivf_ops.labels_with_counts(
+        vec_pad, centroids, n, params.balance_factor, valid
     )
 
     # --- residual PQ codebooks (trained on a capped fp32 sample) ---------
@@ -172,7 +172,7 @@ def build(params: IVFPQParams, dataset: jax.Array, seed: int = 0) -> IVFPQIndex:
         if n_codes <= 16 and m % 2 == 0:
             codes = pq_ops.pack_nibbles(codes)  # fastscan: 2 codes per byte
 
-    counts = np.asarray(ivf_ops.list_counts_device(labels, valid, centroids))
+    counts = _pq_counts  # host (C,) counts from the assignment fast path
     max_list = int(topk_ops.round_up(max(int(counts.max()), 8), ivf_ops.ALIGN))
     capacity = ivf_ops.capacity_for(n_pad, n_lists, max_list)
 

@@ -325,3 +325,34 @@ def append_targets(labels_new: jax.Array, counts: jax.Array,
     rank = jnp.arange(b, dtype=jnp.int32) - starts[lab_s]
     target = offsets[lab_s] + counts[lab_s] + rank
     return order, target, cnt_new
+
+
+def labels_with_counts(vectors, centroids, n_rows: int,
+                       balance_factor: float, valid):
+    """Assignment with a host-checked balance fast path.
+
+    Plain nearest-centroid assignment, then the (C,)-sized counts cross to
+    host (the one cheap D2H every build needs anyway for max_list sizing).
+    The 3-pass capacity-bounded spill machinery — ~0.7 s of full-N sorts at
+    2M rows — runs ONLY when some list actually exceeds its cap; on
+    well-separated corpora (split k-means keeps clusters cap-bounded) the
+    natural assignment already satisfies the bound and is strictly better
+    (no forced spills). Returns (labels device (N_pad,), counts np (C,)).
+    """
+    import numpy as np
+
+    from cuvs_rag_tpu.ops import kmeans as kmeans_ops
+
+    n_lists = centroids.shape[0]
+    labels = kmeans_ops.assign_clusters(vectors, centroids)
+    counts = np.asarray(list_counts_device(labels, valid, centroids))
+    if balance_factor <= 0 or n_lists <= 1:
+        return labels, counts
+    cap = max(8, int(-(-balance_factor * n_rows // n_lists)))
+    if int(counts.max()) <= cap:
+        return labels, counts
+    labels, _ = balanced_labels_device(
+        vectors, centroids, n_rows, balance_factor
+    )
+    counts = np.asarray(list_counts_device(labels, valid, centroids))
+    return labels, counts

@@ -140,17 +140,53 @@ def balance_assignments_device(
         new_labels = jnp.where(admit, target, labels)
         return new_labels, new_choice
 
-    labels, _ = jax.lax.fori_loop(
-        0, passes, one_pass,
-        (top[:, 0].astype(jnp.int32), jnp.zeros((n,), jnp.int32)),
+    def _over_cap(labels):
+        vcounts = jnp.zeros((n_lists,), jnp.int32).at[labels].add(vone)
+        return jnp.any(vcounts > cap)
+
+    # Early exit (device-side while_loop): a pass with nothing over cap is
+    # a pure no-op (can_move all-false), so stopping when balanced yields
+    # IDENTICAL labels while skipping the pass's two full-N sorts. On
+    # clustered corpora one pass typically suffices (measured: 5/2000
+    # lists over cap, balanced after pass 1 at 2M x 768) — the fixed
+    # 3-pass loop wasted ~2 passes.
+    def _cond(state):
+        i, labels, _ = state
+        return (i < passes) & _over_cap(labels)
+
+    def _body(state):
+        i, labels, choice = state
+        labels, choice = one_pass(None, (labels, choice))
+        return i + 1, labels, choice
+
+    _, labels, _ = jax.lax.while_loop(
+        _cond, _body,
+        (jnp.asarray(0, jnp.int32), top[:, 0].astype(jnp.int32),
+         jnp.zeros((n,), jnp.int32)),
     )
 
+    _dump_pass = functools.partial(
+        _balance_dump_pass, n_lists=n_lists, cap=cap, vone=vone,
+        valid=valid, neg_m=neg_m, rows_iota=rows_iota, n=n,
+    )
+    return jax.lax.cond(_over_cap(labels), _dump_pass, lambda l: l, labels)
+
+
+def _balance_dump_pass(labels, *, n_lists, cap, vone, valid, neg_m,
+                       rows_iota, n):
     # 3) exact dump pass: anything still over cap (rows whose whole
     #    preference list is full — on unclustered corpora ~45% of rows live
     #    in over-cap lists and preference passes alone stall) is placed into
     #    the global leftover room via a cumulative-room search. This bounds
     #    max list size by cap EXACTLY (for balance_factor >= 1), which sets
-    #    the probe-window DMA size and hence search latency.
+    #    the probe-window DMA size and hence search latency. Runs under a
+    #    lax.cond: with no over-cap rows it is the identity (no movers), so
+    #    skipping it is exact.
+    def _exclusive_starts(counts):
+        return jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
+        )
+
     counts = jnp.zeros((n_lists,), jnp.int32).at[labels].add(1)
     vcounts = jnp.zeros((n_lists,), jnp.int32).at[labels].add(vone)
     starts = _exclusive_starts(counts)
