@@ -29,6 +29,17 @@ K = 5
 BATCH = 100
 BASELINE_MS = 2.01  # A100 cuVS IVF-Flat @ 2M, ms/query (approximate search)
 
+# Wall-clock budget for the OPTIONAL extra rows (sketch/int8, IVF-Flat).
+# The headline metric always runs to completion; extras are skipped when
+# the budget is spent (e.g. a cold compile cache) so the driver always
+# gets its one JSON line instead of a timeout.
+EXTRAS_BUDGET_S = 420.0
+_T_START = time.time()
+
+
+def _budget_left() -> bool:
+    return (time.time() - _T_START) < EXTRAS_BUDGET_S
+
 
 def main():
     import jax
@@ -82,21 +93,27 @@ def main():
     # (measured id agreement vs our fp32 exact oracle: 0.97 at k=5)
     from cuvs_rag_tpu.utils.config import FlatSearchParams
 
-    sp = FlatSearchParams(approx=True)
-    ix8 = flat.build(FlatParams(dtype="int8", tile_n=8192), index.vectors[:N])
-    del index
-    jax.block_until_ready(ix8.vectors)
-    _ = np.asarray(flat.search(sp, ix8, q0, K)[0])
-    t_sk = 1e9
-    for _trial in range(2):
-        t0 = time.perf_counter()
-        last = None
-        for qr in qrs:
-            last = flat.search(sp, ix8, qr, K)
-        _ = np.asarray(last[0])
-        t_sk = min(t_sk, (time.perf_counter() - t0) / reps)
-    sketch_ms_q = t_sk / BATCH * 1e3
-    del ix8
+    sketch_ms_q = None
+    if _budget_left():
+        sp = FlatSearchParams(approx=True)
+        ix8 = flat.build(
+            FlatParams(dtype="int8", tile_n=8192), index.vectors[:N]
+        )
+        del index
+        jax.block_until_ready(ix8.vectors)
+        _ = np.asarray(flat.search(sp, ix8, q0, K)[0])
+        t_sk = 1e9
+        for _trial in range(2):
+            t0 = time.perf_counter()
+            last = None
+            for qr in qrs:
+                last = flat.search(sp, ix8, qr, K)
+            _ = np.asarray(last[0])
+            t_sk = min(t_sk, (time.perf_counter() - t0) / reps)
+        sketch_ms_q = t_sk / BATCH * 1e3
+        del ix8
+    else:
+        del index
 
     # tertiary: IVF-Flat with CERTIFIED recall — the apples-to-apples row
     # against the baseline metric itself (cuVS IVF-Flat, approximate). A
@@ -105,6 +122,12 @@ def main():
     # oracle over the same corpus.
     from cuvs_rag_tpu.index import ivf_flat
     from cuvs_rag_tpu.utils.config import IVFFlatParams, IVFFlatSearchParams
+
+    ivf_ms_q = None
+    ivf_recall = None
+    if not _budget_left():
+        _emit(ms_per_query, qps, build_s, dt, sketch_ms_q, None, None, jax)
+        return
 
     kc = jax.random.fold_in(key, 999)
     centers = jax.random.normal(kc, (2000, D), jnp.float32)
@@ -153,32 +176,51 @@ def main():
         t_ivf = min(t_ivf, (time.perf_counter() - t0) / reps)
     ivf_ms_q = t_ivf / BATCH * 1e3
 
-    print(json.dumps({
-        "metric": f"exact_search_ms_per_query_{N}x{D}_k{K}_batch{BATCH}",
-        "value": round(ms_per_query, 4),
-        "unit": "ms/query",
-        "vs_baseline": round(BASELINE_MS / ms_per_query, 2),
-        "extra": {
-            "qps": round(qps, 1),
-            "build_s": round(build_s, 2),
-            "batch_ms": round(dt * 1e3, 3),
-            "corpus_read_gbps": round(N * D * 2 / dt / 1e9, 1),
+    _emit(ms_per_query, qps, build_s, dt, sketch_ms_q, ivf_ms_q,
+          ivf_recall, jax)
+
+
+def _emit(ms_per_query, qps, build_s, dt, sketch_ms_q, ivf_ms_q,
+          ivf_recall, jax):
+    extra = {
+        "qps": round(qps, 1),
+        "build_s": round(build_s, 2),
+        "batch_ms": round(dt * 1e3, 3),
+        "corpus_read_gbps": round(N * D * 2 / dt / 1e9, 1),
+        "baseline": "A100 cuVS IVF-Flat 2M approx search = 2.01 ms/query",
+        "note": "ours is exact brute-force (fused Pallas kernel), "
+                "reference is approximate",
+        "device": str(jax.devices()[0]),
+    }
+    if sketch_ms_q is not None:
+        extra.update({
             "sketch_int8_ms_per_query": round(sketch_ms_q, 4),
             "sketch_int8_vs_baseline": round(BASELINE_MS / sketch_ms_q, 2),
             "sketch_int8_note": "approx=True + int8 storage/MXU; recall "
                                 "0.97@5 vs fp32 exact (reference's own "
                                 "search is approximate)",
+        })
+    if ivf_ms_q is not None:
+        extra.update({
             "ivf_bf16_ms_per_query": round(ivf_ms_q, 4),
             "ivf_bf16_vs_baseline": round(BASELINE_MS / ivf_ms_q, 2),
             "ivf_bf16_recall_at_10": round(ivf_recall, 3),
             "ivf_note": "IVF-Flat nprobe=10 on a clustered 2M corpus, "
                         "recall certified vs the exact flat oracle — the "
                         "same index family as the baseline metric",
-            "baseline": "A100 cuVS IVF-Flat 2M approx search = 2.01 ms/query",
-            "note": "ours is exact brute-force (fused Pallas kernel), "
-                    "reference is approximate",
-            "device": str(jax.devices()[0]),
-        },
+        })
+    if sketch_ms_q is None or ivf_ms_q is None:
+        extra["extras_skipped"] = (
+            "optional rows skipped: %.0fs wall exceeded the %.0fs extras "
+            "budget (cold compile cache); headline metric is complete"
+            % (time.time() - _T_START, EXTRAS_BUDGET_S)
+        )
+    print(json.dumps({
+        "metric": f"exact_search_ms_per_query_{N}x{D}_k{K}_batch{BATCH}",
+        "value": round(ms_per_query, 4),
+        "unit": "ms/query",
+        "vs_baseline": round(BASELINE_MS / ms_per_query, 2),
+        "extra": extra,
     }))
 
 

@@ -1,0 +1,50 @@
+"""bench.py output contract: the driver parses exactly ONE JSON line.
+
+Round-1 lesson (VERDICT.md): a kernel exception zeroed the whole round's
+metric. bench.py now (a) falls back to the XLA path on Pallas lowering
+failure (tested in test_pallas_flat.py) and (b) bounds the OPTIONAL extra
+rows with a wall-clock budget so a cold compile cache can never starve the
+headline JSON line. This test pins the emit contract for both shapes.
+"""
+
+import json
+import sys
+
+import jax
+
+
+sys.path.insert(0, ".")
+import bench  # noqa: E402
+
+
+def _emit_and_parse(capsys, *args):
+    bench._emit(*args, jax)
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1, "driver contract: exactly one stdout line"
+    return json.loads(out[0])
+
+
+def test_emit_full(capsys):
+    rec = _emit_and_parse(capsys, 0.06, 16666.0, 0.4, 0.006, 0.035, 0.062,
+                          0.985)
+    assert rec["unit"] == "ms/query"
+    assert rec["value"] == 0.06
+    assert rec["vs_baseline"] == round(bench.BASELINE_MS / 0.06, 2)
+    assert rec["extra"]["ivf_bf16_recall_at_10"] == 0.985
+    assert "extras_skipped" not in rec["extra"]
+
+
+def test_emit_extras_skipped(capsys):
+    rec = _emit_and_parse(capsys, 0.06, 16666.0, 0.4, 0.006, None, None,
+                          None)
+    assert rec["value"] == 0.06
+    assert "sketch_int8_ms_per_query" not in rec["extra"]
+    assert "ivf_bf16_ms_per_query" not in rec["extra"]
+    assert "extras_skipped" in rec["extra"]
+
+
+def test_emit_sketch_only(capsys):
+    rec = _emit_and_parse(capsys, 0.06, 16666.0, 0.4, 0.006, 0.035, None,
+                          None)
+    assert rec["extra"]["sketch_int8_ms_per_query"] == 0.035
+    assert "ivf_bf16_ms_per_query" not in rec["extra"]
