@@ -45,6 +45,21 @@ class BertConfig:
 
     @classmethod
     def from_hf(cls, hf_config) -> "BertConfig":
+        if getattr(hf_config, "model_type", "") == "distilbert":
+            # DistilBERT (the reference demo's nq-distilbert-base-v1,
+            # VectorSearch_QuestionRetrieval.ipynb#cell4): same block
+            # structure, different config names, and NO token-type
+            # embeddings (type_vocab_size=0 disables them).
+            return cls(
+                vocab_size=hf_config.vocab_size,
+                hidden_size=hf_config.dim,
+                num_layers=hf_config.n_layers,
+                num_heads=hf_config.n_heads,
+                intermediate_size=hf_config.hidden_dim,
+                max_position=hf_config.max_position_embeddings,
+                type_vocab_size=0,
+                layer_norm_eps=getattr(hf_config, "layer_norm_eps", 1e-12),
+            )
         return cls(
             vocab_size=hf_config.vocab_size,
             hidden_size=hf_config.hidden_size,
@@ -102,15 +117,15 @@ if nn is not None:
             b, s = input_ids.shape
             if token_type_ids is None:
                 token_type_ids = jnp.zeros_like(input_ids)
-            x = (
-                nn.Embed(cfg.vocab_size, cfg.hidden_size, name="tok")(input_ids)
-                + nn.Embed(cfg.max_position, cfg.hidden_size, name="pos")(
-                    jnp.broadcast_to(jnp.arange(s), (b, s))
-                )
-                + nn.Embed(cfg.type_vocab_size, cfg.hidden_size, name="typ")(
-                    token_type_ids
-                )
+            x = nn.Embed(cfg.vocab_size, cfg.hidden_size, name="tok")(
+                input_ids
+            ) + nn.Embed(cfg.max_position, cfg.hidden_size, name="pos")(
+                jnp.broadcast_to(jnp.arange(s), (b, s))
             )
+            if cfg.type_vocab_size > 0:  # DistilBERT has no segment embeds
+                x = x + nn.Embed(
+                    cfg.type_vocab_size, cfg.hidden_size, name="typ"
+                )(token_type_ids)
             x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="ln_emb")(x)
             mask = attention_mask.astype(bool)
             for li in range(cfg.num_layers):
@@ -118,9 +133,7 @@ if nn is not None:
             return x
 
 
-def convert_hf_state_dict(state_dict: Dict[str, Any], cfg: BertConfig):
-    """Map a HF `BertModel` torch state_dict to this module's params."""
-
+def _weight_getters(state_dict: Dict[str, Any]):
     def g(name):
         t = state_dict[name]
         return jnp.asarray(np.asarray(t.detach().cpu() if hasattr(t, "detach") else t))
@@ -131,6 +144,12 @@ def convert_hf_state_dict(state_dict: Dict[str, Any], cfg: BertConfig):
     def ln(prefix):
         return {"scale": g(prefix + ".weight"), "bias": g(prefix + ".bias")}
 
+    return g, dense, ln
+
+
+def convert_hf_state_dict(state_dict: Dict[str, Any], cfg: BertConfig):
+    """Map a HF `BertModel` torch state_dict to this module's params."""
+    g, dense, ln = _weight_getters(state_dict)
     params = {
         "tok": {"embedding": g("embeddings.word_embeddings.weight")},
         "pos": {"embedding": g("embeddings.position_embeddings.weight")},
@@ -148,6 +167,37 @@ def convert_hf_state_dict(state_dict: Dict[str, Any], cfg: BertConfig):
             "ff_in": dense(f"{hf}.intermediate.dense"),
             "ff_out": dense(f"{hf}.output.dense"),
             "ln_ff": ln(f"{hf}.output.LayerNorm"),
+        }
+    return {"params": params}
+
+
+def convert_distilbert_state_dict(state_dict: Dict[str, Any], cfg: BertConfig):
+    """Map a HF `DistilBertModel` torch state_dict to this module's params.
+
+    DistilBERT's blocks are structurally identical post-LN transformer
+    blocks under different key names (q_lin/k_lin/v_lin/out_lin,
+    sa_layer_norm, ffn.lin1/lin2, output_layer_norm) with no token-type
+    embeddings — covers sentence-transformers/nq-distilbert-base-v1, the
+    reference's Simple-Wikipedia encoder
+    (VectorSearch_QuestionRetrieval.ipynb#cell4).
+    """
+    g, dense, ln = _weight_getters(state_dict)
+    params = {
+        "tok": {"embedding": g("embeddings.word_embeddings.weight")},
+        "pos": {"embedding": g("embeddings.position_embeddings.weight")},
+        "ln_emb": ln("embeddings.LayerNorm"),
+    }
+    for li in range(cfg.num_layers):
+        hf = f"transformer.layer.{li}"
+        params[f"layer_{li}"] = {
+            "q": dense(f"{hf}.attention.q_lin"),
+            "k": dense(f"{hf}.attention.k_lin"),
+            "v": dense(f"{hf}.attention.v_lin"),
+            "attn_out": dense(f"{hf}.attention.out_lin"),
+            "ln_attn": ln(f"{hf}.sa_layer_norm"),
+            "ff_in": dense(f"{hf}.ffn.lin1"),
+            "ff_out": dense(f"{hf}.ffn.lin2"),
+            "ln_ff": ln(f"{hf}.output_layer_norm"),
         }
     return {"params": params}
 
@@ -198,7 +248,12 @@ class FlaxSentenceEncoder:
         hf_cfg = AutoConfig.from_pretrained(name_or_path)
         cfg = BertConfig.from_hf(hf_cfg)
         torch_model = AutoModel.from_pretrained(name_or_path)
-        params = convert_hf_state_dict(torch_model.state_dict(), cfg)
+        convert = (
+            convert_distilbert_state_dict
+            if getattr(hf_cfg, "model_type", "") == "distilbert"
+            else convert_hf_state_dict
+        )
+        params = convert(torch_model.state_dict(), cfg)
         tok = AutoTokenizer.from_pretrained(name_or_path)
         return cls(cfg, params, tok, **kwargs)
 

@@ -47,6 +47,37 @@ def test_flax_matches_torch_bert(tiny_pair, rng):
     np.testing.assert_allclose(got[2], want[2], rtol=2e-3, atol=2e-3)
 
 
+def test_flax_matches_torch_distilbert(rng):
+    """DistilBERT parity (the reference demo's nq-distilbert-base-v1
+    architecture, VectorSearch_QuestionRetrieval.ipynb#cell4)."""
+    import jax.numpy as jnp
+    from transformers import DistilBertConfig as HFCfg, DistilBertModel
+
+    hf_cfg = HFCfg(
+        vocab_size=100, dim=32, n_layers=2, n_heads=4, hidden_dim=64,
+        max_position_embeddings=64,
+    )
+    torch_model = DistilBertModel(hf_cfg).eval()
+    cfg = fe.BertConfig.from_hf(hf_cfg)
+    assert cfg.type_vocab_size == 0  # no segment embeddings
+    params = fe.convert_distilbert_state_dict(torch_model.state_dict(), cfg)
+
+    ids = rng.integers(0, 100, (3, 10))
+    mask = np.ones((3, 10), np.int64)
+    mask[1, 6:] = 0
+
+    with torch.no_grad():
+        want = torch_model(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+        ).last_hidden_state.numpy()
+
+    model = fe.BertEncoderModel(cfg)
+    got = np.asarray(model.apply(params, jnp.asarray(ids), jnp.asarray(mask)))
+    np.testing.assert_allclose(got[0], want[0], rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(got[1, :6], want[1, :6], rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(got[2], want[2], rtol=2e-3, atol=2e-3)
+
+
 def test_sentence_encoder_end_to_end(tiny_pair):
     torch_model, cfg, params = tiny_pair
 
