@@ -1,0 +1,126 @@
+"""Phase-level timing of the 8-bit (two-level) IVF-PQ build on the real
+TPU at 2M x 768 — finds where the 7.3 s warm build goes. Each phase is
+drained (small D2H fetch) before the next timer starts, per the tunnel's
+async-dispatch discipline (see bench.py docstring)."""
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cuvs_rag_tpu.index import ivf_pq
+    from cuvs_rag_tpu.ops import ivf as ivf_ops
+    from cuvs_rag_tpu.ops import kmeans as kmeans_ops
+    from cuvs_rag_tpu.ops import pq as pq_ops
+    from cuvs_rag_tpu.ops import topk as topk_ops
+    from cuvs_rag_tpu.utils.config import IVFPQParams
+    from cuvs_rag_tpu.utils.profiling import drain
+
+    N = int(_os.environ.get("PQ_BENCH_N", 2_000_000))
+    D = 768
+    params = IVFPQParams(
+        n_lists=max(8, N // 1000), pq_dim=96, pq_bits=8, store_raw=True
+    )
+    key = jax.random.PRNGKey(42)
+
+    kc = jax.random.fold_in(key, 999)
+    n_centers = params.n_lists
+    centers = jax.random.normal(kc, (n_centers, D), jnp.float32)
+    mk = jax.jit(lambda k: (
+        centers[jax.random.randint(k, (N // 8,), 0, n_centers)]
+        + 0.3 * jax.random.normal(k, (N // 8, D))
+    ).astype(jnp.bfloat16))
+    corpus = jnp.concatenate([mk(jax.random.fold_in(key, i)) for i in range(8)])
+    drain(corpus)
+    print("corpus ready", flush=True)
+
+    # one full warm build first so every phase below times execution only
+    t0 = time.time()
+    ix = ivf_pq.build(params, corpus)
+    drain(ix.codes)
+    print(f"[whole warm build] {time.time() - t0:6.2f} s", flush=True)
+    del ix
+
+    marks = []
+
+    def mark(label, arr):
+        drain(arr)
+        marks.append((label, time.time()))
+        dt = marks[-1][1] - marks[-2][1] if len(marks) > 1 else 0.0
+        print(f"[{label:24s}] {dt:6.2f} s", flush=True)
+
+    m = params.pq_dim
+    marks.append(("start", time.time()))
+
+    n = N
+    sample_n = min(n, params.kmeans_sample)
+    n_lists = params.n_lists
+    sample_pad = topk_ops.round_up(sample_n, 8)
+    sample = topk_ops.pad_rows(
+        corpus[:sample_n].astype(jnp.float32), sample_pad
+    )
+    sweights = (jnp.arange(sample_pad) < sample_n).astype(jnp.float32)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    centroids, _ = kmeans_ops.kmeans(
+        sample, sweights, k1, n_clusters=n_lists, iters=params.kmeans_iters
+    )
+    mark("coarse kmeans", centroids)
+
+    n_pad = topk_ops.round_up(n, 8)
+    vec_pad = topk_ops.pad_rows(corpus, n_pad)
+    valid = jnp.arange(n_pad) < n
+    labels, counts = ivf_ops.labels_with_counts(
+        vec_pad, centroids, n, params.balance_factor, valid
+    )
+    mark("assign 2M", labels)
+
+    pq_n = min(sample_n, params.pq_train_sample)
+    pq_pad = topk_ops.round_up(pq_n, 8)
+    pq_sample = sample[:pq_pad]
+    pq_w = (jnp.arange(pq_pad) < pq_n).astype(jnp.float32)
+    res_sample = pq_sample - centroids[
+        kmeans_ops.assign_clusters(pq_sample, centroids)
+    ]
+    mark("residual sample", res_sample)
+
+    codebooks = pq_ops.train_two_level_codebooks(
+        res_sample, pq_w, k2, m=m, iters=params.pq_kmeans_iters,
+    )
+    mark("two-level train", codebooks)
+
+    codes = ivf_pq._encode_chunked(
+        vec_pad, labels, centroids, codebooks, None, levels=2
+    )
+    mark("encode 2M (joint 256)", codes)
+
+    norm_corr = ivf_pq._norm_corr_jit(codes, codebooks)
+    mark("norm corr", norm_corr)
+
+    packed = pq_ops.pack_nibbles(codes)
+    mark("pack nibbles", packed)
+
+    max_list = int(topk_ops.round_up(max(int(counts.max()), 8), ivf_ops.ALIGN))
+    capacity = ivf_ops.capacity_for(n_pad, n_lists, max_list)
+    out = ivf_pq._pq_layout(
+        packed, vec_pad, labels, valid, norm_corr,
+        n_lists=n_lists, capacity=capacity, max_list_size=max_list,
+        store_raw=True,
+    )
+    mark("layout", out[0])
+
+    total = marks[-1][1] - marks[0][1]
+    print(f"[phase total            ] {total:6.2f} s", flush=True)
+    print("counts max", int(np.asarray(counts).max()))
+
+
+if __name__ == "__main__":
+    main()
