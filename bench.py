@@ -41,6 +41,35 @@ def _budget_left() -> bool:
     return (time.time() - _T_START) < EXTRAS_BUDGET_S
 
 
+def _probe_device_or_die(jax, jnp, deadline_s: float = 240.0):
+    """Fail fast (rc=2, stderr diagnostic) if the TPU never answers a
+    trivial op — a down tunnel otherwise hangs the process until the
+    driver's timeout, indistinguishable from a crash (round-1 optics).
+    The probe runs in a daemon thread so a hung dispatch can't block exit."""
+    import os
+    import sys
+    import threading
+
+    done = threading.Event()
+
+    def probe():
+        x = jnp.ones((8, 8))
+        _ = float(np.asarray(x @ x)[0, 0])
+        done.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not done.wait(deadline_s):
+        # NB: no jax calls here — jax.devices() itself blocks on backend
+        # init when the tunnel is down (measured: hung past the deadline)
+        print(
+            f"bench.py: device did not answer a trivial 8x8 matmul within "
+            f"{deadline_s:.0f}s — TPU tunnel down or unreachable; aborting "
+            "instead of hanging.",
+            file=sys.stderr, flush=True,
+        )
+        os._exit(2)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -48,6 +77,7 @@ def main():
     from cuvs_rag_tpu.index import flat
     from cuvs_rag_tpu.utils.config import FlatParams
 
+    _probe_device_or_die(jax, jnp)
     key = jax.random.PRNGKey(42)
 
     t0 = time.time()
