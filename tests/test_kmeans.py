@@ -124,3 +124,44 @@ def test_kmeans_splits_merged_clusters(rng):
     # every blob gets its own cluster: all counts exactly `per`
     assert counts.max() <= int(1.5 * per), counts
     assert counts.min() >= per // 2, counts
+
+
+def test_labels_with_counts_fast_path_identity(rng):
+    """Well-separated corpus: no list exceeds cap, so the fast path must
+    return the plain nearest-centroid assignment (no forced spills)."""
+    from cuvs_rag_tpu.ops import ivf as ivf_ops
+
+    d = 16
+    centers = rng.standard_normal((8, d)).astype(np.float32) * 10
+    data, _ = _blobs(rng, 32, centers, d)  # 256 rows, 32 per cluster
+    n = len(data)
+    vec = jnp.asarray(data)
+    valid = jnp.arange(n) < n
+    labels, counts = ivf_ops.labels_with_counts(
+        vec, jnp.asarray(centers), n, balance_factor=2.0, valid=valid
+    )
+    want = kmeans_ops.assign_clusters(vec, jnp.asarray(centers))
+    np.testing.assert_array_equal(np.asarray(labels), np.asarray(want))
+    assert counts.tolist() == [32] * 8
+    cap = max(8, int(-(-2.0 * n // 8)))
+    assert counts.max() <= cap
+
+
+def test_labels_with_counts_spill_path_cap_bound(rng):
+    """Skewed corpus (everything near one centroid): the spill machinery
+    must bound every list by cap exactly (balance_factor >= 1)."""
+    from cuvs_rag_tpu.ops import ivf as ivf_ops
+
+    d = 16
+    centers = rng.standard_normal((8, d)).astype(np.float32)
+    data = centers[0] + 0.01 * rng.standard_normal((256, d)).astype(np.float32)
+    n = len(data)
+    valid = jnp.arange(n) < n
+    labels, counts = ivf_ops.labels_with_counts(
+        jnp.asarray(data), jnp.asarray(centers), n,
+        balance_factor=1.5, valid=valid,
+    )
+    cap = max(8, int(-(-1.5 * n // 8)))
+    assert counts.max() <= cap, (counts.tolist(), cap)
+    assert counts.sum() == n
+    assert np.asarray(labels).shape == (n,)
