@@ -153,7 +153,7 @@ def _phase_a_jit(block, nv, ivf_ix, inter_deg, n_probes):
 
 
 _augment_jit = jax.jit(
-    graph_ops.augment_reverse_edges, static_argnums=(1,)
+    graph_ops.augment_reverse_edges, static_argnums=(1, 2)
 )
 _sqnorms_jit = jax.jit(dist_ops.sqnorms)
 

@@ -235,11 +235,15 @@ def list_medoids(ivf_index) -> jax.Array:
     ).astype(jnp.int32)
 
 
-def augment_reverse_edges(graph: jax.Array, keep: int) -> jax.Array:
-    """CAGRA-style pruning: keep/2 forward edges + reverse-edge fill.
+def augment_reverse_edges(
+    graph: jax.Array, keep: int, forward: int | None = None
+) -> jax.Array:
+    """CAGRA-style pruning: `forward` forward edges + reverse-edge fill.
 
     Forward edges are distance-ranked; reverse edges (who points at me)
-    improve connectivity for graph traversal. Sort-based construction: all
+    improve connectivity for graph traversal. `forward` defaults to keep/2
+    (cuVS CAGRA's split); unfilled reverse slots fall back to the next
+    distance-ranked forward edges. Sort-based construction: all
     (dst=graph[i, r], rank r, src=i) candidate triples are sorted by
     (dst, rank) and each dst's slots are filled by within-segment position —
     collision-free and deterministic. (The earlier per-rank scatter read
@@ -247,8 +251,10 @@ def augment_reverse_edges(graph: jax.Array, keep: int) -> jax.Array:
     one rank pass overwrote ONE slot and the rest silently vanished —
     VERDICT r1 weakness #5.)"""
     n, g = graph.shape
-    half = keep // 2
+    half = keep // 2 if forward is None else max(1, min(forward, keep))
     cap = keep - half
+    if cap == 0:
+        return graph[:, :keep]
     fwd = graph[:, :half]
 
     # candidate reverse edges, i-major then rank-minor

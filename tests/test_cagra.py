@@ -182,3 +182,32 @@ def test_cagra_search_width(data):
         recs[sw] = recall_lib.recall_at_k(np.asarray(i), gt, k)
     assert recs[16] >= 0.9, recs
     assert recs[16] >= recs[4] - 0.05, recs
+
+
+def test_reverse_edges_forward_param():
+    """`forward` overrides the keep/2 split; forward=keep is pure rank
+    truncation. Default (None) must equal the keep//2 behavior exactly.
+    (Ratio swept on 50k uniform: flat within noise, so the default split
+    stands — the knob exists for corpus-specific tuning.)"""
+    import jax.numpy as jnp
+
+    from cuvs_rag_tpu.ops import graph as graph_ops
+
+    rng = np.random.default_rng(3)
+    n, g, keep = 64, 8, 4
+    fwd = np.stack([
+        rng.choice(np.setdiff1d(np.arange(n), [i]), g, replace=False)
+        for i in range(n)
+    ]).astype(np.int32)
+    gj = jnp.asarray(fwd)
+
+    default = np.asarray(graph_ops.augment_reverse_edges(gj, keep))
+    explicit = np.asarray(graph_ops.augment_reverse_edges(gj, keep, keep // 2))
+    np.testing.assert_array_equal(default, explicit)
+
+    pure = np.asarray(graph_ops.augment_reverse_edges(gj, keep, keep))
+    np.testing.assert_array_equal(pure, fwd[:, :keep])
+
+    three = np.asarray(graph_ops.augment_reverse_edges(gj, keep, 3))
+    assert three.shape == (n, keep)
+    np.testing.assert_array_equal(three[:, :3], fwd[:, :3])
