@@ -68,7 +68,8 @@ def _resolve_algo(params: CagraParams, n: int) -> str:
 
 def _finish(params, vectors, sq, graph, n_valid, final_deg,
             entry_centroids=None, entry_rows=None):
-    graph = graph_ops.augment_reverse_edges(graph, final_deg)
+    fwd = min(params.forward_edges, final_deg) or None
+    graph = graph_ops.augment_reverse_edges(graph, final_deg, fwd)
     d = vectors.shape[-1]
     if entry_centroids is None:
         entry_centroids = jnp.zeros((0, d), jnp.float32)
@@ -220,7 +221,8 @@ def build(params: CagraParams, dataset: jax.Array) -> CagraIndex:
     # phase B's allocation and the build OOMs)
     _np.asarray(entry_centroids[:1])
 
-    graph_final = _augment_jit(graph, final_deg)
+    fwd = min(params.forward_edges, final_deg) or None
+    graph_final = _augment_jit(graph, final_deg, fwd)
     sq = _sqnorms_jit(block)
     return CagraIndex(
         vectors=block,

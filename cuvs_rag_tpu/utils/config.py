@@ -215,11 +215,20 @@ class CagraParams:
     # ops/graph.build_knn_graph_ivf). Cost scales linearly in build_nprobes.
     build_nlists: int = 0  # 0 -> N/1000 heuristic
     build_nprobes: int = 4
+    # Forward edges kept out of graph_degree; the rest are reverse-edge
+    # slots (0 -> graph_degree/2, the cuVS split). Swept on a 50k uniform
+    # corpus: flat within noise, so this is a corpus-specific tuning knob.
+    forward_edges: int = 0
 
     def __post_init__(self):
         Metric.validate(self.metric)
         if self.build_algo not in ("auto", "exact", "ivf"):
             raise ValueError(f"unknown build_algo {self.build_algo!r}")
+        if self.forward_edges < 0 or self.forward_edges > self.graph_degree:
+            raise ValueError(
+                "forward_edges must be in [0, graph_degree]; got "
+                f"{self.forward_edges}"
+            )
 
 
 @dataclasses.dataclass(frozen=True)

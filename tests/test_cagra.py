@@ -211,3 +211,20 @@ def test_reverse_edges_forward_param():
     three = np.asarray(graph_ops.augment_reverse_edges(gj, keep, 3))
     assert three.shape == (n, keep)
     np.testing.assert_array_equal(three[:, :3], fwd[:, :3])
+
+
+def test_cagra_forward_edges_param(data):
+    corpus, queries = data
+    ix = cagra.build(
+        CagraParams(intermediate_graph_degree=48, graph_degree=32,
+                    forward_edges=24),
+        jnp.asarray(corpus),
+    )
+    assert ix.graph.shape[1] == 32
+    gt = recall_lib.exact_ground_truth(corpus, queries, 10, Metric.SQEUCLIDEAN)
+    _, i = cagra.search(CagraSearchParams(), ix, jnp.asarray(queries), 10)
+    assert recall_lib.recall_at_k(np.asarray(i), gt, 10) >= 0.8
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        CagraParams(graph_degree=32, forward_edges=40)
