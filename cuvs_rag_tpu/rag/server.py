@@ -18,7 +18,6 @@ Run:  python -m cuvs_rag_tpu.rag.server --port 8080   (demo corpus)
 from __future__ import annotations
 
 import json
-import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any
 
@@ -32,7 +31,6 @@ class SearchService:
 
     def __init__(self, retriever):
         self.retriever = retriever
-        self._lock = threading.Lock()
 
     def search_texts(self, texts, k: int):
         with metrics.time_block("server.search_texts_seconds"):
