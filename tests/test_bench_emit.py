@@ -43,6 +43,13 @@ def test_emit_extras_skipped(capsys):
     assert "extras_skipped" in rec["extra"]
 
 
+def test_probe_device_passes_on_live_backend():
+    """When the backend answers, the probe returns without exiting."""
+    import jax.numpy as jnp
+
+    bench._probe_device_or_die(jax, jnp, deadline_s=60.0)
+
+
 def test_emit_sketch_only(capsys):
     rec = _emit_and_parse(capsys, 0.06, 16666.0, 0.4, 0.006, 0.035, None,
                           None)
