@@ -41,21 +41,31 @@ def _budget_left() -> bool:
     return (time.time() - _T_START) < EXTRAS_BUDGET_S
 
 
-def _probe_device_or_die(jax, jnp, deadline_s: float = 240.0):
+def _probe_device_or_die(jax, jnp, deadline_s: float = 240.0, die=None):
     """Fail fast (rc=2, stderr diagnostic) if the TPU never answers a
     trivial op — a down tunnel otherwise hangs the process until the
     driver's timeout, indistinguishable from a crash (round-1 optics).
-    The probe runs in a daemon thread so a hung dispatch can't block exit."""
+    The probe runs in a daemon thread so a hung dispatch can't block exit.
+    A backend that fails FAST (raises at init, e.g. driver/env mismatch)
+    is reported immediately with the real traceback instead of burning the
+    full deadline. `die` is injectable for tests (default: os._exit)."""
     import os
     import sys
     import threading
 
+    if die is None:
+        die = lambda rc: os._exit(rc)  # noqa: E731
     done = threading.Event()
+    error: list = []
 
     def probe():
-        x = jnp.ones((8, 8))
-        _ = float(np.asarray(x @ x)[0, 0])
-        done.set()
+        try:
+            x = jnp.ones((8, 8))
+            _ = float(np.asarray(x @ x)[0, 0])
+        except BaseException as e:  # record, don't swallow: main reports it
+            error.append(e)
+        finally:
+            done.set()
 
     threading.Thread(target=probe, daemon=True).start()
     if not done.wait(deadline_s):
@@ -67,7 +77,14 @@ def _probe_device_or_die(jax, jnp, deadline_s: float = 240.0):
             "instead of hanging.",
             file=sys.stderr, flush=True,
         )
-        os._exit(2)
+        return die(2)
+    if error:
+        print(
+            f"bench.py: device probe raised {type(error[0]).__name__}: "
+            f"{error[0]} — backend unusable; aborting.",
+            file=sys.stderr, flush=True,
+        )
+        return die(2)
 
 
 def main():

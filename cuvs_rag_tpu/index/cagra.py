@@ -66,9 +66,30 @@ def _resolve_algo(params: CagraParams, n: int) -> str:
     return "exact" if n <= _EXACT_BUILD_THRESHOLD else "ivf"
 
 
+def _forward_split(params: CagraParams, final_deg: int):
+    """Resolve `forward_edges` against the realized graph degree.
+
+    0 -> None (augment_reverse_edges' default keep//2 split). A partial
+    split scales proportionally when the realized degree is smaller than
+    graph_degree — a small corpus/shard (final_deg = n-1 < forward_edges)
+    must not silently lose ALL its reverse edges to truncation.
+    forward_edges == graph_degree stays pure-forward as requested.
+    """
+    if params.forward_edges == 0:
+        return None
+    if params.forward_edges >= params.graph_degree:
+        return final_deg
+    if final_deg >= params.graph_degree:
+        return params.forward_edges
+    if final_deg <= 1:
+        return final_deg
+    f = round(final_deg * params.forward_edges / params.graph_degree)
+    return max(1, min(f, final_deg - 1))
+
+
 def _finish(params, vectors, sq, graph, n_valid, final_deg,
             entry_centroids=None, entry_rows=None):
-    fwd = min(params.forward_edges, final_deg) or None
+    fwd = _forward_split(params, final_deg)
     graph = graph_ops.augment_reverse_edges(graph, final_deg, fwd)
     d = vectors.shape[-1]
     if entry_centroids is None:
@@ -221,7 +242,7 @@ def build(params: CagraParams, dataset: jax.Array) -> CagraIndex:
     # phase B's allocation and the build OOMs)
     _np.asarray(entry_centroids[:1])
 
-    fwd = min(params.forward_edges, final_deg) or None
+    fwd = _forward_split(params, final_deg)
     graph_final = _augment_jit(graph, final_deg, fwd)
     sq = _sqnorms_jit(block)
     return CagraIndex(

@@ -202,6 +202,56 @@ def convert_distilbert_state_dict(state_dict: Dict[str, Any], cfg: BertConfig):
     return {"params": params}
 
 
+# DPR-style sentence-transformers checkpoints known to use CLS pooling
+# (their 1_Pooling config sets pooling_mode_cls_token; scoring is
+# dot-product). Offline fallback for when the 1_Pooling file itself is
+# neither on disk nor in the hub cache.
+_ST_CLS_CHECKPOINTS = {
+    "nq-distilbert-base-v1",
+    "facebook-dpr-question_encoder-single-nq-base",
+    "facebook-dpr-ctx_encoder-single-nq-base",
+    "facebook-dpr-question_encoder-multiset-base",
+    "facebook-dpr-ctx_encoder-multiset-base",
+}
+
+
+def st_pooling_mode(name_or_path) -> "str | None":
+    """Pooling mode declared by a sentence-transformers checkpoint.
+
+    Reads `1_Pooling/config.json` (local path first, then the hub cache /
+    hub download) and maps it to this module's pooling names. Falls back
+    to a known-checkpoints table, then None. Without this, loading e.g.
+    nq-distilbert-base-v1 (the reference demo's encoder — CLS pooling,
+    VectorSearch_QuestionRetrieval.ipynb#cell4) with the mean-pooling
+    default would produce embeddings that differ from the reference's.
+    """
+    import json as _json
+    import os as _os
+
+    cfg = None
+    local = _os.path.join(str(name_or_path), "1_Pooling", "config.json")
+    if _os.path.isfile(local):
+        with open(local) as f:
+            cfg = _json.load(f)
+    else:
+        try:
+            from huggingface_hub import hf_hub_download
+
+            path = hf_hub_download(str(name_or_path), "1_Pooling/config.json")
+            with open(path) as f:
+                cfg = _json.load(f)
+        except Exception:
+            cfg = None
+    if cfg is not None:
+        if cfg.get("pooling_mode_cls_token"):
+            return "cls"
+        if cfg.get("pooling_mode_mean_tokens"):
+            return "mean"
+        return None
+    base = str(name_or_path).rstrip("/").split("/")[-1]
+    return "cls" if base in _ST_CLS_CHECKPOINTS else None
+
+
 class FlaxSentenceEncoder:
     """Sentence encoder: HF tokenizer + flax BERT on the default JAX device.
 
@@ -245,6 +295,12 @@ class FlaxSentenceEncoder:
     def from_pretrained(cls, name_or_path: str, **kwargs) -> "FlaxSentenceEncoder":
         from transformers import AutoConfig, AutoModel, AutoTokenizer
 
+        if "pooling" not in kwargs:
+            # honor the checkpoint's own sentence-transformers pooling
+            # config (nq-distilbert-base-v1 is CLS, not mean)
+            declared = st_pooling_mode(name_or_path)
+            if declared is not None:
+                kwargs["pooling"] = declared
         hf_cfg = AutoConfig.from_pretrained(name_or_path)
         cfg = BertConfig.from_hf(hf_cfg)
         torch_model = AutoModel.from_pretrained(name_or_path)

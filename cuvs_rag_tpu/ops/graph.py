@@ -277,10 +277,10 @@ def augment_reverse_edges(
     ).reshape(-1)
     dst = jnp.where(dup, n, dst)
 
+    from cuvs_rag_tpu.ops.kmeans import exclusive_starts
+
     counts = jnp.zeros((n + 1,), jnp.int32).at[dst].add(1)
-    starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
-    )
+    starts = exclusive_starts(counts)
     _, _, src_s = jax.lax.sort((dst, prio, src), num_keys=2, is_stable=True)
     # segment GATHER from the sorted candidates: rev[d, p] is the p-th
     # lowest-rank source targeting d. (A 2-D scatter formulation of the

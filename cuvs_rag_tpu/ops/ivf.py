@@ -22,36 +22,6 @@ from cuvs_rag_tpu.ops import distance as dist_ops
 from cuvs_rag_tpu.ops import topk as topk_ops
 
 
-def balanced_labels_device(
-    vectors,
-    centroids,
-    n_rows: int,
-    balance_factor: float,
-    passes: int = 3,
-):
-    """Device-resident capacity-bounded assignment — no O(N) host traffic
-    (a host round-trip of the (N, t) candidate labels measured 140 s at 2M
-    rows through the test tunnel). Returns (labels (N_pad,) int32 device
-    array, cap int). Lists are bounded by cap exactly for
-    balance_factor >= 1 (see kmeans.balance_assignments_device); callers
-    size probe windows from the final counts.
-    """
-    from cuvs_rag_tpu.ops import kmeans as kmeans_ops
-
-    n_lists = centroids.shape[0]
-    n_pad = vectors.shape[0]
-    if balance_factor <= 0 or n_lists <= 1:
-        return kmeans_ops.assign_clusters(vectors, centroids), 0
-    cap = max(8, int(-(-balance_factor * n_rows // n_lists)))
-    t = int(min(8, n_lists))
-    top, margins = kmeans_ops.assign_topk_clusters(vectors, centroids, t=t)
-    valid = jnp.arange(n_pad) < n_rows
-    labels = kmeans_ops.balance_assignments_device(
-        top, margins, valid, n_lists=n_lists, cap=cap, passes=passes
-    )
-    return labels, cap
-
-
 @jax.jit
 def list_counts_device(labels, valid, centroid_count_ref):
     """(N,) labels + (N,) valid -> (C,) int32 per-list counts on device.
@@ -331,28 +301,35 @@ def labels_with_counts(vectors, centroids, n_rows: int,
                        balance_factor: float, valid):
     """Assignment with a host-checked balance fast path.
 
-    Plain nearest-centroid assignment, then the (C,)-sized counts cross to
-    host (the one cheap D2H every build needs anyway for max_list sizing).
-    The 3-pass capacity-bounded spill machinery — ~0.7 s of full-N sorts at
-    2M rows — runs ONLY when some list actually exceeds its cap; on
-    well-separated corpora (split k-means keeps clusters cap-bounded) the
-    natural assignment already satisfies the bound and is strictly better
-    (no forced spills). Returns (labels device (N_pad,), counts np (C,)).
+    ONE top-t assignment pass (its top-1 is the exact nearest centroid:
+    sub-64-list corpora use lax.top_k; approx_max_k's rank-0 is the
+    reduction max), then the (C,)-sized counts cross to host (the one
+    cheap D2H every build needs anyway for max_list sizing). The 3-pass
+    capacity-bounded spill machinery — ~0.7 s of full-N sorts at 2M rows —
+    runs ONLY when some list actually exceeds its cap, and reuses the same
+    top/margins (no second full-corpus assignment); on well-separated
+    corpora (split k-means keeps clusters cap-bounded) the natural
+    assignment already satisfies the bound and is strictly better (no
+    forced spills). Returns (labels device (N_pad,), counts np (C,)).
     """
     import numpy as np
 
     from cuvs_rag_tpu.ops import kmeans as kmeans_ops
 
     n_lists = centroids.shape[0]
-    labels = kmeans_ops.assign_clusters(vectors, centroids)
-    counts = np.asarray(list_counts_device(labels, valid, centroids))
     if balance_factor <= 0 or n_lists <= 1:
+        labels = kmeans_ops.assign_clusters(vectors, centroids)
+        counts = np.asarray(list_counts_device(labels, valid, centroids))
         return labels, counts
+    t = int(min(8, n_lists))
+    top, margins = kmeans_ops.assign_topk_clusters(vectors, centroids, t=t)
+    labels = top[:, 0]
+    counts = np.asarray(list_counts_device(labels, valid, centroids))
     cap = max(8, int(-(-balance_factor * n_rows // n_lists)))
     if int(counts.max()) <= cap:
         return labels, counts
-    labels, _ = balanced_labels_device(
-        vectors, centroids, n_rows, balance_factor
+    labels = kmeans_ops.balance_assignments_device(
+        top, margins, valid, n_lists=n_lists, cap=cap
     )
     counts = np.asarray(list_counts_device(labels, valid, centroids))
     return labels, counts

@@ -63,6 +63,13 @@ def assign_topk_clusters(
     return labels.reshape(n, t), margins.reshape(n)
 
 
+def exclusive_starts(counts: jax.Array) -> jax.Array:
+    """(C,) per-segment counts -> (C,) exclusive-cumsum segment starts."""
+    return jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("n_lists", "cap", "passes"))
 def balance_assignments_device(
     top: jax.Array,
@@ -92,12 +99,6 @@ def balance_assignments_device(
     # pads sort last within their list so real rows' in-list ranks are
     # unaffected by padding
     neg_m = jnp.where(valid, -margins.astype(jnp.float32), jnp.inf)
-
-    def _exclusive_starts(counts):
-        return jnp.concatenate(
-            [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
-        )
-
     vone = valid.astype(jnp.int32)  # room/occupancy never counts pad rows
 
     def one_pass(_, state):
@@ -108,7 +109,7 @@ def balance_assignments_device(
         # uses valid-only counts so pads never consume list capacity.
         counts = jnp.zeros((n_lists,), jnp.int32).at[labels].add(1)
         vcounts = jnp.zeros((n_lists,), jnp.int32).at[labels].add(vone)
-        starts = _exclusive_starts(counts)
+        starts = exclusive_starts(counts)
         _, _, rows = jax.lax.sort(
             (labels, neg_m, rows_iota), num_keys=2, is_stable=True
         )
@@ -127,7 +128,7 @@ def balance_assignments_device(
         pcounts = (
             jnp.zeros((n_lists + 1,), jnp.int32).at[prop_key].add(1)[:n_lists]
         )
-        pstarts = _exclusive_starts(pcounts)
+        pstarts = exclusive_starts(pcounts)
         key_sorted = prop_key[prows]
         prank = rows_iota - pstarts[jnp.minimum(key_sorted, n_lists - 1)]
         room = cap - jnp.minimum(vcounts, cap)
@@ -166,13 +167,13 @@ def balance_assignments_device(
     )
 
     _dump_pass = functools.partial(
-        _balance_dump_pass, n_lists=n_lists, cap=cap, vone=vone,
+        _balance_dump_pass, n_lists=n_lists, cap=cap,
         valid=valid, neg_m=neg_m, rows_iota=rows_iota, n=n,
     )
     return jax.lax.cond(_over_cap(labels), _dump_pass, lambda l: l, labels)
 
 
-def _balance_dump_pass(labels, *, n_lists, cap, vone, valid, neg_m,
+def _balance_dump_pass(labels, *, n_lists, cap, valid, neg_m,
                        rows_iota, n):
     # 3) exact dump pass: anything still over cap (rows whose whole
     #    preference list is full — on unclustered corpora ~45% of rows live
@@ -182,14 +183,10 @@ def _balance_dump_pass(labels, *, n_lists, cap, vone, valid, neg_m,
     #    the probe-window DMA size and hence search latency. Runs under a
     #    lax.cond: with no over-cap rows it is the identity (no movers), so
     #    skipping it is exact.
-    def _exclusive_starts(counts):
-        return jnp.concatenate(
-            [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
-        )
-
+    vone = valid.astype(jnp.int32)
     counts = jnp.zeros((n_lists,), jnp.int32).at[labels].add(1)
     vcounts = jnp.zeros((n_lists,), jnp.int32).at[labels].add(vone)
-    starts = _exclusive_starts(counts)
+    starts = exclusive_starts(counts)
     _, _, rows = jax.lax.sort(
         (labels, neg_m, rows_iota), num_keys=2, is_stable=True
     )

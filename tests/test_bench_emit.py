@@ -44,10 +44,36 @@ def test_emit_extras_skipped(capsys):
 
 
 def test_probe_device_passes_on_live_backend():
-    """When the backend answers, the probe returns without exiting."""
+    """When the backend answers, the probe returns without dying.
+
+    `die` is injected so a pathologically slow runner fails THIS test
+    instead of os._exit-ing the whole pytest process."""
     import jax.numpy as jnp
 
-    bench._probe_device_or_die(jax, jnp, deadline_s=60.0)
+    died = []
+    bench._probe_device_or_die(jax, jnp, deadline_s=120.0,
+                               die=died.append)
+    assert died == []
+
+
+def test_probe_device_dies_fast_on_raising_backend(capsys):
+    """A backend that raises at the first op is reported immediately
+    (with the real exception), not after the full deadline."""
+    import time
+
+    class _BoomJnp:
+        @staticmethod
+        def ones(shape):
+            raise RuntimeError("libtpu version mismatch (simulated)")
+
+    died = []
+    t0 = time.time()
+    bench._probe_device_or_die(jax, _BoomJnp, deadline_s=60.0,
+                               die=died.append)
+    assert died == [2]
+    assert time.time() - t0 < 30.0, "must not burn the deadline"
+    err = capsys.readouterr().err
+    assert "libtpu version mismatch" in err
 
 
 def test_emit_sketch_only(capsys):

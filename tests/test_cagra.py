@@ -228,3 +228,27 @@ def test_cagra_forward_edges_param(data):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         CagraParams(graph_degree=32, forward_edges=40)
+
+
+def test_forward_split_scales_with_realized_degree():
+    """An explicit partial split must survive a shrunken graph degree
+    (small corpus/shard) as a proportional split, never silently become
+    pure truncation with zero reverse edges."""
+    from cuvs_rag_tpu.index.cagra import _forward_split
+
+    p = CagraParams(intermediate_graph_degree=128, graph_degree=64,
+                    forward_edges=48)
+    # full degree realized: exact request honored
+    assert _forward_split(p, 64) == 48
+    # shrunken degree (40-row shard -> final_deg 39): proportional split,
+    # reverse slots preserved
+    f = _forward_split(p, 39)
+    assert 1 <= f <= 38, f
+    assert f == round(39 * 48 / 64)
+    # degenerate degrees
+    assert _forward_split(p, 1) == 1
+    # default 0 -> None (augment's keep//2 split)
+    assert _forward_split(CagraParams(), 64) is None
+    # pure-forward request stays pure-forward even when shrunk
+    pf = CagraParams(graph_degree=64, forward_edges=64)
+    assert _forward_split(pf, 39) == 39

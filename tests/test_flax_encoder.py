@@ -99,3 +99,32 @@ def test_sentence_encoder_end_to_end(tiny_pair):
     np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, rtol=1e-4)
     np.testing.assert_allclose(emb[0], emb[2], rtol=1e-5)  # deterministic
     assert not np.allclose(emb[0], emb[1])
+
+
+def test_st_pooling_mode_local_config(tmp_path):
+    """from_pretrained must honor the checkpoint's own 1_Pooling config
+    (nq-distilbert-base-v1 is CLS-pooled, not mean)."""
+    import json
+
+    from cuvs_rag_tpu.models.flax_encoder import st_pooling_mode
+
+    d = tmp_path / "ckpt"
+    (d / "1_Pooling").mkdir(parents=True)
+    (d / "1_Pooling" / "config.json").write_text(json.dumps(
+        {"pooling_mode_cls_token": True, "pooling_mode_mean_tokens": False}
+    ))
+    assert st_pooling_mode(str(d)) == "cls"
+    (d / "1_Pooling" / "config.json").write_text(json.dumps(
+        {"pooling_mode_cls_token": False, "pooling_mode_mean_tokens": True}
+    ))
+    assert st_pooling_mode(str(d)) == "mean"
+
+
+def test_st_pooling_mode_known_checkpoint_fallback():
+    """Offline fallback: DPR-style checkpoints map to CLS by name; unknown
+    names return None (caller keeps its default)."""
+    from cuvs_rag_tpu.models.flax_encoder import st_pooling_mode
+
+    assert st_pooling_mode(
+        "sentence-transformers/nq-distilbert-base-v1") == "cls"
+    assert st_pooling_mode("some-org/totally-unknown-model") is None
