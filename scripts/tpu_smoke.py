@@ -135,6 +135,40 @@ def main():
         jax.block_until_ready(i_xla)
         _check(f"pallas_ivf {sdtype} vs XLA fallback", i, i_xla, 0.95)
 
+    # --- Qwen flash-attention kernel (models/flax_qwen use_flash path) ---
+    # Compile AND execute the Pallas TPU flash-attention block (causal +
+    # segment-id pad masking) and check parity against the dense-softmax
+    # path. CI only cross-lowers this kernel (test_flax_qwen.py); without
+    # this, a Mosaic execution regression in the encoder's 8192-token path
+    # would ship unseen — the exact failure mode the smoke exists for.
+    if jax.default_backend() != "cpu":
+        from cuvs_rag_tpu.models import flax_qwen as fq
+
+        cfg = fq.QwenConfig(
+            vocab_size=128, hidden_size=64, num_layers=1, num_heads=2,
+            num_kv_heads=1, head_dim=128, intermediate_size=128,
+        )
+        qrng = np.random.default_rng(3)
+        mask = np.ones((1, 512), np.int32)
+        mask[:, 400:] = 0  # right padding exercises the segment-id path
+        ids = qrng.integers(0, 128, (1, 512)).astype(np.int32) * mask
+        ids_j, mask_j = jnp.asarray(ids), jnp.asarray(mask)
+        params = fq.QwenModel(cfg, use_flash=False).init(
+            jax.random.PRNGKey(0), ids_j, mask_j
+        )
+        dense = np.asarray(
+            fq.QwenModel(cfg, use_flash=False).apply(params, ids_j, mask_j)
+        )
+        flash = np.asarray(
+            fq.QwenModel(cfg, use_flash=True).apply(params, ids_j, mask_j)
+        )
+        valid = mask[0].astype(bool)
+        err = float(np.abs(flash[0, valid] - dense[0, valid]).max())
+        assert err < 0.08, f"flash-vs-dense mismatch: {err}"
+        print(f"qwen flash-attention S=512: max|delta| vs dense {err:.4f}")
+    else:
+        print("qwen flash-attention: skipped (CPU backend cannot execute)")
+
     print("TPU_SMOKE OK")
     return 0
 
