@@ -206,3 +206,32 @@ def test_build_from_chunks_matches_build(clustered_data, dtype):
     d2, i2 = ivf_flat.search(sp, ix2, jnp.asarray(queries), 10)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-4, atol=1e-4)
+
+
+def test_build_from_chunks_matches_build_skewed(rng):
+    """Spill-path parity: on a skewed corpus (balance cap exceeded) the
+    chunked and one-shot builds must still run the SAME assignment
+    machinery (one top-t pass + capacity balancing) and produce identical
+    search results."""
+    d = 32
+    centers = rng.standard_normal((16, d)).astype(np.float32)
+    # 80% of rows crowd one centroid -> its list exceeds cap, forcing the
+    # admission-controlled spill passes in both build paths
+    n = 4800
+    crowd = centers[0] + 0.01 * rng.standard_normal((n * 4 // 5, d))
+    rest = centers[rng.integers(1, 16, n - crowd.shape[0])] \
+        + 0.01 * rng.standard_normal((n - crowd.shape[0], d))
+    data = np.concatenate([crowd, rest]).astype(np.float32)
+    queries = rng.standard_normal((8, d)).astype(np.float32)
+    params = IVFFlatParams(n_lists=16, kmeans_sample=1200, balance_factor=1.5)
+    ix1 = ivf_flat.build(params, jnp.asarray(data))
+    ix2 = ivf_flat.build_from_chunks(
+        params, lambda i: jnp.asarray(data[i * 1200:(i + 1) * 1200]),
+        n, d, n_chunks=4,
+    )
+    sp = IVFFlatSearchParams(n_probes=8)
+    d1, i1 = ivf_flat.search(sp, ix1, jnp.asarray(queries), 10)
+    d2, i2 = ivf_flat.search(sp, ix2, jnp.asarray(queries), 10)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
+                               rtol=1e-4, atol=1e-4)
