@@ -293,5 +293,10 @@ def load_sharded(prefix: str, dmesh, params: Any = None) -> Any:
     rows = np.concatenate(
         [np.asarray(recover_rows(p)) for p in parts], axis=0
     )
-    assert rows.shape[0] == meta["total"], (rows.shape, meta["total"])
+    if rows.shape[0] != meta["total"]:
+        # corrupted/truncated checkpoint — must fail under `python -O` too
+        raise ValueError(
+            f"sharded checkpoint is corrupt: recovered {rows.shape[0]} rows, "
+            f"meta says {meta['total']}"
+        )
     return psearch.build_sharded(meta["family"], params, rows, dmesh)

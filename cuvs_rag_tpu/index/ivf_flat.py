@@ -184,7 +184,10 @@ def build_from_chunks(
     on one 16 GB v5e. Produces the same index as build() on the
     concatenated chunks (same assignment, layout, and search results).
     """
-    assert n % n_chunks == 0, (n, n_chunks)
+    if n % n_chunks != 0:
+        # a precondition, not a dev invariant: under `python -O` an assert
+        # here would silently drop the trailing n % n_chunks rows
+        raise ValueError(f"n ({n}) must divide into n_chunks ({n_chunks})")
     chunk_rows = n // n_chunks
     n_lists = min(params.n_lists or default_n_lists(n), n)
     metric = params.metric
