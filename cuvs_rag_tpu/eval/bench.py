@@ -99,14 +99,26 @@ def scaling_stress(
     k: int = 10,
     dmesh: Optional[DeviceMesh] = None,
     sharded: bool = False,
+    chunked: bool = False,
     eval_recall: bool = True,
     seed: int = 42,
 ) -> List[StressRow]:
     """Breaking-point protocol: build+search at growing sizes, stop at first
     failure (cuVS_Scaling_Stress_Test.ipynb#cell12-14). Adds recall@10 vs
-    exact GT per size (the reference's missing oracle)."""
+    exact GT per size (the reference's missing oracle).
+
+    chunked=True is the memory-optimized protocol (the reference's
+    cuVS_Scaling_Stress_Test_MEMORY_OPTIMIZED.ipynb#cell13 chunked variant):
+    the corpus arrives as regenerated device chunks through
+    `build_from_chunks`, so only the final index layout is ever resident —
+    the breaking point probes the INDEX's HBM footprint, not corpus+index.
+    Ground truth streams over the same regenerated chunks."""
+    if chunked and sharded:
+        raise ValueError("chunked and sharded modes are mutually exclusive")
     psearch._load_families()
     mod = psearch.FAMILIES[family]
+    if chunked and not hasattr(mod, "build_from_chunks"):
+        raise ValueError(f"family {family!r} has no chunked build")
     rows: List[StressRow] = []
     rng = np.random.default_rng(seed)
     queries = rng.standard_normal((n_queries, dim)).astype(np.float32)
@@ -128,12 +140,45 @@ def scaling_stress(
         ]
         return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
 
+    def chunk_plan(n, target=262_144):
+        # smallest chunk count giving chunks <= target that still divides n
+        n_chunks = max(1, -(-n // target))
+        while n % n_chunks:
+            n_chunks += 1
+        return n_chunks, n // n_chunks
+
+    def chunk_maker(n):
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), n)
+        n_chunks, chunk_rows = chunk_plan(n)
+        mk = jax.jit(
+            lambda k, r: jax.random.normal(k, (r, dim), jnp.bfloat16),
+            static_argnames="r",
+        )
+        return (lambda i: mk(jax.random.fold_in(key, i), chunk_rows),
+                n_chunks, chunk_rows)
+
+    index = do_search = None
     for n in sizes:
-        corpus = device_corpus(n)
+        # release the previous size's index BEFORE allocating this size's
+        # corpus/layout — two resident layouts is a false breaking point
+        index = do_search = None  # noqa: F841
+        corpus = None if chunked else device_corpus(n)
         try:
             params = make_params(n)
             t0 = time.perf_counter()
-            if sharded:
+            if chunked:
+                chunk_fn, n_chunks, chunk_rows = chunk_maker(n)
+                index = mod.build_from_chunks(
+                    params, chunk_fn, n, dim, n_chunks=n_chunks
+                )
+                _drain(index)
+                build_s = time.perf_counter() - t0
+
+                def do_search():
+                    return mod.search(
+                        search_params_fn(n), index, jnp.asarray(queries), k
+                    )
+            elif sharded:
                 dm = dmesh or DeviceMesh()
                 index = psearch.build_sharded(family, params, corpus, dm)
                 _drain(index.local)
@@ -159,9 +204,15 @@ def scaling_stress(
                 _, idx = do_search()
                 # device-streamed oracle: the corpus never crosses to host
                 # (a 2M x 768 D2H measured minutes through the test tunnel)
-                gt = recall_lib.exact_ground_truth_streamed(
-                    corpus, queries, k, Metric.SQEUCLIDEAN,
-                )
+                if chunked:
+                    gt = recall_lib.exact_ground_truth_chunks(
+                        chunk_fn, n_chunks, chunk_rows, queries, k,
+                        Metric.SQEUCLIDEAN,
+                    )
+                else:
+                    gt = recall_lib.exact_ground_truth_streamed(
+                        corpus, queries, k, Metric.SQEUCLIDEAN,
+                    )
                 r = recall_lib.recall_at_k(np.asarray(idx), gt, k)
             rows.append(
                 StressRow(

@@ -87,6 +87,28 @@ def exact_ground_truth_streamed(
     return np.asarray(best_i)
 
 
+def exact_ground_truth_chunks(
+    chunk_fn, n_chunks: int, chunk_rows: int,
+    queries: np.ndarray, k: int, metric: str,
+) -> np.ndarray:
+    """(Q, k) exact ids from a corpus that is never fully resident: chunk i
+    arrives via `chunk_fn(i) -> (chunk_rows, D)` (regenerated or loaded per
+    call, matching the build_from_chunks flow). Only the running top-k and
+    one chunk live on device at a time."""
+    q = jnp.asarray(queries, jnp.float32)
+    from cuvs_rag_tpu.ops import distance as dist_ops
+
+    qn = dist_ops.l2_normalize(q) if metric == Metric.COSINE else q
+    best_s = jnp.full((q.shape[0], k), -jnp.inf, jnp.float32)
+    best_i = jnp.full((q.shape[0], k), -1, jnp.int32)
+    for i in range(n_chunks):
+        best_s, best_i = _gt_chunk_step(
+            i * chunk_rows, jnp.asarray(chunk_fn(i)), best_s, best_i, qn,
+            metric,
+        )
+    return np.asarray(best_i)
+
+
 # Module-level jit: one compiled program per (metric, shapes) for the life of
 # the process. A closure-level @jax.jit here recompiled the chunk scan on
 # EVERY exact_ground_truth_streamed call (~seconds per bench data point —

@@ -31,6 +31,10 @@ def main():
                    default=[100_000, 250_000, 500_000, 1_000_000, 2_000_000])
     p.add_argument("--dim", type=int, default=768)
     p.add_argument("--sharded", action="store_true")
+    p.add_argument("--chunked", action="store_true",
+                   help="memory-optimized protocol: build_from_chunks with "
+                        "regenerated device chunks — only the index layout "
+                        "is ever resident (MEMORY_OPTIMIZED#cell13 parity)")
     p.add_argument("--no-recall", action="store_true",
                    help="skip exact-GT recall (faster at large sizes)")
     p.add_argument("--csv", default="")
@@ -51,7 +55,7 @@ def main():
 
     rows = bench_lib.scaling_stress(
         args.family, make_params, args.sizes, args.dim,
-        search_params_fn=sp, sharded=args.sharded,
+        search_params_fn=sp, sharded=args.sharded, chunked=args.chunked,
         eval_recall=not args.no_recall,
     )
     print(bench_lib.format_table(rows))

@@ -39,6 +39,38 @@ def test_scaling_stress_completes(rng):
     assert "n_vectors" in table
 
 
+def test_scaling_stress_chunked():
+    # memory-optimized protocol: the corpus arrives as regenerated device
+    # chunks (build_from_chunks); recall streams GT over the same chunks
+    rows = bench_lib.scaling_stress(
+        "ivf_flat",
+        make_params=lambda n: IVFFlatParams(n_lists=8),
+        sizes=[512, 1024],
+        dim=16,
+        search_params_fn=lambda n: IVFFlatSearchParams(n_probes=8),
+        n_queries=3,
+        k=5,
+        chunked=True,
+    )
+    assert len(rows) == 2
+    assert all(r.ok for r in rows), [r.error for r in rows]
+    assert all(r.recall_at_10 == 1.0 for r in rows)  # full probe -> exact
+
+
+def test_scaling_stress_chunked_rejects_unsupported():
+    import pytest
+
+    with pytest.raises(ValueError, match="chunked"):
+        bench_lib.scaling_stress(
+            "cagra", lambda n: None, sizes=[64], dim=8, chunked=True,
+        )
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        bench_lib.scaling_stress(
+            "ivf_flat", lambda n: None, sizes=[64], dim=8,
+            chunked=True, sharded=True,
+        )
+
+
 def test_scaling_stress_breaking_point():
     # a params factory that fails at the second size exercises the
     # breaking-point protocol
