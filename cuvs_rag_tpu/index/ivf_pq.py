@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cuvs_rag_tpu.index import base
+from cuvs_rag_tpu.index import ivf_flat as ivf_flat_mod
 from cuvs_rag_tpu.ops import distance as dist_ops
 from cuvs_rag_tpu.ops import ivf as ivf_ops
 from cuvs_rag_tpu.ops import kmeans as kmeans_ops
@@ -197,6 +198,185 @@ def build(params: IVFPQParams, dataset: jax.Array, seed: int = 0) -> IVFPQIndex:
         rotation=rotation,
         n_valid=jnp.asarray(n, jnp.int32),
         metric=params.metric,
+        max_list_size=max_list,
+        dim=d,
+        levels=levels,
+    )
+
+
+def build_from_chunks(
+    params: IVFPQParams,
+    chunk_fn,
+    n: int,
+    d: int,
+    *,
+    n_chunks: int,
+    seed: int = 0,
+) -> IVFPQIndex:
+    """Memory-bounded PQ build: the corpus arrives as `n_chunks` device
+    chunks via chunk_fn(i) -> (n // n_chunks, d) float array (loaded or
+    regenerated per call), and only the code layout (+ optional raw store)
+    is ever resident.
+
+    This is the FAISS train-on-sample / add-in-batches flow
+    (faiss-main.ipynb#cell7 force_gpu_allocation) at PQ compression: with
+    store_raw=False the layout costs pq_dim bytes/row + fp32 sidecars
+    (~104 B/row at 768-d — 30x under bf16), so corpora far past the
+    resident-corpus limit build and serve on one chip. Produces the same
+    index as build() on the concatenated chunks.
+    """
+    if n % n_chunks != 0:
+        raise ValueError(f"n ({n}) must divide into n_chunks ({n_chunks})")
+    chunk_rows = n // n_chunks
+    m = params.pq_dim or default_pq_dim(d)
+    n_codes = 2 ** params.pq_bits
+    levels = 2 if (params.pq_bits == 8 and params.two_level) else 1
+    packed = levels == 2 or (n_codes <= 16 and m % 2 == 0)
+    metric = params.metric
+    key = jax.random.PRNGKey(seed)
+    k1, k2 = jax.random.split(key)
+
+    def prep(x):
+        x = jnp.asarray(x)
+        if metric == Metric.COSINE:
+            x = dist_ops.l2_normalize(x).astype(x.dtype)
+        return _pad_dim(x, m)
+
+    # --- pass 0: coarse quantizer + PQ codebooks on a sample -------------
+    sample_rows = min(n, params.kmeans_sample)
+    pieces, got = [], 0
+    raw_dtype = None
+    for i in range(n_chunks):
+        if got >= sample_rows:
+            break
+        c = prep(chunk_fn(i))
+        if raw_dtype is None:
+            raw_dtype = c.dtype
+        take = min(chunk_rows, sample_rows - got)
+        pieces.append(c[:take].astype(jnp.float32))
+        del c
+        got += take
+    n_lists = min(params.n_lists or default_n_lists(n), got)
+    sample_pad = topk_ops.round_up(got, 8)
+    sample = topk_ops.pad_rows(jnp.concatenate(pieces), sample_pad)
+    del pieces
+    sweights = (jnp.arange(sample_pad) < got).astype(jnp.float32)
+    centroids, _ = kmeans_ops.kmeans(
+        sample, sweights, k1, n_clusters=n_lists, iters=params.kmeans_iters
+    )
+
+    pq_n = min(got, params.pq_train_sample)
+    pq_pad = topk_ops.round_up(pq_n, 8)
+    pq_sample = sample[:pq_pad]
+    pq_w = (jnp.arange(pq_pad) < pq_n).astype(jnp.float32)
+    res_sample = pq_sample - centroids[
+        kmeans_ops.assign_clusters(pq_sample, centroids)
+    ]
+    if params.opq:
+        rotation = pq_ops.train_opq_rotation(
+            res_sample, pq_w, jax.random.fold_in(k2, 1),
+            m=m, n_codes=n_codes, iters=params.opq_iters,
+        )
+        res_sample = res_sample @ rotation.T
+    else:
+        rotation = jnp.zeros((0, 0), jnp.float32)
+    if levels == 2:
+        codebooks = pq_ops.train_two_level_codebooks(
+            res_sample, pq_w, k2, m=m, iters=params.pq_kmeans_iters,
+        )
+    else:
+        codebooks = pq_ops.train_codebooks(
+            res_sample, pq_w, k2, m=m, n_codes=n_codes,
+            iters=params.pq_kmeans_iters,
+        )
+    del sample, pq_sample, res_sample
+
+    # --- pass 1: capacity-bounded assignment, chunk by chunk (device) ----
+    # Only the (C,) counts cross to host (static shapes); a D2H of the
+    # (N, t) candidates costs minutes through the test tunnel at 10M+.
+    tops, margs = [], []
+    t_pref = int(min(8, n_lists))
+    for i in range(n_chunks):
+        t, mg = kmeans_ops.assign_topk_clusters(
+            prep(chunk_fn(i)), centroids, t=t_pref
+        )
+        tops.append(t)
+        margs.append(mg)
+    top = jnp.concatenate(tops)
+    margins = jnp.concatenate(margs)
+    del tops, margs
+    valid = jnp.ones((n,), bool)
+    if params.balance_factor > 0 and n_lists > 1:
+        cap_per = max(8, int(-(-params.balance_factor * n // n_lists)))
+        labels = kmeans_ops.balance_assignments_device(
+            top, margins, valid, n_lists=n_lists, cap=cap_per
+        )
+    else:
+        labels = top[:, 0].astype(jnp.int32)
+    del top, margins
+    counts = np.asarray(ivf_ops.list_counts_device(labels, valid, centroids))
+    max_list = int(topk_ops.round_up(max(int(counts.max()), 8), ivf_ops.ALIGN))
+    capacity = ivf_ops.capacity_for(
+        topk_ops.round_up(n, 8), n_lists, max_list
+    )
+    pos_of_row, row_ids, offsets, counts_d = ivf_flat_mod._chunks_placement(
+        labels, valid, n_lists=n_lists, capacity=capacity
+    )
+
+    # --- pass 2: encode + scatter chunks into the code layout ------------
+    dp = topk_ops.round_up(d, m)
+    code_cols = m if levels == 2 else (m // 2 if packed else m)
+    code_buf = jnp.zeros((capacity, code_cols), jnp.uint8)
+    corr_buf = jnp.zeros((capacity if levels == 2 else 0,), jnp.float32)
+    raw_buf = jnp.zeros(
+        (capacity if params.store_raw else 0, dp), raw_dtype
+    )
+    raw_sq_buf = jnp.zeros((capacity if params.store_raw else 0,), jnp.float32)
+
+    # donated buffers: XLA updates in place, so peak memory is one layout
+    # plus one working chunk (same discipline as ivf_flat.build_from_chunks)
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+    def scatter(cbuf, corrbuf, rawbuf, rawsqbuf, x, codes_u, pos):
+        if levels == 2:
+            corrbuf = corrbuf.at[pos].set(
+                pq_ops.norm_correction(codes_u, codebooks)
+            )
+            codes = pq_ops.pack_nibbles(codes_u)
+        else:
+            codes = pq_ops.pack_nibbles(codes_u) if packed else codes_u
+        cbuf = cbuf.at[pos].set(codes)
+        if params.store_raw:
+            rawbuf = rawbuf.at[pos].set(x)
+            rawsqbuf = rawsqbuf.at[pos].set(dist_ops.sqnorms(x))
+        return cbuf, corrbuf, rawbuf, rawsqbuf
+
+    for i in range(n_chunks):
+        sl = slice(i * chunk_rows, (i + 1) * chunk_rows)
+        x = prep(chunk_fn(i))
+        codes_u = _encode_chunked(
+            x, labels[sl], centroids, codebooks,
+            rotation if params.opq else None, levels=levels,
+        )
+        code_buf, corr_buf, raw_buf, raw_sq_buf = scatter(
+            code_buf, corr_buf, raw_buf, raw_sq_buf, x, codes_u,
+            pos_of_row[sl],
+        )
+        del x, codes_u
+
+    return IVFPQIndex(
+        codes=code_buf,
+        row_ids=row_ids,
+        centroids=centroids,
+        centroid_sqnorms=dist_ops.sqnorms(centroids),
+        codebooks=codebooks,
+        list_offsets=offsets,
+        list_counts=jnp.minimum(counts_d, max_list),
+        raw_vectors=raw_buf,
+        raw_sqnorms=raw_sq_buf,
+        norm_corr=corr_buf,
+        rotation=rotation,
+        n_valid=jnp.asarray(n, jnp.int32),
+        metric=metric,
         max_list_size=max_list,
         dim=d,
         levels=levels,

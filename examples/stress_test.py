@@ -37,12 +37,15 @@ def main():
                         "is ever resident (MEMORY_OPTIMIZED#cell13 parity)")
     p.add_argument("--no-recall", action="store_true",
                    help="skip exact-GT recall (faster at large sizes)")
+    p.add_argument("--dtype", default="auto",
+                   help="storage dtype for flat/ivf_flat (auto keeps the "
+                        "corpus dtype; int8 probes the SQ8 capacity limit)")
     p.add_argument("--csv", default="")
     args = p.parse_args()
 
     make_params = {
-        "flat": lambda n: FlatParams(dtype="bfloat16"),
-        "ivf_flat": lambda n: IVFFlatParams(),
+        "flat": lambda n: FlatParams(dtype=args.dtype),
+        "ivf_flat": lambda n: IVFFlatParams(dtype=args.dtype),
         "ivf_pq": lambda n: IVFPQParams(),
         "cagra": lambda n: CagraParams(),
     }[args.family]

@@ -1,0 +1,149 @@
+"""PQ capacity benchmark: a corpus far past HBM served from ONE v5e.
+
+The chunked PQ build (ivf_pq.build_from_chunks) keeps only the code layout
+resident — at store_raw=False a 768-d vector costs pq_dim bytes + ~8 B of
+fp32 sidecars, so 30M x 768 (92 GB fp32 / 46 GB bf16) fits a 16 GB chip
+with room to spare. The corpus is deterministic (jax.random per chunk):
+build streams chunks and the exact ground truth re-generates them, so
+recall stays certified at sizes where no raw store can exist (ADC-only —
+no refine re-rank).
+
+Reference context: cuVS IVF-PQ's value proposition is the same memory
+saving (VectorSearch_QuestionRetrieval.ipynb#cell8: 75% saved at 2M); the
+reference never demonstrated a corpus larger than device memory.
+"""
+
+# runnable from any cwd: put the repo root on sys.path
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=30_000_000)
+    p.add_argument("--dim", type=int, default=768)
+    p.add_argument("--chunk-rows", type=int, default=250_000)
+    p.add_argument("--n-lists", type=int, default=8192)
+    p.add_argument("--pq-bits", type=int, default=8)
+    p.add_argument("--pq-dim", type=int, default=0, help="0 = dim // 8")
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--batch", type=int, default=100)
+    p.add_argument("--probes", type=int, nargs="+", default=[20, 40, 64])
+    p.add_argument("--store-raw", action="store_true",
+                   help="keep the raw store for refine (only fits small --n)")
+    p.add_argument("--refine", type=int, default=0,
+                   help="refine_ratio when --store-raw is set")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from cuvs_rag_tpu.index import ivf_pq
+    from cuvs_rag_tpu.ops import distance as dist_ops
+    from cuvs_rag_tpu.ops import topk as topk_ops
+    from cuvs_rag_tpu.utils.config import IVFPQParams, IVFPQSearchParams
+
+    n, d = args.n, args.dim
+    if n % args.chunk_rows:
+        raise SystemExit("--n must be a multiple of --chunk-rows")
+    n_chunks = n // args.chunk_rows
+    rows = args.chunk_rows
+    key = jax.random.PRNGKey(42)
+    kc = jax.random.fold_in(key, 999)
+    centers = jax.random.normal(kc, (args.n_lists, d), jnp.float32)
+
+    @jax.jit
+    def make_chunk(i):
+        k = jax.random.fold_in(key, i)
+        idx = jax.random.randint(k, (rows,), 0, args.n_lists)
+        # sigma 1.0: overlapping clusters (see scripts/bench_10m.py note)
+        return (centers[idx] + 1.0 * jax.random.normal(k, (rows, d))
+                ).astype(jnp.bfloat16)
+
+    qk = jax.random.fold_in(key, 777)
+    queries = (
+        centers[jax.random.randint(qk, (args.batch,), 0, args.n_lists)]
+        + 1.0 * jax.random.normal(qk, (args.batch, d))
+    ).astype(jnp.float32)
+    jax.block_until_ready(queries)
+
+    # --- exact ground truth, streaming over regenerated chunks ----------
+    @jax.jit
+    def gt_step(i, carry):
+        best_s, best_i = carry
+        c = make_chunk(i)
+        sq = dist_ops.sqnorms(c)
+        s, idx = topk_ops.flat_topk_search_nojit(
+            c, sq, queries.astype(jnp.bfloat16), jnp.int32(rows),
+            k=args.k, metric="sqeuclidean", tile_n=12_500,
+        )
+        idx = jnp.where(idx >= 0, idx + i * rows, -1)
+        return topk_ops.merge_topk(
+            jnp.concatenate([best_s, s], axis=1),
+            jnp.concatenate([best_i, idx], axis=1), args.k,
+        )
+
+    t0 = time.time()
+    best = (jnp.full((args.batch, args.k), -jnp.inf),
+            jnp.full((args.batch, args.k), -1, jnp.int32))
+    for i in range(n_chunks):
+        best = gt_step(jnp.int32(i), best)
+    gt = np.asarray(best[1])
+    print(f"exact GT (streamed, bf16) {time.time()-t0:.0f}s", flush=True)
+
+    # --- memory-bounded PQ build -----------------------------------------
+    params = IVFPQParams(
+        n_lists=args.n_lists, pq_bits=args.pq_bits, pq_dim=args.pq_dim,
+        kmeans_sample=250_000, store_raw=args.store_raw,
+    )
+    t0 = time.time()
+    ix = ivf_pq.build_from_chunks(
+        params, lambda i: make_chunk(jnp.int32(i)), n, d, n_chunks=n_chunks,
+    )
+    jax.block_until_ready(ix.codes)
+    build_s = time.time() - t0
+    layout_gb = (ix.codes.nbytes + ix.row_ids.nbytes + ix.norm_corr.nbytes
+                 + ix.raw_vectors.nbytes) / 1e9
+    print(f"build {build_s:.0f}s  codes {ix.codes.nbytes/1e9:.2f} GB "
+          f"(layout total {layout_gb:.2f} GB, {n*d*4/1e9:.0f} GB fp32 raw) "
+          f"window {ix.max_list_size}  levels {ix.levels}", flush=True)
+
+    reps = 10
+    qrs = [
+        queries + 0.01 * jax.random.normal(jax.random.fold_in(key, 5000 + r),
+                                           queries.shape)
+        for r in range(reps)
+    ]
+    _ = [q.block_until_ready() for q in qrs]
+
+    for np_ in args.probes:
+        sp = IVFPQSearchParams(
+            n_probes=np_, refine_ratio=args.refine if args.store_raw else 0,
+        )
+        _, i = ivf_pq.search(sp, ix, qrs[0], args.k)
+        i0 = np.asarray(i)
+        rec = np.mean(
+            [len(set(i0[r]) & set(gt[r])) / args.k for r in range(args.batch)]
+        )
+        t_best = 1e9
+        for _t in range(2):
+            t0 = time.perf_counter()
+            last = None
+            for q in qrs:
+                last = ivf_pq.search(sp, ix, q, args.k)
+            _ = np.asarray(last[0])
+            t_best = min(t_best, (time.perf_counter() - t0) / reps)
+        print(f"nprobe={np_}: {t_best*1e3:.2f} ms/batch "
+              f"{t_best/args.batch*1e3:.4f} ms/q  qps={args.batch/t_best:.0f}  "
+              f"recall@{args.k}={rec:.3f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -347,3 +347,49 @@ def test_ivf_pq_extend_fast_path_geometry(data):
     np.testing.assert_array_equal(np.asarray(ix.list_offsets), offsets_after)
     assert ix.max_list_size == ml_after
     assert int(ix.n_valid) == 4000
+
+
+@pytest.mark.parametrize("cfg", [
+    dict(pq_bits=4),
+    dict(pq_bits=8),  # two-level additive default
+    dict(pq_bits=4, opq=True),
+    dict(pq_bits=4, store_raw=False),
+])
+def test_build_from_chunks_matches_build(data, cfg):
+    # the memory-bounded chunked PQ build must produce the same index as
+    # the one-shot build on the concatenated chunks (codes, layout, and
+    # search results) across the fastscan/two-level/OPQ/no-raw configs
+    corpus, queries = data
+    n, d = corpus.shape
+    params = IVFPQParams(n_lists=16, pq_dim=8, kmeans_sample=1000, **cfg)
+    ix1 = ivf_pq.build(params, jnp.asarray(corpus))
+    ix2 = ivf_pq.build_from_chunks(
+        params, lambda i: jnp.asarray(corpus[i * 1000:(i + 1) * 1000]),
+        n, d, n_chunks=4,
+    )
+    assert int(ix2.n_valid) == n
+    assert ix2.levels == ix1.levels
+    assert ix2.codes.shape == ix1.codes.shape
+    assert ix2.codes.dtype == ix1.codes.dtype
+    assert ix2.has_raw == ix1.has_raw
+    np.testing.assert_array_equal(
+        np.asarray(ix1.row_ids), np.asarray(ix2.row_ids)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ix1.codes), np.asarray(ix2.codes)
+    )
+    sp = IVFPQSearchParams(n_probes=8)
+    d1, i1 = ivf_pq.search(sp, ix1, jnp.asarray(queries), 10)
+    d2, i2 = ivf_pq.search(sp, ix2, jnp.asarray(queries), 10)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(
+        np.asarray(d1), np.asarray(d2), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_build_from_chunks_rejects_ragged(data):
+    corpus, _ = data
+    with pytest.raises(ValueError, match="divide"):
+        ivf_pq.build_from_chunks(
+            IVFPQParams(n_lists=8), lambda i: corpus, 4001, 32, n_chunks=4,
+        )
