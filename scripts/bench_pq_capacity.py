@@ -40,6 +40,16 @@ def main():
                    help="keep the raw store for refine (only fits small --n)")
     p.add_argument("--refine", type=int, default=0,
                    help="refine_ratio when --store-raw is set")
+    p.add_argument("--opq", action="store_true",
+                   help="train an OPQ rotation (concentrates low-rank "
+                        "signal into codable subspaces)")
+    p.add_argument("--intrinsic-dim", type=int, default=64,
+                   help="corpus lies near an r-dim subspace of R^dim "
+                        "(realistic embedding spectrum — text-embedding "
+                        "PCA decays fast). 0 = full-rank pure-noise "
+                        "residuals, the adversarial floor for ADC-only PQ "
+                        "(measured 0.199 recall@10 at 30M - no refine "
+                        "store fits beyond HBM)")
     args = p.parse_args()
 
     import jax
@@ -57,21 +67,37 @@ def main():
     rows = args.chunk_rows
     key = jax.random.PRNGKey(42)
     kc = jax.random.fold_in(key, 999)
-    centers = jax.random.normal(kc, (args.n_lists, d), jnp.float32)
+    r = args.intrinsic_dim
+    if r:
+        # Low-intrinsic-dimension corpus: cluster centers AND noise live in
+        # an r-dim subspace (+ tiny full-rank jitter), matching real text
+        # embeddings whose PCA spectrum decays fast. Cluster noise sigma
+        # 1.0 in the subspace keeps clusters overlapping (hard for the
+        # coarse quantizer) while residuals stay PQ-codable.
+        proj = jax.random.orthogonal(jax.random.fold_in(kc, 1), d)[:r]
+        centers_z = jax.random.normal(kc, (args.n_lists, r), jnp.float32)
+        centers = centers_z @ proj
+
+        def sample(k, idx, m):
+            z = centers_z[idx] + 1.0 * jax.random.normal(k, (m, r))
+            eps = 0.02 * jax.random.normal(jax.random.fold_in(k, 1), (m, d))
+            return z @ proj + eps
+    else:
+        centers = jax.random.normal(kc, (args.n_lists, d), jnp.float32)
+
+        def sample(k, idx, m):
+            # sigma 1.0 full-rank: pure-noise residuals (bench_10m.py note)
+            return centers[idx] + 1.0 * jax.random.normal(k, (m, d))
 
     @jax.jit
     def make_chunk(i):
         k = jax.random.fold_in(key, i)
         idx = jax.random.randint(k, (rows,), 0, args.n_lists)
-        # sigma 1.0: overlapping clusters (see scripts/bench_10m.py note)
-        return (centers[idx] + 1.0 * jax.random.normal(k, (rows, d))
-                ).astype(jnp.bfloat16)
+        return sample(k, idx, rows).astype(jnp.bfloat16)
 
     qk = jax.random.fold_in(key, 777)
-    queries = (
-        centers[jax.random.randint(qk, (args.batch,), 0, args.n_lists)]
-        + 1.0 * jax.random.normal(qk, (args.batch, d))
-    ).astype(jnp.float32)
+    qidx = jax.random.randint(qk, (args.batch,), 0, args.n_lists)
+    queries = sample(qk, qidx, args.batch).astype(jnp.float32)
     jax.block_until_ready(queries)
 
     # --- exact ground truth, streaming over regenerated chunks ----------
@@ -101,7 +127,7 @@ def main():
     # --- memory-bounded PQ build -----------------------------------------
     params = IVFPQParams(
         n_lists=args.n_lists, pq_bits=args.pq_bits, pq_dim=args.pq_dim,
-        kmeans_sample=250_000, store_raw=args.store_raw,
+        kmeans_sample=250_000, store_raw=args.store_raw, opq=args.opq,
     )
     t0 = time.time()
     ix = ivf_pq.build_from_chunks(
