@@ -20,6 +20,7 @@ import sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import argparse
+import functools
 import time
 
 import numpy as np
@@ -40,6 +41,12 @@ def main():
                    help="keep the raw store for refine (only fits small --n)")
     p.add_argument("--refine", type=int, default=0,
                    help="refine_ratio when --store-raw is set")
+    p.add_argument("--refine-external", type=int, default=0,
+                   help="OUT-OF-CORE refine: refine_ratio served through "
+                        "ivf_pq.search(fetch_rows=...) — candidate raw rows "
+                        "come from outside HBM (here: regenerated chunks; "
+                        "in production: host RAM / disk mmap). Only codes "
+                        "stay device-resident")
     p.add_argument("--opq", action="store_true",
                    help="train an OPQ rotation (concentrates low-rank "
                         "signal into codable subspaces)")
@@ -141,7 +148,33 @@ def main():
           f"(layout total {layout_gb:.2f} GB, {n*d*4/1e9:.0f} GB fp32 raw) "
           f"window {ix.max_list_size}  levels {ix.levels}", flush=True)
 
-    reps = 10
+    fetch_rows = None
+    if args.refine_external:
+        # out-of-core raw source: regenerate the candidate rows' chunks on
+        # device, gather, one small D2H per chunk. In production this is a
+        # host-RAM ndarray / disk mmap slice; the regeneration stand-in
+        # exists because H2D of a 46+ GB corpus through the test tunnel
+        # (~35 MB/s) is not feasible — the API exercised is identical.
+        @functools.partial(jax.jit, static_argnames=())
+        def gather_chunk(i, local_idx):
+            return make_chunk(i)[local_idx]
+
+        def fetch_rows(uids):
+            out = np.empty((len(uids), d), np.float32)
+            cid = uids // rows
+            for i in np.unique(cid):
+                sel = np.where(cid == i)[0]
+                li = (uids[sel] % rows).astype(np.int32)
+                pad = int(topk_ops.round_up(max(len(li), 8), 512))
+                lip = np.zeros(pad, np.int32)
+                lip[: len(li)] = li
+                got = np.asarray(
+                    gather_chunk(jnp.int32(i), jnp.asarray(lip))
+                )[: len(li)]
+                out[sel] = got
+            return out
+
+    reps = 3 if args.refine_external else 10
     qrs = [
         queries + 0.01 * jax.random.normal(jax.random.fold_in(key, 5000 + r),
                                            queries.shape)
@@ -151,9 +184,11 @@ def main():
 
     for np_ in args.probes:
         sp = IVFPQSearchParams(
-            n_probes=np_, refine_ratio=args.refine if args.store_raw else 0,
+            n_probes=np_,
+            refine_ratio=(args.refine_external or
+                          (args.refine if args.store_raw else 0)),
         )
-        _, i = ivf_pq.search(sp, ix, qrs[0], args.k)
+        _, i = ivf_pq.search(sp, ix, qrs[0], args.k, fetch_rows=fetch_rows)
         i0 = np.asarray(i)
         rec = np.mean(
             [len(set(i0[r]) & set(gt[r])) / args.k for r in range(args.batch)]
@@ -163,7 +198,7 @@ def main():
             t0 = time.perf_counter()
             last = None
             for q in qrs:
-                last = ivf_pq.search(sp, ix, q, args.k)
+                last = ivf_pq.search(sp, ix, q, args.k, fetch_rows=fetch_rows)
             _ = np.asarray(last[0])
             t_best = min(t_best, (time.perf_counter() - t0) / reps)
         print(f"nprobe={np_}: {t_best*1e3:.2f} ms/batch "

@@ -393,3 +393,105 @@ def test_build_from_chunks_rejects_ragged(data):
         ivf_pq.build_from_chunks(
             IVFPQParams(n_lists=8), lambda i: corpus, 4001, 32, n_chunks=4,
         )
+
+
+class TestExternalRefine:
+    """Out-of-core refine: fetch_rows callback instead of a raw store."""
+
+    def test_matches_internal_refine(self, data):
+        # same candidate pool + same exact re-rank => identical top-k,
+        # whether the raw rows come from the device store or the callback
+        corpus, queries = data
+        p_raw = IVFPQParams(n_lists=16, pq_dim=8, store_raw=True)
+        p_ext = IVFPQParams(n_lists=16, pq_dim=8, store_raw=False)
+        ix_raw = ivf_pq.build(p_raw, jnp.asarray(corpus))
+        ix_ext = ivf_pq.build(p_ext, jnp.asarray(corpus))
+        sp = IVFPQSearchParams(n_probes=8, refine_ratio=16)
+        d1, i1 = ivf_pq.search(sp, ix_raw, jnp.asarray(queries), 10)
+        d2, i2 = ivf_pq.search(
+            sp, ix_ext, jnp.asarray(queries), 10,
+            fetch_rows=lambda ids: corpus[ids],
+        )
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(
+            np.asarray(d1), np.asarray(d2), rtol=1e-4, atol=1e-4
+        )
+
+    def test_improves_adc_only_recall(self, data):
+        corpus, queries = data
+        ix = ivf_pq.build(
+            IVFPQParams(n_lists=16, pq_dim=4, store_raw=False),
+            jnp.asarray(corpus),
+        )
+        gt = recall_lib.exact_ground_truth(
+            jnp.asarray(corpus), jnp.asarray(queries), 10, Metric.SQEUCLIDEAN
+        )
+        _, i_adc = ivf_pq.search(
+            IVFPQSearchParams(n_probes=8), ix, jnp.asarray(queries), 10
+        )
+        _, i_ref = ivf_pq.search(
+            IVFPQSearchParams(n_probes=8, refine_ratio=32), ix,
+            jnp.asarray(queries), 10, fetch_rows=lambda ids: corpus[ids],
+        )
+        r_adc = recall_lib.recall_at_k(np.asarray(i_adc), gt, 10)
+        r_ref = recall_lib.recall_at_k(np.asarray(i_ref), gt, 10)
+        assert r_ref > r_adc, (r_ref, r_adc)
+        assert r_ref > 0.95, r_ref
+
+    def test_callback_gets_sorted_unique_ids(self, data):
+        corpus, queries = data
+        ix = ivf_pq.build(
+            IVFPQParams(n_lists=16, pq_dim=8, store_raw=False),
+            jnp.asarray(corpus),
+        )
+        seen = []
+
+        def fetch(ids):
+            seen.append(np.asarray(ids))
+            return corpus[ids]
+
+        ivf_pq.search(
+            IVFPQSearchParams(n_probes=8, refine_ratio=8), ix,
+            jnp.asarray(queries), 10, fetch_rows=fetch,
+        )
+        assert len(seen) == 1
+        ids = seen[0]
+        assert ids.ndim == 1 and len(np.unique(ids)) == len(ids)
+        assert np.all(np.diff(ids) > 0)  # sorted ascending
+        assert ids.min() >= 0 and ids.max() < len(corpus)
+
+    def test_bad_callback_shape_rejected(self, data):
+        corpus, queries = data
+        ix = ivf_pq.build(
+            IVFPQParams(n_lists=16, pq_dim=8, store_raw=False),
+            jnp.asarray(corpus),
+        )
+        with pytest.raises(ValueError, match="fetch_rows returned"):
+            ivf_pq.search(
+                IVFPQSearchParams(n_probes=8, refine_ratio=8), ix,
+                jnp.asarray(queries), 10,
+                fetch_rows=lambda ids: corpus[ids][:, :4],
+            )
+
+    def test_cosine_metric(self, data):
+        # callback supplies UNNORMALIZED rows; the re-rank normalizes,
+        # matching the internal raw store (built normalized)
+        corpus, queries = data
+        p_raw = IVFPQParams(
+            n_lists=16, pq_dim=8, store_raw=True, metric="cosine"
+        )
+        p_ext = IVFPQParams(
+            n_lists=16, pq_dim=8, store_raw=False, metric="cosine"
+        )
+        ix_raw = ivf_pq.build(p_raw, jnp.asarray(corpus))
+        ix_ext = ivf_pq.build(p_ext, jnp.asarray(corpus))
+        sp = IVFPQSearchParams(n_probes=8, refine_ratio=16)
+        d1, i1 = ivf_pq.search(sp, ix_raw, jnp.asarray(queries), 10)
+        d2, i2 = ivf_pq.search(
+            sp, ix_ext, jnp.asarray(queries), 10,
+            fetch_rows=lambda ids: corpus[ids],
+        )
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(
+            np.asarray(d1), np.asarray(d2), rtol=1e-4, atol=1e-4
+        )
