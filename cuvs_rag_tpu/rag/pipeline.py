@@ -120,7 +120,22 @@ class Retriever:
             )
         else:
             mod = psearch.FAMILIES[self.family]
-            dists, idx = mod.search(self.search_params, self.index, q, k)
+            kwargs = {}
+            if (
+                self.family == "ivf_pq"
+                and not self.index.has_raw
+                and self.corpus.embeddings is not None
+                and getattr(self.search_params, "refine_ratio", 0) > 0
+            ):
+                # out-of-core refine: the index holds only PQ codes
+                # (store_raw=False — the beyond-HBM configuration); the
+                # exact re-rank fetches candidate raw rows from the host
+                # embedding store the Retriever already keeps
+                emb = np.asarray(self.corpus.embeddings)
+                kwargs["fetch_rows"] = lambda ids: emb[ids]
+            dists, idx = mod.search(
+                self.search_params, self.index, q, k, **kwargs
+            )
         dt = time.time() - t0
         from cuvs_rag_tpu.utils.metrics import default_registry as metrics
 

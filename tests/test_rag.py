@@ -84,3 +84,26 @@ def test_embedding_persistence_round_trip(tmp_path, rng):
 def test_corpus_alignment_validation():
     with pytest.raises(ValueError, match="row-aligned"):
         Corpus(passages=["a", "b"], embeddings=np.zeros((3, 4), np.float32))
+
+
+def test_retriever_out_of_core_refine():
+    # ivf_pq with store_raw=False: the Retriever wires its host embedding
+    # store into ivf_pq.search(fetch_rows=...) automatically when the
+    # search params request refine — codes-only on device, exact re-rank
+    # from host rows (the beyond-HBM configuration)
+    from cuvs_rag_tpu.utils.config import IVFPQParams, IVFPQSearchParams
+
+    enc = HashingEncoder(dim=128)
+    corpus = Corpus(passages=list(PASSAGES))
+    r = Retriever.build(
+        corpus, enc,
+        family="ivf_pq",
+        params=IVFPQParams(
+            n_lists=2, pq_dim=16, store_raw=False, metric=Metric.COSINE,
+        ),
+        search_params=IVFPQSearchParams(n_probes=2, refine_ratio=4),
+    )
+    assert not r.index.has_raw
+    for qi, text in enumerate(PASSAGES):
+        res = r.retrieve(text, k=1)
+        assert res.passages[0].index == qi, (qi, res.passages[0])
