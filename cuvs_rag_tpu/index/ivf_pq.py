@@ -875,51 +875,14 @@ def search(
 
 def _search_refine_external(sp, index, queries, k, fetch_rows):
     """ADC candidates -> host id fan-in -> callback rows -> device re-rank."""
+    from cuvs_rag_tpu.index import refine as refine_mod
+
     k_adc = min(k * sp.refine_ratio, k + 1024)
     sp_adc = dataclasses.replace(sp, refine_ratio=0)
     _, ids = _search_core(sp_adc, index, queries, k_adc)
-    ids_h = np.asarray(ids)  # (Q, k_adc) global row ids, -1 invalid
-    uids = np.unique(ids_h[ids_h >= 0])
-    if uids.size == 0:
+    if not np.any(np.asarray(ids) >= 0):
         return _search_core(sp, index, queries, k)
-    rows = np.asarray(fetch_rows(uids))
-    if rows.shape != (uids.size, index.dim):
-        raise ValueError(
-            f"fetch_rows returned {rows.shape}, expected "
-            f"{(uids.size, index.dim)}"
-        )
-    # bucket the unique-row count so the re-rank jit cache stays small
-    u_pad = topk_ops.round_up(max(int(uids.size), 8), 1024)
-    rows_p = np.zeros((u_pad, index.dim), np.float32)
-    rows_p[: uids.size] = rows.astype(np.float32)
-    # candidate -> fetched-row slot (exact: every valid id is in uids)
-    slot = np.searchsorted(uids, np.clip(ids_h, 0, None)).astype(np.int32)
-    slot = np.minimum(slot, uids.size - 1)
-    return _external_rerank(
-        jnp.asarray(rows_p), jnp.asarray(slot), jnp.asarray(ids_h),
-        queries, k, index.metric, index.pq_dim,
+    return refine_mod.rerank_external(
+        queries, ids, k, fetch_rows,
+        metric=index.metric, pad_dim_to=index.pq_dim,
     )
-
-
-@functools.partial(jax.jit, static_argnames=("k", "metric", "pq_dim"))
-def _external_rerank(rows_p, slot, ids, queries, k, metric, pq_dim):
-    if metric == Metric.COSINE:
-        rows_p = dist_ops.l2_normalize(rows_p)
-        queries = dist_ops.l2_normalize(queries)
-    rows_p = _pad_dim(rows_p, pq_dim)
-    q = _pad_dim(queries.astype(jnp.float32), pq_dim)
-    cand = rows_p[slot]  # (Q, C, Dp)
-    ip = jnp.einsum(
-        "qd,qcd->qc", q, cand,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    if metric == Metric.SQEUCLIDEAN:
-        exact = 2.0 * ip - dist_ops.sqnorms(rows_p)[slot]
-    else:
-        exact = ip
-    exact = jnp.where(ids >= 0, exact, topk_ops.NEG_INF)
-    scores, out_ids = topk_ops.merge_topk(exact, ids, k)
-    return dist_ops.scores_to_distances(
-        scores, dist_ops.sqnorms(q), metric
-    ), out_ids

@@ -1,0 +1,114 @@
+"""Family-agnostic out-of-core exact re-rank.
+
+Any search result — IVF-PQ ADC, IVF-Flat int8, CAGRA beam, or a sharded
+search's merged global top-k — can be re-ranked exactly against raw rows
+that do NOT live in device memory: the candidate ids cross to host (a few
+KB), a user callback supplies the rows (host-RAM ndarray, disk mmap,
+object store, recompute), and the exact distance pass runs on device.
+
+FAISS analogue: `IndexRefine` over an on-disk store
+(the reference never shipped one; its refine always required the raw
+corpus on-GPU). Typical use: over-fetch candidates (k' = r*k), then
+
+    d, i = ivf_flat.search(sp, ix, q, k=r * k)          # any family
+    d, i = refine.rerank_external(q, i, k, lambda ids: host_rows[ids],
+                                  metric=ix.metric)
+
+`ivf_pq.search(..., fetch_rows=...)` wraps exactly this path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cuvs_rag_tpu.ops import distance as dist_ops
+from cuvs_rag_tpu.ops import topk as topk_ops
+from cuvs_rag_tpu.utils.config import Metric
+
+
+def rerank_external(
+    queries: jax.Array,
+    ids: jax.Array,
+    k: int,
+    fetch_rows: Callable[[np.ndarray], np.ndarray],
+    *,
+    metric: str = Metric.SQEUCLIDEAN,
+    pad_dim_to: int = 0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact re-rank of candidate `ids` (Q, C) down to top-k (Q, k).
+
+    fetch_rows receives the sorted unique ascending valid ids and must
+    return `(len(ids), dim)` float rows of the ORIGINAL corpus (for the
+    cosine metric, unnormalized rows are fine — normalization happens
+    here). Returns (distances, ids) in the family `search` convention:
+    smaller-is-better distances, -1 ids on empty slots.
+
+    pad_dim_to: optional subspace multiple to zero-pad the feature dim to
+    (e.g. an IVF-PQ index's pq_dim); 0 keeps the raw dim.
+    """
+    queries = jnp.asarray(queries)
+    if queries.ndim != 2:
+        raise ValueError(f"queries must be (Q, D), got {queries.shape}")
+    dim = queries.shape[1]
+    ids_h = np.asarray(ids)
+    if ids_h.ndim != 2 or ids_h.shape[0] != queries.shape[0]:
+        raise ValueError(
+            f"ids must be (Q={queries.shape[0]}, C), got {ids_h.shape}"
+        )
+    uids = np.unique(ids_h[ids_h >= 0])
+    if uids.size == 0:
+        neg = jnp.full((queries.shape[0], k), -1, jnp.int32)
+        return jnp.full((queries.shape[0], k), jnp.inf, jnp.float32), neg
+    rows = np.asarray(fetch_rows(uids))
+    if rows.shape != (uids.size, dim):
+        raise ValueError(
+            f"fetch_rows returned {rows.shape}, expected {(uids.size, dim)}"
+        )
+    # bucket the unique-row count so the re-rank jit cache stays small
+    u_pad = topk_ops.round_up(max(int(uids.size), 8), 1024)
+    rows_p = np.zeros((u_pad, dim), np.float32)
+    rows_p[: uids.size] = rows.astype(np.float32)
+    # candidate -> fetched-row slot (exact: every valid id is in uids)
+    slot = np.searchsorted(uids, np.clip(ids_h, 0, None)).astype(np.int32)
+    slot = np.minimum(slot, uids.size - 1)
+    return _rerank_jit(
+        jnp.asarray(rows_p), jnp.asarray(slot), jnp.asarray(ids_h),
+        queries, k, metric, pad_dim_to,
+    )
+
+
+def _maybe_pad(x: jax.Array, m: int) -> jax.Array:
+    if m <= 0 or x.shape[-1] % m == 0:
+        return x
+    return jnp.pad(x, ((0, 0), (0, m - x.shape[-1] % m)))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "pad_dim_to")
+)
+def _rerank_jit(rows_p, slot, ids, queries, k, metric, pad_dim_to):
+    if metric == Metric.COSINE:
+        rows_p = dist_ops.l2_normalize(rows_p)
+        queries = dist_ops.l2_normalize(queries)
+    rows_p = _maybe_pad(rows_p, pad_dim_to)
+    q = _maybe_pad(queries.astype(jnp.float32), pad_dim_to)
+    cand = rows_p[slot]  # (Q, C, Dp)
+    ip = jnp.einsum(
+        "qd,qcd->qc", q, cand,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if metric == Metric.SQEUCLIDEAN:
+        exact = 2.0 * ip - dist_ops.sqnorms(rows_p)[slot]
+    else:
+        exact = ip
+    exact = jnp.where(ids >= 0, exact, topk_ops.NEG_INF)
+    scores, out_ids = topk_ops.merge_topk(exact, ids, k)
+    return dist_ops.scores_to_distances(
+        scores, dist_ops.sqnorms(q), metric
+    ), out_ids

@@ -1,0 +1,116 @@
+"""Family-agnostic out-of-core re-rank (index/refine.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cuvs_rag_tpu.index import flat, ivf_flat, refine
+from cuvs_rag_tpu.parallel import search as psearch
+from cuvs_rag_tpu.parallel.mesh import DeviceMesh
+from cuvs_rag_tpu.utils.config import (
+    FlatParams,
+    IVFFlatParams,
+    IVFFlatSearchParams,
+    Metric,
+)
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((20, 48)).astype(np.float32) * 3
+    labels = rng.integers(0, 20, 3000)
+    corpus = centers[labels] + 0.4 * rng.standard_normal((3000, 48)).astype(
+        np.float32
+    )
+    queries = corpus[rng.integers(0, 3000, 12)] + 0.05 * rng.standard_normal(
+        (12, 48)
+    ).astype(np.float32)
+    return corpus.astype(np.float32), queries.astype(np.float32)
+
+
+def test_rerank_overfetched_int8_matches_exact(data):
+    # int8 IVF candidates carry quantized distances; the external re-rank
+    # must return the fp32-exact distances and ordering for the top-k
+    corpus, queries = data
+    ix8 = ivf_flat.build(
+        IVFFlatParams(n_lists=8, dtype="int8"), jnp.asarray(corpus)
+    )
+    _, cand = ivf_flat.search(
+        IVFFlatSearchParams(n_probes=8), ix8, jnp.asarray(queries), 64
+    )
+    d, i = refine.rerank_external(
+        jnp.asarray(queries), cand, 10, lambda ids: corpus[ids],
+        metric=Metric.SQEUCLIDEAN,
+    )
+    fx = flat.build(FlatParams(), jnp.asarray(corpus))
+    d_exact, i_exact = flat.search(None, fx, jnp.asarray(queries), 10)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_exact))
+    np.testing.assert_allclose(
+        np.asarray(d), np.asarray(d_exact), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_rerank_sharded_results(data):
+    # the merged global top-k of a sharded search re-ranks at the API
+    # edge — out-of-core refine composes with any placement
+    corpus, queries = data
+    dmesh = DeviceMesh()
+    six = psearch.build_sharded(
+        "ivf_flat", IVFFlatParams(n_lists=8), corpus, dmesh
+    )
+    _, cand = psearch.search_sharded(
+        IVFFlatSearchParams(n_probes=8), six, jnp.asarray(queries), 64, dmesh
+    )
+    d, i = refine.rerank_external(
+        jnp.asarray(queries), cand, 10, lambda ids: corpus[ids],
+        metric=Metric.SQEUCLIDEAN,
+    )
+    fx = flat.build(FlatParams(), jnp.asarray(corpus))
+    d_exact, i_exact = flat.search(None, fx, jnp.asarray(queries), 10)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_exact))
+    np.testing.assert_allclose(
+        np.asarray(d), np.asarray(d_exact), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_rerank_cosine(data):
+    corpus, queries = data
+    fx = flat.build(
+        FlatParams(metric=Metric.COSINE), jnp.asarray(corpus)
+    )
+    _, cand = flat.search(None, fx, jnp.asarray(queries), 64)
+    d, i = refine.rerank_external(
+        jnp.asarray(queries), cand, 10, lambda ids: corpus[ids],
+        metric=Metric.COSINE,
+    )
+    d_exact, i_exact = flat.search(None, fx, jnp.asarray(queries), 10)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_exact))
+    np.testing.assert_allclose(
+        np.asarray(d), np.asarray(d_exact), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_all_invalid_ids():
+    q = jnp.zeros((3, 8), jnp.float32)
+    ids = jnp.full((3, 5), -1, jnp.int32)
+    d, i = refine.rerank_external(
+        q, ids, 4, lambda _: (_ for _ in ()).throw(AssertionError("no call"))
+    )
+    assert np.all(np.asarray(i) == -1)
+    assert np.all(np.isinf(np.asarray(d)))
+
+
+def test_shape_validation(data):
+    corpus, queries = data
+    with pytest.raises(ValueError, match="ids must be"):
+        refine.rerank_external(
+            jnp.asarray(queries), jnp.zeros((3, 5), jnp.int32), 4,
+            lambda ids: corpus[ids],
+        )
+    with pytest.raises(ValueError, match="fetch_rows returned"):
+        refine.rerank_external(
+            jnp.asarray(queries),
+            jnp.zeros((len(queries), 5), jnp.int32), 4,
+            lambda ids: corpus[ids][:, :4],
+        )
