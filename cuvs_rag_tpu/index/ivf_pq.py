@@ -132,32 +132,9 @@ def build(params: IVFPQParams, dataset: jax.Array, seed: int = 0) -> IVFPQIndex:
         vec_pad, centroids, n, params.balance_factor, valid
     )
 
-    # --- residual PQ codebooks (trained on a capped fp32 sample) ---------
-    pq_n = min(sample_n, params.pq_train_sample)
-    pq_pad = topk_ops.round_up(pq_n, 8)
-    pq_sample = sample[:pq_pad]
-    pq_w = (jnp.arange(pq_pad) < pq_n).astype(jnp.float32)
-    res_sample = pq_sample - centroids[
-        kmeans_ops.assign_clusters(pq_sample, centroids)
-    ]
-    if params.opq:
-        rotation = pq_ops.train_opq_rotation(
-            res_sample, pq_w, jax.random.fold_in(k2, 1),
-            m=m, n_codes=n_codes, iters=params.opq_iters,
-        )
-        res_sample = res_sample @ rotation.T
-    else:
-        rotation = jnp.zeros((0, 0), jnp.float32)
-    levels = 2 if (params.pq_bits == 8 and params.two_level) else 1
-    if levels == 2:
-        codebooks = pq_ops.train_two_level_codebooks(
-            res_sample, pq_w, k2, m=m, iters=params.pq_kmeans_iters,
-        )
-    else:
-        codebooks = pq_ops.train_codebooks(
-            res_sample, pq_w, k2, m=m, n_codes=n_codes,
-            iters=params.pq_kmeans_iters,
-        )
+    rotation, codebooks, levels = _train_pq_quantizers(
+        params, sample, sample_n, centroids, k2, m=m, n_codes=n_codes
+    )
 
     # --- encode all rows, chunked (fp32 residuals only per chunk) --------
     codes = _encode_chunked(
@@ -204,6 +181,40 @@ def build(params: IVFPQParams, dataset: jax.Array, seed: int = 0) -> IVFPQIndex:
     )
 
 
+def _train_pq_quantizers(params, sample, sample_n, centroids, k2, *,
+                         m, n_codes):
+    """Residual PQ codebooks (+ optional OPQ rotation) on an fp32 sample.
+
+    Shared by build() and build_from_chunks(). `sample` is row-padded
+    fp32; rows past `sample_n` are ignored via zero training weights."""
+    levels = 2 if (params.pq_bits == 8 and params.two_level) else 1
+    pq_n = min(sample_n, params.pq_train_sample)
+    pq_pad = topk_ops.round_up(pq_n, 8)
+    pq_sample = sample[:pq_pad]
+    pq_w = (jnp.arange(pq_pad) < pq_n).astype(jnp.float32)
+    res_sample = pq_sample - centroids[
+        kmeans_ops.assign_clusters(pq_sample, centroids)
+    ]
+    if params.opq:
+        rotation = pq_ops.train_opq_rotation(
+            res_sample, pq_w, jax.random.fold_in(k2, 1),
+            m=m, n_codes=n_codes, iters=params.opq_iters,
+        )
+        res_sample = res_sample @ rotation.T
+    else:
+        rotation = jnp.zeros((0, 0), jnp.float32)
+    if levels == 2:
+        codebooks = pq_ops.train_two_level_codebooks(
+            res_sample, pq_w, k2, m=m, iters=params.pq_kmeans_iters,
+        )
+    else:
+        codebooks = pq_ops.train_codebooks(
+            res_sample, pq_w, k2, m=m, n_codes=n_codes,
+            iters=params.pq_kmeans_iters,
+        )
+    return rotation, codebooks, levels
+
+
 def build_from_chunks(
     params: IVFPQParams,
     chunk_fn,
@@ -230,8 +241,6 @@ def build_from_chunks(
     chunk_rows = n // n_chunks
     m = params.pq_dim or default_pq_dim(d)
     n_codes = 2 ** params.pq_bits
-    levels = 2 if (params.pq_bits == 8 and params.two_level) else 1
-    packed = levels == 2 or (n_codes <= 16 and m % 2 == 0)
     metric = params.metric
     key = jax.random.PRNGKey(seed)
     k1, k2 = jax.random.split(key)
@@ -265,35 +274,17 @@ def build_from_chunks(
         sample, sweights, k1, n_clusters=n_lists, iters=params.kmeans_iters
     )
 
-    pq_n = min(got, params.pq_train_sample)
-    pq_pad = topk_ops.round_up(pq_n, 8)
-    pq_sample = sample[:pq_pad]
-    pq_w = (jnp.arange(pq_pad) < pq_n).astype(jnp.float32)
-    res_sample = pq_sample - centroids[
-        kmeans_ops.assign_clusters(pq_sample, centroids)
-    ]
-    if params.opq:
-        rotation = pq_ops.train_opq_rotation(
-            res_sample, pq_w, jax.random.fold_in(k2, 1),
-            m=m, n_codes=n_codes, iters=params.opq_iters,
-        )
-        res_sample = res_sample @ rotation.T
-    else:
-        rotation = jnp.zeros((0, 0), jnp.float32)
-    if levels == 2:
-        codebooks = pq_ops.train_two_level_codebooks(
-            res_sample, pq_w, k2, m=m, iters=params.pq_kmeans_iters,
-        )
-    else:
-        codebooks = pq_ops.train_codebooks(
-            res_sample, pq_w, k2, m=m, n_codes=n_codes,
-            iters=params.pq_kmeans_iters,
-        )
-    del sample, pq_sample, res_sample
+    rotation, codebooks, levels = _train_pq_quantizers(
+        params, sample, got, centroids, k2, m=m, n_codes=n_codes
+    )
+    packed = levels == 2 or (n_codes <= 16 and m % 2 == 0)
+    del sample
 
     # --- pass 1: capacity-bounded assignment, chunk by chunk (device) ----
     # Only the (C,) counts cross to host (static shapes); a D2H of the
     # (N, t) candidates costs minutes through the test tunnel at 10M+.
+    # Same balance fast path as ivf_ops.labels_with_counts: the 3-pass
+    # capacity-spill sorts run only when some list actually exceeds cap.
     tops, margs = [], []
     t_pref = int(min(8, n_lists))
     for i in range(n_chunks):
@@ -306,15 +297,18 @@ def build_from_chunks(
     margins = jnp.concatenate(margs)
     del tops, margs
     valid = jnp.ones((n,), bool)
+    labels = top[:, 0].astype(jnp.int32)
+    counts = np.asarray(ivf_ops.list_counts_device(labels, valid, centroids))
     if params.balance_factor > 0 and n_lists > 1:
         cap_per = max(8, int(-(-params.balance_factor * n // n_lists)))
-        labels = kmeans_ops.balance_assignments_device(
-            top, margins, valid, n_lists=n_lists, cap=cap_per
-        )
-    else:
-        labels = top[:, 0].astype(jnp.int32)
+        if int(counts.max()) > cap_per:
+            labels = kmeans_ops.balance_assignments_device(
+                top, margins, valid, n_lists=n_lists, cap=cap_per
+            )
+            counts = np.asarray(
+                ivf_ops.list_counts_device(labels, valid, centroids)
+            )
     del top, margins
-    counts = np.asarray(ivf_ops.list_counts_device(labels, valid, centroids))
     max_list = int(topk_ops.round_up(max(int(counts.max()), 8), ivf_ops.ALIGN))
     capacity = ivf_ops.capacity_for(
         topk_ops.round_up(n, 8), n_lists, max_list
@@ -425,18 +419,26 @@ def _pq_layout(codes, vec_pad, labels, valid, norm_corr, *,
 
 def _encode_chunked(vec_pad, labels, centroids, codebooks, rotation,
                     chunk: int = 131_072, levels: int = 1):
-    """Encode all rows without materializing a full fp32 residual array."""
+    """Encode all rows without materializing a full fp32 residual array.
+
+    Rows are padded up to a block multiple rather than shrinking the block
+    to a divisor of n: the divisor fallback this replaces collapsed to
+    16-row blocks on chunk sizes like 250k (= 2^4·5^6), turning one
+    build's encode into ~15k sequential lax.map steps per chunk."""
     n_pad, dp = vec_pad.shape
-    c = min(chunk, n_pad)
-    while n_pad % c != 0:
-        c //= 2
-    c = max(c, 1)
+    c = min(chunk, topk_ops.round_up(n_pad, 8))
+    n_blk = topk_ops.round_up(n_pad, c)
+    if n_blk != n_pad:
+        vec_pad = topk_ops.pad_rows(vec_pad, n_blk)
+        labels = jnp.concatenate([
+            labels, jnp.zeros((n_blk - n_pad,), labels.dtype)
+        ])
     codes = _encode_blocks_jit(
-        vec_pad.reshape(n_pad // c, c, dp),
-        labels.reshape(n_pad // c, c),
+        vec_pad.reshape(n_blk // c, c, dp),
+        labels.reshape(n_blk // c, c),
         centroids, codebooks, rotation, levels,
     )
-    return codes.reshape(n_pad, -1)
+    return codes.reshape(n_blk, -1)[:n_pad]
 
 
 # Module-level cached jit: the closure-level @jax.jit this replaces
@@ -765,6 +767,14 @@ def default_search_params() -> IVFPQSearchParams:
     return IVFPQSearchParams()
 
 
+def _refine_pool(k: int, refine_ratio: int) -> int:
+    """ADC candidate-pool size for a refine pass. The k+1024 cap bounds the
+    ADC top-k + re-rank cost while letting deep refine (refine_ratio
+    64-100) actually widen the pool (a k+256 cap silently clamped
+    refine_ratio>25 at k=10 — measured recall plateau)."""
+    return min(k * refine_ratio, k + 1024)
+
+
 def search_scores(
     search_params: Optional[IVFPQSearchParams],
     index: IVFPQIndex,
@@ -782,10 +792,7 @@ def search_scores(
     )
 
     do_refine = sp.refine_ratio > 0 and index.has_raw
-    # cap bounds the ADC top-k + raw re-rank cost; k+1024 lets deep refine
-    # (refine_ratio 64-100) actually widen the candidate pool (a k+256 cap
-    # silently clamped refine_ratio>25 at k=10 — measured recall plateau)
-    k_adc = min(k * sp.refine_ratio, k + 1024) if do_refine else k
+    k_adc = _refine_pool(k, sp.refine_ratio) if do_refine else k
 
     # ADC pass returns *sorted-layout positions* so refine can gather raw
     # rows without an id->position map; positions convert to row ids at the end.
@@ -874,14 +881,15 @@ def search(
 
 
 def _search_refine_external(sp, index, queries, k, fetch_rows):
-    """ADC candidates -> host id fan-in -> callback rows -> device re-rank."""
+    """ADC candidates -> host id fan-in -> callback rows -> device re-rank.
+
+    (rerank_external handles the all-invalid edge itself, returning the
+    family (inf, -1) convention without calling the callback.)"""
     from cuvs_rag_tpu.index import refine as refine_mod
 
-    k_adc = min(k * sp.refine_ratio, k + 1024)
+    k_adc = _refine_pool(k, sp.refine_ratio)
     sp_adc = dataclasses.replace(sp, refine_ratio=0)
     _, ids = _search_core(sp_adc, index, queries, k_adc)
-    if not np.any(np.asarray(ids) >= 0):
-        return _search_core(sp, index, queries, k)
     return refine_mod.rerank_external(
         queries, ids, k, fetch_rows,
         metric=index.metric, pad_dim_to=index.pq_dim,

@@ -46,7 +46,8 @@ def rerank_external(
     return `(len(ids), dim)` float rows of the ORIGINAL corpus (for the
     cosine metric, unnormalized rows are fine — normalization happens
     here). Returns (distances, ids) in the family `search` convention:
-    smaller-is-better distances, -1 ids on empty slots.
+    squared distances (smaller = closer) for sqeuclidean, normalized
+    inner products (larger = closer) for cosine; -1 ids on empty slots.
 
     pad_dim_to: optional subspace multiple to zero-pad the feature dim to
     (e.g. an IVF-PQ index's pq_dim); 0 keeps the raw dim.

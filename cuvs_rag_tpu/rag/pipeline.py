@@ -121,11 +121,19 @@ class Retriever:
         else:
             mod = psearch.FAMILIES[self.family]
             kwargs = {}
+            # resolve the family's defaults BEFORE gating: with
+            # search_params=None, ivf_pq.search would substitute
+            # default_search_params() (refine_ratio=2) internally, so the
+            # gate must see the same effective params or default users
+            # silently lose the refine
+            sp_eff = self.search_params
+            if sp_eff is None and hasattr(mod, "default_search_params"):
+                sp_eff = mod.default_search_params()
             if (
                 self.family == "ivf_pq"
                 and not self.index.has_raw
                 and self.corpus.embeddings is not None
-                and getattr(self.search_params, "refine_ratio", 0) > 0
+                and getattr(sp_eff, "refine_ratio", 0) > 0
             ):
                 # out-of-core refine: the index holds only PQ codes
                 # (store_raw=False — the beyond-HBM configuration); the

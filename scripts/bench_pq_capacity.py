@@ -188,7 +188,9 @@ def main():
             refine_ratio=(args.refine_external or
                           (args.refine if args.store_raw else 0)),
         )
-        _, i = ivf_pq.search(sp, ix, qrs[0], args.k, fetch_rows=fetch_rows)
+        # recall on the SAME queries the gt was computed for (the timing
+        # loop alone uses the perturbed copies)
+        _, i = ivf_pq.search(sp, ix, queries, args.k, fetch_rows=fetch_rows)
         i0 = np.asarray(i)
         rec = np.mean(
             [len(set(i0[r]) & set(gt[r])) / args.k for r in range(args.batch)]

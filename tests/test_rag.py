@@ -107,3 +107,33 @@ def test_retriever_out_of_core_refine():
     for qi, text in enumerate(PASSAGES):
         res = r.retrieve(text, k=1)
         assert res.passages[0].index == qi, (qi, res.passages[0])
+
+
+def test_retriever_default_params_wire_out_of_core(monkeypatch):
+    # regression: with search_params=None the gate must resolve the
+    # family's default params (refine_ratio=2) — not see None and skip
+    # the fetch_rows wiring while ivf_pq.search refines with defaults
+    from cuvs_rag_tpu.index import ivf_pq as ivf_pq_mod
+    from cuvs_rag_tpu.utils.config import IVFPQParams
+
+    enc = HashingEncoder(dim=128)
+    corpus = Corpus(passages=list(PASSAGES))
+    r = Retriever.build(
+        corpus, enc,
+        family="ivf_pq",
+        params=IVFPQParams(
+            n_lists=2, pq_dim=16, store_raw=False, metric=Metric.COSINE,
+        ),
+    )
+    assert r.search_params is None
+    seen = {}
+    orig = ivf_pq_mod.search
+
+    def spy(sp, ix, q, k, fetch_rows=None):
+        seen["fetch_rows"] = fetch_rows
+        return orig(sp, ix, q, k, fetch_rows=fetch_rows)
+
+    monkeypatch.setattr(ivf_pq_mod, "search", spy)
+    res = r.retrieve(PASSAGES[0], k=1)
+    assert seen["fetch_rows"] is not None
+    assert res.passages[0].index == 0
