@@ -309,6 +309,31 @@ def default_search_params() -> CagraSearchParams:
     return CagraSearchParams()
 
 
+def delete(index: CagraIndex, ids) -> CagraIndex:
+    """Tombstone-remove rows by id (rows are stored in original order, so
+    ids are positions). cuVS CAGRA has no removal at all; this gives the
+    graph family the same remove_ids surface as the other families.
+
+    Deleted nodes score ~-2e30 in every metric (the sqnorm-slot tombstone,
+    ops/distance.py), so the beam never returns them and stops expanding
+    through them — their graph edges effectively vanish. Light deletion
+    costs ~nothing; heavy deletion (>~10% of rows) thins the beam's road
+    network and should be followed by a rebuild from the live rows
+    (io.recover_rows + live ids). Shape-stable, id-stable, idempotent.
+    """
+    ids = jnp.asarray(ids).reshape(-1)
+    if ids.shape[0] == 0:
+        return index
+    from cuvs_rag_tpu.index import flat as flat_family
+
+    return dataclasses.replace(
+        index,
+        sqnorms=flat_family._tombstone_rows(
+            index.sqnorms, ids, index.n_valid
+        ),
+    )
+
+
 def search_scores(
     search_params: Optional[CagraSearchParams],
     index: CagraIndex,

@@ -115,6 +115,9 @@ def extend(index: FlatIndex, new_vectors: jax.Array) -> FlatIndex:
         vectors = topk_ops.pad_rows(jnp.concatenate([old, add], axis=0), n_padded)
         scales = jnp.ones((n_padded,), jnp.float32)
         sq = dist_ops.sqnorms(vectors)
+    # recomputing sqnorms from storage would silently resurrect
+    # tombstone-deleted rows — carry the old rows' deletion penalty over
+    sq = sq.at[:nv].add(dist_ops.deletion_penalty(index.sqnorms[:nv]))
     return FlatIndex(
         vectors=vectors,
         sqnorms=sq,
@@ -123,6 +126,43 @@ def extend(index: FlatIndex, new_vectors: jax.Array) -> FlatIndex:
         metric=index.metric,
         tile_n=index.tile_n,
     )
+
+
+@jax.jit
+def _tombstone_rows(sqnorms: jax.Array, ids: jax.Array, n_valid: jax.Array):
+    """Raise the sqnorm slot of each valid id past the deletion threshold
+    (ops/distance.py tombstone convention). Invalid ids scatter a no-op."""
+    ids = ids.astype(jnp.int32)
+    ok = (ids >= 0) & (ids < n_valid)
+    val = jnp.where(ok, jnp.float32(dist_ops.DELETED_PENALTY), -jnp.inf)
+    return sqnorms.at[jnp.where(ok, ids, 0)].max(val)
+
+
+def delete(index: FlatIndex, ids) -> FlatIndex:
+    """Tombstone-remove rows by id — FAISS `remove_ids` parity (the
+    reference's cuVS stack has no removal at all; FAISS IndexFlat does).
+
+    TPU-native semantics: rows are tombstoned, not compacted — every array
+    keeps its shape, so no jitted search program recompiles, and remaining
+    row ids are stable (FAISS IndexFlat renumbers; an id-stable remove is
+    what a RAG corpus map actually needs). Deleted rows never appear in
+    results in any metric; with fewer than k live rows, surplus slots
+    report id -1 (the pad convention). Storage is reclaimed by rebuilding
+    (io.recover_rows drops nothing — filter by live_row_mask). Idempotent;
+    unknown ids are ignored. O(B) scatter, O(1) memory.
+    """
+    ids = jnp.asarray(ids).reshape(-1)
+    if ids.shape[0] == 0:
+        return index
+    return dataclasses.replace(
+        index, sqnorms=_tombstone_rows(index.sqnorms, ids, index.n_valid)
+    )
+
+
+def live_row_mask(index: FlatIndex) -> jax.Array:
+    """(n_valid,) bool — False where a row was tombstone-deleted."""
+    nv = int(index.n_valid)
+    return index.sqnorms[:nv] < dist_ops.DELETED_THRESHOLD
 
 
 def build_local(params: FlatParams, block: jax.Array, n_valid: jax.Array) -> FlatIndex:

@@ -152,6 +152,21 @@ def _recover_rows_pq(index: Any, nv: int) -> jax.Array:
     return xhat[slot_of][:, : index.dim]
 
 
+def deleted_row_ids(index: Any) -> np.ndarray:
+    """Host-side: original ids tombstone-removed from any family index
+    (see <family>.delete). Positional families read the sqnorm-slot
+    tombstone; layout families read the row_ids gaps."""
+    from cuvs_rag_tpu.ops.distance import DELETED_THRESHOLD
+
+    cls = type(index).__name__
+    nv = int(index.n_valid)
+    if cls in ("FlatIndex", "CagraIndex"):
+        sq = np.asarray(jax.device_get(index.sqnorms))[:nv]
+        return np.nonzero(sq > DELETED_THRESHOLD)[0].astype(np.int64)
+    rid = np.asarray(jax.device_get(index.row_ids))
+    return np.setdiff1d(np.arange(nv, dtype=np.int64), rid[rid >= 0])
+
+
 def _local_shard_ids(dmesh) -> list:
     """Global shard indices whose device is addressable from this process
     (shard i lives on the i-th mesh device)."""
@@ -299,4 +314,12 @@ def load_sharded(prefix: str, dmesh, params: Any = None) -> Any:
             f"sharded checkpoint is corrupt: recovered {rows.shape[0]} rows, "
             f"meta says {meta['total']}"
         )
-    return psearch.build_sharded(meta["family"], params, rows, dmesh)
+    out = psearch.build_sharded(meta["family"], params, rows, dmesh)
+    # the rebuild recovered tombstone-deleted rows as live (garbage) rows
+    # with their original global ids — re-apply the tombstones
+    offs = np.asarray(meta["offsets"], np.int64)
+    gone = [deleted_row_ids(p) + offs[i] for i, p in enumerate(parts)]
+    gone = np.concatenate(gone) if gone else np.zeros((0,), np.int64)
+    if gone.size:
+        out = psearch.delete_sharded(out, gone)
+    return out

@@ -452,6 +452,37 @@ def _recover_rows(index: IVFFlatIndex, nv: int):
     return vecs, labels
 
 
+@jax.jit
+def _delete_core(row_ids, sqnorms, ids, n_valid):
+    hit, new_rids = ivf_ops.tombstone_layout(row_ids, ids, n_valid)
+    new_sq = jnp.where(hit, jnp.float32(dist_ops.DELETED_PENALTY), sqnorms)
+    return new_rids, new_sq
+
+
+def delete(index: IVFFlatIndex, ids) -> IVFFlatIndex:
+    """Tombstone-remove rows by original id — FAISS IndexIVF `remove_ids`
+    parity (the reference's cuVS stack has no removal). Two tombstones per
+    hit slot: row_ids -> -1 (masks the XLA scan and the id mapping) and the
+    sqnorm slot -> DELETED_PENALTY (masks the Pallas DMA-scan kernel in
+    every metric, ops/distance.py). Shapes never change, so no search
+    program recompiles; remaining ids are stable; storage is reclaimed on
+    the next overflow re-layout or rebuild. Idempotent; unknown ids ignored.
+    """
+    ids = jnp.asarray(ids).reshape(-1)
+    if ids.shape[0] == 0:
+        return index
+    rids, sq = _delete_core(index.row_ids, index.sqnorms, ids, index.n_valid)
+    return dataclasses.replace(index, row_ids=rids, sqnorms=sq)
+
+
+def deleted_ids(index) -> np.ndarray:
+    """Host-side: original ids that were tombstone-deleted (any layout
+    family: ids 0..n_valid-1 absent from row_ids)."""
+    nv = int(index.n_valid)
+    rid = np.asarray(index.row_ids)
+    return np.setdiff1d(np.arange(nv, dtype=np.int64), rid[rid >= 0])
+
+
 def extend(index: IVFFlatIndex, new_vectors: jax.Array) -> IVFFlatIndex:
     """Append rows to a trained index (FAISS `add`); the coarse quantizer is
     frozen (train-once semantics), lists and windows grow as needed.
@@ -560,7 +591,7 @@ def extend(index: IVFFlatIndex, new_vectors: jax.Array) -> IVFFlatIndex:
         scales = recon_sq = None
     layout = _layout_jit(all_vecs, all_labels, valid, index.n_lists, capacity,
                          max_list, scales, recon_sq, headroom=headroom)
-    return IVFFlatIndex(
+    out = IVFFlatIndex(
         vectors=layout.sorted_vectors,
         sqnorms=layout.sorted_sqnorms,
         scales=layout.sorted_scales,
@@ -573,6 +604,12 @@ def extend(index: IVFFlatIndex, new_vectors: jax.Array) -> IVFFlatIndex:
         metric=index.metric,
         max_list_size=max_list,
     )
+    # the re-layout recovered tombstone-deleted rows as garbage slots with
+    # their original ids — re-apply the tombstones so they stay deleted
+    gone = deleted_ids(index)
+    if gone.size:
+        out = delete(out, gone)
+    return out
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))

@@ -602,6 +602,28 @@ def build_sharded_local(params: IVFPQParams, sc, dmesh, seed: int = 0):
     return phase_b(sc.data, labels_s, centroids_s, sc.n_valid)
 
 
+def delete(index: IVFPQIndex, ids) -> IVFPQIndex:
+    """Tombstone-remove rows by original id — FAISS IVFPQ `remove_ids`
+    parity. A single tombstone suffices for PQ: row_ids -> -1 masks the ADC
+    scan (scan_probed_lists_pq drops id<0 slots before selection), which
+    also keeps deleted rows out of the refine re-rank pool. Shape-stable
+    (no recompiles), id-stable, idempotent; unknown ids ignored. Storage is
+    reclaimed at the next overflow re-layout or rebuild.
+    """
+    ids = jnp.asarray(ids).reshape(-1)
+    if ids.shape[0] == 0:
+        return index
+    _, rids = ivf_ops.tombstone_layout(index.row_ids, ids, index.n_valid)
+    return dataclasses.replace(index, row_ids=rids)
+
+
+def deleted_ids(index) -> np.ndarray:
+    """Host-side: original ids that were tombstone-deleted."""
+    nv = int(index.n_valid)
+    rid = np.asarray(index.row_ids)
+    return np.setdiff1d(np.arange(nv, dtype=np.int64), rid[rid >= 0])
+
+
 def extend(index: IVFPQIndex, new_vectors: jax.Array) -> IVFPQIndex:
     """Append rows with frozen quantizers (FAISS IVFPQ `add` flow,
     faiss-main.ipynb#cell7 re-adds in batches after training on a sample).
@@ -655,6 +677,7 @@ def extend(index: IVFPQIndex, new_vectors: jax.Array) -> IVFPQIndex:
 
     # overflow: recover everything in original order and re-lay out with
     # growth headroom (same amortization policy as ivf_flat.extend)
+    deleted_ids_host = deleted_ids(index)  # before the layout is consumed
     slot_of, label_of_slot = ivf_ops.invert_layout(
         index.row_ids, index.list_offsets, nv
     )
@@ -702,12 +725,17 @@ def extend(index: IVFPQIndex, new_vectors: jax.Array) -> IVFPQIndex:
             headroom=headroom,
         )
     )
-    return dataclasses.replace(
+    out = dataclasses.replace(
         index, codes=sorted_codes, row_ids=row_ids, norm_corr=sorted_corr,
         raw_vectors=raw, raw_sqnorms=raw_sq, list_offsets=offsets,
         list_counts=counts_j, n_valid=jnp.asarray(total, jnp.int32),
         max_list_size=max_list,
     )
+    # the re-layout recovered tombstone-deleted rows as garbage slots with
+    # their original ids — re-apply the tombstones so they stay deleted
+    if deleted_ids_host.size:
+        out = delete(out, deleted_ids_host)
+    return out
 
 
 @functools.partial(

@@ -73,6 +73,24 @@ def pairwise_inner_product(queries: jax.Array, corpus: jax.Array) -> jax.Array:
     )
 
 
+# --- tombstone-deletion convention ---------------------------------------
+# remove_ids (FAISS IndexIVF.remove_ids parity) is realized as a tombstone:
+# a deleted row's stored fp32 sqnorm slot is raised past DELETED_THRESHOLD
+# (by DELETED_PENALTY), which every score formula turns into a ~-2e30 score
+# in ANY metric — shapes never change, so no jitted search program ever
+# recompiles after a delete. For sqeuclidean the penalty rides the existing
+# "- sqnorms" term for free; inner_product/cosine formulas subtract
+# deletion_penalty() explicitly (0.0 on live rows).
+DELETED_THRESHOLD = 1e29
+DELETED_PENALTY = 2e30
+
+
+def deletion_penalty(slot_sqnorms: jax.Array) -> jax.Array:
+    """Per-row additive penalty derived from the (possibly tombstoned)
+    sqnorm slot: 0.0 for live rows, ~DELETED_PENALTY for deleted ones."""
+    return jnp.maximum(slot_sqnorms - DELETED_THRESHOLD, 0.0)
+
+
 def pairwise_sqeuclidean(
     queries: jax.Array,
     corpus: jax.Array,
@@ -109,7 +127,7 @@ def scores_from_tile(
     ip = pairwise_inner_product(queries, corpus_tile)
     if metric == Metric.SQEUCLIDEAN:
         return 2.0 * ip - tile_sqnorms[None, :]
-    return ip
+    return ip - deletion_penalty(tile_sqnorms)[None, :]
 
 
 def scores_from_tile_scaled(
@@ -130,7 +148,7 @@ def scores_from_tile_scaled(
     scaled = ip * tile_scales[None, :]
     if metric == Metric.SQEUCLIDEAN:
         return 2.0 * scaled - tile_sqnorms[None, :]
-    return scaled
+    return scaled - deletion_penalty(tile_sqnorms)[None, :]
 
 
 def scores_to_distances(scores: jax.Array, query_sqnorms: jax.Array, metric: str) -> jax.Array:

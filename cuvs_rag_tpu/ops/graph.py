@@ -341,9 +341,12 @@ def beam_search(
         vecs = vectors[ids].astype(jnp.float32)  # (M, D)
         ip = dist_ops.dot_general_prec(vecs, qvec[:, None], (((1,), (0,)), ((), ())))[:, 0]
         if metric == "sqeuclidean":
+            # a tombstoned (deleted) row's sqnorm slot carries ~2e30
+            # (ops/distance.py), so its score lands at ~-2e30: never in
+            # results and never expanded (the beam routes around it)
             s = 2.0 * ip - sqnorms[ids]
         else:
-            s = ip
+            s = ip - dist_ops.deletion_penalty(sqnorms[ids])
         return jnp.where(row_valid[ids], s, topk_ops.NEG_INF)
 
     def one_query(qvec, entries):
@@ -396,7 +399,12 @@ def beam_search(
             0, iters, step, (init_scores, init_ids, init_exp)
         )
         out_s, order = jax.lax.top_k(scores, k)
-        out_i = jnp.where(out_s > topk_ops.NEG_INF, ids[order], -1)
+        # > -1e29 (not > -inf): a tombstone-deleted row at ~-2e30 can win a
+        # slot when the beam saw fewer than k live rows — report it as an
+        # empty slot like a pad
+        live = out_s > -1e29
+        out_s = jnp.where(live, out_s, topk_ops.NEG_INF)
+        out_i = jnp.where(live, ids[order], -1)
         return out_s, out_i
 
     return jax.vmap(one_query)(queries, entry_ids)

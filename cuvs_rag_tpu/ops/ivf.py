@@ -40,6 +40,27 @@ class IVFLayout(NamedTuple):
     truncated: jax.Array  # () int32 rows unreachable due to window cap
 
 
+@jax.jit
+def tombstone_layout(sorted_row_ids: jax.Array, ids: jax.Array,
+                     n_valid: jax.Array):
+    """Mark layout slots whose original row id is in `ids` as deleted.
+
+    Returns ((cap,) bool hit mask, (cap,) row_ids with hits set to -1).
+    Membership is a binary search of each slot id against the sorted delete
+    set (no host round-trip, no (cap, B) blowup). Out-of-range delete ids
+    are ignored; -1 (pad/already-deleted) slots never match.
+    """
+    ids = ids.astype(jnp.int32)
+    ok = (ids >= 0) & (ids < n_valid.astype(jnp.int32))
+    sentinel = jnp.int32(2**31 - 1)
+    sids = jnp.sort(jnp.where(ok, ids, sentinel))
+    j = jnp.clip(
+        jnp.searchsorted(sids, sorted_row_ids), 0, sids.shape[0] - 1
+    )
+    hit = (sids[j] == sorted_row_ids) & (sorted_row_ids >= 0)
+    return hit, jnp.where(hit, -1, sorted_row_ids)
+
+
 ALIGN = 128  # list starts are 128-aligned (TPU lane width): DMA windows
 # slice the layout directly (Mosaic requires provably-aligned starts), and
 # per-window fp32 side data (sqnorms/scales) reshapes to exact (rows, 128)

@@ -349,7 +349,14 @@ def flat_topk_pallas(
     if metric == "sqeuclidean":
         csq_slot = corpus_sqnorms.astype(jnp.float32) + pen
     else:
-        csq_slot = pen
+        # deleted rows (tombstoned sqnorm slot, ops/distance.py) must be
+        # killed in inner_product too — the penalty folds into the same
+        # csq FMA slot as the pad penalty, still zero in-kernel masking
+        from cuvs_rag_tpu.ops import distance as dist_ops
+
+        csq_slot = pen + dist_ops.deletion_penalty(
+            corpus_sqnorms.astype(jnp.float32)
+        )
 
     nc = n_pad // tile_c
     corpus_t = corpus.reshape(nc, tile_c, d)

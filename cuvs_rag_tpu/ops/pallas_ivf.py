@@ -105,18 +105,27 @@ def _kernel(
     ip = jax.lax.dot_general(
         q, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (QT, window)
-    mult = 2.0 if metric == "sqeuclidean" else 1.0
+    # aux slot 0 = reconstruction sqnorms, possibly tombstoned past the
+    # deletion threshold (ops/distance.py): sqeuclidean kills deleted rows
+    # through the existing "- sqnorms" term; inner_product subtracts only
+    # the over-threshold part (0.0 on live rows).
+    aux0 = aux[:, 0, :].reshape(1, -1)
+    del_pen = jnp.maximum(aux0 - jnp.float32(1e29), 0.0)
     if scaled:
-        # residual SQ8: scores = mult*q·c (coarse scalar, prefetched)
-        #                      + mult*s*(q·r_int8) - ||x̂||²
-        # sqnorms/scales ride a 16 KB fp32 side DMA — cheaper than
-        # recomputing ||w||² from the multi-MB window every step
+        # residual SQ8: sqnorms/scales ride a 16 KB fp32 side DMA —
+        # cheaper than recomputing ||w||² from the multi-MB window
         ip = ip * aux[:, 1, :].reshape(1, -1)
-        scores = mult * ip - aux[:, 0, :].reshape(1, -1) + coarse_ref[flat_idx]
+        if metric == "sqeuclidean":
+            # scores = 2*q·c (coarse scalar, prefetched) + 2*s*(q·r) - ||x̂||²
+            scores = 2.0 * ip - aux0 + coarse_ref[flat_idx]
+        else:
+            # scores = q·c + s*(q·r); ||x̂||² must NOT be subtracted for
+            # inner_product (the XLA path never did — this branch used to)
+            scores = ip + coarse_ref[flat_idx] - del_pen
     elif metric == "sqeuclidean":
-        scores = 2.0 * ip - aux[:, 0, :].reshape(1, -1)
+        scores = 2.0 * ip - aux0
     else:
-        scores = ip
+        scores = ip - del_pen
 
     cnt = cnts_ref[flat_idx]
     off = offs_ref[flat_idx]
@@ -141,8 +150,13 @@ def _kernel(
 
     @pl.when(s == n_steps - 1)
     def _():
-        out_s_ref[:] = s_scr[:]
-        out_i_ref[:] = i_scr[:]
+        # a tombstoned (deleted) row can still win a slot when the probed
+        # lists hold fewer than k live rows; its ~-2e30 score marks it —
+        # report id -1 / -inf like a pad slot (same contract as pallas_flat)
+        out_s = s_scr[:]
+        live = out_s > jnp.float32(-1e29)
+        out_s_ref[:] = jnp.where(live, out_s, NEG_INF)
+        out_i_ref[:] = jnp.where(live, i_scr[:], -1)
 
 
 @functools.partial(

@@ -59,7 +59,12 @@ def merge_topk(scores: jax.Array, indices: jax.Array, k: int):
     top_idx = jnp.take_along_axis(indices, top_args, axis=-1)
     # Slots that never saw a real candidate (masked pad rows, k > corpus)
     # report index -1, matching the aggregator spec's invalid-slot convention.
-    top_idx = jnp.where(top_scores == NEG_INF, -1, top_idx)
+    # Scores below -1e29 are tombstone-deleted rows (ops/distance.py) that
+    # won a slot only because fewer than k live candidates existed — same
+    # treatment. Real scores can never reach that magnitude.
+    live = top_scores > -1e29
+    top_scores = jnp.where(live, top_scores, NEG_INF)
+    top_idx = jnp.where(live, top_idx, -1)
     if kk < k:  # pad out to k with invalid entries
         pad = [(0, 0)] * (scores.ndim - 1) + [(0, k - kk)]
         top_scores = jnp.pad(top_scores, pad, constant_values=NEG_INF)

@@ -156,6 +156,47 @@ def build_sharded(
     )
 
 
+def delete_sharded(sindex: ShardedIndex, global_ids) -> ShardedIndex:
+    """Tombstone-remove rows by GLOBAL id from a sharded index (FAISS
+    `remove_ids` parity at the distributed layer).
+
+    The global delete set is broadcast to every shard; each shard
+    translates it by its own offset and tombstones the local hits (family
+    `delete`, shape-stable — no search program recompiles). Ids outside a
+    shard's range are ignored there, so one SPMD program serves any split.
+    """
+    _load_families()
+    mod = FAMILIES[sindex.family]
+    if not hasattr(mod, "delete"):
+        raise ValueError(f"family {sindex.family!r} does not support delete")
+    ids = jnp.asarray(global_ids).reshape(-1)
+    if ids.shape[0] == 0:
+        return sindex
+    local = _delete_sharded_core(
+        sindex.local, sindex.offsets.astype(jnp.int32), ids, sindex.family
+    )
+    return dataclasses.replace(sindex, local=local)
+
+
+@functools.partial(jax.jit, static_argnames=("family",))
+def _delete_sharded_core(local, offsets, gids, family):
+    # module-level cached jit: one compile per (family, shapes), not per call
+    mod = FAMILIES[family]
+    return jax.vmap(
+        lambda ix, off: mod.delete(ix, gids - off), in_axes=(0, 0)
+    )(local, offsets)
+
+
+def delete_replicated(rindex: ReplicatedIndex, ids) -> ReplicatedIndex:
+    """Tombstone-remove rows by id from a replicated index (every replica
+    holds the full corpus, so ids are global == local)."""
+    _load_families()
+    mod = FAMILIES[rindex.family]
+    if not hasattr(mod, "delete"):
+        raise ValueError(f"family {rindex.family!r} does not support delete")
+    return dataclasses.replace(rindex, index=mod.delete(rindex.index, ids))
+
+
 def _shard_k(family: str, k: int, over_fetch: float) -> int:
     """Per-shard candidate count. Exact families need exactly k; approximate
     families over-fetch (reference fetches k*2 per shard,

@@ -167,6 +167,26 @@ class Retriever:
             results.append(RetrievalResult(passages=passages, query_time_s=per_query))
         return results
 
+    def delete(self, ids) -> None:
+        """Remove passages by corpus index (tombstone; see <family>.delete).
+
+        Deleted passages never come back from retrieve(); their text stays
+        in the corpus list so surviving ids keep meaning (id-stable). Works
+        for every placement — sharded deletes broadcast the global ids to
+        all shards in one SPMD program.
+        """
+        if isinstance(self.index, psearch.ShardedIndex):
+            self.index = psearch.delete_sharded(self.index, ids)
+        elif isinstance(self.index, psearch.ReplicatedIndex):
+            self.index = psearch.delete_replicated(self.index, ids)
+        else:
+            mod = psearch.FAMILIES[self.family]
+            if not hasattr(mod, "delete"):
+                raise ValueError(
+                    f"family {self.family!r} does not support delete"
+                )
+            self.index = mod.delete(self.index, ids)
+
     def assemble_context(
         self, query: str, k: int = 5, separator: str = "\n\n"
     ) -> str:

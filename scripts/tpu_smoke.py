@@ -135,6 +135,45 @@ def main():
         jax.block_until_ready(i_xla)
         _check(f"pallas_ivf {sdtype} vs XLA fallback", i, i_xla, 0.95)
 
+    # --- tombstone deletion through the kernels (remove_ids) -------------
+    # flat kernel: deleted rows must vanish in BOTH metrics (inner_product
+    # folds the penalty into the csq slot in the wrapper)
+    from cuvs_rag_tpu.index import flat as flat_family
+    from cuvs_rag_tpu.utils.config import FlatParams
+
+    gone = np.arange(0, n, 2)
+    live_gt_rows = np.setdiff1d(np.arange(n), gone)
+    for metric in ("sqeuclidean", "inner_product"):
+        fx = flat_family.build(
+            FlatParams(metric=metric, dtype="bfloat16", tile_n=2048), cj
+        )
+        fx = flat_family.delete(fx, gone)
+        _, i = flat_family.search(None, fx, qj, k)
+        jax.block_until_ready(i)
+        i = np.asarray(i)
+        if np.isin(i, gone).any():
+            raise SystemExit(
+                f"TPU_SMOKE FAILED: flat delete leaked ids ({metric})"
+            )
+        _, gt_live = topk_ops.flat_topk_search_dense(
+            cj[live_gt_rows], jnp.sum(cj[live_gt_rows] ** 2, 1), qj,
+            jnp.asarray(len(live_gt_rows), jnp.int32),
+            jnp.ones((len(live_gt_rows),), jnp.float32), k=k, metric=metric,
+        )
+        _check(f"flat delete ({metric})", i,
+               live_gt_rows[np.asarray(gt_live)], 0.9)
+    # IVF kernel: deleted rows carry the sqnorm-slot tombstone through the
+    # aux side DMA
+    ixd = ivf_flat.build(
+        IVFFlatParams(n_lists=32, dtype="bfloat16", kmeans_iters=5), cj
+    )
+    ixd = ivf_flat.delete(ixd, gone)
+    _, i = ivf_flat.search(IVFFlatSearchParams(n_probes=32), ixd, qj, k)
+    jax.block_until_ready(i)
+    if np.isin(np.asarray(i), gone).any():
+        raise SystemExit("TPU_SMOKE FAILED: ivf delete leaked ids")
+    print("  delete tombstones honored by flat (both metrics) + ivf kernels")
+
     # --- Qwen flash-attention kernel (models/flax_qwen use_flash path) ---
     # Compile AND execute the Pallas TPU flash-attention block (causal +
     # segment-id pad masking) and check parity against the dense-softmax

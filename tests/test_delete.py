@@ -1,0 +1,381 @@
+"""remove_ids (tombstone delete) across every index family + placements.
+
+FAISS `remove_ids` parity (the reference's cuVS stack has no removal);
+TPU-native semantics: shape-stable tombstones — no search recompiles,
+surviving ids stay stable, deleted rows report like pads (id -1).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cuvs_rag_tpu.eval import recall as recall_lib
+from cuvs_rag_tpu.index import cagra, flat, io, ivf_flat, ivf_pq
+from cuvs_rag_tpu.ops import ivf as ivf_ops
+from cuvs_rag_tpu.ops import pallas_flat, pallas_ivf
+from cuvs_rag_tpu.utils.config import (
+    CagraParams,
+    CagraSearchParams,
+    FlatParams,
+    IVFFlatParams,
+    IVFFlatSearchParams,
+    IVFPQParams,
+    IVFPQSearchParams,
+    Metric,
+)
+
+N, D, K = 600, 64, 8
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(7)
+    corpus = rng.standard_normal((N, D)).astype(np.float32)
+    queries = rng.standard_normal((9, D)).astype(np.float32)
+    return corpus, queries
+
+
+def _gt_live(corpus, queries, gone, k, metric):
+    """Brute-force top-k over the live rows only, in ORIGINAL ids."""
+    live = np.setdiff1d(np.arange(len(corpus)), np.asarray(gone))
+    ids = recall_lib.exact_ground_truth(corpus[live], queries, k, metric)
+    return live[ids]
+
+
+# --------------------------------------------------------------------- flat
+
+
+@pytest.mark.parametrize("dtype", ["float32", "int8"])
+@pytest.mark.parametrize("metric", [Metric.SQEUCLIDEAN, Metric.COSINE])
+def test_flat_delete_matches_live_oracle(data, dtype, metric):
+    corpus, queries = data
+    ix = flat.build(FlatParams(dtype=dtype, metric=metric), corpus)
+    gone = np.arange(0, N, 3)  # delete a third of the corpus
+    ix = flat.delete(ix, gone)
+    d, i = flat.search(None, ix, queries, K)
+    i = np.asarray(i)
+    assert not np.isin(i, gone).any()
+    if dtype == "float32":  # exact storage: ids must MATCH the live oracle
+        want = _gt_live(corpus, queries, gone, K, metric)
+        np.testing.assert_array_equal(i, want)
+
+
+def test_flat_delete_idempotent_and_unknown_ids(data):
+    corpus, queries = data
+    ix = flat.build(FlatParams(), corpus)
+    ix = flat.delete(ix, [5, 5, 5, -3, 10**6])  # dups/neg/out-of-range
+    ix = flat.delete(ix, [5])  # again
+    d, i = flat.search(None, ix, queries, K)
+    assert not (np.asarray(i) == 5).any()
+    assert np.asarray(flat.live_row_mask(ix)).sum() == N - 1
+
+
+def test_flat_delete_more_than_live_returns_pads(data):
+    corpus, _ = data
+    small = flat.build(FlatParams(), corpus[:10])
+    small = flat.delete(small, np.arange(6))
+    d, i = flat.search(None, small, corpus[:2], 8)
+    i = np.asarray(i)
+    assert set(i[0][i[0] >= 0]) == {6, 7, 8, 9}
+    assert (i[:, 4:] == -1).all()  # only 4 live rows -> 4 pad slots
+    assert not np.isfinite(np.asarray(d)[:, 4:]).any() or (
+        np.asarray(d)[:, 4:] > 1e20
+    ).all()
+
+
+def test_flat_delete_survives_extend(data):
+    corpus, queries = data
+    ix = flat.build(FlatParams(), corpus[:500])
+    ix = flat.delete(ix, [1, 2, 3])
+    ix = flat.extend(ix, corpus[500:])
+    d, i = flat.search(None, ix, queries, K)
+    i = np.asarray(i)
+    assert not np.isin(i, [1, 2, 3]).any()
+    want = _gt_live(corpus, queries, [1, 2, 3], K, Metric.SQEUCLIDEAN)
+    np.testing.assert_array_equal(i, want)
+
+
+@pytest.mark.parametrize("mode", ["exact", "sketch"])
+@pytest.mark.parametrize("metric", [Metric.SQEUCLIDEAN, Metric.INNER_PRODUCT])
+def test_flat_delete_pallas_kernel(data, mode, metric):
+    """The fused Pallas kernel (interpret) must honor tombstones in BOTH
+    metrics — inner_product folds the penalty into the csq slot."""
+    corpus, queries = data
+    n_pad = 1024  # kernel wants the corpus padded to a tile_c multiple
+    rng = np.random.default_rng(11)
+    big = np.vstack(
+        [corpus, rng.standard_normal((n_pad - N, D)).astype(np.float32)]
+    )
+    ix = flat.build(FlatParams(metric=metric, tile_n=n_pad), big)
+    gone = np.arange(0, n_pad, 2)
+    ix = flat.delete(ix, gone)
+    s, i = pallas_flat.flat_topk_pallas(
+        ix.vectors, ix.sqnorms, jnp.asarray(queries), ix.n_valid, ix.scales,
+        k=K, metric=metric, tile_c=n_pad, mode=mode, interpret=True,
+    )
+    i = np.asarray(i)
+    assert not np.isin(i, gone).any()
+    if mode == "exact":
+        # set-wise: the fused selection truncates 11 mantissa bits, which
+        # may swap near-tied neighbors relative to the fp32 oracle order
+        want = _gt_live(big, queries, gone, K, metric)
+        for r in range(len(i)):
+            assert set(i[r]) == set(want[r]), (r, i[r], want[r])
+
+
+# ----------------------------------------------------------------- ivf_flat
+
+
+@pytest.mark.parametrize("dtype", ["float32", "int8"])
+def test_ivf_delete_excludes_and_matches_oracle(data, dtype):
+    corpus, queries = data
+    ix = ivf_flat.build(IVFFlatParams(n_lists=8, dtype=dtype), corpus)
+    gone = np.arange(0, N, 4)
+    ix = ivf_flat.delete(ix, gone)
+    sp = IVFFlatSearchParams(n_probes=8)  # full probe -> exact over lists
+    d, i = ivf_flat.search(sp, ix, queries, K)
+    i = np.asarray(i)
+    assert not np.isin(i, gone).any()
+    if dtype == "float32":
+        want = _gt_live(corpus, queries, gone, K, Metric.SQEUCLIDEAN)
+        np.testing.assert_array_equal(i, want)
+    np.testing.assert_array_equal(
+        np.sort(ivf_flat.deleted_ids(ix)), np.sort(gone)
+    )
+
+
+def test_ivf_delete_survives_extend_fast_and_overflow(data):
+    corpus, queries = data
+    ix = ivf_flat.build(IVFFlatParams(n_lists=8), corpus[:400])
+    ix = ivf_flat.delete(ix, [7, 8])
+    # fast path: a few rows fit the per-list slack
+    ix = ivf_flat.extend(ix, corpus[400:420])
+    # overflow path: a big append forces the full re-layout
+    ix = ivf_flat.extend(ix, corpus[420:])
+    d, i = ivf_flat.search(IVFFlatSearchParams(n_probes=8), ix, queries, K)
+    i = np.asarray(i)
+    assert not np.isin(i, [7, 8]).any()
+    want = _gt_live(corpus, queries, [7, 8], K, Metric.SQEUCLIDEAN)
+    np.testing.assert_array_equal(i, want)
+
+
+@pytest.mark.parametrize("dtype", ["float32", "int8"])
+def test_ivf_delete_pallas_kernel(data, dtype):
+    corpus, queries = data
+    ix = ivf_flat.build(IVFFlatParams(n_lists=8, dtype=dtype), corpus)
+    gone = np.arange(0, N, 4)
+    ix = ivf_flat.delete(ix, gone)
+    s, i = _pallas_ivf_search(ix, queries, K, nprobe=8)
+    assert not np.isin(np.asarray(i), gone).any()
+    if dtype == "float32":
+        want = _gt_live(corpus, queries, gone, K, Metric.SQEUCLIDEAN)
+        np.testing.assert_array_equal(np.asarray(i), want)
+
+
+def _pallas_ivf_search(ix, queries, k, nprobe, metric_override=None):
+    from cuvs_rag_tpu.ops import distance as dist_ops
+
+    metric = metric_override or ix.metric
+    queries = jnp.asarray(queries)
+    if metric == Metric.COSINE:
+        queries = dist_ops.l2_normalize(queries)  # as search_scores does
+    coarse_scores, probes = ivf_ops.probe_lists(
+        queries, ix.centroids, ix.centroid_sqnorms, nprobe, metric,
+    )
+    coarse_ip = None
+    if ix.vectors.dtype == jnp.int8:
+        if metric == Metric.SQEUCLIDEAN:
+            coarse_ip = coarse_scores + ix.centroid_sqnorms[probes]
+        else:
+            coarse_ip = coarse_scores
+    offs = ix.list_offsets[probes]
+    cnts = ix.list_counts[probes]
+    s, pos = pallas_ivf.ivf_scan_pallas(
+        ix.vectors, ix.sqnorms, ix.scales, jnp.asarray(queries), offs, cnts,
+        k=k, nprobe=nprobe, window=ix.max_list_size, metric=metric,
+        coarse_ip=coarse_ip, interpret=True,
+    )
+    ids = jnp.where(pos >= 0, ix.row_ids[jnp.maximum(pos, 0)], -1)
+    return s, ids
+
+
+def test_ivf_pallas_int8_cosine_matches_xla(data):
+    """Regression: the Pallas scaled path used to subtract the recon ||x̂||²
+    for inner_product/cosine too (the XLA path never did) — wrong scores on
+    every int8 + cosine IVF search that hit the kernel."""
+    corpus, queries = data
+    ix = ivf_flat.build(
+        IVFFlatParams(n_lists=8, dtype="int8", metric=Metric.COSINE), corpus
+    )
+    s1, i1 = _pallas_ivf_search(ix, queries, K, nprobe=8)
+    s2, i2 = ivf_flat.search_scores(
+        IVFFlatSearchParams(n_probes=8), ix, jnp.asarray(queries), K,
+        use_pallas=False,
+    )
+    # the kernel scores int8 windows in bf16, the XLA path in fp32 — near
+    # ties may swap, so compare score values + id overlap, not exact order.
+    # The bug this guards against offset every score by -||x̂||² ≈ O(D),
+    # far outside these tolerances.
+    np.testing.assert_allclose(
+        np.asarray(s1), np.asarray(s2), rtol=2e-2, atol=2e-2
+    )
+    i1, i2 = np.asarray(i1), np.asarray(i2)
+    overlap = np.mean([
+        len(set(i1[r]) & set(i2[r])) / K for r in range(len(i1))
+    ])
+    assert overlap > 0.85, overlap
+
+
+# ------------------------------------------------------------------- ivf_pq
+
+
+def test_ivf_pq_delete_excluded_with_refine(data):
+    corpus, queries = data
+    ix = ivf_pq.build(
+        IVFPQParams(n_lists=4, pq_dim=16, pq_bits=4, store_raw=True), corpus
+    )
+    gone = np.arange(0, N, 5)
+    ix = ivf_pq.delete(ix, gone)
+    sp = IVFPQSearchParams(n_probes=4, refine_ratio=16)
+    d, i = ivf_pq.search(sp, ix, queries, K)
+    i = np.asarray(i)
+    assert not np.isin(i, gone).any()
+    assert (i >= -1).all()
+    # refine is exact over the raw store: live oracle ids must appear
+    want = _gt_live(corpus, queries, gone, K, Metric.SQEUCLIDEAN)
+    hit = np.mean([
+        len(set(i[r]) & set(want[r])) / K for r in range(len(i))
+    ])
+    assert hit > 0.8  # ADC shortlist then exact re-rank on live rows
+    np.testing.assert_array_equal(
+        np.sort(ivf_pq.deleted_ids(ix)), np.sort(gone)
+    )
+
+
+def test_ivf_pq_delete_survives_extend_overflow(data):
+    corpus, queries = data
+    ix = ivf_pq.build(
+        IVFPQParams(n_lists=4, pq_dim=16, pq_bits=4, store_raw=True),
+        corpus[:400],
+    )
+    ix = ivf_pq.delete(ix, [0, 9])
+    ix = ivf_pq.extend(ix, corpus[400:])  # big append -> re-layout
+    d, i = ivf_pq.search(
+        IVFPQSearchParams(n_probes=4, refine_ratio=4), ix, queries, K
+    )
+    assert not np.isin(np.asarray(i), [0, 9]).any()
+    assert set(ivf_pq.deleted_ids(ix)) == {0, 9}
+
+
+# -------------------------------------------------------------------- cagra
+
+
+def test_cagra_delete_excluded(data):
+    corpus, queries = data
+    ix = cagra.build(
+        CagraParams(graph_degree=16, build_algo="exact"), corpus
+    )
+    gone = np.arange(0, N, 6)
+    ix = cagra.delete(ix, gone)
+    sp = CagraSearchParams(itopk_size=64)
+    d, i = cagra.search(sp, ix, queries, K)
+    i = np.asarray(i)
+    assert not np.isin(i, gone).any()
+    want = _gt_live(corpus, queries, gone, K, Metric.SQEUCLIDEAN)
+    recall = np.mean([
+        len(set(i[r]) & set(want[r])) / K for r in range(len(i))
+    ])
+    assert recall > 0.8  # graph search stays useful after light deletion
+
+
+# --------------------------------------------------------------- checkpoint
+
+
+def test_delete_survives_save_load(tmp_path, data):
+    corpus, queries = data
+    for fam, build_ix in [
+        ("flat", lambda: flat.build(FlatParams(), corpus)),
+        ("ivf", lambda: ivf_flat.build(IVFFlatParams(n_lists=8), corpus)),
+    ]:
+        ix = build_ix()
+        mod = flat if fam == "flat" else ivf_flat
+        ix = mod.delete(ix, [11, 12])
+        p = str(tmp_path / f"{fam}.npz")
+        io.save_index(p, ix)
+        ix2 = io.load_index(p)
+        d, i = mod.search(
+            None if fam == "flat" else IVFFlatSearchParams(n_probes=8),
+            ix2, queries, K,
+        )
+        assert not np.isin(np.asarray(i), [11, 12]).any()
+        np.testing.assert_array_equal(
+            np.sort(io.deleted_row_ids(ix2)), [11, 12]
+        )
+
+
+# -------------------------------------------------------------- distributed
+
+
+def test_delete_sharded_and_replicated(data):
+    import jax
+
+    from cuvs_rag_tpu.parallel import search as psearch
+    from cuvs_rag_tpu.parallel.mesh import DeviceMesh
+
+    corpus, queries = data
+    dmesh = DeviceMesh(devices=jax.devices()[:4])
+    gone = np.arange(0, N, 3)
+    want = _gt_live(corpus, queries, gone, K, Metric.SQEUCLIDEAN)
+
+    six = psearch.build_sharded("flat", FlatParams(), corpus, dmesh)
+    six = psearch.delete_sharded(six, gone)
+    d, i = psearch.search_sharded(None, six, jnp.asarray(queries), K, dmesh)
+    np.testing.assert_array_equal(np.asarray(i), want)
+
+    rix = psearch.build_replicated("flat", FlatParams(), corpus, dmesh)
+    rix = psearch.delete_replicated(rix, gone)
+    d, i = psearch.search_replicated(
+        None, rix, jnp.asarray(queries), K, dmesh
+    )
+    np.testing.assert_array_equal(np.asarray(i), want)
+
+
+def test_delete_survives_sharded_reshard(tmp_path, data):
+    """Mesh-size-change reload REBUILDS from recovered rows — tombstones
+    must be re-applied (io.load_sharded), not silently resurrected."""
+    import jax
+
+    from cuvs_rag_tpu.parallel import search as psearch
+    from cuvs_rag_tpu.parallel.mesh import DeviceMesh
+
+    corpus, queries = data
+    dmesh4 = DeviceMesh(devices=jax.devices()[:4])
+    six = psearch.build_sharded("flat", FlatParams(), corpus, dmesh4)
+    gone = np.arange(0, N, 7)
+    six = psearch.delete_sharded(six, gone)
+    prefix = str(tmp_path / "shards")
+    io.save_sharded(prefix, six)
+
+    dmesh2 = DeviceMesh(devices=jax.devices()[:2])
+    six2 = io.load_sharded(prefix, dmesh2, params=FlatParams())
+    d, i = psearch.search_sharded(None, six2, jnp.asarray(queries), K, dmesh2)
+    want = _gt_live(corpus, queries, gone, K, Metric.SQEUCLIDEAN)
+    np.testing.assert_array_equal(np.asarray(i), want)
+
+
+# ---------------------------------------------------------------- retriever
+
+
+def test_retriever_delete(data):
+    from cuvs_rag_tpu.models.encoder import HashingEncoder
+    from cuvs_rag_tpu.rag.corpus import Corpus
+    from cuvs_rag_tpu.rag.pipeline import Retriever
+
+    passages = [f"passage number {i} about topic {i % 7}" for i in range(64)]
+    enc = HashingEncoder(dim=64)
+    r = Retriever.build(Corpus(passages=passages), enc, family="flat")
+    hit0 = r.retrieve("passage number 3", k=3)
+    target = hit0.passages[0].index
+    r.delete([target])
+    hit1 = r.retrieve("passage number 3", k=3)
+    assert all(p.index != target for p in hit1.passages)
