@@ -1,0 +1,223 @@
+"""Auto-tuning: cheapest search params that hit a recall target.
+
+The reference never closed this loop — it swept batch sizes and top-k but
+had no way to answer "what nprobe do I need for recall 0.95?" (its recall
+metric was broken, SURVEY.md §6). cuVS/FAISS users lean on autotune
+(faiss.ParameterSpace / cuVS tuning guides) for exactly this, so the
+framework provides it as a first-class call:
+
+    result = tune("ivf_flat", index, queries, corpus=corpus, k=10,
+                  target_recall=0.95)
+    dists, ids = ivf_flat.search(result.search_params, index, queries, 10)
+
+Strategy per family (each knob is monotone in recall AND in cost, so a
+ladder walk + one refinement step finds the frontier point without a full
+grid):
+  * flat    — approx (sketch / approx_max_k) if it meets the target, else
+              exact (recall 1.0 by construction).
+  * ivf_flat — doubling ladder over n_probes, then binary refinement
+              between the last miss and the first hit.
+  * ivf_pq  — n_probes ladder at the current refine depth, then walk
+              refine_ratio down while the target still holds (refine
+              dominates latency at high ratios).
+  * cagra   — (itopk, search_width fixed) ladder over itopk, then walk
+              max_iterations down from the auto count while recall holds.
+
+Ground truth: pass `ground_truth` directly, or `corpus` and it is computed
+with the exact flat oracle (streamed — never a full host copy).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from cuvs_rag_tpu.eval import recall as recall_lib
+from cuvs_rag_tpu.eval.sweeps import SweepPoint
+from cuvs_rag_tpu.utils import profiling
+from cuvs_rag_tpu.utils.config import (
+    CagraSearchParams,
+    FlatSearchParams,
+    IVFFlatSearchParams,
+    IVFPQSearchParams,
+)
+
+
+@dataclasses.dataclass
+class TuneResult:
+    search_params: Any  # cheapest params meeting the target (None: not met)
+    point: Optional[SweepPoint]  # its measured recall/latency
+    target_recall: float
+    curve: List[SweepPoint]  # every configuration measured along the way
+    met: bool
+
+    def __repr__(self):
+        if not self.met:
+            return (f"TuneResult(target {self.target_recall} NOT met; best "
+                    f"measured {max((p.recall for p in self.curve), default=0):.3f})")
+        return (f"TuneResult({self.search_params}, recall "
+                f"{self.point.recall:.3f}, "
+                f"{self.point.latency_ms_per_query:.3f} ms/query)")
+
+
+def _measure(mod, index, sp, queries_j, gt, k, iters) -> SweepPoint:
+    d, i = mod.search(sp, index, queries_j, k)
+    profiling.drain(d)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        d, i = mod.search(sp, index, queries_j, k)
+    profiling.drain(d)
+    dt = (time.perf_counter() - t0) / iters
+    r = recall_lib.recall_at_k(np.asarray(i), gt, k)
+    return SweepPoint(
+        param=sp, recall=r,
+        latency_ms_per_query=dt / queries_j.shape[0] * 1e3,
+        qps=queries_j.shape[0] / dt,
+    )
+
+
+def tune(
+    family: str,
+    index: Any,
+    queries: np.ndarray,
+    *,
+    k: int = 10,
+    target_recall: float = 0.95,
+    ground_truth: Optional[np.ndarray] = None,
+    corpus: Optional[np.ndarray] = None,
+    iters: int = 3,
+) -> TuneResult:
+    """Find the cheapest search params with recall@k >= target_recall.
+
+    queries: a REPRESENTATIVE sample (tuning on off-distribution queries
+    tunes for the wrong operating point — same caveat as FAISS autotune).
+    """
+    from cuvs_rag_tpu.parallel import search as psearch
+
+    psearch._load_families()
+    mod = psearch.FAMILIES[family]
+    queries_j = jnp.asarray(queries)
+    if ground_truth is None:
+        if corpus is None:
+            raise ValueError("pass ground_truth or corpus")
+        ground_truth = recall_lib.exact_ground_truth(
+            np.asarray(corpus), np.asarray(queries), k, index.metric
+        )
+    gt = np.asarray(ground_truth)
+    curve: List[SweepPoint] = []
+
+    def meas(sp) -> SweepPoint:
+        pt = _measure(mod, index, sp, queries_j, gt, k, iters)
+        curve.append(pt)
+        return pt
+
+    if family == "flat":
+        approx = meas(FlatSearchParams(approx=True))
+        if approx.recall >= target_recall:
+            return TuneResult(approx.param, approx, target_recall, curve, True)
+        exact = meas(None)
+        return TuneResult(None, exact, target_recall, curve,
+                          exact.recall >= target_recall)
+
+    if family == "ivf_flat":
+        best = _ladder_then_bisect(
+            meas, lambda p: IVFFlatSearchParams(n_probes=p),
+            hi=index.n_lists, target=target_recall,
+        )
+        return TuneResult(
+            best.param if best else None, best, target_recall, curve,
+            best is not None,
+        )
+
+    if family == "ivf_pq":
+        base_refine = 16 if index.has_raw else 0
+        best = _ladder_then_bisect(
+            meas,
+            lambda p: IVFPQSearchParams(n_probes=p, refine_ratio=base_refine),
+            hi=index.n_lists, target=target_recall,
+        )
+        if best is None and index.has_raw:
+            # probe ladder alone missed: deepen the refine pool at full probe
+            for rr in (32, 64, 100):
+                pt = meas(IVFPQSearchParams(
+                    n_probes=index.n_lists, refine_ratio=rr))
+                if pt.recall >= target_recall:
+                    best = pt
+                    break
+        elif best is not None and index.has_raw:
+            # walk refine down while the target holds (refine dominates cost)
+            np_best = best.param.n_probes
+            for rr in (8, 4, 2):
+                pt = meas(IVFPQSearchParams(n_probes=np_best, refine_ratio=rr))
+                if pt.recall >= target_recall and (
+                    pt.latency_ms_per_query < best.latency_ms_per_query
+                ):
+                    best = pt
+                else:
+                    break
+        return TuneResult(
+            best.param if best else None, best, target_recall, curve,
+            best is not None,
+        )
+
+    if family == "cagra":
+        best = None
+        for itopk in (32, 64, 128, 256, 512):
+            pt = meas(CagraSearchParams(itopk_size=itopk))
+            if pt.recall >= target_recall:
+                best = pt
+                break
+        if best is not None:
+            # shallower traversals at the winning beam width (clustered
+            # corpora need few hops — measured 0.35 -> 0.27 ms/q at 2M)
+            itopk = best.param.itopk_size
+            for mi in (6, 4):
+                pt = meas(CagraSearchParams(itopk_size=itopk,
+                                            max_iterations=mi))
+                if pt.recall >= target_recall and (
+                    pt.latency_ms_per_query < best.latency_ms_per_query
+                ):
+                    best = pt
+                else:
+                    break
+        return TuneResult(
+            best.param if best else None, best, target_recall, curve,
+            best is not None,
+        )
+
+    raise ValueError(f"no tuner for family {family!r}")
+
+
+def _ladder_then_bisect(meas, make, hi: int, target: float):
+    """Doubling ladder over an int knob, then binary refinement between the
+    last miss and the first hit. Returns the cheapest passing SweepPoint
+    (None if even `hi` misses)."""
+    lo_fail = 0
+    first_hit = None
+    p = 1
+    while p < hi:
+        pt = meas(make(p))
+        if pt.recall >= target:
+            first_hit = pt
+            break
+        lo_fail = p
+        p *= 2
+    if first_hit is None:
+        pt = meas(make(hi))
+        if pt.recall < target:
+            return None
+        first_hit = pt
+        # bisect in (lo_fail, hi)
+    lo, hi_pass = lo_fail, first_hit
+    while hi_pass.param.n_probes - lo > 1:
+        mid = (lo + hi_pass.param.n_probes) // 2
+        pt = meas(make(mid))
+        if pt.recall >= target:
+            hi_pass = pt
+        else:
+            lo = mid
+    return hi_pass

@@ -51,6 +51,33 @@ def run_family(family, corpus, queries, k, args, dmesh, gt):
                                     refine_ratio=args.refine_ratio),
         "cagra": CagraSearchParams(),
     }[family]
+    tuned = None
+    if getattr(args, "tune_recall", 0) and family != "flat":
+        # auto-tune: cheapest search params hitting the recall target,
+        # measured on a single-device index over the same corpus (the
+        # tuned knobs transfer to the sharded per-shard searches)
+        from cuvs_rag_tpu.eval.tune import tune as tune_fn
+
+        psearch._load_families()
+        mod = psearch.FAMILIES[family]
+        single = mod.build(params, jnp.asarray(corpus))
+        res = tune_fn(family, single, queries, k=k,
+                      target_recall=args.tune_recall, ground_truth=gt)
+        del single
+        if res.met:
+            sp = res.search_params
+            tuned = {
+                "params": str(sp),
+                "recall": round(res.point.recall, 4),
+                "ms_per_query": round(res.point.latency_ms_per_query, 4),
+                "configs_tried": len(res.curve),
+            }
+            logger.info("tuned %s -> %s", family, tuned)
+        else:
+            logger.warning(
+                "tune: target recall %.3f not reachable for %s; keeping "
+                "CLI search params", args.tune_recall, family,
+            )
 
     t0 = time.perf_counter()
     if args.placement == "shard":
@@ -81,13 +108,16 @@ def run_family(family, corpus, queries, k, args, dmesh, gt):
     recalls = recall_lib.recall_multiple_k(
         np.asarray(idx), gt, [kk for kk in (1, 5, 10) if kk <= k]
     )
-    return {
+    out = {
         "family": family,
         "build_s": round(build_s, 3),
         "search_ms_batch": round(search_ms, 3),
         "search_ms_per_query": round(search_ms / len(queries), 4),
         "recall": {k_: round(v, 4) for k_, v in recalls.items()},
     }
+    if tuned is not None:
+        out["tuned"] = tuned
+    return out
 
 
 def main(argv=None):
@@ -108,6 +138,9 @@ def main(argv=None):
                         "4 = fastscan")
     p.add_argument("--refine-ratio", type=int, default=2)
     p.add_argument("--topics", type=int, default=100)
+    p.add_argument("--tune-recall", type=float, default=0.0,
+                   help="auto-tune search params to this recall@k target "
+                        "(0 = off; overrides --n-probes/--refine-ratio)")
     p.add_argument("--json", action="store_true", help="machine-readable output")
     args = p.parse_args(argv)
 

@@ -1,0 +1,100 @@
+"""Auto-tuner: cheapest search params hitting a recall target."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cuvs_rag_tpu.eval import recall as recall_lib
+from cuvs_rag_tpu.eval.tune import tune
+from cuvs_rag_tpu.index import cagra, flat, ivf_flat, ivf_pq
+from cuvs_rag_tpu.utils.config import (
+    CagraParams,
+    FlatParams,
+    IVFFlatParams,
+    IVFPQParams,
+)
+
+N, D, K = 2000, 64, 10
+
+
+@pytest.fixture(scope="module")
+def clustered():
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((16, D)).astype(np.float32)
+    labels = rng.integers(0, 16, N)
+    corpus = (centers[labels] + 0.3 * rng.standard_normal((N, D))).astype(
+        np.float32
+    )
+    qlab = rng.integers(0, 16, 20)
+    queries = (centers[qlab] + 0.3 * rng.standard_normal((20, D))).astype(
+        np.float32
+    )
+    gt = recall_lib.exact_ground_truth(corpus, queries, K, "sqeuclidean")
+    return corpus, queries, gt
+
+
+def test_tune_ivf_flat_minimal_nprobe(clustered):
+    corpus, queries, gt = clustered
+    ix = ivf_flat.build(IVFFlatParams(n_lists=16), corpus)
+    res = tune("ivf_flat", ix, queries, k=K, target_recall=0.95,
+               ground_truth=gt, iters=1)
+    assert res.met
+    assert res.point.recall >= 0.95
+    # minimality: one probe fewer must miss the target (or we're at 1)
+    np_best = res.search_params.n_probes
+    if np_best > 1:
+        from cuvs_rag_tpu.utils.config import IVFFlatSearchParams
+
+        _, i = ivf_flat.search(
+            IVFFlatSearchParams(n_probes=np_best - 1), ix, jnp.asarray(queries), K
+        )
+        assert recall_lib.recall_at_k(np.asarray(i), gt, K) < 0.95
+
+
+def test_tune_ivf_flat_unreachable_target(clustered):
+    corpus, queries, gt = clustered
+    ix = ivf_flat.build(IVFFlatParams(n_lists=16, dtype="int8"), corpus)
+    res = tune("ivf_flat", ix, queries, k=K, target_recall=1.01,
+               ground_truth=gt, iters=1)
+    assert not res.met
+    assert res.search_params is None
+    assert len(res.curve) > 0
+
+
+def test_tune_flat(clustered):
+    corpus, queries, gt = clustered
+    ix = flat.build(FlatParams(), corpus)
+    res = tune("flat", ix, queries, k=K, target_recall=0.9,
+               ground_truth=gt, iters=1)
+    assert res.met
+    assert res.point.recall >= 0.9
+
+
+def test_tune_ivf_pq_refine_walk(clustered):
+    corpus, queries, gt = clustered
+    ix = ivf_pq.build(
+        IVFPQParams(n_lists=8, pq_dim=16, pq_bits=4, store_raw=True), corpus
+    )
+    res = tune("ivf_pq", ix, queries, k=K, target_recall=0.9,
+               ground_truth=gt, iters=1)
+    assert res.met
+    d, i = ivf_pq.search(res.search_params, ix, jnp.asarray(queries), K)
+    assert recall_lib.recall_at_k(np.asarray(i), gt, K) >= 0.9
+
+
+def test_tune_cagra(clustered):
+    corpus, queries, gt = clustered
+    ix = cagra.build(CagraParams(graph_degree=16, build_algo="exact"), corpus)
+    res = tune("cagra", ix, queries, k=K, target_recall=0.85,
+               ground_truth=gt, iters=1)
+    assert res.met
+    d, i = cagra.search(res.search_params, ix, jnp.asarray(queries), K)
+    assert recall_lib.recall_at_k(np.asarray(i), gt, K) >= 0.85
+
+
+def test_tune_computes_gt_from_corpus(clustered):
+    corpus, queries, _ = clustered
+    ix = ivf_flat.build(IVFFlatParams(n_lists=16), corpus)
+    res = tune("ivf_flat", ix, queries, k=K, target_recall=0.9,
+               corpus=corpus, iters=1)
+    assert res.met
