@@ -104,8 +104,10 @@ def tune(
     if ground_truth is None:
         if corpus is None:
             raise ValueError("pass ground_truth or corpus")
-        ground_truth = recall_lib.exact_ground_truth(
-            np.asarray(corpus), np.asarray(queries), k, index.metric
+        # streamed oracle: works on a device-resident corpus without a
+        # host round-trip or a second full fp32 flat index on device
+        ground_truth = recall_lib.exact_ground_truth_streamed(
+            jnp.asarray(corpus), np.asarray(queries), k, index.metric
         )
     gt = np.asarray(ground_truth)
     curve: List[SweepPoint] = []
@@ -119,9 +121,12 @@ def tune(
         approx = meas(FlatSearchParams(approx=True))
         if approx.recall >= target_recall:
             return TuneResult(approx.param, approx, target_recall, curve, True)
-        exact = meas(None)
-        return TuneResult(None, exact, target_recall, curve,
-                          exact.recall >= target_recall)
+        exact = meas(FlatSearchParams(approx=False))
+        met = exact.recall >= target_recall
+        # search_params stays None only when the target was NOT met
+        # (the documented contract); exact-that-meets returns approx=False
+        return TuneResult(exact.param if met else None, exact,
+                          target_recall, curve, met)
 
     if family == "ivf_flat":
         best = _ladder_then_bisect(
@@ -134,21 +139,26 @@ def tune(
         )
 
     if family == "ivf_pq":
-        base_refine = 16 if index.has_raw else 0
-        best = _ladder_then_bisect(
-            meas,
-            lambda p: IVFPQSearchParams(n_probes=p, refine_ratio=base_refine),
-            hi=index.n_lists, target=target_recall,
-        )
-        if best is None and index.has_raw:
-            # probe ladder alone missed: deepen the refine pool at full probe
-            for rr in (32, 64, 100):
-                pt = meas(IVFPQSearchParams(
-                    n_probes=index.n_lists, refine_ratio=rr))
-                if pt.recall >= target_recall:
-                    best = pt
-                    break
-        elif best is not None and index.has_raw:
+        # refine depth CAPS recall regardless of probes (the ADC shortlist
+        # is the quality bound, the exact re-rank only reorders it), so the
+        # probe ladder alone can plateau below target — measured at 2M:
+        # refine=16 tops out at 0.87 while refine=64 reaches 0.98 at
+        # nprobe=20. Tune refine outermost (ascending), nprobe innermost:
+        # the first (refine, minimal-nprobe) hit is the cheapest operating
+        # point since refine dominates latency above the plateau.
+        ladder = [16, 32, 64, 100] if index.has_raw else [0]
+        best = None
+        for rr in ladder:
+            best = _ladder_then_bisect(
+                meas,
+                lambda p, rr=rr: IVFPQSearchParams(
+                    n_probes=p, refine_ratio=rr),
+                hi=index.n_lists, target=target_recall,
+                plateau_after=2,
+            )
+            if best is not None:
+                break
+        if best is not None and index.has_raw:
             # walk refine down while the target holds (refine dominates cost)
             np_best = best.param.n_probes
             for rr in (8, 4, 2):
@@ -192,18 +202,31 @@ def tune(
     raise ValueError(f"no tuner for family {family!r}")
 
 
-def _ladder_then_bisect(meas, make, hi: int, target: float):
+def _ladder_then_bisect(meas, make, hi: int, target: float,
+                        plateau_after: int = 0):
     """Doubling ladder over an int knob, then binary refinement between the
     last miss and the first hit. Returns the cheapest passing SweepPoint
-    (None if even `hi` misses)."""
+    (None if even `hi` misses). plateau_after > 0: give up early when
+    recall improves < 0.005 over that many consecutive doublings — the
+    knob has saturated (e.g. nprobe under a refine-depth recall cap) and
+    measuring up to `hi` would only burn time on a lost cause."""
     lo_fail = 0
     first_hit = None
     p = 1
+    flat_steps = 0
+    prev_recall = -1.0
     while p < hi:
         pt = meas(make(p))
         if pt.recall >= target:
             first_hit = pt
             break
+        if plateau_after and pt.recall < prev_recall + 0.005:
+            flat_steps += 1
+            if flat_steps >= plateau_after:
+                return None
+        else:
+            flat_steps = 0
+        prev_recall = pt.recall
         lo_fail = p
         p *= 2
     if first_hit is None:

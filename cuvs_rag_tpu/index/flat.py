@@ -116,8 +116,15 @@ def extend(index: FlatIndex, new_vectors: jax.Array) -> FlatIndex:
         scales = jnp.ones((n_padded,), jnp.float32)
         sq = dist_ops.sqnorms(vectors)
     # recomputing sqnorms from storage would silently resurrect
-    # tombstone-deleted rows — carry the old rows' deletion penalty over
-    sq = sq.at[:nv].add(dist_ops.deletion_penalty(index.sqnorms[:nv]))
+    # tombstone-deleted rows — carry the FULL penalty over (carrying
+    # deletion_penalty() instead would decay the slot by DELETED_THRESHOLD
+    # per extend and resurrect deleted rows after ~20 extends: the slot
+    # must re-converge to real + DELETED_PENALTY every time, a fixpoint)
+    old = index.sqnorms[:nv]
+    sq = sq.at[:nv].add(jnp.where(
+        old > dist_ops.DELETED_THRESHOLD,
+        jnp.float32(dist_ops.DELETED_PENALTY), 0.0,
+    ))
     return FlatIndex(
         vectors=vectors,
         sqnorms=sq,

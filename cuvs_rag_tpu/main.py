@@ -57,14 +57,27 @@ def run_family(family, corpus, queries, k, args, dmesh, gt):
         # measured on a single-device index over the same corpus (the
         # tuned knobs transfer to the sharded per-shard searches)
         from cuvs_rag_tpu.eval.tune import tune as tune_fn
+        from cuvs_rag_tpu.utils import memory as mem
 
-        psearch._load_families()
-        mod = psearch.FAMILIES[family]
-        single = mod.build(params, jnp.asarray(corpus))
-        res = tune_fn(family, single, queries, k=k,
-                      target_recall=args.tune_recall, ground_truth=gt)
-        del single
-        if res.met:
+        # the tune index is single-device even under --placement shard:
+        # check IT fits one chip (plan_shards validated the sharded layout
+        # only) and skip tuning rather than OOM on beyond-chip corpora
+        plan1 = mem.plan_shards(len(corpus), corpus.shape[1], 1,
+                                family=family, dtype=args.dtype)
+        if not plan1["fits"]:
+            logger.warning(
+                "tune: corpus does not fit a single device (%s); skipping "
+                "auto-tune, keeping CLI search params", plan1["suggestion"],
+            )
+            res = None
+        else:
+            psearch._load_families()
+            mod = psearch.FAMILIES[family]
+            single = mod.build(params, jnp.asarray(corpus))
+            res = tune_fn(family, single, queries, k=k,
+                          target_recall=args.tune_recall, ground_truth=gt)
+            del single
+        if res is not None and res.met:
             sp = res.search_params
             tuned = {
                 "params": str(sp),
@@ -73,7 +86,7 @@ def run_family(family, corpus, queries, k, args, dmesh, gt):
                 "configs_tried": len(res.curve),
             }
             logger.info("tuned %s -> %s", family, tuned)
-        else:
+        elif res is not None:
             logger.warning(
                 "tune: target recall %.3f not reachable for %s; keeping "
                 "CLI search params", args.tune_recall, family,

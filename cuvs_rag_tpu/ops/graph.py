@@ -399,10 +399,10 @@ def beam_search(
             0, iters, step, (init_scores, init_ids, init_exp)
         )
         out_s, order = jax.lax.top_k(scores, k)
-        # > -1e29 (not > -inf): a tombstone-deleted row at ~-2e30 can win a
-        # slot when the beam saw fewer than k live rows — report it as an
-        # empty slot like a pad
-        live = out_s > -1e29
+        # > -DELETED_THRESHOLD (not > -inf): a tombstone-deleted row at
+        # ~-DELETED_PENALTY can win a slot when the beam saw fewer than k
+        # live rows — report it as an empty slot like a pad
+        live = out_s > -dist_ops.DELETED_THRESHOLD
         out_s = jnp.where(live, out_s, topk_ops.NEG_INF)
         out_i = jnp.where(live, ids[order], -1)
         return out_s, out_i

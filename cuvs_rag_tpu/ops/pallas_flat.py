@@ -123,9 +123,13 @@ def _select_topk_fused(scores, k):
 
 # Pad-row scores: pad rows carry +_PAD_PENALTY in the kernel's csq slot, so
 # the existing FMA pass drives their scores to ~-1e30 — no separate masking
-# passes anywhere in the kernel. Any score <= _VALID_MIN is an invalid slot.
+# passes anywhere in the kernel. Any score <= _VALID_MIN is an invalid slot
+# (pad OR tombstone-deleted; _VALID_MIN matches ops/distance.py's deletion
+# threshold so both penalties trip the same output mask).
+from cuvs_rag_tpu.ops.distance import DELETED_THRESHOLD as _DEL_TH
+
 _PAD_PENALTY = 1e30
-_VALID_MIN = -1e29
+_VALID_MIN = -_DEL_TH
 
 
 def _score_tile(

@@ -34,6 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cuvs_rag_tpu.ops import topk as topk_ops
+from cuvs_rag_tpu.ops.distance import DELETED_THRESHOLD
 from cuvs_rag_tpu.ops.pallas_flat import _select_topk_rounds
 
 MAX_PALLAS_K = 32
@@ -110,7 +111,7 @@ def _kernel(
     # through the existing "- sqnorms" term; inner_product subtracts only
     # the over-threshold part (0.0 on live rows).
     aux0 = aux[:, 0, :].reshape(1, -1)
-    del_pen = jnp.maximum(aux0 - jnp.float32(1e29), 0.0)
+    del_pen = jnp.maximum(aux0 - jnp.float32(DELETED_THRESHOLD), 0.0)
     if scaled:
         # residual SQ8: sqnorms/scales ride a 16 KB fp32 side DMA —
         # cheaper than recomputing ||w||² from the multi-MB window
@@ -154,7 +155,7 @@ def _kernel(
         # lists hold fewer than k live rows; its ~-2e30 score marks it —
         # report id -1 / -inf like a pad slot (same contract as pallas_flat)
         out_s = s_scr[:]
-        live = out_s > jnp.float32(-1e29)
+        live = out_s > jnp.float32(-DELETED_THRESHOLD)
         out_s_ref[:] = jnp.where(live, out_s, NEG_INF)
         out_i_ref[:] = jnp.where(live, i_scr[:], -1)
 

@@ -59,10 +59,11 @@ def merge_topk(scores: jax.Array, indices: jax.Array, k: int):
     top_idx = jnp.take_along_axis(indices, top_args, axis=-1)
     # Slots that never saw a real candidate (masked pad rows, k > corpus)
     # report index -1, matching the aggregator spec's invalid-slot convention.
-    # Scores below -1e29 are tombstone-deleted rows (ops/distance.py) that
-    # won a slot only because fewer than k live candidates existed — same
-    # treatment. Real scores can never reach that magnitude.
-    live = top_scores > -1e29
+    # Scores below -DELETED_THRESHOLD are tombstone-deleted rows
+    # (ops/distance.py) that won a slot only because fewer than k live
+    # candidates existed — same treatment. Real scores never reach that
+    # magnitude.
+    live = top_scores > -dist_ops.DELETED_THRESHOLD
     top_scores = jnp.where(live, top_scores, NEG_INF)
     top_idx = jnp.where(live, top_idx, -1)
     if kk < k:  # pad out to k with invalid entries

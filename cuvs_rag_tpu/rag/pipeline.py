@@ -180,6 +180,7 @@ class Retriever:
         elif isinstance(self.index, psearch.ReplicatedIndex):
             self.index = psearch.delete_replicated(self.index, ids)
         else:
+            psearch._load_families()
             mod = psearch.FAMILIES[self.family]
             if not hasattr(mod, "delete"):
                 raise ValueError(

@@ -1,0 +1,108 @@
+"""Tuned operating points on the real TPU: for each approximate family,
+auto-tune the cheapest search params at recall@10 targets and report the
+measured frontier (eval/tune.py driving the 2M x 768 clustered corpus).
+
+Usage:  python scripts/bench_tune.py [--n 2000000] [--targets 0.95 0.99]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=2_000_000)
+    ap.add_argument("--dim", type=int, default=768)
+    ap.add_argument("--batch", type=int, default=100)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--targets", type=float, nargs="+", default=[0.95, 0.99])
+    ap.add_argument("--families", nargs="+",
+                    default=["ivf_flat", "ivf_pq", "cagra"])
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from cuvs_rag_tpu.eval import recall as recall_lib
+    from cuvs_rag_tpu.eval.tune import tune
+    from cuvs_rag_tpu.utils.config import (
+        CagraParams, IVFFlatParams, IVFPQParams, Metric,
+    )
+
+    n, d = args.n, args.dim
+    key = jax.random.PRNGKey(0)
+    kc = jax.random.fold_in(key, 1)
+    n_centers = 2000
+    centers = jax.random.normal(kc, (n_centers, d), jnp.float32)
+    mk = jax.jit(lambda k_: (
+        centers[jax.random.randint(k_, (n // 8,), 0, n_centers)]
+        + 0.3 * jax.random.normal(k_, (n // 8, d))
+    ).astype(jnp.bfloat16))
+    corpus = jnp.concatenate([mk(jax.random.fold_in(key, i)) for i in range(8)])
+    qk = jax.random.fold_in(key, 99)
+    queries = np.asarray(
+        centers[jax.random.randint(qk, (args.batch,), 0, n_centers)]
+        + 0.3 * jax.random.normal(qk, (args.batch, d))
+    ).astype(np.float32)
+
+    print(f"corpus {n} x {d} (clustered, bf16 on device); "
+          f"batch {args.batch}, k {args.k}")
+    t0 = time.time()
+    gt = recall_lib.exact_ground_truth_streamed(
+        corpus, queries, args.k, Metric.SQEUCLIDEAN
+    )
+    print(f"exact GT (streamed oracle): {time.time() - t0:.1f}s")
+
+    builders = {
+        "ivf_flat": lambda: __import__(
+            "cuvs_rag_tpu.index.ivf_flat", fromlist=["x"]
+        ).build(IVFFlatParams(n_lists=2000, dtype="bfloat16"), corpus),
+        "ivf_pq": lambda: __import__(
+            "cuvs_rag_tpu.index.ivf_pq", fromlist=["x"]
+        ).build(IVFPQParams(n_lists=2000, pq_dim=96, pq_bits=8), corpus),
+        "cagra": lambda: __import__(
+            "cuvs_rag_tpu.index.cagra", fromlist=["x"]
+        ).build(CagraParams(), corpus),
+    }
+
+    rows = []
+    for fam in args.families:
+        t0 = time.time()
+        ix = builders[fam]()
+        jax.block_until_ready(jax.tree_util.tree_leaves(ix)[0])
+        build_s = time.time() - t0
+        print(f"\n=== {fam} (build {build_s:.1f}s) ===")
+        for tgt in args.targets:
+            t0 = time.time()
+            res = tune(fam, ix, queries, k=args.k, target_recall=tgt,
+                       ground_truth=gt)
+            tune_s = time.time() - t0
+            if res.met:
+                print(f"  target {tgt}: {res.search_params} -> recall "
+                      f"{res.point.recall:.3f}, "
+                      f"{res.point.latency_ms_per_query:.3f} ms/q "
+                      f"({len(res.curve)} configs, {tune_s:.0f}s)")
+                rows.append((fam, tgt, str(res.search_params),
+                             res.point.recall,
+                             res.point.latency_ms_per_query))
+            else:
+                best = max((p.recall for p in res.curve), default=0)
+                print(f"  target {tgt}: NOT MET (best {best:.3f}, "
+                      f"{len(res.curve)} configs, {tune_s:.0f}s)")
+                rows.append((fam, tgt, "—", best, float("nan")))
+        del ix
+
+    print("\n| family | target | tuned params | recall@10 | ms/query |")
+    print("|---|---|---|---|---|")
+    for fam, tgt, sp, r, ms in rows:
+        print(f"| {fam} | {tgt} | {sp} | {r:.3f} | {ms:.3f} |")
+
+
+if __name__ == "__main__":
+    main()

@@ -95,6 +95,20 @@ def test_flat_delete_survives_extend(data):
     np.testing.assert_array_equal(i, want)
 
 
+def test_flat_delete_survives_many_extends(data):
+    """Regression: carrying deletion_penalty() (slot - threshold) instead of
+    the full penalty decayed the tombstone by 1e29 per extend — deleted rows
+    silently resurrected after ~20 extends."""
+    corpus, queries = data
+    ix = flat.build(FlatParams(), corpus[:100])
+    ix = flat.delete(ix, [5])
+    for j in range(25):
+        ix = flat.extend(ix, corpus[100 + j: 101 + j])
+    d, i = flat.search(None, ix, corpus[[5]], 5)
+    assert 5 not in np.asarray(i)
+    assert not bool(np.asarray(flat.live_row_mask(ix))[5])
+
+
 @pytest.mark.parametrize("mode", ["exact", "sketch"])
 @pytest.mark.parametrize("metric", [Metric.SQEUCLIDEAN, Metric.INNER_PRODUCT])
 def test_flat_delete_pallas_kernel(data, mode, metric):
@@ -361,6 +375,23 @@ def test_delete_survives_sharded_reshard(tmp_path, data):
     d, i = psearch.search_sharded(None, six2, jnp.asarray(queries), K, dmesh2)
     want = _gt_live(corpus, queries, gone, K, Metric.SQEUCLIDEAN)
     np.testing.assert_array_equal(np.asarray(i), want)
+
+
+def test_delete_is_a_nondestructive_filter(data):
+    """FAISS IDSelector pattern: delete() on an immutable pytree is a
+    search-time filter — the original index is untouched and unmodified
+    leaves are shared (no corpus copy)."""
+    corpus, queries = data
+    ix = flat.build(FlatParams(), corpus)
+    gone = np.arange(0, N, 2)
+    view = flat.delete(ix, gone)
+    # original untouched
+    d, i = flat.search(None, ix, queries, K)
+    assert np.isin(np.asarray(i), gone).any()
+    # the filtered view excludes; the big corpus leaf is SHARED
+    d, i = flat.search(None, view, queries, K)
+    assert not np.isin(np.asarray(i), gone).any()
+    assert view.vectors is ix.vectors
 
 
 # ---------------------------------------------------------------- retriever
