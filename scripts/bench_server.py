@@ -1,0 +1,149 @@
+"""Serving-daemon throughput: micro-batching on vs off (real TPU).
+
+Measures what a deployment sees: many concurrent clients each issuing
+single-query HTTP requests against rag/server.py. The micro-batcher
+coalesces whatever requests arrive while a device dispatch is in flight
+into ONE batched search (continuous batching), so the per-dispatch tunnel
+overhead (~35 ms wall on this test tunnel) is amortized across the batch
+instead of paid per request.
+
+Usage: python scripts/bench_server.py [--n 512] [--clients 32] [--corpus 2000000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os as _os
+import sys as _sys
+import threading
+import time
+from http.client import HTTPConnection
+
+import numpy as np
+
+# runnable from any cwd: put the repo root on sys.path
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
+def run_clients(addr, vectors, n_requests, n_clients, k=10):
+    """n_clients threads round-robin single-query POSTs; returns (wall_s, lat)."""
+    latencies = []
+    lat_lock = threading.Lock()
+    errors = []
+    counter = {"i": 0}
+    counter_lock = threading.Lock()
+
+    def worker():
+        conn = HTTPConnection(*addr, timeout=120)
+        while True:
+            with counter_lock:
+                i = counter["i"]
+                if i >= n_requests:
+                    return
+                counter["i"] += 1
+            body = json.dumps(
+                {"vectors": [vectors[i % len(vectors)].tolist()], "k": k}
+            )
+            t0 = time.time()
+            try:
+                conn.request("POST", "/v1/search", body=body,
+                             headers={"Content-Type": "application/json"})
+                resp = conn.getresponse()
+                payload = json.loads(resp.read())
+                assert resp.status == 200, payload
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+                return
+            with lat_lock:
+                latencies.append(time.time() - t0)
+
+    threads = [threading.Thread(target=worker) for _ in range(n_clients)]
+    t0 = time.time()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.time() - t0
+    if errors:
+        raise RuntimeError(f"{len(errors)} client errors, first: {errors[0]}")
+    return wall, np.asarray(latencies)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=512, help="total requests per mode")
+    ap.add_argument("--clients", type=int, default=32)
+    ap.add_argument("--corpus", type=int, default=2_000_000)
+    ap.add_argument("--dim", type=int, default=768)
+    ap.add_argument("--k", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from cuvs_rag_tpu.models.encoder import HashingEncoder
+    from cuvs_rag_tpu.rag import server as server_mod
+    from cuvs_rag_tpu.rag.corpus import Corpus
+    from cuvs_rag_tpu.rag.pipeline import Retriever
+    from cuvs_rag_tpu.utils.config import FlatParams
+
+    print(f"device: {jax.devices()[0]}")
+    rng = np.random.default_rng(0)
+    # device-generated corpus (host-gen + transfer of 6 GB would crawl
+    # through the test tunnel); passages stay synthetic strings
+    n, d = args.corpus, args.dim
+    corpus_dev = jax.jit(
+        lambda key: jax.random.normal(key, (n, d), jnp.bfloat16)
+    )(jax.random.PRNGKey(0))
+    corpus = Corpus(passages=[""] * n, embeddings=None)
+
+    # Build the retriever around a prebuilt flat index (skip host encode)
+    from cuvs_rag_tpu.index import flat
+
+    t0 = time.time()
+    index = flat.build(FlatParams(dtype="bfloat16"), corpus_dev)
+    print(f"flat build {n}x{d}: {time.time() - t0:.2f}s")
+    retriever = Retriever(
+        encoder=HashingEncoder(dim=d), index=index, corpus=corpus,
+        family="flat",
+    )
+
+    queries = rng.standard_normal((256, d)).astype(np.float32)
+
+    # prewarm every bucketed (batch, k) program shape the batcher can hit —
+    # shapes are shared across modes (same process / compile cache)
+    warm_svc = server_mod.SearchService(retriever, micro_batch=False)
+    t0 = time.time()
+    b = 1
+    while b <= 256:
+        warm_svc._run_vectors([(queries[: min(b, len(queries))], args.k)])
+        b *= 2
+    print(f"prewarm (all bucket shapes): {time.time() - t0:.1f}s")
+
+    results = {}
+    for mode, micro in (("micro_batch", True), ("per_request", False)):
+        srv = server_mod.serve(retriever, host="127.0.0.1", port=0,
+                               micro_batch=micro)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        addr = srv.server_address
+        run_clients(addr, queries, 64, 16, k=args.k)  # HTTP-path warmup
+        wall, lat = run_clients(addr, queries, args.n, args.clients, k=args.k)
+        qps = args.n / wall
+        results[mode] = {
+            "qps": round(qps, 1),
+            "p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 2),
+            "p95_ms": round(float(np.percentile(lat, 95)) * 1e3, 2),
+            "mean_ms": round(float(lat.mean()) * 1e3, 2),
+        }
+        print(f"{mode}: {results[mode]}")
+        srv.shutdown()
+        srv.service.close()
+
+    speedup = results["micro_batch"]["qps"] / results["per_request"]["qps"]
+    print(json.dumps({"server_bench": results,
+                      "microbatch_speedup": round(speedup, 2)}))
+
+
+if __name__ == "__main__":
+    main()

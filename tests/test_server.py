@@ -85,3 +85,122 @@ def test_metrics_endpoint(live_server):
     code, body = _req(live_server, "GET", "/metrics")
     assert code == 200
     assert "server.search_texts_seconds" in body["histograms"]
+
+
+def test_vector_dim_mismatch_is_400(live_server):
+    code, body = _req(live_server, "POST", "/v1/search",
+                      {"vectors": [[1.0, 2.0, 3.0]], "k": 1})
+    assert code == 400 and "dim" in body["error"]
+
+
+def test_concurrent_requests_each_get_their_answer(live_server):
+    # hammer the daemon from many threads; micro-batching must hand every
+    # request ITS result (right query, right k) even when coalesced
+    enc = HashingEncoder(dim=128)
+    errors = []
+
+    def one(i):
+        try:
+            pi = i % len(PASSAGES)
+            k = 1 + (i % 3)
+            if i % 2 == 0:
+                code, body = _req(live_server, "POST", "/v1/search",
+                                  {"texts": [PASSAGES[pi]], "k": k})
+                assert code == 200, body
+                ps = body["results"][0]["passages"]
+                assert len(ps) == k
+                assert ps[0]["index"] == pi, (i, ps)
+            else:
+                v = enc.encode([PASSAGES[pi]])
+                code, body = _req(live_server, "POST", "/v1/search",
+                                  {"vectors": v.tolist(), "k": k})
+                assert code == 200, body
+                assert len(body["indices"][0]) == k
+                assert body["indices"][0][0] == pi, (i, body)
+        except Exception as e:  # noqa: BLE001
+            errors.append((i, e))
+
+    threads = [threading.Thread(target=one, args=(i,)) for i in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert not errors, errors
+
+
+class TestMicroBatcher:
+    def test_coalesces_while_dispatch_in_flight(self):
+        import time
+
+        release = threading.Event()
+        batches = []
+
+        def run(items):
+            batches.append(list(items))
+            if len(batches) == 1:
+                release.wait(10)  # hold the first dispatch open
+            return [x * 10 for x in items]
+
+        # depth 1: a second dispatcher thread would pick the followers up
+        # individually instead of coalescing them behind the blocked one
+        b = server_mod.MicroBatcher(run, name="t", pipeline_depth=1)
+        try:
+            results = {}
+
+            def submit(x):
+                results[x] = b.submit(x)
+
+            t1 = threading.Thread(target=submit, args=(1,))
+            t1.start()
+            while not batches:  # first dispatch is now blocked in run()
+                time.sleep(0.001)
+            ts = [threading.Thread(target=submit, args=(x,)) for x in (2, 3, 4)]
+            for t in ts:
+                t.start()
+            while len(b._queue) < 3:  # all three queued behind the dispatch
+                time.sleep(0.001)
+            release.set()
+            for t in [t1, *ts]:
+                t.join(timeout=10)
+            assert results == {1: 10, 2: 20, 3: 30, 4: 40}
+            assert batches[0] == [1]
+            assert sorted(batches[1]) == [2, 3, 4]  # coalesced into ONE batch
+        finally:
+            b.close()
+
+    def test_error_propagates_to_submitters(self):
+        def run(items):
+            raise RuntimeError("boom")
+
+        b = server_mod.MicroBatcher(run, name="err")
+        try:
+            with pytest.raises(RuntimeError, match="boom"):
+                b.submit(1)
+        finally:
+            b.close()
+
+    def test_closed_rejects_submissions(self):
+        b = server_mod.MicroBatcher(lambda items: items, name="c")
+        b.close()
+        with pytest.raises(RuntimeError, match="closed"):
+            b.submit(1)
+
+
+def test_mixed_k_vector_batch_slicing():
+    # two coalesced vector requests with different k: each reply must be
+    # that request's rows, sliced to its own k
+    r = Retriever.build(
+        Corpus(passages=list(PASSAGES)), HashingEncoder(dim=128),
+        family="flat", params=FlatParams(metric=Metric.COSINE, tile_n=8),
+    )
+    svc = server_mod.SearchService(r, micro_batch=False)
+    enc = HashingEncoder(dim=128)
+    items = [
+        (np.asarray(enc.encode([PASSAGES[0]]), np.float32), 1),
+        (np.asarray(enc.encode([PASSAGES[1], PASSAGES[3]]), np.float32), 3),
+    ]
+    out = svc._run_vectors(items)
+    assert len(out[0]["indices"]) == 1 and len(out[0]["indices"][0]) == 1
+    assert out[0]["indices"][0][0] == 0
+    assert len(out[1]["indices"]) == 2 and len(out[1]["indices"][0]) == 3
+    assert out[1]["indices"][0][0] == 1 and out[1]["indices"][1][0] == 3
