@@ -228,8 +228,21 @@ def shard_corpus(
 def reshard(corpus: ShardedCorpus, dmesh: DeviceMesh) -> ShardedCorpus:
     """Re-shard to a (possibly different-size) mesh.
 
-    Replaces `redistribute_if_needed` (embedding_distribution_manager.py:274-305)
-    — device-loss elasticity: collect and re-shard onto the surviving mesh.
+    Replaces `redistribute_if_needed` (embedding_distribution_manager.py:274-305).
+    When the source shards are healthy and the layout is even-padded
+    (padding only after the global end), the corpus is reconstructed
+    ON-DEVICE — `(S, per, D) -> (S*per, D)[:N]` — and re-split by
+    device_put, so no multi-GB D2H round-trips the host link. The
+    proportional layout (interleaved padding) and multi-process flows
+    fall back to the host gather. True device LOSS goes through
+    ElasticShardedIndex.heal(), which rebuilds from its durability
+    source (the lost HBM shard is unreadable by definition).
     """
+    offs = np.asarray(corpus.offsets)
+    s, per, _ = corpus.data.shape
+    even = bool(np.array_equal(offs, np.arange(s) * per))
+    if jax.process_count() == 1 and even:
+        flat = corpus.data.reshape(s * per, corpus.dim)[: corpus.total]
+        return shard_corpus(flat, dmesh)
     host = corpus.gather_to_host()
     return shard_corpus(host, dmesh)

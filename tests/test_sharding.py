@@ -62,6 +62,29 @@ def test_reshard_to_smaller_mesh(rng):
     np.testing.assert_array_equal(sc2.gather_to_host(), corpus)
 
 
+def test_reshard_proportional_layout_host_fallback(rng):
+    # proportional (memory_based-style) layouts interleave padding between
+    # shards, so reshard must take the gather path — contents preserved
+    corpus = rng.standard_normal((100, 8)).astype(np.float32)
+    full = DeviceMesh()
+    sizes = [20, 30, 10, 8, 8, 8, 8, 8]
+    per = 32
+    blocks = np.zeros((8, per, 8), np.float32)
+    offs = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int32)
+    for i, (o, nv) in enumerate(zip(offs, sizes)):
+        blocks[i, :nv] = corpus[o:o + nv]
+    sc = shard_lib.ShardedCorpus(
+        data=shard_lib.global_put(blocks, full.sharding(full.axis_name, None, None)),
+        n_valid=shard_lib.global_put(np.asarray(sizes, np.int32),
+                                     full.sharding(full.axis_name)),
+        offsets=shard_lib.global_put(offs, full.sharding(full.axis_name)),
+        total=100,
+    )
+    sc2 = shard_lib.reshard(sc, DeviceMesh(devices=jax.devices()[:4]))
+    assert sc2.num_shards == 4
+    np.testing.assert_array_equal(sc2.gather_to_host(), corpus)
+
+
 def test_empty_corpus_rejected():
     dmesh = DeviceMesh()
     with pytest.raises(ValueError):
