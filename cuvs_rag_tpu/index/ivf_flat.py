@@ -122,7 +122,10 @@ def build(
     n_lists = params.n_lists or default_n_lists(n)
     n_lists = min(n_lists, sample_n)
     sample_n_pad = topk_ops.round_up(sample_n, 8)
-    sample = topk_ops.pad_rows(vectors[:sample_n].astype(jnp.float32), sample_n_pad)
+    # bf16 corpora train in bf16 (kmeans scores in the storage dtype —
+    # single-pass MXU; centroid state stays fp32 inside); others in fp32
+    sample_dt = jnp.bfloat16 if vectors.dtype == jnp.bfloat16 else jnp.float32
+    sample = topk_ops.pad_rows(vectors[:sample_n].astype(sample_dt), sample_n_pad)
     weights = (jnp.arange(sample_n_pad) < sample_n).astype(jnp.float32)
     key = jax.random.PRNGKey(seed)
     centroids, _ = kmeans_ops.kmeans(
@@ -367,8 +370,9 @@ def build_local(
     valid = jnp.arange(per) < n_valid
     weights = valid.astype(jnp.float32)
     key = jax.random.PRNGKey(seed)
+    train_dt = jnp.bfloat16 if vectors.dtype == jnp.bfloat16 else jnp.float32
     centroids, labels = kmeans_ops.kmeans(
-        vectors.astype(jnp.float32), weights, key,
+        vectors.astype(train_dt), weights, key,
         n_clusters=n_lists, iters=params.kmeans_iters,
     )
     capacity = ivf_ops.capacity_for(per, n_lists, max_list_size)
@@ -407,7 +411,8 @@ def train(params: IVFFlatParams, sample: jax.Array, seed: int = 0) -> IVFFlatInd
     vectors = _prep(params, sample)
     n_lists = min(params.n_lists or default_n_lists(n), n)
     n_pad = topk_ops.round_up(n, 8)
-    vpad = topk_ops.pad_rows(vectors.astype(jnp.float32), n_pad)
+    train_dt = jnp.bfloat16 if vectors.dtype == jnp.bfloat16 else jnp.float32
+    vpad = topk_ops.pad_rows(vectors.astype(train_dt), n_pad)
     w = (jnp.arange(n_pad) < n).astype(jnp.float32)
     centroids, _ = kmeans_ops.kmeans(
         vpad, w, jax.random.PRNGKey(seed),
@@ -660,8 +665,9 @@ def build_sharded_local(params: IVFFlatParams, sc, dmesh, seed: int = 0):
     def _phase_a(block, n_valid):
         v = _prep_block(block[0])
         valid = jnp.arange(per) < n_valid[0]
+        tdt = jnp.bfloat16 if v.dtype == jnp.bfloat16 else jnp.float32
         centroids, labels = kmeans_ops.kmeans(
-            v.astype(jnp.float32), valid.astype(jnp.float32),
+            v.astype(tdt), valid.astype(jnp.float32),
             jax.random.PRNGKey(seed),
             n_clusters=n_lists, iters=params.kmeans_iters,
         )

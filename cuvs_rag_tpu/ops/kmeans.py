@@ -41,12 +41,17 @@ def assign_topk_clusters(
     n, d = data.shape
     chunk = _chunk_rows(n, chunk)
     c_sq = dist_ops.sqnorms(centroids)
+    # scoring precision follows storage precision: bf16 corpora score with
+    # bf16 operands (single-pass MXU — the fp32-HIGHEST path is ~8x slower
+    # and was 0.2 s of the 2M x 768 build); ranking-only use, fp32 accum
+    sdt = jnp.bfloat16 if data.dtype == jnp.bfloat16 else jnp.float32
+    cents = centroids.astype(sdt)
 
     def body(x_chunk):
-        # per-chunk fp32 cast: callers may pass bf16 corpora (never force a
+        # per-chunk cast: callers may pass int8 corpora (never force a
         # whole-corpus fp32 copy — 6 GB at 2M x 768)
         scores = dist_ops.scores_from_tile(
-            x_chunk.astype(jnp.float32), centroids, c_sq, "sqeuclidean"
+            x_chunk.astype(sdt), cents, c_sq, "sqeuclidean"
         )
         # approx_max_k: 10.6x faster than lax.top_k here (1.70s -> 0.16s at
         # 2M x 2000 — top_k lowers to row sorts). The top-1 (the actual
@@ -222,9 +227,14 @@ def assign_clusters(
     n, d = data.shape
     chunk = _chunk_rows(n, chunk)
     c_sq = dist_ops.sqnorms(centroids)
+    # same scoring-follows-storage rule as assign_topk_clusters
+    sdt = jnp.bfloat16 if data.dtype == jnp.bfloat16 else jnp.float32
+    cents = centroids.astype(sdt)
 
     def body(x_chunk):
-        scores = dist_ops.scores_from_tile(x_chunk, centroids, c_sq, "sqeuclidean")
+        scores = dist_ops.scores_from_tile(
+            x_chunk.astype(sdt), cents, c_sq, "sqeuclidean"
+        )
         return jnp.argmax(scores, axis=1).astype(jnp.int32)
 
     labels = jax.lax.map(body, data.reshape(n // chunk, chunk, d))
@@ -251,7 +261,14 @@ def kmeans_nojit(
     size imbalance is legitimate mass allocation, not a defect).
     """
     n, d = data.shape
-    data = data.astype(jnp.float32)
+    # scoring precision follows storage precision: a bf16 corpus keeps its
+    # working copy (and every assignment matmul) in bf16 — single-pass MXU,
+    # ~8x the fp32-HIGHEST rate, and half the scan's HBM reads. Centroid
+    # STATE and the sums/counts accumulators stay fp32 (preferred_element_
+    # type) so update math is unchanged; bf16 only rounds matmul operands,
+    # which affects ranking near exact ties (harmless for Lloyd's).
+    sdt = jnp.bfloat16 if data.dtype == jnp.bfloat16 else jnp.float32
+    data = data.astype(sdt)
     w = row_weights.astype(jnp.float32)
 
     # --- init: blocked k-means++ (D^2 sampling via Gumbel top-B) ----------
@@ -269,11 +286,12 @@ def kmeans_nojit(
     b = int(max(1, min(32, -(-n_clusters // 32), n)))
     nb = -(-n_clusters // b)
     c_pad = nb * b
-    x_sq = jnp.sum(data * data, axis=1)
+    x_sq = dist_ops.sqnorms(data)  # fp32 accumulation even for bf16 data
     g0 = jax.random.gumbel(jax.random.fold_in(key, 0), (n,))
     _, idx0 = jax.lax.top_k(jnp.where(w > 0, 0.0, -jnp.inf) + g0, b)
     centroids = jax.lax.dynamic_update_slice(
-        jnp.zeros((c_pad, d), jnp.float32), data[idx0], (0, 0)
+        jnp.zeros((c_pad, d), jnp.float32), data[idx0].astype(jnp.float32),
+        (0, 0),
     )
 
     def init_step(j, carry):
@@ -282,7 +300,7 @@ def kmeans_nojit(
         d2 = (
             x_sq[:, None]
             - 2.0 * dist_ops.dot_general_prec(
-                data, prev, (((1,), (1,)), ((), ()))
+                data, prev.astype(sdt), (((1,), (1,)), ((), ()))
             )
             + jnp.sum(prev * prev, axis=1)[None, :]
         )
@@ -293,7 +311,9 @@ def kmeans_nojit(
         g = jax.random.gumbel(jax.random.fold_in(key, j), (n,))
         _, idx = jax.lax.top_k(logits + g, b)
         return (
-            jax.lax.dynamic_update_slice(centroids, data[idx], (j * b, 0)),
+            jax.lax.dynamic_update_slice(
+                centroids, data[idx].astype(jnp.float32), (j * b, 0)
+            ),
             min_d,
         )
 
@@ -311,21 +331,25 @@ def kmeans_nojit(
 
     def lloyd_iter(it, centroids):
         c_sq = dist_ops.sqnorms(centroids)
+        cents = centroids.astype(sdt)
 
         def scan_body(carry, xs):
             sums, counts = carry
             x, wts = xs
-            scores = dist_ops.scores_from_tile(x, centroids, c_sq, "sqeuclidean")
+            scores = dist_ops.scores_from_tile(x, cents, c_sq, "sqeuclidean")
             labels = jnp.argmax(scores, axis=1)
+            # one-hot in the scoring dtype so the segment-sum matmul takes
+            # the same MXU fast path (entries are weights; 0/1 are exact in
+            # bf16, arbitrary weights round at ~0.4% — accumulation is fp32)
             onehot = (
-                jax.nn.one_hot(labels, n_clusters, dtype=jnp.float32)
-                * wts[:, None]
+                jax.nn.one_hot(labels, n_clusters, dtype=sdt)
+                * wts.astype(sdt)[:, None]
             )
             # segment-sum as matmul: (C, chunk) @ (chunk, D) on the MXU
             sums = sums + dist_ops.dot_general_prec(
                 onehot, x, (((0,), (0,)), ((), ()))
             )
-            counts = counts + jnp.sum(onehot, axis=0)
+            counts = counts + jnp.sum(onehot.astype(jnp.float32), axis=0)
             return (sums, counts), None
 
         (sums, counts), _ = jax.lax.scan(
