@@ -307,13 +307,14 @@ def norm_correction(codes2: jax.Array, codebooks: jax.Array) -> jax.Array:
         )
         return jnp.sum(t * oh2, axis=(1, 2))
 
+    # fixed-size chunks + explicit tail padding (a divisor-of-n chunk rule
+    # would degrade to tiny chunks — O(n) map steps — for awkward n)
     n = codes2.shape[0]
-    chunk = kmeans_ops._chunk_rows(n, 65_536)
-    if n % chunk:
-        n_pad = -(-n // chunk) * chunk
+    chunk = min(n, 65_536)
+    n_pad = -(-n // chunk) * chunk
+    if n_pad != n:
         codes2 = jnp.pad(codes2, ((0, n_pad - n), (0, 0)))
-    nb = codes2.shape[0] // chunk
-    vals = jax.lax.map(_block, codes2.reshape(nb, chunk, m2))
+    vals = jax.lax.map(_block, codes2.reshape(n_pad // chunk, chunk, m2))
     return vals.reshape(-1)[:n]
 
 

@@ -289,6 +289,25 @@ def test_two_level_scan_matches_reconstruction(rng):
     assert err2 < err4, (err2, err4)
 
 
+def test_norm_correction_chunked_matches_oracle(rng):
+    """The chunked one-hot bilinear must equal the per-row numpy lookup
+    Σ_s 2·CB1_s[c1]·CB2_s[c2] — n=70k crosses the 65,536 chunk boundary,
+    so the lax.map multi-block path AND the padded tail are exercised."""
+    m, ds = 4, 4
+    cb = jnp.asarray(rng.standard_normal((2 * m, 16, ds)).astype(np.float32))
+    n = 70_000
+    codes2 = jnp.asarray(rng.integers(0, 16, (n, 2 * m)).astype(np.uint8))
+    got = np.asarray(pq_ops.norm_correction(codes2, cb))
+
+    cb1, cb2 = np.asarray(cb[:m]), np.asarray(cb[m:])
+    c1 = np.asarray(codes2[:, :m]).astype(int)
+    c2 = np.asarray(codes2[:, m:]).astype(int)
+    want = np.zeros((n,), np.float32)
+    for s in range(m):
+        want += 2.0 * np.sum(cb1[s][c1[:, s]] * cb2[s][c2[:, s]], axis=1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
 def test_two_level_io_round_trip(data, tmp_path):
     from cuvs_rag_tpu.index import io
 
