@@ -121,8 +121,17 @@ def build(params: IVFPQParams, dataset: jax.Array, seed: int = 0) -> IVFPQIndex:
     sweights = (jnp.arange(sample_pad) < sample_n).astype(jnp.float32)
     key = jax.random.PRNGKey(seed)
     k1, k2 = jax.random.split(key)
+    # coarse quantizer trains in the storage dtype (same scoring-follows-
+    # storage rule as ivf_flat — single-pass MXU for bf16 corpora); the PQ
+    # codebooks below keep the fp32 sample (codebook entries ARE the
+    # reconstruction values, not just a ranking)
+    coarse_sample = (
+        sample.astype(jnp.bfloat16)
+        if vectors.dtype == jnp.bfloat16 else sample
+    )
     centroids, _ = kmeans_ops.kmeans(
-        sample, sweights, k1, n_clusters=n_lists, iters=params.kmeans_iters
+        coarse_sample, sweights, k1,
+        n_clusters=n_lists, iters=params.kmeans_iters,
     )
 
     n_pad = topk_ops.round_up(n, 8)
@@ -270,8 +279,14 @@ def build_from_chunks(
     sample = topk_ops.pad_rows(jnp.concatenate(pieces), sample_pad)
     del pieces
     sweights = (jnp.arange(sample_pad) < got).astype(jnp.float32)
+    # same coarse-trains-in-storage-dtype rule as build() above
+    coarse_sample = (
+        sample.astype(jnp.bfloat16)
+        if raw_dtype == jnp.bfloat16 else sample
+    )
     centroids, _ = kmeans_ops.kmeans(
-        sample, sweights, k1, n_clusters=n_lists, iters=params.kmeans_iters
+        coarse_sample, sweights, k1,
+        n_clusters=n_lists, iters=params.kmeans_iters,
     )
 
     rotation, codebooks, levels = _train_pq_quantizers(
