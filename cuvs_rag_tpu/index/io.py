@@ -163,6 +163,19 @@ def deleted_row_ids(index: Any) -> np.ndarray:
     if cls in ("FlatIndex", "CagraIndex"):
         sq = np.asarray(jax.device_get(index.sqnorms))[:nv]
         return np.nonzero(sq > DELETED_THRESHOLD)[0].astype(np.int64)
+    # Layout families: row_ids gaps mean deletion ONLY on non-truncated
+    # layouts (a window-capped layout parks rows in unreachable slots
+    # without deleting them — refuse rather than fabricate deletions).
+    from cuvs_rag_tpu.ops import ivf as ivf_ops
+
+    stranded = ivf_ops.unreachable_live_rows(
+        index.row_ids, index.list_offsets, index.list_counts
+    )
+    if stranded:
+        raise ValueError(
+            f"layout has {stranded} live rows beyond the probe window; "
+            "id gaps are not deletions"
+        )
     rid = np.asarray(jax.device_get(index.row_ids))
     return np.setdiff1d(np.arange(nv, dtype=np.int64), rid[rid >= 0])
 

@@ -482,7 +482,23 @@ def delete(index: IVFFlatIndex, ids) -> IVFFlatIndex:
 
 def deleted_ids(index) -> np.ndarray:
     """Host-side: original ids that were tombstone-deleted (any layout
-    family: ids 0..n_valid-1 absent from row_ids)."""
+    family: ids 0..n_valid-1 absent from row_ids).
+
+    Only valid on non-truncated layouts: a window-capped layout parks
+    over-cap rows in unreachable slots, and treating their absence-from-
+    search as deletion would permanently tombstone rows the user never
+    deleted (via extend-overflow / load_sharded rebuilds). build() /
+    build_sharded always size windows from true counts, so a truncated
+    layout here means a corrupted/hand-built index — refuse loudly.
+    """
+    stranded = ivf_ops.unreachable_live_rows(
+        index.row_ids, index.list_offsets, index.list_counts
+    )
+    if stranded:
+        raise ValueError(
+            f"layout has {stranded} live rows beyond the probe window; "
+            "id gaps are not deletions"
+        )
     nv = int(index.n_valid)
     rid = np.asarray(index.row_ids)
     return np.setdiff1d(np.arange(nv, dtype=np.int64), rid[rid >= 0])

@@ -633,7 +633,19 @@ def delete(index: IVFPQIndex, ids) -> IVFPQIndex:
 
 
 def deleted_ids(index) -> np.ndarray:
-    """Host-side: original ids that were tombstone-deleted."""
+    """Host-side: original ids that were tombstone-deleted.
+
+    Refuses truncated layouts — window-capped rows are unreachable, not
+    deleted, and must not be reported (or re-deleted) as tombstones.
+    """
+    stranded = ivf_ops.unreachable_live_rows(
+        index.row_ids, index.list_offsets, index.list_counts
+    )
+    if stranded:
+        raise ValueError(
+            f"layout has {stranded} live rows beyond the probe window; "
+            "id gaps are not deletions"
+        )
     nv = int(index.n_valid)
     rid = np.asarray(index.row_ids)
     return np.setdiff1d(np.arange(nv, dtype=np.int64), rid[rid >= 0])

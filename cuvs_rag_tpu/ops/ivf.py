@@ -40,6 +40,26 @@ class IVFLayout(NamedTuple):
     truncated: jax.Array  # () int32 rows unreachable due to window cap
 
 
+def unreachable_live_rows(sorted_row_ids, list_offsets, list_counts) -> int:
+    """Host-side: number of live rows sitting in slots searches cannot reach.
+
+    A window-capped (truncated) layout keeps over-cap rows in their list's
+    aligned region but beyond [offset, offset + count) — present in
+    row_ids yet invisible to probes. Deletion bookkeeping (gap-based
+    deleted_ids) must refuse such layouts: those gaps are not tombstones.
+    Normal build()/extend() layouts always return 0.
+    """
+    import numpy as np
+
+    rid = np.asarray(jax.device_get(sorted_row_ids))
+    offs = np.asarray(jax.device_get(list_offsets)).astype(np.int64)
+    cnts = np.asarray(jax.device_get(list_counts)).astype(np.int64)
+    slots = np.arange(rid.shape[0], dtype=np.int64)
+    li = np.searchsorted(offs, slots, side="right") - 1
+    reachable = slots < offs[li] + cnts[li]
+    return int(np.count_nonzero((rid >= 0) & ~reachable))
+
+
 @jax.jit
 def tombstone_layout(sorted_row_ids: jax.Array, ids: jax.Array,
                      n_valid: jax.Array):

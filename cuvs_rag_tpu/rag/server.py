@@ -76,13 +76,19 @@ class MicroBatcher:
 
     def submit(self, item, timeout: float = 120.0):
         slot = {"item": item, "done": threading.Event(),
-                "result": None, "error": None}
+                "result": None, "error": None, "dead": False}
         with self._cv:
             if self._closed:
                 raise RuntimeError("MicroBatcher is closed")
             self._queue.append(slot)
             self._cv.notify()
         if not slot["done"].wait(timeout):
+            # Mark the slot cancelled so a dispatcher assembling a later
+            # batch skips it instead of spending a device dispatch on work
+            # nobody will read. Under the cv so the check in _loop is atomic
+            # with batch assembly.
+            with self._cv:
+                slot["dead"] = True
             raise TimeoutError(f"micro-batch {self._name} dispatch timed out")
         if slot["error"] is not None:
             raise slot["error"]
@@ -107,7 +113,7 @@ class MicroBatcher:
             if self._window > 0:
                 time.sleep(self._window)
             with self._cv:
-                batch = self._queue[: self._max]
+                batch = [s for s in self._queue[: self._max] if not s["dead"]]
                 del self._queue[: self._max]
             if not batch:
                 continue
@@ -243,10 +249,17 @@ class SearchService:
     # -- per-request entry points ------------------------------------------
 
     def search_texts(self, texts, k: int):
+        # Validate BEFORE submit(): a bad item reaching the batch runner
+        # fails every co-batched request (MicroBatcher contract).
+        texts = list(texts)
+        if not texts:
+            raise ValueError("texts must be a non-empty list")
+        if not all(isinstance(t, str) for t in texts):
+            raise ValueError("texts must all be strings")
         with metrics.time_block("server.search_texts_seconds"):
             if self._text_batcher is not None:
-                return self._text_batcher.submit((list(texts), k))
-            return self._run_texts([(list(texts), k)])[0]
+                return self._text_batcher.submit((texts, k))
+            return self._run_texts([(texts, k)])[0]
 
     def search_vectors(self, vectors, k: int):
         q = np.asarray(vectors, np.float32)
@@ -311,11 +324,16 @@ def make_handler(service: SearchService):
 
         def do_POST(self):
             try:
+                # Drain the body FIRST, on every POST path: under HTTP/1.1
+                # keep-alive, replying without consuming Content-Length
+                # bytes desyncs the connection (the next request would be
+                # parsed from body garbage).
+                n = int(self.headers.get("Content-Length", 0))
+                raw = self.rfile.read(n)
                 if self.path != "/v1/search":
                     self._reply(404, {"error": f"unknown path {self.path}"})
                     return
-                n = int(self.headers.get("Content-Length", 0))
-                req = json.loads(self.rfile.read(n) or b"{}")
+                req = json.loads(raw or b"{}")
                 k = int(req.get("k", 10))
                 if k <= 0:
                     self._reply(400, {"error": "k must be positive"})

@@ -410,3 +410,42 @@ def test_retriever_delete(data):
     r.delete([target])
     hit1 = r.retrieve("passage number 3", k=3)
     assert all(p.index != target for p in hit1.passages)
+
+
+# ------------------------------------------------- truncated-layout guard
+
+
+def test_deleted_ids_refuses_truncated_layout(data):
+    """A window-capped layout parks live rows in unreachable slots; the
+    gap-based deletion bookkeeping must refuse it rather than report (and
+    later re-delete) rows the user never removed (ADVICE r2)."""
+    corpus, _ = data
+    ix = ivf_flat.build(IVFFlatParams(n_lists=4), corpus)
+    # normal layout: no stranded rows, empty delete set
+    assert ivf_ops.unreachable_live_rows(
+        ix.row_ids, ix.list_offsets, ix.list_counts) == 0
+    assert ivf_flat.deleted_ids(ix).size == 0
+
+    # hand-truncate: cap one list's count below its true occupancy
+    capped = np.asarray(ix.list_counts).copy()
+    big = int(np.argmax(capped))
+    assert capped[big] >= 2
+    capped[big] -= 1
+    trunc = __import__("dataclasses").replace(
+        ix, list_counts=jnp.asarray(capped))
+    assert ivf_ops.unreachable_live_rows(
+        trunc.row_ids, trunc.list_offsets, trunc.list_counts) == 1
+    with pytest.raises(ValueError, match="not deletions"):
+        ivf_flat.deleted_ids(trunc)
+    with pytest.raises(ValueError, match="not deletions"):
+        io.deleted_row_ids(trunc)
+
+
+def test_deleted_ids_ok_after_delete_and_extend(data):
+    corpus, _ = data
+    ix = ivf_flat.build(IVFFlatParams(n_lists=4), corpus)
+    gone = np.asarray([3, 77, 100])
+    ix = ivf_flat.delete(ix, gone)
+    np.testing.assert_array_equal(ivf_flat.deleted_ids(ix), np.sort(gone))
+    ix = ivf_flat.extend(ix, corpus[:32] + 0.01)
+    np.testing.assert_array_equal(ivf_flat.deleted_ids(ix), np.sort(gone))

@@ -185,6 +185,79 @@ class TestMicroBatcher:
         with pytest.raises(RuntimeError, match="closed"):
             b.submit(1)
 
+    def test_timed_out_slot_is_skipped_by_dispatcher(self):
+        import time
+
+        release = threading.Event()
+        batches = []
+
+        def run(items):
+            batches.append(list(items))
+            if len(batches) == 1:
+                release.wait(10)  # hold the only dispatcher open
+            return [x * 10 for x in items]
+
+        b = server_mod.MicroBatcher(run, name="to", pipeline_depth=1)
+        try:
+            t1 = threading.Thread(target=lambda: b.submit(1))
+            t1.start()
+            while not batches:
+                time.sleep(0.001)
+            # queued behind the blocked dispatch; times out and is abandoned
+            with pytest.raises(TimeoutError):
+                b.submit(2, timeout=0.05)
+            done = {}
+            t3 = threading.Thread(target=lambda: done.update(r=b.submit(3)))
+            t3.start()
+            while len(b._queue) < 2:
+                time.sleep(0.001)
+            release.set()
+            t1.join(timeout=10)
+            t3.join(timeout=10)
+            assert done == {"r": 30}
+            # the abandoned item 2 must never reach the batch runner
+            assert all(2 not in batch for batch in batches)
+        finally:
+            b.close()
+
+
+def test_search_texts_validates_before_submit():
+    r = Retriever.build(
+        Corpus(passages=list(PASSAGES)), HashingEncoder(dim=128),
+        family="flat", params=FlatParams(metric=Metric.COSINE, tile_n=8),
+    )
+    svc = server_mod.SearchService(r, micro_batch=True)
+    try:
+        with pytest.raises(ValueError, match="non-empty"):
+            svc.search_texts([], 3)
+        with pytest.raises(ValueError, match="strings"):
+            svc.search_texts(["ok", 42], 3)
+    finally:
+        svc.close()
+
+
+def test_keepalive_survives_404_post_with_body(live_server):
+    # regression: the 404 branch must drain the request body, or the next
+    # request on the same keep-alive connection parses from body garbage
+    c = HTTPConnection(*live_server, timeout=30)
+    try:
+        body = json.dumps({"texts": ["x" * 500], "k": 1})
+        c.request("POST", "/wrong/path", body=body,
+                  headers={"Content-Type": "application/json"})
+        resp = c.getresponse()
+        assert resp.status == 404
+        resp.read()
+        # same connection: a valid request must still parse + succeed
+        c.request("POST", "/v1/search",
+                  body=json.dumps({"texts": [PASSAGES[1]], "k": 1}),
+                  headers={"Content-Type": "application/json"})
+        resp2 = c.getresponse()
+        assert resp2.status == 200
+        out = json.loads(resp2.read())
+        assert out["results"][0]["passages"][0]["index"] == 1
+    finally:
+        c.close()
+
 
 def test_mixed_k_vector_batch_slicing():
     # two coalesced vector requests with different k: each reply must be
