@@ -1,0 +1,420 @@
+"""FAISS binary index interop — read/write `faiss.write_index` files.
+
+The reference's flagship pipeline STARTS from a prebuilt FAISS index on
+disk (`faiss.read_index(path)` of a 6.29M x 384 Wikipedia IndexFlatL2,
+/root/reference/Latest/faiss-main.ipynb#cell8). A user switching from the
+reference holds such artifacts; this module parses the FAISS binary format
+directly — no faiss dependency — and converts to the TPU-native index
+families, plus the reverse direction (export) so indexes remain portable
+back to a FAISS deployment.
+
+Format coverage (faiss >= 1.7 on-disk layout, impl/index_write.cpp):
+  * IndexFlat      — fourccs "IxF2" (L2), "IxFI" (IP), "IxFl" (generic)
+  * IndexIVFFlat   — fourcc "IwFl" with an ArrayInvertedLists "ilar"/"full"
+    payload and an IndexFlat coarse quantizer
+Anything else (PQ files, HNSW, ID-mapped wrappers, sparse/mmap list
+payloads) raises with the offending fourcc so the failure is diagnosable.
+
+Layout notes (all little-endian):
+  header  = fourcc u32 | d i32 | ntotal i64 | dummy i64 x2 (=1<<20)
+          | is_trained u8 | metric_type i32 | [metric_arg f32 if metric>1]
+  IndexFlat payload   = nfloat u64 | f32 x nfloat         (codes as floats)
+  IndexIVFFlat        = header | nlist u64 | nprobe u64
+                      | <nested quantizer index>
+                      | direct_map: type u8 | n u64 | i64 x n
+                      | invlists: "ilar" u32 | nlist u64 | code_size u64
+                      | "full" u32 | nsz u64 | u64 x nsz (list sizes)
+                      | per list: f32 codes (n*d) then i64 ids (n)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io as _io
+import struct
+from typing import BinaryIO, List
+
+import numpy as np
+
+from cuvs_rag_tpu.utils.config import FlatParams, IVFFlatParams, Metric
+
+# FAISS MetricType enum values (faiss/MetricType.h)
+_METRIC_INNER_PRODUCT = 0
+_METRIC_L2 = 1
+
+_METRIC_TO_NATIVE = {
+    _METRIC_INNER_PRODUCT: Metric.INNER_PRODUCT,
+    _METRIC_L2: Metric.SQEUCLIDEAN,
+}
+_NATIVE_TO_METRIC = {
+    Metric.INNER_PRODUCT: _METRIC_INNER_PRODUCT,
+    Metric.SQEUCLIDEAN: _METRIC_L2,
+    # cosine rows are stored L2-normalized, so IP order is cosine order —
+    # the closest FAISS equivalent of our cosine index is an IP index over
+    # the normalized vectors (standard FAISS practice).
+    Metric.COSINE: _METRIC_INNER_PRODUCT,
+}
+
+
+@dataclasses.dataclass
+class FaissFlat:
+    """Parsed IndexFlat content."""
+
+    vectors: np.ndarray  # (ntotal, d) float32
+    metric: str  # native Metric string
+
+    @property
+    def ntotal(self) -> int:
+        return self.vectors.shape[0]
+
+    @property
+    def d(self) -> int:
+        return self.vectors.shape[1]
+
+
+@dataclasses.dataclass
+class FaissIVFFlat:
+    """Parsed IndexIVFFlat content (reassembled to original-id order)."""
+
+    vectors: np.ndarray  # (ntotal, d) float32, row r = original id r
+    labels: np.ndarray  # (ntotal,) int32 list assignment
+    centroids: np.ndarray  # (nlist, d) float32 coarse quantizer
+    metric: str
+    nprobe: int  # the file's stored default
+
+    @property
+    def ntotal(self) -> int:
+        return self.vectors.shape[0]
+
+    @property
+    def d(self) -> int:
+        return self.vectors.shape[1]
+
+
+# ----------------------------------------------------------------- reading
+
+
+def _read(f: BinaryIO, fmt: str):
+    size = struct.calcsize(fmt)
+    buf = f.read(size)
+    if len(buf) != size:
+        raise ValueError("truncated FAISS index file")
+    out = struct.unpack("<" + fmt, buf)
+    return out[0] if len(out) == 1 else out
+
+
+def _read_fourcc(f: BinaryIO) -> str:
+    buf = f.read(4)
+    if len(buf) != 4:
+        raise ValueError("truncated FAISS index file (fourcc)")
+    return buf.decode("latin1")
+
+
+def _read_array(f: BinaryIO, dtype, count: int) -> np.ndarray:
+    dtype = np.dtype(dtype)
+    buf = f.read(dtype.itemsize * count)
+    if len(buf) != dtype.itemsize * count:
+        raise ValueError("truncated FAISS index file (array)")
+    return np.frombuffer(buf, dtype=dtype).copy()
+
+
+def _read_header(f: BinaryIO):
+    d = _read(f, "i")
+    ntotal = _read(f, "q")
+    _read(f, "qq")  # two dummy i64 fields (always 1<<20)
+    is_trained = _read(f, "B")
+    metric_type = _read(f, "i")
+    if metric_type > 1:
+        _read(f, "f")  # metric_arg — parsed but unused
+    if metric_type not in _METRIC_TO_NATIVE:
+        raise ValueError(
+            f"unsupported FAISS metric_type {metric_type} "
+            "(only L2 and inner-product indexes are importable)"
+        )
+    if d <= 0 or ntotal < 0:
+        raise ValueError(f"implausible FAISS header: d={d} ntotal={ntotal}")
+    return d, ntotal, bool(is_trained), _METRIC_TO_NATIVE[metric_type]
+
+
+def _read_flat_body(f: BinaryIO, d: int, ntotal: int) -> np.ndarray:
+    nfloat = _read(f, "Q")  # stored as float count (READXBVECTOR)
+    if nfloat != d * ntotal:
+        raise ValueError(
+            f"IndexFlat size mismatch: file says {nfloat} floats, "
+            f"header implies {d * ntotal}"
+        )
+    return _read_array(f, np.float32, nfloat).reshape(ntotal, d)
+
+
+def _read_index_any(f: BinaryIO):
+    fourcc = _read_fourcc(f)
+    if fourcc in ("IxF2", "IxFI", "IxFl"):
+        d, ntotal, _, metric = _read_header(f)
+        return FaissFlat(vectors=_read_flat_body(f, d, ntotal), metric=metric)
+    if fourcc == "IwFl":
+        return _read_ivf_flat(f)
+    raise ValueError(
+        f"unsupported FAISS index type {fourcc!r} — supported: IndexFlatL2/"
+        "IndexFlatIP (IxF2/IxFI/IxFl) and IndexIVFFlat (IwFl)"
+    )
+
+
+def _read_ivf_flat(f: BinaryIO) -> FaissIVFFlat:
+    d, ntotal, _, metric = _read_header(f)
+    nlist = _read(f, "Q")
+    nprobe = _read(f, "Q")
+    quantizer = _read_index_any(f)  # nested index, almost always IndexFlat
+    if not isinstance(quantizer, FaissFlat):
+        raise ValueError("IVF quantizer is not an IndexFlat — unsupported")
+    if quantizer.ntotal != nlist or quantizer.d != d:
+        raise ValueError(
+            f"quantizer shape {quantizer.vectors.shape} inconsistent with "
+            f"nlist={nlist}, d={d}"
+        )
+    # direct map: type byte + WRITEVECTOR(array of i64)
+    dm_type = _read(f, "B")
+    dm_n = _read(f, "Q")
+    _read_array(f, np.int64, dm_n)
+    if dm_type == 2:
+        raise ValueError("hashtable direct maps are unsupported")
+    # inverted lists
+    il = _read_fourcc(f)
+    if il != "ilar":
+        raise ValueError(
+            f"inverted-list payload {il!r} unsupported (only in-file "
+            "ArrayInvertedLists 'ilar')"
+        )
+    il_nlist = _read(f, "Q")
+    code_size = _read(f, "Q")
+    if il_nlist != nlist:
+        raise ValueError(f"list count mismatch: {il_nlist} vs {nlist}")
+    if code_size != 4 * d:
+        raise ValueError(
+            f"code_size {code_size} != 4*d={4 * d} — not an IVFFlat payload"
+        )
+    list_fmt = _read_fourcc(f)
+    if list_fmt != "full":
+        raise ValueError(
+            f"inverted-list storage {list_fmt!r} unsupported (only 'full')"
+        )
+    nsz = _read(f, "Q")
+    if nsz != nlist:
+        raise ValueError(f"sizes vector length {nsz} != nlist {nlist}")
+    sizes = _read_array(f, np.uint64, nsz).astype(np.int64)
+    if int(sizes.sum()) != ntotal:
+        raise ValueError(
+            f"list sizes sum {int(sizes.sum())} != ntotal {ntotal}"
+        )
+
+    vectors = np.empty((ntotal, d), np.float32)
+    labels = np.empty((ntotal,), np.int32)
+    seen = np.zeros((ntotal,), bool)
+    for li in range(int(nlist)):
+        n = int(sizes[li])
+        if n == 0:
+            continue
+        codes = _read_array(f, np.float32, n * d).reshape(n, d)
+        ids = _read_array(f, np.int64, n)
+        if (ids < 0).any() or (ids >= ntotal).any():
+            raise ValueError(
+                "IVF ids outside [0, ntotal) — add_with_ids indexes need an "
+                "explicit id remap before import"
+            )
+        vectors[ids] = codes
+        labels[ids] = li
+        seen[ids] = True
+    if not seen.all():
+        raise ValueError("duplicate/missing ids in IVF lists")
+    return FaissIVFFlat(
+        vectors=vectors, labels=labels, centroids=quantizer.vectors,
+        metric=metric, nprobe=int(nprobe),
+    )
+
+
+def read_index(path: str):
+    """Parse a `faiss.write_index` file -> FaissFlat | FaissIVFFlat."""
+    with open(path, "rb") as f:
+        out = _read_index_any(f)
+        trailing = f.read(1)
+    if trailing:
+        raise ValueError("trailing bytes after FAISS index payload")
+    return out
+
+
+# ----------------------------------------------------------------- writing
+
+
+def _write(f: BinaryIO, fmt: str, *vals):
+    f.write(struct.pack("<" + fmt, *vals))
+
+
+def _write_header(f: BinaryIO, fourcc: str, d: int, ntotal: int, metric: str):
+    f.write(fourcc.encode("latin1"))
+    _write(f, "i", d)
+    _write(f, "q", ntotal)
+    _write(f, "qq", 1 << 20, 1 << 20)
+    _write(f, "B", 1)  # is_trained
+    _write(f, "i", _NATIVE_TO_METRIC[metric])
+
+
+def _write_flat(f: BinaryIO, vectors: np.ndarray, metric: str):
+    v = np.ascontiguousarray(vectors, np.float32)
+    ntotal, d = v.shape
+    fourcc = "IxFI" if _NATIVE_TO_METRIC[metric] == _METRIC_INNER_PRODUCT \
+        else "IxF2"
+    _write_header(f, fourcc, d, ntotal, metric)
+    _write(f, "Q", ntotal * d)
+    f.write(v.tobytes())
+
+
+def _write_ivf_flat(f: BinaryIO, vectors, labels, centroids, metric,
+                    nprobe: int = 1):
+    v = np.ascontiguousarray(vectors, np.float32)
+    lb = np.asarray(labels, np.int64)
+    cents = np.ascontiguousarray(centroids, np.float32)
+    ntotal, d = v.shape
+    nlist = cents.shape[0]
+    _write_header(f, "IwFl", d, ntotal, metric)
+    _write(f, "QQ", nlist, nprobe)
+    _write_flat(f, cents, metric)  # nested quantizer
+    _write(f, "B", 0)  # DirectMap::NoMap
+    _write(f, "Q", 0)  # empty direct-map array
+    f.write(b"ilar")
+    _write(f, "QQ", nlist, 4 * d)
+    f.write(b"full")
+    order = np.argsort(lb, kind="stable")
+    sizes = np.bincount(lb, minlength=nlist).astype(np.uint64)
+    _write(f, "Q", nlist)
+    f.write(sizes.tobytes())
+    off = 0
+    for li in range(nlist):
+        n = int(sizes[li])
+        if n == 0:
+            continue
+        ids = order[off:off + n]
+        off += n
+        f.write(np.ascontiguousarray(v[ids]).tobytes())
+        f.write(ids.astype(np.int64).tobytes())
+
+
+def write_index(index, path: str) -> None:
+    """Export to the FAISS binary format (readable by `faiss.read_index`).
+
+    Accepts a parsed FaissFlat/FaissIVFFlat, a native FlatIndex, or a
+    native IVFFlatIndex. Native indexes export their fp32 reconstruction
+    (int8 storage dequantizes; deleted rows are dropped — FAISS has no
+    tombstones). Cosine indexes export as IP over the stored normalized
+    rows (equivalent ordering).
+    """
+    from cuvs_rag_tpu.index import ivf_flat as ivf_mod
+    from cuvs_rag_tpu.index.io import deleted_row_ids
+
+    with open(path, "wb") as f:
+        if isinstance(index, FaissFlat):
+            _write_flat(f, index.vectors, index.metric)
+        elif isinstance(index, FaissIVFFlat):
+            _write_ivf_flat(f, index.vectors, index.labels, index.centroids,
+                            index.metric, index.nprobe)
+        elif type(index).__name__ == "FlatIndex":
+            nv = int(index.n_valid)
+            v = (np.asarray(index.vectors[:nv], np.float32)
+                 * np.asarray(index.scales[:nv], np.float32)[:, None])
+            gone = deleted_row_ids(index)
+            if len(gone):
+                v = np.delete(v, gone, axis=0)
+            _write_flat(f, v, index.metric)
+        elif type(index).__name__ == "IVFFlatIndex":
+            nv = int(index.n_valid)
+            vecs, labels = ivf_mod._recover_rows(index, nv)
+            vecs = np.asarray(vecs, np.float32)
+            labels = np.asarray(labels, np.int64)
+            gone = deleted_row_ids(index)
+            if len(gone):
+                keep = np.setdiff1d(np.arange(len(vecs)), gone)
+                vecs, labels = vecs[keep], labels[keep]
+            _write_ivf_flat(
+                f, vecs, labels, np.asarray(index.centroids, np.float32),
+                index.metric,
+            )
+        else:
+            raise TypeError(f"cannot export {type(index).__name__}")
+
+
+# -------------------------------------------------------------- conversion
+
+
+def to_flat_index(parsed: FaissFlat, dtype: str = "auto"):
+    """FaissFlat -> native FlatIndex (exact same vectors and metric)."""
+    from cuvs_rag_tpu.index import flat
+
+    return flat.build(
+        FlatParams(metric=parsed.metric, dtype=dtype), parsed.vectors
+    )
+
+
+def to_ivf_flat_index(parsed: FaissIVFFlat, dtype: str = "auto"):
+    """FaissIVFFlat -> native IVFFlatIndex with the FILE's coarse quantizer
+    and list assignment preserved exactly (no re-clustering — a FAISS-built
+    and an imported index probe identical lists)."""
+    import jax.numpy as jnp
+
+    from cuvs_rag_tpu.index import base as base_mod
+    from cuvs_rag_tpu.index import flat as flat_mod
+    from cuvs_rag_tpu.index import ivf_flat as ivf_mod
+    from cuvs_rag_tpu.ops import distance as dist_ops
+    from cuvs_rag_tpu.ops import ivf as ivf_ops
+    from cuvs_rag_tpu.ops import topk as topk_ops
+
+    n, d = parsed.vectors.shape
+    n_lists = parsed.centroids.shape[0]
+    sdtype = base_mod.storage_dtype(dtype, jnp.float32)
+    vectors = jnp.asarray(parsed.vectors)
+    centroids = jnp.asarray(parsed.centroids, jnp.float32)
+    n_pad = topk_ops.round_up(n, 8)
+    vec_pad = topk_ops.pad_rows(
+        vectors if sdtype == jnp.int8 else vectors.astype(sdtype), n_pad
+    )
+    labels = jnp.asarray(
+        np.pad(parsed.labels, (0, n_pad - n)).astype(np.int32)
+    )
+    valid = jnp.arange(n_pad) < n
+    counts = np.bincount(parsed.labels, minlength=n_lists)
+    max_list = int(topk_ops.round_up(max(int(counts.max()), 8),
+                                     ivf_ops.ALIGN))
+    capacity = ivf_ops.capacity_for(n_pad, n_lists, max_list)
+    if sdtype == jnp.int8:
+        vec_pad, scales, recon_sq = ivf_mod._quantize_residuals_jit(
+            vec_pad, labels, centroids
+        )
+    else:
+        scales = recon_sq = None
+    layout = ivf_mod._layout_jit(
+        vec_pad, labels, valid, n_lists, capacity, max_list, scales, recon_sq
+    )
+    return ivf_mod.IVFFlatIndex(
+        vectors=layout.sorted_vectors,
+        sqnorms=layout.sorted_sqnorms,
+        scales=layout.sorted_scales,
+        row_ids=layout.sorted_row_ids,
+        centroids=centroids,
+        centroid_sqnorms=dist_ops.sqnorms(centroids),
+        list_offsets=layout.list_offsets,
+        list_counts=layout.list_counts,
+        n_valid=jnp.asarray(n, jnp.int32),
+        metric=parsed.metric,
+        max_list_size=max_list,
+    )
+
+
+def import_index(path: str, dtype: str = "auto"):
+    """One-call migration: FAISS file -> the matching native index.
+
+    Returns (family_name, index): ("flat", FlatIndex) or
+    ("ivf_flat", IVFFlatIndex). The reference's `faiss.read_index` +
+    `index_cpu_to_gpus_list` flow becomes `import_index` + (optionally)
+    `parallel.search.shard_index` for multi-chip placement.
+    """
+    parsed = read_index(path)
+    if isinstance(parsed, FaissFlat):
+        return "flat", to_flat_index(parsed, dtype)
+    return "ivf_flat", to_ivf_flat_index(parsed, dtype)

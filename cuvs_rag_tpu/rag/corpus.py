@@ -89,9 +89,38 @@ def save_embeddings(prefix: str, embeddings: np.ndarray, num_parts: int = 1) -> 
     return paths
 
 
+def _load_pt(path: str) -> np.ndarray:
+    """Load one torch-saved embedding tensor as (N, D) float32 numpy.
+
+    The reference persists corpora as torch `.pt` files
+    (`torch.save(embeddings, 'embeddings.pt')`, cuVS-2GPU.ipynb#cell10);
+    a switching user's existing artifacts load directly. CPU-mapped so
+    CUDA-saved tensors load on any host.
+    """
+    import torch
+
+    t = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(t, dict):  # tolerate {'embeddings': tensor} wrappers
+        for key in ("embeddings", "emb", "vectors"):
+            if key in t:
+                t = t[key]
+                break
+        else:
+            raise ValueError(
+                f"{path}: dict checkpoint without an embeddings entry "
+                f"(keys: {list(t)[:8]})"
+            )
+    arr = t.float().numpy() if hasattr(t, "float") else np.asarray(t)
+    if arr.ndim != 2:
+        raise ValueError(f"{path}: expected a 2D tensor, got {arr.shape}")
+    return np.ascontiguousarray(arr, np.float32)
+
+
 def load_embeddings(prefix: str) -> np.ndarray:
     """Reload embeddings saved by save_embeddings, any part count
-    (reference reload/re-chunk: cuVS-2GPU.ipynb#cell12)."""
+    (reference reload/re-chunk: cuVS-2GPU.ipynb#cell12) — or the
+    reference's own torch `.pt` artifacts, whole (`{prefix}.pt`) or
+    per-shard parts (`{prefix}_part{i}.pt`, cuVS-2GPU.ipynb#cell12)."""
     meta_path = f"{prefix}.meta.json"
     if os.path.exists(meta_path):
         with open(meta_path) as f:
@@ -103,4 +132,15 @@ def load_embeddings(prefix: str) -> np.ndarray:
         )
     if os.path.exists(f"{prefix}.npy"):
         return np.load(f"{prefix}.npy")
-    raise FileNotFoundError(f"no embeddings at {prefix}(.npy/.meta.json)")
+    if prefix.endswith(".pt") and os.path.exists(prefix):
+        return _load_pt(prefix)
+    if os.path.exists(f"{prefix}.pt"):
+        return _load_pt(f"{prefix}.pt")
+    if os.path.exists(f"{prefix}_part0.pt"):
+        parts = []
+        while os.path.exists(f"{prefix}_part{len(parts)}.pt"):
+            parts.append(_load_pt(f"{prefix}_part{len(parts)}.pt"))
+        return np.concatenate(parts)
+    raise FileNotFoundError(
+        f"no embeddings at {prefix}(.npy/.meta.json/.pt/_part0.pt)"
+    )

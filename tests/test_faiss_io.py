@@ -1,0 +1,202 @@
+"""FAISS binary-format interop (index/faiss_io.py) + torch .pt corpus load.
+
+The reference's flagship pipeline starts from `faiss.read_index` of a
+prebuilt index (faiss-main.ipynb#cell8) and persists embeddings as torch
+`.pt` parts (cuVS-2GPU.ipynb#cell10-12). These tests cover: byte-exact
+write/read round trips of the FAISS on-disk layout, search parity of
+imported indexes vs the file's content, diagnosable failures on
+unsupported payloads, and `.pt` whole/part loading.
+
+No faiss in this environment — the writer implements the same public
+on-disk layout (faiss impl/index_write.cpp) and the golden bytes below
+pin the exact layout so reader and writer can't drift together.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from cuvs_rag_tpu.eval import recall as recall_lib
+from cuvs_rag_tpu.index import faiss_io, flat, ivf_flat
+from cuvs_rag_tpu.utils.config import (
+    FlatParams,
+    IVFFlatParams,
+    IVFFlatSearchParams,
+    Metric,
+)
+
+N, D, K = 500, 32, 5
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(11)
+    corpus = rng.standard_normal((N, D)).astype(np.float32)
+    queries = rng.standard_normal((7, D)).astype(np.float32)
+    return corpus, queries
+
+
+def _faiss_flat_bytes(vectors: np.ndarray, metric_type: int) -> bytes:
+    """Hand-build IndexFlat bytes straight from the documented layout —
+    independent of faiss_io's writer, so a writer bug can't hide a reader
+    bug (they would have to drift identically AND match this layout)."""
+    ntotal, d = vectors.shape
+    fourcc = {0: b"IxFI", 1: b"IxF2"}[metric_type]
+    out = [fourcc,
+           struct.pack("<i", d),
+           struct.pack("<q", ntotal),
+           struct.pack("<qq", 1 << 20, 1 << 20),
+           struct.pack("<B", 1),
+           struct.pack("<i", metric_type),
+           struct.pack("<Q", ntotal * d),
+           vectors.astype("<f4").tobytes()]
+    return b"".join(out)
+
+
+def test_read_hand_built_flat_file(tmp_path, data):
+    corpus, _ = data
+    p = tmp_path / "flat_l2.faiss"
+    p.write_bytes(_faiss_flat_bytes(corpus, metric_type=1))
+    parsed = faiss_io.read_index(str(p))
+    assert isinstance(parsed, faiss_io.FaissFlat)
+    assert parsed.metric == Metric.SQEUCLIDEAN
+    np.testing.assert_array_equal(parsed.vectors, corpus)
+
+    p2 = tmp_path / "flat_ip.faiss"
+    p2.write_bytes(_faiss_flat_bytes(corpus, metric_type=0))
+    assert faiss_io.read_index(str(p2)).metric == Metric.INNER_PRODUCT
+
+
+def test_flat_writer_matches_hand_built_bytes(tmp_path, data):
+    """Byte-exact: the writer must produce exactly the documented layout."""
+    corpus, _ = data
+    p = tmp_path / "out.faiss"
+    faiss_io.write_index(
+        faiss_io.FaissFlat(vectors=corpus, metric=Metric.SQEUCLIDEAN), str(p)
+    )
+    assert p.read_bytes() == _faiss_flat_bytes(corpus, metric_type=1)
+
+
+def test_import_flat_search_parity(tmp_path, data):
+    corpus, queries = data
+    p = tmp_path / "wiki.faiss"
+    faiss_io.write_index(
+        faiss_io.FaissFlat(vectors=corpus, metric=Metric.SQEUCLIDEAN), str(p)
+    )
+    family, ix = faiss_io.import_index(str(p), dtype="float32")
+    assert family == "flat"
+    _, ids = flat.search(None, ix, queries, K)
+    want = recall_lib.exact_ground_truth(corpus, queries, K,
+                                         Metric.SQEUCLIDEAN)
+    np.testing.assert_array_equal(np.asarray(ids), want)
+
+
+def test_ivf_round_trip_preserves_lists_and_search(tmp_path, data):
+    corpus, queries = data
+    # native build -> FAISS file -> native import: same lists, same results
+    ix = ivf_flat.build(IVFFlatParams(n_lists=8, metric=Metric.SQEUCLIDEAN),
+                        corpus)
+    p = tmp_path / "ivf.faiss"
+    faiss_io.write_index(ix, str(p))
+    parsed = faiss_io.read_index(str(p))
+    assert isinstance(parsed, faiss_io.FaissIVFFlat)
+    assert parsed.centroids.shape == (8, D)
+    np.testing.assert_allclose(parsed.vectors, corpus, rtol=0, atol=1e-6)
+
+    family, ix2 = faiss_io.import_index(str(p), dtype="float32")
+    assert family == "ivf_flat"
+    sp = IVFFlatSearchParams(n_probes=8)
+    d1, i1 = ivf_flat.search(sp, ix, queries, K)
+    d2, i2 = ivf_flat.search(sp, ix2, queries, K)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-4)
+
+
+def test_import_preserves_file_quantizer_not_reclustered(tmp_path, data):
+    """The imported index must probe the FILE's lists (frozen quantizer) —
+    a re-clustered import would diverge from the FAISS deployment it is
+    migrating."""
+    corpus, _ = data
+    rng = np.random.default_rng(3)
+    centroids = rng.standard_normal((6, D)).astype(np.float32)
+    # assign by true nearest centroid so list geometry is consistent
+    d2 = ((corpus[:, None] - centroids[None]) ** 2).sum(-1)
+    labels = d2.argmin(1).astype(np.int32)
+    parsed = faiss_io.FaissIVFFlat(
+        vectors=corpus, labels=labels, centroids=centroids,
+        metric=Metric.SQEUCLIDEAN, nprobe=1,
+    )
+    p = tmp_path / "ivf2.faiss"
+    faiss_io.write_index(parsed, str(p))
+    _, ix = faiss_io.import_index(str(p), dtype="float32")
+    np.testing.assert_array_equal(np.asarray(ix.centroids), centroids)
+    counts = np.bincount(labels, minlength=6)
+    np.testing.assert_array_equal(np.asarray(ix.list_counts), counts)
+
+
+def test_unsupported_payloads_fail_loudly(tmp_path, data):
+    corpus, _ = data
+    hdr = _faiss_flat_bytes(corpus[:4], metric_type=1)
+    p = tmp_path / "bad.faiss"
+
+    p.write_bytes(b"IxPQ" + hdr[4:])
+    with pytest.raises(ValueError, match="IxPQ"):
+        faiss_io.read_index(str(p))
+
+    p.write_bytes(hdr[:40])  # truncated
+    with pytest.raises(ValueError, match="truncated"):
+        faiss_io.read_index(str(p))
+
+    p.write_bytes(hdr + b"x")  # trailing garbage
+    with pytest.raises(ValueError, match="trailing"):
+        faiss_io.read_index(str(p))
+
+
+def test_int8_import(tmp_path, data):
+    corpus, queries = data
+    p = tmp_path / "f.faiss"
+    faiss_io.write_index(
+        faiss_io.FaissFlat(vectors=corpus, metric=Metric.SQEUCLIDEAN), str(p)
+    )
+    _, ix = faiss_io.import_index(str(p), dtype="int8")
+    _, ids = flat.search(None, ix, queries, K)
+    want = recall_lib.exact_ground_truth(corpus, queries, K,
+                                         Metric.SQEUCLIDEAN)
+    # int8 quantization: top-1 should survive on random data
+    assert (np.asarray(ids)[:, 0] == want[:, 0]).mean() >= 0.7
+
+
+# ------------------------------------------------------------- torch .pt
+
+
+def test_load_pt_whole_and_parts(tmp_path, data):
+    torch = pytest.importorskip("torch")
+    from cuvs_rag_tpu.rag.corpus import load_embeddings
+
+    corpus, _ = data
+    whole = tmp_path / "emb.pt"
+    torch.save(torch.from_numpy(corpus), str(whole))
+    out = load_embeddings(str(whole))  # explicit .pt path
+    np.testing.assert_allclose(out, corpus, atol=0)
+    out = load_embeddings(str(tmp_path / "emb"))  # prefix form
+    np.testing.assert_allclose(out, corpus, atol=0)
+
+    # per-shard parts, reference cuVS-2GPU.ipynb#cell10 shape
+    for i, chunk in enumerate(np.array_split(corpus, 3)):
+        torch.save(torch.from_numpy(chunk.copy()),
+                   str(tmp_path / f"sharded_part{i}.pt"))
+    out = load_embeddings(str(tmp_path / "sharded"))
+    np.testing.assert_allclose(out, corpus, atol=0)
+
+
+def test_load_pt_fp16_and_dict(tmp_path, data):
+    torch = pytest.importorskip("torch")
+    from cuvs_rag_tpu.rag.corpus import load_embeddings
+
+    corpus, _ = data
+    p = tmp_path / "half.pt"
+    torch.save({"embeddings": torch.from_numpy(corpus).half()}, str(p))
+    out = load_embeddings(str(p))
+    assert out.dtype == np.float32
+    np.testing.assert_allclose(out, corpus, atol=1e-2)
