@@ -1,0 +1,171 @@
+"""ADC select-sum core formulations — measure the real VPU floor on chip.
+
+The IVF-PQ ADC scan (ops/pq.adc_scan_codes) is 16 compare+select passes
+over the (L, 2m) nibble streams per (query, probe). Before writing a
+Pallas kernel (VERDICT r3 #1), measure what each candidate inner-loop
+formulation sustains ON THE CHIP at the bench workload shape
+(2M x 768, pq_dim=96 two-level -> 2m=192 streams, window L=2048,
+batch 100 x nprobe 20 = 2000 windows):
+
+  A. current: select-sum, fp32 accumulator, (L, 192) layout
+  B. select-sum, bf16 accumulator (VPU may pack 2x)
+  C. lane-packed: (L, 192) -> (L/2, 384) so lanes fill 3x128 exactly
+     (the 192-lane layout pads to 256 -> 25% waste)
+  D. one-hot + MXU: build (L, 192, 16) one-hot, matmul against the
+     flattened LUT (moves the add to the MXU; compares remain on VPU)
+  E. D with bf16 one-hot built once, scored for 8 co-resident LUTs
+     (amortization probe: is the one-hot build or the matmul the cost?)
+
+Prints ns per (row x stream) and the implied ms/query at the bench shape.
+"""
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import functools
+import time
+
+import numpy as np
+
+L = 2048          # probe window rows
+M2 = 192          # two-level nibble streams (2 * pq_dim=96)
+NWIN = 256        # windows timed per dispatch (chunked via lax.map)
+BATCH_WINDOWS = 2000  # bench workload: 100 queries x 20 probes
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(0)
+    codes = jax.random.randint(key, (NWIN, L, M2), 0, 16, jnp.int32)
+    codes = codes.astype(jnp.uint8)
+    luts = jax.random.normal(jax.random.fold_in(key, 1), (NWIN, M2, 16),
+                             jnp.float32)
+    jax.block_until_ready((codes, luts))
+
+    def timeit(name, fn, *args, reps=8):
+        out = fn(*args)
+        jax.block_until_ready(out)
+        np.asarray(jax.tree_util.tree_leaves(out)[0])  # force
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            o = None
+            for _r in range(reps):
+                o = fn(*args)
+            np.asarray(jax.tree_util.tree_leaves(o)[0].ravel()[:8])
+            best = min(best, (time.perf_counter() - t0) / reps)
+        per_es = best / (NWIN * L * M2)  # seconds per (row, stream)
+        msq = per_es * BATCH_WINDOWS / 100 * L * M2 * 1e3
+        print(f"{name:34s} {best*1e3:8.3f} ms/{NWIN}win  "
+              f"{per_es*1e12:6.2f} ps/elem  -> {msq:6.3f} ms/query",
+              flush=True)
+        return best
+
+    # ---- A: current formulation ----------------------------------------
+    def sel_sum_f32(codes_w, lut_w):
+        ci = codes_w.astype(jnp.int32)
+        vals = jnp.zeros(codes_w.shape, jnp.float32)
+        for c in range(16):
+            vals = jnp.where(ci == c, lut_w[None, :, c], vals)
+        return jnp.sum(vals, axis=1)
+
+    @jax.jit
+    def run_a(codes, luts):
+        return jax.lax.map(lambda args: sel_sum_f32(*args), (codes, luts))
+
+    timeit("A select-sum fp32 (current)", run_a, codes, luts)
+
+    # ---- B: bf16 accumulator -------------------------------------------
+    def sel_sum_bf16(codes_w, lut_w):
+        ci = codes_w.astype(jnp.int32)
+        lut16 = lut_w.astype(jnp.bfloat16)
+        vals = jnp.zeros(codes_w.shape, jnp.bfloat16)
+        for c in range(16):
+            vals = jnp.where(ci == c, lut16[None, :, c], vals)
+        return jnp.sum(vals.astype(jnp.float32), axis=1)
+
+    @jax.jit
+    def run_b(codes, luts):
+        return jax.lax.map(lambda args: sel_sum_bf16(*args), (codes, luts))
+
+    timeit("B select-sum bf16 acc", run_b, codes, luts)
+
+    # ---- C: lane-packed (L/2, 384) -------------------------------------
+    def sel_sum_packed(codes_w, lut_w):
+        cf = codes_w.reshape(L // 2, 2 * M2).astype(jnp.int32)
+        lut2 = jnp.concatenate([lut_w, lut_w], axis=0)  # (384, 16)
+        vals = jnp.zeros(cf.shape, jnp.float32)
+        for c in range(16):
+            vals = jnp.where(cf == c, lut2[None, :, c], vals)
+        return jnp.sum(vals.reshape(L, M2), axis=1)
+
+    @jax.jit
+    def run_c(codes, luts):
+        return jax.lax.map(lambda args: sel_sum_packed(*args), (codes, luts))
+
+    timeit("C select-sum lane-packed 384", run_c, codes, luts)
+
+    # ---- D: one-hot + MXU ----------------------------------------------
+    def onehot_mxu(codes_w, lut_w):
+        ci = codes_w.astype(jnp.int32)
+        iota = jnp.arange(16, dtype=jnp.int32)
+        oh = (ci[..., None] == iota).astype(jnp.bfloat16)  # (L, 192, 16)
+        return jax.lax.dot_general(
+            oh.reshape(L, M2 * 16), lut_w.reshape(M2 * 16).astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+
+    @jax.jit
+    def run_d(codes, luts):
+        return jax.lax.map(lambda args: onehot_mxu(*args), (codes, luts))
+
+    timeit("D one-hot + MXU", run_d, codes, luts)
+
+    # ---- E: one-hot built once, 8 LUTs scored --------------------------
+    def onehot_mxu_multi(codes_w, luts8):
+        ci = codes_w.astype(jnp.int32)
+        iota = jnp.arange(16, dtype=jnp.int32)
+        oh = (ci[..., None] == iota).astype(jnp.bfloat16)
+        return jax.lax.dot_general(
+            oh.reshape(L, M2 * 16),
+            luts8.reshape(8, M2 * 16).T.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+
+    luts8 = luts.reshape(NWIN // 8, 8, M2, 16)
+    codes8 = codes[:: 8]
+
+    @jax.jit
+    def run_e(codes8, luts8):
+        return jax.lax.map(lambda args: onehot_mxu_multi(*args),
+                           (codes8, luts8))
+
+    # E does 1/8 the windows but scores 8 LUTs per window: same LUT count
+    out = run_e(codes8, luts8)
+    jax.block_until_ready(out)
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _r in range(8):
+            o = run_e(codes8, luts8)
+        np.asarray(o.ravel()[:8])
+        best = min(best, (time.perf_counter() - t0) / 8)
+    per_es = best / (NWIN * L * M2)  # same lut-work as others
+    msq = per_es * BATCH_WINDOWS / 100 * L * M2 * 1e3
+    print(f"{'E one-hot once, 8 LUTs':34s} {best*1e3:8.3f} ms/{NWIN}lut  "
+          f"{per_es*1e12:6.2f} ps/elem  -> {msq:6.3f} ms/query", flush=True)
+
+    # sanity: formulations agree
+    a = np.asarray(run_a(codes[:2], luts[:2]))
+    for nm, r in (("B", run_b), ("C", run_c), ("D", run_d)):
+        v = np.asarray(r(codes[:2], luts[:2]))
+        err = np.max(np.abs(a - v) / (np.abs(a) + 1))
+        print(f"   {nm} vs A rel-err {err:.4f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,127 @@
+"""Measure the real HBM read roofline with a pure-DMA Pallas kernel.
+
+VERDICT r2 weak #2: the "~550 GB/s practical ceiling" claim for the flat
+scan was inferred from XLA's own full-corpus reduce (425 GB/s), not
+measured. This kernel streams the same corpus tiles through the same
+grid-pipelined BlockSpec machinery as ops/pallas_flat.py but does (a)
+almost no compute ("touch": one 8x128 corner max per tile — the DMA still
+moves the whole block) or (b) a full-tile max ("reduce"), isolating the
+DMA ceiling from compute cost. v5e HBM peak is ~819 GB/s; whatever this
+measures IS the speed-of-light for any corpus-streaming kernel on this
+part, and the gap between it and pallas_flat's 493-548 GB/s is the
+selection/matmul overhead still on the table.
+
+Usage: python scripts/bench_roofline.py [N D]
+"""
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import functools
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N = int(_sys.argv[1]) if len(_sys.argv) > 1 else 2_000_000
+    D = int(_sys.argv[2]) if len(_sys.argv) > 2 else 768
+    REPS = 20
+
+    N = -(-N // 8192) * 8192  # align to the largest tile size probed
+    key = jax.random.PRNGKey(0)
+    mk = jax.jit(lambda k: jax.random.normal(k, (N // 8, D), jnp.bfloat16))
+    corpus = jnp.concatenate([mk(jax.random.fold_in(key, i)) for i in range(8)])
+    jax.block_until_ready(corpus)
+    print(f"corpus {corpus.shape} {corpus.dtype} = "
+          f"{corpus.nbytes/1e9:.2f} GB", flush=True)
+
+    def _kernel(c_ref, out_ref, acc, *, full_reduce):
+        j = pl.program_id(0)
+
+        @pl.when(j == 0)
+        def _():
+            acc[:] = jnp.full_like(acc, -jnp.inf)
+
+        x = c_ref[0]
+        if full_reduce:
+            # (tile_c, D) -> (8, 128)-shaped partial maxes (vector store;
+            # Mosaic cannot store scalars to VMEM)
+            part = jnp.max(
+                x.reshape(x.shape[0] // 8, 8, x.shape[1] // 128, 128)
+                .astype(jnp.float32), axis=(0, 2),
+            )
+            acc[:] = jnp.maximum(acc[:], part)
+        else:
+            acc[:] = jnp.maximum(acc[:], x[:8, :128].astype(jnp.float32))
+
+        @pl.when(j == pl.num_programs(0) - 1)
+        def _():
+            out_ref[:] = acc[:]
+
+    @functools.partial(jax.jit, static_argnames=("tile_c", "full_reduce"))
+    def read_all(corpus_t, *, tile_c, full_reduce):
+        nc = corpus_t.shape[0] // tile_c
+        return pl.pallas_call(
+            functools.partial(_kernel, full_reduce=full_reduce),
+            grid=(nc,),
+            in_specs=[pl.BlockSpec((1, tile_c, D), lambda j: (j, 0, 0))],
+            out_specs=pl.BlockSpec((8, 128), lambda j: (0, 0)),
+            scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32)],
+            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        )(corpus_t.reshape(nc, tile_c, D))
+
+    results = {}
+    # tiles > 4096: the double-buffered (2, tile_c, 768) bf16 window alone
+    # exceeds the 16 MB VMEM budget — not a useful operating point
+    for tile_c in (1024, 2048, 4096):
+        if N % tile_c:
+            continue
+        # full-reduce at tile >= 4096 exceeds the scoped-VMEM stack limit
+        # (the fp32 cast of the whole tile); touch-only there
+        modes = (False, True) if tile_c <= 2048 else (False,)
+        for full_reduce in modes:
+            name = f"tile_c={tile_c} {'reduce' if full_reduce else 'touch'}"
+            run = lambda: read_all(corpus, tile_c=tile_c,
+                                   full_reduce=full_reduce)
+            np.asarray(run())  # compile + warm
+            best = 1e9
+            for _ in range(3):
+                t0 = time.perf_counter()
+                last = None
+                for _r in range(REPS):
+                    last = run()
+                np.asarray(last)
+                best = min(best, (time.perf_counter() - t0) / REPS)
+            gbps = corpus.nbytes / best / 1e9
+            results[name] = gbps
+            print(f"pallas pure-read {name:24s} {best*1e3:7.3f} ms  "
+                  f"{gbps:6.1f} GB/s", flush=True)
+
+    # XLA's own full reduce, for the comparison PERF.md already cites
+    xla_max = jax.jit(lambda c: jnp.max(c))
+    np.asarray(xla_max(corpus))
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _r in range(REPS):
+            last = xla_max(corpus)
+        np.asarray(last)
+        best = min(best, (time.perf_counter() - t0) / REPS)
+    print(f"XLA jnp.max full corpus          {best*1e3:7.3f} ms  "
+          f"{corpus.nbytes/best/1e9:6.1f} GB/s", flush=True)
+
+    peak = max(results.values())
+    print(f"\nmeasured HBM read ceiling: {peak:.0f} GB/s "
+          f"(v5e nominal ~819 GB/s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
