@@ -52,7 +52,10 @@ def save_index(path: str, index: Any) -> None:
     cls = type(index).__name__
     if cls not in _REGISTRY:
         raise ValueError(f"unknown index type {cls}; known: {list(_REGISTRY)}")
-    arrays, meta = {}, {"__class__": cls, "static": {}, "bf16": []}
+    # format 2: IVFPQIndex.codes is stream-major (mb, cap); format-1 files
+    # stored (cap, mb) and are transposed on load
+    arrays, meta = {}, {"__class__": cls, "static": {}, "bf16": [],
+                        "format": 2}
     for f in dataclasses.fields(index):
         v = getattr(index, f.name)
         if f.name in type(index)._array_fields:
@@ -86,6 +89,8 @@ def load_index(path: str, device=None) -> Any:
             if device is not None:
                 a = jax.device_put(a, device)
             kwargs[name] = a
+        if meta["__class__"] == "IVFPQIndex" and meta.get("format", 1) < 2:
+            kwargs["codes"] = jnp.swapaxes(kwargs["codes"], 0, 1)
     return cls(**kwargs)
 
 
@@ -135,7 +140,7 @@ def _recover_rows_pq(index: Any, nv: int) -> jax.Array:
     )
     if index.has_raw:
         return index.raw_vectors[slot_of][:, : index.dim]
-    codes = index.codes
+    codes = jnp.swapaxes(index.codes, 0, 1)  # stream-major -> (cap, mb)
     if index.codes_packed:
         codes = pq_ops.unpack_nibbles(codes, index.codebooks.shape[0])
     if index.levels == 2:

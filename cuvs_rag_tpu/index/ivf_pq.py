@@ -33,7 +33,14 @@ from cuvs_rag_tpu.utils.config import IVFPQParams, IVFPQSearchParams, Metric
 @base.register_index
 @dataclasses.dataclass(frozen=True)
 class IVFPQIndex:
-    codes: jax.Array  # (cap, m) uint8, rows sorted by list
+    codes: jax.Array  # (mb, cap) uint8 STREAM-MAJOR: codes[s, slot] is slot's
+    # byte for stream s (rows sorted by list along axis -1). Stream-major is
+    # the Pallas ADC kernel's native layout: probed windows slice the
+    # 128-aligned slot axis (Mosaic requires lane-aligned slices — the
+    # row-major (cap, mb) layout put mb=48..96 on lanes and could not be
+    # sliced), each 128-slot sub-block is a full-lane (mb, 128) tile with
+    # zero padding waste, and per-slot scores come out lane-major with no
+    # in-kernel transposes.
     row_ids: jax.Array  # (cap,) original ids, -1 on pads
     centroids: jax.Array  # (C, Dp) fp32, zero-padded to subspace multiple
     centroid_sqnorms: jax.Array  # (C,)
@@ -61,7 +68,7 @@ class IVFPQIndex:
     @property
     def codes_packed(self) -> bool:
         """True when 4-bit codes are nibble-packed two per byte."""
-        return self.codes.shape[-1] != self.codebooks.shape[-3]
+        return self.codes.shape[-2] != self.codebooks.shape[-3]
 
     @property
     def n_lists(self) -> int:
@@ -335,7 +342,7 @@ def build_from_chunks(
     # --- pass 2: encode + scatter chunks into the code layout ------------
     dp = topk_ops.round_up(d, m)
     code_cols = m if levels == 2 else (m // 2 if packed else m)
-    code_buf = jnp.zeros((capacity, code_cols), jnp.uint8)
+    code_buf = jnp.zeros((code_cols, capacity), jnp.uint8)  # stream-major
     corr_buf = jnp.zeros((capacity if levels == 2 else 0,), jnp.float32)
     raw_buf = jnp.zeros(
         (capacity if params.store_raw else 0, dp), raw_dtype
@@ -353,7 +360,7 @@ def build_from_chunks(
             codes = pq_ops.pack_nibbles(codes_u)
         else:
             codes = pq_ops.pack_nibbles(codes_u) if packed else codes_u
-        cbuf = cbuf.at[pos].set(codes)
+        cbuf = cbuf.at[:, pos].set(jnp.swapaxes(codes, 0, 1))
         if params.store_raw:
             rawbuf = rawbuf.at[pos].set(x)
             rawsqbuf = rawsqbuf.at[pos].set(dist_ops.sqnorms(x))
@@ -411,9 +418,9 @@ def _pq_layout(codes, vec_pad, labels, valid, norm_corr, *,
     )
     slot_ok = row_ids >= 0
     src = jnp.maximum(row_ids, 0)
-    sorted_codes = jnp.where(
+    sorted_codes = jnp.swapaxes(jnp.where(
         slot_ok[:, None], codes[src], jnp.zeros((), codes.dtype)
-    )
+    ), 0, 1)  # -> (mb, cap) stream-major (see IVFPQIndex.codes)
     if store_raw:
         raw = jnp.where(
             slot_ok[:, None], vec_pad[src], jnp.zeros((), vec_pad.dtype)
@@ -568,10 +575,11 @@ def build_sharded_local(params: IVFPQParams, sc, dmesh, seed: int = 0):
         perm, target_pos, row_ids, counts_j, offsets = ivf_ops.sort_by_list(
             labels0, valid, n_lists, capacity
         )
-        sorted_codes = (
+        sorted_codes = jnp.swapaxes(
             jnp.zeros((capacity, codes.shape[1]), codes.dtype)
-            .at[target_pos].set(codes[perm])
-        )
+            .at[target_pos].set(codes[perm]),
+            0, 1,
+        )  # (mb, cap) stream-major
         raw = (
             jnp.zeros((capacity, v.shape[1]), v.dtype)
             .at[target_pos].set(v[perm])
@@ -708,7 +716,9 @@ def extend(index: IVFPQIndex, new_vectors: jax.Array) -> IVFPQIndex:
     slot_of, label_of_slot = ivf_ops.invert_layout(
         index.row_ids, index.list_offsets, nv
     )
-    all_codes = jnp.concatenate([index.codes[slot_of], codes_new])
+    all_codes = jnp.concatenate(
+        [jnp.swapaxes(index.codes, 0, 1)[slot_of], codes_new]
+    )
     all_labels = jnp.concatenate([label_of_slot[slot_of], labels])
     if index.levels == 2:
         all_corr = jnp.concatenate([index.norm_corr[slot_of], corr_new])
@@ -796,7 +806,7 @@ def _pq_extend_fast(codes, row_ids, norm_corr, raw, raw_sq, counts, offsets,
     order, target, cnt_new = ivf_ops.append_targets(
         labels_new, counts, offsets
     )
-    codes = codes.at[target].set(codes_new[order])
+    codes = codes.at[:, target].set(jnp.swapaxes(codes_new[order], 0, 1))
     row_ids = row_ids.at[target].set(start_id + order.astype(jnp.int32))
     if norm_corr.shape[0] > 0:
         norm_corr = norm_corr.at[target].set(corr_new[order])
@@ -852,7 +862,7 @@ def search_scores(
     # ADC pass returns *sorted-layout positions* so refine can gather raw
     # rows without an id->position map; positions convert to row ids at the end.
     pos_ids = jax.lax.broadcasted_iota(
-        jnp.int32, (index.codes.shape[0], 1), 0
+        jnp.int32, (index.codes.shape[-1], 1), 0
     )[:, 0]
     scores, positions = pq_ops.scan_probed_lists_pq(
         queries,

@@ -1,0 +1,234 @@
+"""Pallas TPU kernel: IVF-PQ ADC window scan with dead-row skipping.
+
+The capacity workhorse's hot loop (VERDICT r3 #1; reference native
+equivalent: cuVS `ivf_pq.search`, Attempt_1/index_building_coordinator.py:
+398-404). The ADC select-sum is VPU-bound, not bandwidth-bound — measured
+on chip (scripts/bench_adc_core.py, 2026-08-18): the 16 compare+select
+passes run at ~51 ps per (row, stream) and every alternative inner-loop
+formulation (bf16 accumulator, lane-packing via XLA reshape, one-hot +
+MXU) measured equal or worse. The kernel wins by doing LESS VPU work,
+three ways the XLA formulation cannot:
+
+1. **Dead-slot skipping.** Balanced lists average ~50% window fill (mean
+   count ≈ N/n_lists vs the cap-rounded max_list_size window); the XLA
+   path must scan the full static window. Compute is gated per lane-chunk
+   on the probed list's true count (`@pl.when(start < cnt)`).
+2. **Stream-major layout = zero padding waste.** Codes are stored
+   (mb, cap) — streams on sublanes, probed slots on lanes (the index's
+   canonical layout, see index/ivf_pq.IVFPQIndex.codes). The nibble
+   streams concatenate on SUBLANES to an exact (mv, chunk) tile set: no
+   96->128 or 192->256 lane padding (the row-major XLA scan wastes
+   25-33% of VPU throughput on pad lanes). This layout is also what
+   makes the window DMA legal: Mosaic slices the 128-aligned slot/lane
+   axis (a row-major (cap, mb) memref put mb=48..96 on lanes and was
+   UNSLICEABLE — caught by tpu_smoke in the first version).
+3. **Chunked at 512 lanes.** A first version processed 128-slot blocks;
+   per-op overhead on the small (mb, 128) tiles ate the entire skipping
+   win (measured 25.2 vs XLA 23.0 ms/batch at 2M). 512-lane chunks
+   amortize instruction overhead 4x while keeping skip granularity.
+
+Selection stays outside: the ADC pool k is 1000+ under refine (far
+beyond round-based in-kernel selection), and lax.top_k on the returned
+(Q, P*L) scores is a small fraction of the scan. Scores and the masked
+row-id windows are both emitted (ids ride a lane-major side DMA, so the
+caller never gathers).
+
+Used by ops/pq.scan_probed_lists_pq on TPU for nibble-packed codes; XLA
+fallback retained (CPU, unpacked codes, kill switch
+CUVS_RAG_TPU_DISABLE_PALLAS=1).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -float("inf")
+_CHUNK = 512  # lane-chunk size; remainder handled as one 128-multiple chunk
+
+
+def _chunk_plan(window: int):
+    """[(start, size)] covering `window` in 512-lane chunks + one tail."""
+    plan = [(s, _CHUNK) for s in range(0, window - window % _CHUNK, _CHUNK)]
+    if window % _CHUNK:
+        plan.append((window - window % _CHUNK, window % _CHUNK))
+    return plan
+
+
+def _kernel(
+    offs_ref, cnts_ref, coarse_ref,  # scalar prefetch: (Q*P,) each
+    luts_ref,            # (1, mv, 16) VMEM — this (q, p)'s LUT, stream-major
+    codes_hbm,           # (mb, cap) uint8 ANY/HBM, nibble-packed stream-major
+    ids_hbm,             # (1, cap) int32 ANY/HBM row ids
+    *args,               # [corr_hbm], out_s, out_i, scratches...
+    window, mb, mv, use_corr,
+):
+    if use_corr:
+        (corr_hbm, out_s_ref, out_i_ref, win, ids_win, corr_win,
+         sems, ids_sems, corr_sems) = args
+    else:
+        corr_hbm = corr_win = corr_sems = None
+        out_s_ref, out_i_ref, win, ids_win, sems, ids_sems = args
+
+    q = pl.program_id(0)
+    p = pl.program_id(1)
+    p_n = pl.num_programs(1)
+    step = q * p_n + p
+    n_steps = pl.num_programs(0) * p_n
+
+    def dmas(slot, s2):
+        # list starts are ALIGN(=128)-aligned (ops/ivf.py); Mosaic needs
+        # the proof to slice the lane axis of the tiled HBM memrefs
+        off = pl.multiple_of(offs_ref[s2], 128)
+        ops = [
+            pltpu.make_async_copy(
+                codes_hbm.at[:, pl.ds(off, window)], win.at[slot],
+                sems.at[slot],
+            ),
+            pltpu.make_async_copy(
+                ids_hbm.at[:, pl.ds(off, window)], ids_win.at[slot],
+                ids_sems.at[slot],
+            ),
+        ]
+        if use_corr:
+            ops.append(pltpu.make_async_copy(
+                corr_hbm.at[:, pl.ds(off, window)], corr_win.at[slot],
+                corr_sems.at[slot],
+            ))
+        return ops
+
+    # double buffering: start next window while computing this one
+    @pl.when(step == 0)
+    def _():
+        for c in dmas(0, 0):
+            c.start()
+
+    @pl.when(step + 1 < n_steps)
+    def _():
+        for c in dmas((step + 1) % 2, step + 1):
+            c.start()
+
+    for c in dmas(step % 2, step):
+        c.wait()
+
+    cnt = cnts_ref[step]
+    pk = win[step % 2]  # (mb, window) uint8
+    ids = ids_win[step % 2]  # (1, window)
+    coarse = coarse_ref[step]
+
+    for start, size in _chunk_plan(window):
+        @pl.when(start < cnt)
+        def _(start=start, size=size):
+            blk = pk[:, start:start + size].astype(jnp.int32)  # (mb, size)
+            # both nibble streams on sublanes: exact (mv, size) tiles
+            codes = jnp.concatenate([blk & 15, blk >> 4], axis=0)
+            vals = jnp.zeros((mv, size), jnp.float32)
+            for c in range(16):
+                # (mv, 1) sublane vector broadcast along the chunk lanes
+                vals = jnp.where(codes == c, luts_ref[0, :, c:c + 1], vals)
+            s = jnp.sum(vals, axis=0, keepdims=True) + coarse  # (1, size)
+            if use_corr:
+                s = s - corr_win[step % 2][:, start:start + size]
+            lane = start + jax.lax.broadcasted_iota(jnp.int32, (1, size), 1)
+            live = (lane < cnt) & (ids[:, start:start + size] >= 0)
+            out_s_ref[0, 0, 0:1, start:start + size] = jnp.where(
+                live, s, NEG_INF
+            )
+            out_i_ref[0, 0, 0:1, start:start + size] = jnp.where(
+                live, ids[:, start:start + size], -1
+            )
+
+        @pl.when(start >= cnt)
+        def _(start=start, size=size):
+            out_s_ref[0, 0, 0:1, start:start + size] = jnp.full(
+                (1, size), NEG_INF
+            )
+            out_i_ref[0, 0, 0:1, start:start + size] = jnp.full(
+                (1, size), -1, jnp.int32
+            )
+
+
+@functools.partial(jax.jit, static_argnames=("window", "interpret"))
+def pq_adc_scores_pallas(
+    packed_codes: jax.Array,  # (mb, cap) uint8 stream-major nibble pairs
+    sorted_row_ids: jax.Array,  # (cap,) int32, -1 on pads/tombstones
+    norm_corr: jax.Array | None,  # (cap,) fp32 two-level cross term, or None
+    luts_t: jax.Array,  # (Q, P, mv, 16) fp32 — stream-major LUTs
+    probe_offsets: jax.Array,  # (Q, P) int32 window starts (128-aligned)
+    probe_counts: jax.Array,  # (Q, P) int32 true list lengths
+    coarse: jax.Array,  # (Q, P) fp32 coarse score of each probe
+    *,
+    window: int,
+    interpret: bool = False,
+):
+    """Returns ((Q, P, window) masked ADC scores, (Q, P, window) ids).
+
+    score[q, p, j] = coarse[q, p] + sum_s LUT[q, p, s, code] (- corr[row])
+    for live rows, -inf for positions beyond the list count or tombstoned
+    row ids; ids[q, p, j] = sorted_row_ids[offset + j] on live slots, -1
+    otherwise (the id windows ride a lane-major side DMA — no XLA gather).
+    """
+    mb, cap = packed_codes.shape
+    q_n, p_n = probe_offsets.shape
+    mv = luts_t.shape[-2]
+    assert mv == 2 * mb, (mv, mb)
+    assert luts_t.shape == (q_n, p_n, mv, 16), luts_t.shape
+    assert cap % 128 == 0 and window % 128 == 0, (cap, window)
+    use_corr = norm_corr is not None
+
+    offs = probe_offsets.reshape(-1).astype(jnp.int32)
+    cnts = probe_counts.reshape(-1).astype(jnp.int32)
+    co = coarse.reshape(-1).astype(jnp.float32)
+    ids2 = sorted_row_ids.astype(jnp.int32).reshape(1, cap)
+    luts_flat = luts_t.astype(jnp.float32).reshape(q_n * p_n, mv, 16)
+
+    inputs = [packed_codes, ids2]
+    in_specs = [
+        pl.BlockSpec((1, mv, 16), lambda q, p, *_: (q * p_n + p, 0, 0)),
+        pl.BlockSpec(memory_space=pl.ANY),  # codes stay in HBM
+        pl.BlockSpec(memory_space=pl.ANY),  # row ids stay in HBM
+    ]
+    scratch = [
+        pltpu.VMEM((2, mb, window), jnp.uint8),
+        pltpu.VMEM((2, 1, window), jnp.int32),
+    ]
+    if use_corr:
+        inputs.append(norm_corr.astype(jnp.float32).reshape(1, cap))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        scratch.append(pltpu.VMEM((2, 1, window), jnp.float32))
+    scratch.append(pltpu.SemaphoreType.DMA((2,)))
+    scratch.append(pltpu.SemaphoreType.DMA((2,)))
+    if use_corr:
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
+
+    kernel = functools.partial(
+        _kernel, window=window, mb=mb, mv=mv, use_corr=use_corr,
+    )
+    out_s, out_i = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(q_n, p_n),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((1, 1, 1, window),
+                             lambda q, p, *_: (q, p, 0, 0)),
+                pl.BlockSpec((1, 1, 1, window),
+                             lambda q, p, *_: (q, p, 0, 0)),
+            ],
+            scratch_shapes=scratch,
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((q_n, p_n, 1, window), jnp.float32),
+            jax.ShapeDtypeStruct((q_n, p_n, 1, window), jnp.int32),
+        ],
+        interpret=interpret,
+    )(offs, cnts, co, luts_flat, *inputs)
+    return (
+        out_s.reshape(q_n, p_n, window),
+        out_i.reshape(q_n, p_n, window),
+    )

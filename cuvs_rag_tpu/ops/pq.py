@@ -318,6 +318,23 @@ def norm_correction(codes2: jax.Array, codebooks: jax.Array) -> jax.Array:
     return vals.reshape(-1)[:n]
 
 
+def _use_pallas_pq(max_list_size: int, cap: int) -> bool:
+    """ADC kernel eligibility: TPU backend, 128-aligned layout, kill switch
+    CUVS_RAG_TPU_DISABLE_PALLAS=1 (same switch as the other kernels)."""
+    import os
+
+    if os.environ.get("CUVS_RAG_TPU_DISABLE_PALLAS") == "1":
+        return False
+    try:
+        import jax as _jax
+
+        if _jax.default_backend() in ("cpu",):
+            return False
+    except Exception:
+        return False
+    return max_list_size % 128 == 0 and cap % 128 == 0
+
+
 # Static unroll bound for the select-sum; larger codebooks run the same
 # selects under lax.fori_loop (bounds compile time at pq_bits=8's C=256).
 _SELECT_ADC_UNROLL = 16
@@ -393,6 +410,8 @@ def scan_probed_lists_pq(
     """ADC search over probed lists. Returns (scores (Q,k), row ids (Q,k)).
 
     queries: (Q, D) fp32 (padded to m*ds). probe_ids: (Q, P).
+    sorted_codes: (mb_or_mv, cap) uint8 STREAM-MAJOR (codes[s, slot]; see
+    index/ivf_pq.IVFPQIndex.codes — the Pallas kernel's native layout).
     coarse_scores_at_probes: (Q, P) the coarse part of the score
     (2 q·c - ||c||² or q·c), already computed by the prober.
     rotation: optional (D, D) OPQ matrix; codes quantize R·residual, so
@@ -423,16 +442,36 @@ def scan_probed_lists_pq(
         pc -= 1
 
     mv = codebooks.shape[0]  # levels * m virtual nibble streams
-    packed = sorted_codes.shape[1] != mv  # nibble-packed storage
+    packed = sorted_codes.shape[0] != mv  # nibble-packed storage
     use_corr = sorted_norm_corr is not None and metric == Metric.SQEUCLIDEAN
+
+    # Pallas DMA-window kernel path (TPU, packed codes): scans only live
+    # 128-row sub-blocks (~1.9x less VPU work at typical ~50% list fill —
+    # the select-sum is VPU-bound, ops/pallas_pq.py). The ADC pool k can be
+    # 1000+ under refine, so selection stays out here (merge_topk below).
+    if packed and _use_pallas_pq(max_list_size, sorted_codes.shape[1]):
+        from cuvs_rag_tpu.ops import pallas_pq
+
+        luts_t = luts  # (Q, P, mv, 16) — already the kernel's stream-major
+        offs = list_offsets[probe_ids].astype(jnp.int32)
+        cnts = list_counts[probe_ids].astype(jnp.int32)
+        corr = sorted_norm_corr if use_corr else None
+        scores, ids = pallas_pq.pq_adc_scores_pallas(
+            sorted_codes, sorted_row_ids, corr, luts_t, offs, cnts,
+            coarse_scores_at_probes.astype(jnp.float32),
+            window=max_list_size,
+        )
+        return topk_ops.merge_topk(
+            scores.reshape(q_n, -1), ids.reshape(q_n, -1), k
+        )
 
     def one_query(probes, luts_q, coarse_q):
         def one_probe(c, lut, coarse_score):
             off = list_offsets[c]
             cnt = list_counts[c]
-            win_codes = jax.lax.dynamic_slice(
-                sorted_codes, (off, 0), (L, sorted_codes.shape[1])
-            )
+            win_codes = jnp.swapaxes(jax.lax.dynamic_slice(
+                sorted_codes, (0, off), (sorted_codes.shape[0], L)
+            ), 0, 1)  # stream-major storage -> (L, mb) window
             if packed:
                 win_codes = unpack_nibbles(win_codes, mv)
             win_ids = jax.lax.dynamic_slice(sorted_row_ids, (off,), (L,))

@@ -1,0 +1,101 @@
+"""A/B: Pallas ADC window kernel vs the XLA select-sum fallback, on chip.
+
+2M x 768 clustered corpus, 8-bit two-level PQ (pq_dim=96), nprobe=20,
+batch 100 — the PERF.md IVF-PQ headline config. VERDICT r3 #1 target:
+0.33-0.37 -> <= 0.18 ms/query. Also reports 4-bit and the refine=64 path.
+"""
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cuvs_rag_tpu.index import flat, ivf_pq
+    from cuvs_rag_tpu.utils.config import (
+        FlatParams, IVFPQParams, IVFPQSearchParams,
+    )
+
+    N, D, K, BATCH, REPS = 2_000_000, 768, 10, 100, 10
+    key = jax.random.PRNGKey(42)
+
+    kc = jax.random.fold_in(key, 999)
+    centers = jax.random.normal(kc, (2000, D), jnp.float32)
+    mk = jax.jit(lambda k: (
+        centers[jax.random.randint(k, (N // 8,), 0, 2000)]
+        + 0.3 * jax.random.normal(k, (N // 8, D))
+    ).astype(jnp.bfloat16))
+    corpus = jnp.concatenate([mk(jax.random.fold_in(key, i)) for i in range(8)])
+    jax.block_until_ready(corpus)
+    print("corpus ready", flush=True)
+
+    qk = jax.random.fold_in(key, 777)
+    queries = (
+        centers[jax.random.randint(qk, (BATCH,), 0, 2000)]
+        + 0.3 * jax.random.normal(qk, (BATCH, D))
+    ).astype(jnp.float32)
+    qrs = [
+        queries + 0.01 * jax.random.normal(jax.random.fold_in(key, r),
+                                           queries.shape)
+        for r in range(REPS)
+    ]
+    _ = [q.block_until_ready() for q in qrs]
+
+    fx = flat.build(FlatParams(dtype="bfloat16", tile_n=8192), corpus)
+    _, gt = flat.search(None, fx, qrs[0], K)
+    gt = np.asarray(gt)
+    del fx
+
+    for bits in (8, 4):
+        t0 = time.time()
+        ix = ivf_pq.build(
+            IVFPQParams(n_lists=2000, pq_dim=96, pq_bits=bits,
+                        kmeans_sample=100_000),
+            corpus,
+        )
+        jax.block_until_ready(ix.codes)
+        cnts = np.asarray(ix.list_counts)
+        fill = cnts.mean() / ix.max_list_size
+        print(f"pq{bits} build {time.time()-t0:.1f}s  codes "
+              f"{ix.codes.nbytes/1e6:.0f} MB  window {ix.max_list_size} "
+              f"fill {fill:.2f}", flush=True)
+        for backend in ("pallas", "xla"):
+            if backend == "xla":
+                _os.environ["CUVS_RAG_TPU_DISABLE_PALLAS"] = "1"
+            ivf_pq._search_core.clear_cache()
+            try:
+                for rr in (0, 64):
+                    sp = IVFPQSearchParams(n_probes=20, refine_ratio=rr)
+                    d, i = ivf_pq.search(sp, ix, qrs[0], K)
+                    i0 = np.asarray(i)
+                    rec = np.mean([
+                        len(set(i0[r]) & set(gt[r])) / K for r in range(BATCH)
+                    ])
+                    best = 1e9
+                    for _t in range(2):
+                        t0 = time.perf_counter()
+                        last = None
+                        for q in qrs:
+                            last = ivf_pq.search(sp, ix, q, K)
+                        _ = np.asarray(last[0])
+                        best = min(best, (time.perf_counter() - t0) / REPS)
+                    print(f"pq{bits} {backend:6s} refine={rr:3d}: "
+                          f"{best*1e3:7.2f} ms/batch  "
+                          f"{best/BATCH*1e3:.4f} ms/q  recall@{K}={rec:.3f}",
+                          flush=True)
+            finally:
+                _os.environ.pop("CUVS_RAG_TPU_DISABLE_PALLAS", None)
+                ivf_pq._search_core.clear_cache()
+        del ix
+
+
+if __name__ == "__main__":
+    main()

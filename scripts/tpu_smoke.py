@@ -135,6 +135,35 @@ def main():
         jax.block_until_ready(i_xla)
         _check(f"pallas_ivf {sdtype} vs XLA fallback", i, i_xla, 0.95)
 
+    # --- pallas_pq ADC window scan (8-bit two-level + 4-bit fastscan) ----
+    from cuvs_rag_tpu.index import ivf_pq
+    from cuvs_rag_tpu.ops import pq as pq_ops
+    from cuvs_rag_tpu.utils.config import IVFPQParams, IVFPQSearchParams
+
+    for bits, label in ((8, "pallas_pq 8-bit two-level"),
+                        (4, "pallas_pq 4-bit fastscan")):
+        px = ivf_pq.build(
+            IVFPQParams(n_lists=32, pq_dim=64, pq_bits=bits,
+                        kmeans_iters=4, store_raw=False), cj,
+        )
+        psp = IVFPQSearchParams(n_probes=16, refine_ratio=0)
+        assert pq_ops._use_pallas_pq(px.max_list_size, px.codes.shape[-1]) \
+            or jax.default_backend() == "cpu", f"pq kernel ineligible ({bits})"
+        _, i = ivf_pq.search(psp, px, qj, k)
+        jax.block_until_ready(i)
+        # reference: the XLA select-sum fallback on the SAME index+probes.
+        # The backend choice happens at trace time, so the jit cache must
+        # be dropped around the env toggle or the cached trace wins.
+        os.environ["CUVS_RAG_TPU_DISABLE_PALLAS"] = "1"
+        ivf_pq._search_core.clear_cache()
+        try:
+            _, i_xla = ivf_pq.search(psp, px, qj, k)
+            jax.block_until_ready(i_xla)
+        finally:
+            del os.environ["CUVS_RAG_TPU_DISABLE_PALLAS"]
+            ivf_pq._search_core.clear_cache()
+        _check(label + " vs XLA fallback", i, i_xla, 0.98)
+
     # --- tombstone deletion through the kernels (remove_ids) -------------
     # flat kernel: deleted rows must vanish in BOTH metrics (inner_product
     # folds the penalty into the csq slot in the wrapper)

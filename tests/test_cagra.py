@@ -92,6 +92,7 @@ def test_sharded_cagra(data):
     assert r >= 0.85, r
 
 
+@pytest.mark.slow
 def test_ivf_bootstrapped_build_recall(data):
     # force the large-N build path at small scale and check recall holds
     corpus, queries = data
@@ -107,6 +108,7 @@ def test_ivf_bootstrapped_build_recall(data):
     assert r >= 0.85, r
 
 
+@pytest.mark.slow
 def test_ivf_bootstrapped_sharded_build(data):
     from cuvs_rag_tpu.parallel import search as psearch
     from cuvs_rag_tpu.parallel.mesh import DeviceMesh
@@ -184,6 +186,7 @@ def test_cagra_search_width(data):
     assert recs[16] >= recs[4] - 0.05, recs
 
 
+@pytest.mark.slow
 def test_reverse_edges_forward_param():
     """`forward` overrides the keep/2 split; forward=keep is pure rank
     truncation. Default (None) must equal the keep//2 behavior exactly.

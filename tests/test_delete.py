@@ -95,6 +95,7 @@ def test_flat_delete_survives_extend(data):
     np.testing.assert_array_equal(i, want)
 
 
+@pytest.mark.slow
 def test_flat_delete_survives_many_extends(data):
     """Regression: carrying deletion_penalty() (slot - threshold) instead of
     the full penalty decayed the tombstone by 1e29 per extend — deleted rows
@@ -141,6 +142,7 @@ def test_flat_delete_pallas_kernel(data, mode, metric):
 
 
 @pytest.mark.parametrize("dtype", ["float32", "int8"])
+@pytest.mark.slow
 def test_ivf_delete_excludes_and_matches_oracle(data, dtype):
     corpus, queries = data
     ix = ivf_flat.build(IVFFlatParams(n_lists=8, dtype=dtype), corpus)
@@ -158,6 +160,7 @@ def test_ivf_delete_excludes_and_matches_oracle(data, dtype):
     )
 
 
+@pytest.mark.slow
 def test_ivf_delete_survives_extend_fast_and_overflow(data):
     corpus, queries = data
     ix = ivf_flat.build(IVFFlatParams(n_lists=8), corpus[:400])
@@ -243,6 +246,7 @@ def test_ivf_pallas_int8_cosine_matches_xla(data):
 # ------------------------------------------------------------------- ivf_pq
 
 
+@pytest.mark.slow
 def test_ivf_pq_delete_excluded_with_refine(data):
     corpus, queries = data
     ix = ivf_pq.build(
@@ -266,6 +270,7 @@ def test_ivf_pq_delete_excluded_with_refine(data):
     )
 
 
+@pytest.mark.slow
 def test_ivf_pq_delete_survives_extend_overflow(data):
     corpus, queries = data
     ix = ivf_pq.build(

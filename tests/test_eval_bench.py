@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from cuvs_rag_tpu.eval import bench as bench_lib
 from cuvs_rag_tpu.utils.config import IVFFlatParams, IVFFlatSearchParams
@@ -22,6 +23,7 @@ def test_batch_size_sweep(rng):
     assert all(r.qps > 0 for r in res)
 
 
+@pytest.mark.slow
 def test_scaling_stress_completes(rng):
     rows = bench_lib.scaling_stress(
         "ivf_flat",
@@ -39,6 +41,7 @@ def test_scaling_stress_completes(rng):
     assert "n_vectors" in table
 
 
+@pytest.mark.slow
 def test_scaling_stress_chunked():
     # memory-optimized protocol: the corpus arrives as regenerated device
     # chunks (build_from_chunks); recall streams GT over the same chunks

@@ -30,6 +30,7 @@ def test_family_surface(family):
 
 
 @pytest.mark.parametrize("family", FAMILIES)
+@pytest.mark.slow
 def test_family_end_to_end_self_retrieval(family, rng):
     mod = psearch.FAMILIES[family]
     from cuvs_rag_tpu.rag.pipeline import _default_params
@@ -45,6 +46,7 @@ def test_family_end_to_end_self_retrieval(family, rng):
 
 
 @pytest.mark.parametrize("family", FAMILIES)
+@pytest.mark.slow
 def test_family_index_io_round_trip(family, rng, tmp_path):
     from cuvs_rag_tpu.index import io
     from cuvs_rag_tpu.rag.pipeline import _default_params

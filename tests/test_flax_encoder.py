@@ -120,6 +120,7 @@ def test_st_pooling_mode_local_config(tmp_path):
     assert st_pooling_mode(str(d)) == "mean"
 
 
+@pytest.mark.slow
 def test_st_pooling_mode_known_checkpoint_fallback():
     """Offline fallback: DPR-style checkpoints map to CLS by name; unknown
     names return None (caller keeps its default)."""

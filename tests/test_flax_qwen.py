@@ -31,6 +31,7 @@ def _tiny_pair(seed=0):
     return model, cfg, params
 
 
+@pytest.mark.slow
 def test_hidden_state_parity():
     model, cfg, params = _tiny_pair()
     rng = np.random.default_rng(0)
@@ -100,6 +101,7 @@ def test_encoder_end_to_end_normalized():
     assert e.shape == (1, 64)
 
 
+@pytest.mark.slow
 def test_flash_attention_path_lowers_for_tpu():
     """The use_flash=True Qwen block (Pallas TPU flash attention with
     causal + segment-id pad masking) must lower through Mosaic — checked

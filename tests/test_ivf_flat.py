@@ -53,6 +53,7 @@ def test_full_probe_is_exact(data):
     np.testing.assert_array_equal(np.asarray(i), gt)
 
 
+@pytest.mark.slow
 def test_partial_probe_recall_random_data(data):
     # unstructured gaussian data: the worst case for IVF; 25% of lists
     # probed should still recover most neighbors
@@ -90,6 +91,7 @@ def test_distances_are_true_sqeuclidean(data):
     np.testing.assert_allclose(d, want, rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_cosine_metric(data):
     corpus, queries = data
     k = 5
@@ -110,6 +112,7 @@ def test_self_retrieval(data):
     assert np.asarray(i)[:, 0].tolist() == rows
 
 
+@pytest.mark.slow
 def test_sharded_ivf_matches_quality(data):
     from cuvs_rag_tpu.parallel import search as psearch
     from cuvs_rag_tpu.parallel.mesh import DeviceMesh
@@ -128,6 +131,7 @@ def test_sharded_ivf_matches_quality(data):
     np.testing.assert_array_equal(np.asarray(i_sh), gt)
 
 
+@pytest.mark.slow
 def test_sharded_ivf_partial_probe_recall(data):
     from cuvs_rag_tpu.parallel import search as psearch
     from cuvs_rag_tpu.parallel.mesh import DeviceMesh
@@ -146,6 +150,7 @@ def test_sharded_ivf_partial_probe_recall(data):
     assert r >= 0.6, r  # unstructured gaussian data, 25% probed per shard
 
 
+@pytest.mark.slow
 def test_int8_storage_recall_close_to_fp32(clustered_data):
     # SQ8 list storage: same probes, scaled score algebra; ranking loss is
     # quantization-only so recall should track the fp32 index closely
@@ -166,6 +171,7 @@ def test_int8_storage_recall_close_to_fp32(clustered_data):
     assert agree >= 0.85, agree
 
 
+@pytest.mark.slow
 def test_int8_extend_and_io_round_trip(clustered_data, tmp_path):
     from cuvs_rag_tpu.index import io as index_io
 
@@ -187,6 +193,7 @@ def test_int8_extend_and_io_round_trip(clustered_data, tmp_path):
 
 
 @pytest.mark.parametrize("dtype", ["float32", "int8"])
+@pytest.mark.slow
 def test_build_from_chunks_matches_build(clustered_data, dtype):
     # the memory-bounded chunked build must produce the same index as the
     # one-shot build on the concatenated chunks

@@ -19,6 +19,7 @@ def data():
     return corpus.astype(np.float32), queries.astype(np.float32)
 
 
+@pytest.mark.slow
 def test_pq_round_trip_error_small(rng):
     # PQ reconstruction must be much closer than the data scale
     import jax
@@ -33,6 +34,7 @@ def test_pq_round_trip_error_small(rng):
     assert rel_err < 0.55, rel_err  # 64 codes x 4-dim subspaces on gaussian data
 
 
+@pytest.mark.slow
 def test_adc_lut_matches_reconstruction(rng):
     import jax
 
@@ -49,6 +51,7 @@ def test_adc_lut_matches_reconstruction(rng):
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_adc_select_sum_matches_take(rng):
     # the C<=16 fastscan select-sum path must agree exactly with the
     # gather formulation it replaces
@@ -72,6 +75,7 @@ def test_adc_select_sum_matches_take(rng):
         np.testing.assert_allclose(fast, want, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_ivf_pq_4bit_recall(data):
     # pq_bits=4 (fastscan codebooks): coarser codes, refine recovers recall
     corpus, queries = data
@@ -81,7 +85,7 @@ def test_ivf_pq_4bit_recall(data):
     )
     assert ix.codebooks.shape[1] == 16
     # 4-bit codes are nibble-packed: 2 codes per stored byte
-    assert ix.codes_packed and ix.codes.shape[1] == 4 and ix.pq_dim == 8
+    assert ix.codes_packed and ix.codes.shape[0] == 4 and ix.pq_dim == 8  # stream-major
     gt = recall_lib.exact_ground_truth(corpus, queries, k, Metric.SQEUCLIDEAN)
     # 4-bit codes are coarse: the ADC candidate list needs a deeper refine
     # than 8-bit (16x here) to recover near-exact recall
@@ -93,6 +97,7 @@ def test_ivf_pq_4bit_recall(data):
 
 
 @pytest.mark.parametrize("two_level", [True, False])
+@pytest.mark.slow
 def test_ivf_pq_recall(data, two_level):
     corpus, queries = data
     k = 10
@@ -103,8 +108,8 @@ def test_ivf_pq_recall(data, two_level):
     assert ix.levels == (2 if two_level else 1)
     if two_level:
         # two-level codes are nibble-packed: memory identical to flat 8-bit
-        assert ix.codes.shape[1] == 8 and ix.codebooks.shape == (16, 16, 4)
-        assert ix.norm_corr.shape[0] == ix.codes.shape[0]
+        assert ix.codes.shape[0] == 8 and ix.codebooks.shape == (16, 16, 4)  # stream-major
+        assert ix.norm_corr.shape[0] == ix.codes.shape[1]  # (cap,) vs (mb, cap)
     gt = recall_lib.exact_ground_truth(corpus, queries, k, Metric.SQEUCLIDEAN)
     # no refine: ADC-only recall is decent (the additive two-level
     # representation trades some ADC sharpness — white-noise residuals are
@@ -125,6 +130,7 @@ def test_ivf_pq_recall(data, two_level):
     assert r2 >= r0
 
 
+@pytest.mark.slow
 def test_refine_distances_exact(data):
     corpus, queries = data
     ix = ivf_pq.build(IVFPQParams(n_lists=8, pq_dim=8), jnp.asarray(corpus))
@@ -136,6 +142,7 @@ def test_refine_distances_exact(data):
     np.testing.assert_allclose(d, want, rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_strip_raw_disables_refine_but_searches(data):
     corpus, queries = data
     ix = ivf_pq.build(IVFPQParams(n_lists=8, pq_dim=8), jnp.asarray(corpus))
@@ -160,6 +167,7 @@ def test_pq_memory_compression(data):
     assert compressed < 0.25 * corpus.nbytes
 
 
+@pytest.mark.slow
 def test_odd_dim_padding(rng):
     # D=30 not divisible by pq_dim=8 -> zero-padded subspaces
     corpus = rng.standard_normal((1000, 30)).astype(np.float32)
@@ -173,6 +181,7 @@ def test_odd_dim_padding(rng):
     assert r >= 0.9, r
 
 
+@pytest.mark.slow
 def test_sharded_ivf_pq(data):
     from cuvs_rag_tpu.parallel import search as psearch
     from cuvs_rag_tpu.parallel.mesh import DeviceMesh
@@ -191,6 +200,7 @@ def test_sharded_ivf_pq(data):
     assert r >= 0.95, r
 
 
+@pytest.mark.slow
 def test_opq_improves_adc_recall(data):
     import jax
 
@@ -226,6 +236,7 @@ def test_opq_improves_adc_recall(data):
     assert r_opq >= 0.45, r_opq
 
 
+@pytest.mark.slow
 def test_opq_io_round_trip(data, tmp_path):
     from cuvs_rag_tpu.index import io
 
@@ -241,6 +252,7 @@ def test_opq_io_round_trip(data, tmp_path):
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
 
 
+@pytest.mark.slow
 def test_two_level_scan_matches_reconstruction(rng):
     """The two-level ADC score (Σ nibble LUTs - stored cross term) must
     equal the direct 2t·r̂ - ||r̂||² of the additive reconstruction."""
@@ -325,6 +337,7 @@ def test_two_level_io_round_trip(data, tmp_path):
 
 
 @pytest.mark.parametrize("two_level", [True, False])
+@pytest.mark.slow
 def test_ivf_pq_extend(data, two_level):
     """FAISS IVFPQ add-flow parity: frozen quantizers, in-place append,
     overflow re-layout — ids exact, recall preserved."""
@@ -353,6 +366,7 @@ def test_ivf_pq_extend(data, two_level):
     del offsets_before
 
 
+@pytest.mark.slow
 def test_ivf_pq_extend_fast_path_geometry(data):
     """Post-growth appends keep the layout geometry (in-place path)."""
     corpus, _ = data
@@ -374,6 +388,7 @@ def test_ivf_pq_extend_fast_path_geometry(data):
     dict(pq_bits=4, opq=True),
     dict(pq_bits=4, store_raw=False),
 ])
+@pytest.mark.slow
 def test_build_from_chunks_matches_build(data, cfg):
     # the memory-bounded chunked PQ build must produce the same index as
     # the one-shot build on the concatenated chunks (codes, layout, and
@@ -417,6 +432,7 @@ def test_build_from_chunks_rejects_ragged(data):
 class TestExternalRefine:
     """Out-of-core refine: fetch_rows callback instead of a raw store."""
 
+    @pytest.mark.slow
     def test_matches_internal_refine(self, data):
         # same candidate pool + same exact re-rank => identical top-k,
         # whether the raw rows come from the device store or the callback
@@ -436,6 +452,7 @@ class TestExternalRefine:
             np.asarray(d1), np.asarray(d2), rtol=1e-4, atol=1e-4
         )
 
+    @pytest.mark.slow
     def test_improves_adc_only_recall(self, data):
         corpus, queries = data
         ix = ivf_pq.build(
@@ -492,6 +509,7 @@ class TestExternalRefine:
                 fetch_rows=lambda ids: corpus[ids][:, :4],
             )
 
+    @pytest.mark.slow
     def test_cosine_metric(self, data):
         # callback supplies UNNORMALIZED rows; the re-rank normalizes,
         # matching the internal raw store (built normalized)

@@ -50,6 +50,7 @@ _FAMILY_CASES = [
 
 
 @pytest.mark.parametrize("family,params,sp", _FAMILY_CASES)
+@pytest.mark.slow
 def test_real_qa_paired_answer_recovery(qa, family, params, sp):
     answers, questions, encoder = qa
     r = Retriever.build(

@@ -39,6 +39,7 @@ def test_managed_allocation_passthrough():
             raise ValueError("unrelated")
 
 
+@pytest.mark.slow
 def test_managed_allocation_oom_translation():
     with pytest.raises(MemoryError, match="device OOM during build"):
         with mem.managed_allocation("build"):

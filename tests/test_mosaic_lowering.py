@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from cuvs_rag_tpu.ops import pallas_flat, pallas_ivf
+from cuvs_rag_tpu.ops import pallas_flat, pallas_ivf, pallas_pq
 
 D = 256
 NP_ROWS = 4096  # corpus rows, multiple of tile_c
@@ -82,6 +82,23 @@ def test_ivf_scan_lowers_for_tpu(dtype):
         jnp.zeros((qn, D), jnp.float32),
         jnp.zeros((qn, nprobe), jnp.int32),
         jnp.full((qn, nprobe), 100, jnp.int32),
+    )
+
+
+@pytest.mark.parametrize("mb", [48, 96])  # 4-bit pq96 / two-level 8-bit pq96
+@pytest.mark.parametrize("use_corr", [True, False])
+def test_pq_adc_kernel_lowers_for_tpu(use_corr, mb):
+    cap, window, qn, nprobe = 2048, 256, 8, 4
+    fn = functools.partial(pallas_pq.pq_adc_scores_pallas, window=window)
+    _lower_tpu(
+        fn,
+        jnp.zeros((mb, cap), jnp.uint8),
+        jnp.zeros((cap,), jnp.int32),
+        jnp.zeros((cap,), jnp.float32) if use_corr else None,
+        jnp.zeros((qn, nprobe, 2 * mb, 16), jnp.float32),
+        jnp.zeros((qn, nprobe), jnp.int32),
+        jnp.full((qn, nprobe), 100, jnp.int32),
+        jnp.zeros((qn, nprobe), jnp.float32),
     )
 
 

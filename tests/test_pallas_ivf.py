@@ -67,6 +67,7 @@ def test_pallas_ivf_empty_lists(built):
     assert np.all(np.asarray(i) >= -1)
 
 
+@pytest.mark.slow
 def test_pallas_ivf_int8_matches_xla():
     # SQ8 windows through the kernel: scores use the dequant scales and
     # reconstruction sqnorms from the aux side DMA

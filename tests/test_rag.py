@@ -86,6 +86,7 @@ def test_corpus_alignment_validation():
         Corpus(passages=["a", "b"], embeddings=np.zeros((3, 4), np.float32))
 
 
+@pytest.mark.slow
 def test_retriever_out_of_core_refine():
     # ivf_pq with store_raw=False: the Retriever wires its host embedding
     # store into ivf_pq.search(fetch_rows=...) automatically when the

@@ -1,5 +1,6 @@
 import numpy as np
 
+import pytest
 from cuvs_rag_tpu.eval import recall as recall_lib
 from cuvs_rag_tpu.utils.config import Metric
 
@@ -36,6 +37,7 @@ def test_exact_ground_truth_self_retrieval(rng):
     assert gt[:, 0].tolist() == [0, 1, 2, 3, 4]
 
 
+@pytest.mark.slow
 def test_streamed_gt_matches_flat_oracle(rng):
     import jax.numpy as jnp
 

@@ -57,15 +57,16 @@ def test_recall_ks_sweep_full_width(rng):
     assert all(v == 1.0 for v in out.values())  # full probe -> exact
 
 
+@pytest.mark.slow
 def test_reference_ivfpq_geometry(rng):
     # pq_dim=96 @ 768-d (the reference's exact PQ geometry), tiny corpus
     corpus = rng.standard_normal((2000, 768)).astype(np.float32)
     ix = ivf_pq.build(IVFPQParams(n_lists=8, pq_dim=96), jnp.asarray(corpus))
     assert ix.pq_dim == 96
-    assert ix.codes.shape[-1] == 96
+    assert ix.codes.shape[-2] == 96  # stream-major: (bytes/vec, cap)
     # pq_bits=8 default is the two-level additive realization: 2x96 nibble
     # codebooks at the same 96 B/vector code memory as flat 256-entry PQ
     assert ix.codebooks.shape == (192, 16, 8)
     # memory parity claim: codes are 96 B/vec vs 3072 B raw fp32 (32x; the
     # reference measured only 4x because it kept 75% savings)
-    assert ix.codes.shape[-1] / (768 * 4) < 1 / 30
+    assert ix.codes.shape[-2] / (768 * 4) < 1 / 30

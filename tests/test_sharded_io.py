@@ -40,6 +40,7 @@ _CASES = [
 
 
 @pytest.mark.parametrize("family,params,sp", _CASES)
+@pytest.mark.slow
 def test_sharded_round_trip_same_mesh(data, family, params, sp, tmp_path):
     corpus, queries = data
     dmesh = DeviceMesh()  # all 8 virtual devices
@@ -82,6 +83,7 @@ def test_sharded_reload_onto_smaller_mesh(data, tmp_path):
 
 
 @pytest.mark.parametrize("family,params,sp", _CASES)
+@pytest.mark.slow
 def test_recover_rows_round_trip(data, family, params, sp):
     """recover_rows reconstructs the corpus in original order from every
     family's storage (exact for float storage; quantized families within
@@ -100,6 +102,7 @@ def test_recover_rows_round_trip(data, family, params, sp):
     assert rel < 0.05, (family, rel)  # bf16/storage rounding only
 
 
+@pytest.mark.slow
 def test_recover_rows_pq_codes_only(data):
     """Without the raw store, PQ rows come from the code reconstruction —
     lossy but row-aligned and within PQ error."""

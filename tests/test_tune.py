@@ -70,6 +70,7 @@ def test_tune_flat(clustered):
     assert res.point.recall >= 0.9
 
 
+@pytest.mark.slow
 def test_tune_ivf_pq_refine_walk(clustered):
     corpus, queries, gt = clustered
     ix = ivf_pq.build(
