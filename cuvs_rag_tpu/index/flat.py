@@ -346,8 +346,22 @@ def search(
     inner_product/cosine they are similarities descending. The whole search
     (prep + kernel + distance conversion) is one jitted program — one
     device dispatch per call.
+
+    k > 32 on TPU takes the certified large-k kernel (per-class top-R +
+    exactness certificate, ops/pallas_flat.flat_topk_large — the
+    reference's SearchConfig.top_k=2000 regime); certificate violations
+    (Poisson-rare) re-run the XLA exact path, so results are always exact.
     """
     queries = base.validate_queries(queries, index.dim)
+    if _use_pallas_large(index, k, search_params):
+        out = base.run_with_pallas_fallback(
+            lambda: _search_large(index, queries, k),
+            lambda: None,
+            kernel_name="flat_large", disable=_disable_pallas,
+        )
+        if out is not None:
+            return out
+        return _search_core(search_params, index, queries, k, False)
     if not _use_pallas(index, k):
         return _search_core(search_params, index, queries, k, False)
     return base.run_with_pallas_fallback(
@@ -355,6 +369,50 @@ def search(
         lambda: _search_core(search_params, index, queries, k, False),
         kernel_name="flat", disable=_disable_pallas,
     )
+
+
+def _use_pallas_large(index: FlatIndex, k: int, search_params) -> bool:
+    from cuvs_rag_tpu.ops import pallas_flat
+
+    if search_params is not None and getattr(search_params, "approx", False):
+        return False  # approx large-k keeps the approx_max_k XLA path
+    return (
+        k > pallas_flat.MAX_PALLAS_K
+        and k <= 8192
+        and _use_pallas(index, pallas_flat.MAX_PALLAS_K)  # backend/tiling
+        and index.size % 1024 == 0
+    )
+
+
+def _search_large(index: FlatIndex, queries: jax.Array, k: int):
+    """Certified large-k search; returns None on certificate violation
+    (caller falls back to the XLA exact path). The certificate check is a
+    (Q,)-bool host fetch — one small sync per call."""
+    from cuvs_rag_tpu.ops import pallas_flat
+
+    import numpy as np
+
+    q = dist_ops.l2_normalize(queries) \
+        if index.metric == Metric.COSINE else queries
+    pallas_metric = (
+        Metric.SQEUCLIDEAN if index.metric == Metric.SQEUCLIDEAN
+        else Metric.INNER_PRODUCT
+    )
+    d, i, cert = _search_large_jit(index, q, k, pallas_metric)
+    if not bool(np.asarray(jnp.all(cert))):
+        return None
+    return d, i
+
+
+@functools.partial(jax.jit, static_argnames=("k", "pallas_metric"))
+def _search_large_jit(index, q, k, pallas_metric):
+    scores, ids, cert = pallas_flat.flat_topk_large(
+        index.vectors, index.sqnorms, q, index.n_valid, index.scales,
+        k=k, metric=pallas_metric,
+    )
+    return dist_ops.scores_to_distances(
+        scores, dist_ops.sqnorms(q), index.metric
+    ), ids, cert
 
 
 def _disable_pallas():  # latched only for lowering-class errors (base.py)

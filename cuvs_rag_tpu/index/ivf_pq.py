@@ -920,6 +920,7 @@ def search(
     queries: jax.Array,
     k: int,
     fetch_rows=None,
+    host_rerank: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """cuVS surface: search(SearchParams(n_probes, refine), index, queries, k).
 
@@ -935,18 +936,27 @@ def search(
     indexes (the beyond-HBM regime, where only codes are device-resident:
     ivf_pq.build_from_chunks at ~pq_dim bytes/row): the ADC pass selects
     k*refine_ratio candidates on device, their ids cross to host (a few
-    KB), the callback supplies the raw rows, and the exact re-rank runs
-    on device. FAISS analogue: IndexRefine over an on-disk/IVFPQ pair.
+    KB), and the exact re-rank runs against the callback's rows. FAISS
+    analogue: IndexRefine over an on-disk/IVFPQ pair.
+
+    host_rerank=True scores the candidates ON THE HOST (BLAS) instead of
+    uploading them for a device re-rank — the production serving shape
+    when the store is host RAM/mmap: the row upload (~0.5 MB/query at
+    refine 16) dwarfs the ~0.1 MFLOP/query of scoring on any
+    interconnect. Returns numpy arrays in that mode.
     """
     queries = base.validate_queries(queries, index.dim)
     sp = search_params or default_search_params()
     if fetch_rows is not None and sp.refine_ratio > 0:
-        return _search_refine_external(sp, index, queries, k, fetch_rows)
+        return _search_refine_external(
+            sp, index, queries, k, fetch_rows, host_rerank
+        )
     return _search_core(search_params, index, queries, k)
 
 
-def _search_refine_external(sp, index, queries, k, fetch_rows):
-    """ADC candidates -> host id fan-in -> callback rows -> device re-rank.
+def _search_refine_external(sp, index, queries, k, fetch_rows, host_rerank):
+    """ADC candidates -> host id fan-in -> callback rows -> exact re-rank
+    (device upload+re-rank, or host BLAS when host_rerank).
 
     (rerank_external handles the all-invalid edge itself, returning the
     family (inf, -1) convention without calling the callback.)"""
@@ -955,6 +965,10 @@ def _search_refine_external(sp, index, queries, k, fetch_rows):
     k_adc = _refine_pool(k, sp.refine_ratio)
     sp_adc = dataclasses.replace(sp, refine_ratio=0)
     _, ids = _search_core(sp_adc, index, queries, k_adc)
+    if host_rerank:
+        return refine_mod.rerank_host(
+            queries, ids, k, fetch_rows, metric=index.metric,
+        )
     return refine_mod.rerank_external(
         queries, ids, k, fetch_rows,
         metric=index.metric, pad_dim_to=index.pq_dim,

@@ -83,6 +83,78 @@ def rerank_external(
     )
 
 
+def rerank_host(
+    queries,
+    ids,
+    k: int,
+    fetch_rows: Callable[[np.ndarray], np.ndarray],
+    *,
+    metric: str = Metric.SQEUCLIDEAN,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact re-rank of candidate `ids` (Q, C) down to top-k — ON THE HOST.
+
+    The out-of-core serving shape (VERDICT r3 #6): when the raw corpus
+    lives in host RAM / an mmap, shipping candidate rows back to the
+    device costs a (Q*C, dim) fp32 upload per batch (~50 MB at batch 100,
+    refine 16) just to do ~12 MFLOP of dot products — the transfer
+    dwarfs the compute on any interconnect, and catastrophically so on
+    this test tunnel. Here only the few-KB candidate ids cross D2H; the
+    gather AND the exact scoring run host-side (BLAS), and nothing is
+    uploaded at all. Returns numpy (distances, ids) in the family search
+    convention (sqeuclidean ascending / ip-cosine descending, -1 pads).
+
+    This is the production serving path for beyond-HBM corpora: device
+    ADC shortlist -> host store gather -> host exact re-rank -> results.
+    """
+    q = np.asarray(queries, np.float32)
+    ids_h = np.asarray(ids)
+    qn, c = ids_h.shape
+    uids = np.unique(ids_h[ids_h >= 0])
+    if uids.size == 0:
+        return (np.full((qn, k), np.inf, np.float32),
+                np.full((qn, k), -1, np.int32))
+    rows = np.asarray(fetch_rows(uids), np.float32)
+    if rows.shape != (uids.size, q.shape[1]):
+        raise ValueError(
+            f"fetch_rows returned {rows.shape}, "
+            f"expected {(uids.size, q.shape[1])}"
+        )
+    if metric == Metric.COSINE:
+        rows = rows / np.maximum(
+            np.linalg.norm(rows, axis=1, keepdims=True), 1e-30
+        )
+        q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+    slot = np.searchsorted(uids, np.clip(ids_h, 0, None))
+    slot = np.minimum(slot, uids.size - 1).astype(np.int64)
+    cand = rows[slot.reshape(-1)].reshape(qn, c, -1)
+    ip = np.einsum("qd,qcd->qc", q, cand, optimize=True)
+    if metric == Metric.SQEUCLIDEAN:
+        scores = 2.0 * ip - np.sum(cand * cand, axis=2)
+    else:
+        scores = ip
+    scores = np.where(ids_h >= 0, scores, -np.inf)
+    kk = min(k, c)
+    part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+    ps = np.take_along_axis(scores, part, axis=1)
+    order = np.argsort(-ps, axis=1, kind="stable")
+    top = np.take_along_axis(part, order, axis=1)
+    top_s = np.take_along_axis(scores, top, axis=1)
+    top_i = np.take_along_axis(ids_h, top, axis=1).astype(np.int32)
+    live = np.isfinite(top_s)
+    top_i = np.where(live, top_i, -1)
+    if metric == Metric.SQEUCLIDEAN:
+        qsq = np.sum(q * q, axis=1, keepdims=True)
+        dist = np.where(live, qsq - top_s, np.inf).astype(np.float32)
+    else:
+        dist = np.where(live, top_s, -np.inf).astype(np.float32)
+    if kk < k:
+        dist = np.pad(dist, ((0, 0), (0, k - kk)),
+                      constant_values=np.inf if metric == Metric.SQEUCLIDEAN
+                      else -np.inf)
+        top_i = np.pad(top_i, ((0, 0), (0, k - kk)), constant_values=-1)
+    return dist, top_i
+
+
 def _maybe_pad(x: jax.Array, m: int) -> jax.Array:
     if m <= 0 or x.shape[-1] % m == 0:
         return x

@@ -272,6 +272,186 @@ def _sketch_kernel(
         out_i_ref[:] = jnp.where(out_s > _VALID_MIN, out_i, -1)
 
 
+def _topr_kernel(
+    q_ref, c_ref, csq_ref, csc_ref, qsc_ref,
+    out_s_ref, out_i_ref, out_rej_ref, b_scr, bi_scr, rej_scr,
+    *, r_planes, tile_c, metric, scaled, int8_compute,
+):
+    """Per-column-class running top-R + rejected-best certificate.
+
+    Large-k selection (k up to r_planes*tile_c, the reference's
+    SearchConfig.top_k=2000 regime): each of the tile_c residue classes
+    keeps its R best (score, tile) pairs across all corpus tiles via an
+    insertion chain (planes stay sorted desc), and `rej_scr` tracks the
+    best value ever REJECTED per class — which is exactly the (R+1)-th
+    best of that class (a candidate that never entered the planes passes
+    through the chain unchanged and is max'd into rej; a displaced value
+    is max'd at displacement). The caller top-k's the R*tile_c candidates
+    to get tau = kth best, and the run is PROVABLY exact iff
+    max_c rej[q, c] < tau_q: any missed true top-k member x would have
+    been rejected in its class, so x <= rej <= ... < tau, contradicting
+    x's rank (see flat_topk_large). Violations (>R true top-k members in
+    one class) are rare by Poisson tail at the default R and fall back.
+    """
+    j = pl.program_id(1)
+    nc = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        b_scr[:] = jnp.full_like(b_scr, NEG_INF)
+        bi_scr[:] = jnp.full_like(bi_scr, -1)
+        rej_scr[:] = jnp.full_like(rej_scr, NEG_INF)
+
+    scores = _score_tile(
+        q_ref, c_ref, csq_ref, csc_ref, qsc_ref,
+        metric=metric, scaled=scaled, int8_compute=int8_compute,
+    )
+    cand = scores
+    cid = jnp.full(scores.shape, j, jnp.int32)
+    for r in range(r_planes):
+        b = b_scr[r]
+        bi = bi_scr[r]
+        better = cand > b
+        b_scr[r] = jnp.where(better, cand, b)
+        bi_scr[r] = jnp.where(better, cid, bi)
+        cand = jnp.where(better, b, cand)
+        cid = jnp.where(better, bi, cid)
+    rej_scr[:] = jnp.maximum(rej_scr[:], cand)
+
+    @pl.when(j == nc - 1)
+    def _():
+        col = jax.lax.broadcasted_iota(
+            jnp.int32, (b_scr.shape[1], tile_c), 1
+        )
+        for r in range(r_planes):
+            s = b_scr[r]
+            ids = bi_scr[r] * tile_c + col
+            live = s > _VALID_MIN
+            out_s_ref[:, r * tile_c:(r + 1) * tile_c] = jnp.where(
+                live, s, NEG_INF
+            )
+            out_i_ref[:, r * tile_c:(r + 1) * tile_c] = jnp.where(
+                live, ids, -1
+            )
+        out_rej_ref[:] = rej_scr[:]
+
+
+def default_r_planes(k: int, tile_c: int) -> int:
+    """Poisson-tail plane count: P(some class holds > R of the true top-k)
+    small. lambda = k/tile_c true hits per class; mean + 5*sqrt + slack."""
+    import math
+
+    lam = k / tile_c
+    return max(2, int(math.ceil(lam + 5.0 * math.sqrt(lam + 0.5) + 2.0)))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "tile_q", "tile_c", "r_planes",
+                     "interpret"),
+)
+def flat_topk_large(
+    corpus: jax.Array,
+    corpus_sqnorms: jax.Array,
+    queries: jax.Array,
+    n_valid: jax.Array,
+    corpus_scales: jax.Array | None = None,
+    *,
+    k: int,
+    metric: str,
+    tile_q: int = 32,
+    tile_c: int = 1024,
+    r_planes: int = 0,
+    interpret: bool = False,
+):
+    """Fused large-k selection (k up to ~8k): returns (scores (Q, k) desc,
+    ids (Q, k), certified (Q,) bool).
+
+    certified[q] == True PROVES the row is the exact top-k (see
+    _topr_kernel); False rows (no class had room for all its true top-k
+    members — Poisson-rare at the default r_planes) must be recomputed by
+    the caller via the XLA exact path. Same input contract as
+    flat_topk_pallas.
+    """
+    n_pad, d = corpus.shape
+    assert n_pad % tile_c == 0, (n_pad, tile_c)
+    assert tile_c % 1024 == 0, tile_c
+    r_planes = r_planes or default_r_planes(k, tile_c)
+    assert k <= r_planes * tile_c, (k, r_planes, tile_c)
+    scaled = corpus.dtype == jnp.int8
+    q_n = queries.shape[0]
+    tile_q = min(topk_ops.round_up(tile_q, 8),
+                 topk_ops.round_up(q_n, 8))
+    q_pad = topk_ops.round_up(q_n, tile_q)
+    qdtype = jnp.bfloat16 if scaled else corpus.dtype
+    queries_p = topk_ops.pad_rows(queries.astype(qdtype), q_pad)
+    q_scales = jnp.ones((q_pad, 1), jnp.float32)
+    if corpus_scales is None:
+        corpus_scales = jnp.ones((n_pad,), jnp.float32)
+
+    pen = jnp.where(
+        jnp.arange(n_pad, dtype=jnp.int32) < n_valid.astype(jnp.int32),
+        0.0, _PAD_PENALTY,
+    )
+    if metric == "sqeuclidean":
+        csq_slot = corpus_sqnorms.astype(jnp.float32) + pen
+    else:
+        from cuvs_rag_tpu.ops import distance as dist_ops
+
+        csq_slot = pen + dist_ops.deletion_penalty(
+            corpus_sqnorms.astype(jnp.float32)
+        )
+
+    nc = n_pad // tile_c
+    corpus_t = corpus.reshape(nc, tile_c, d)
+    csq_t = csq_slot.reshape(nc, 8, tile_c // 8)
+    csc_t = corpus_scales.reshape(nc, 8, tile_c // 8).astype(jnp.float32)
+
+    kernel = functools.partial(
+        _topr_kernel, r_planes=r_planes, tile_c=tile_c, metric=metric,
+        scaled=scaled, int8_compute=False,
+    )
+    out_s, out_i, out_rej = pl.pallas_call(
+        kernel,
+        grid=(q_pad // tile_q, nc),
+        in_specs=[
+            pl.BlockSpec((tile_q, d), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, tile_c, d), lambda i, j: (j, 0, 0)),
+            pl.BlockSpec((1, 8, tile_c // 8), lambda i, j: (j, 0, 0)),
+            pl.BlockSpec((1, 8, tile_c // 8), lambda i, j: (j, 0, 0)),
+            pl.BlockSpec((tile_q, 1), lambda i, j: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_q, r_planes * tile_c), lambda i, j: (i, 0)),
+            pl.BlockSpec((tile_q, r_planes * tile_c), lambda i, j: (i, 0)),
+            pl.BlockSpec((tile_q, tile_c), lambda i, j: (i, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((r_planes, tile_q, tile_c), jnp.float32),
+            pltpu.VMEM((r_planes, tile_q, tile_c), jnp.int32),
+            pltpu.VMEM((tile_q, tile_c), jnp.float32),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((q_pad, r_planes * tile_c), jnp.float32),
+            jax.ShapeDtypeStruct((q_pad, r_planes * tile_c), jnp.int32),
+            jax.ShapeDtypeStruct((q_pad, tile_c), jnp.float32),
+        ],
+        interpret=interpret,
+    )(queries_p, corpus_t, csq_t, csc_t, q_scales)
+
+    out_s, out_i, out_rej = out_s[:q_n], out_i[:q_n], out_rej[:q_n]
+    top_s, top_arg = jax.lax.top_k(out_s, k)
+    top_i = jnp.take_along_axis(out_i, top_arg, axis=1)
+    live = top_s > _VALID_MIN
+    top_s = jnp.where(live, top_s, NEG_INF)
+    top_i = jnp.where(live, top_i, -1)
+    # exactness certificate: every class's (R+1)-th best must be strictly
+    # below this query's kth collected best (ties conservatively fail)
+    tau = top_s[:, k - 1]
+    certified = jnp.max(out_rej, axis=1) < tau
+    return top_s, top_i, certified
+
+
 @jax.jit
 def _quantize_query_rows(x: jax.Array):
     """Symmetric per-row int8 quantization of queries (int8-compute path)."""

@@ -1,0 +1,174 @@
+"""IVF-Flat vs CAGRA operating curves on two corpus geometries.
+
+VERDICT r3 #2b: CAGRA is implemented and correct but was dominated by
+IVF-Flat on every measured corpus; the reference's own data had CAGRA
+fastest (Attempt_1/VectorSearch_QuestionRetrieval.ipynb#cell38). This
+sweep measures both families' recall/latency curves on:
+
+  easy: well-separated clusters (sigma 0.3, full-rank) — the round-2
+        bench corpus where IVF probes 1 list and wins outright
+  hard: low-intrinsic-dimension (r=64), overlapping clusters (sigma 1.0
+        in-subspace) — realistic text-embedding geometry where cluster
+        boundaries blur and IVF recall climbs slowly in nprobe
+
+and reports the cheapest config per family at recall targets
+0.95/0.99/0.999, plus the exact-scan floor. Output feeds PERF.md's
+family-selection guidance and eval/tune's hard-corpus validation.
+
+Usage: python scripts/bench_family_curves.py [easy|hard both] [N]
+"""
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import time
+
+import numpy as np
+
+TARGETS = (0.95, 0.99, 0.999)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cuvs_rag_tpu.index import cagra, flat, ivf_flat
+    from cuvs_rag_tpu.utils.config import (
+        CagraParams, CagraSearchParams, FlatParams,
+        IVFFlatParams, IVFFlatSearchParams,
+    )
+
+    which = _sys.argv[1] if len(_sys.argv) > 1 else "both"
+    N = int(_sys.argv[2]) if len(_sys.argv) > 2 else 2_000_000
+    D, K, BATCH, REPS = 768, 10, 100, 10
+    N_LISTS = max(64, N // 1000)
+    key = jax.random.PRNGKey(42)
+
+    def corpus_easy():
+        kc = jax.random.fold_in(key, 999)
+        centers = jax.random.normal(kc, (N_LISTS, D), jnp.float32)
+
+        def mk(i):
+            k = jax.random.fold_in(key, i)
+            idx = jax.random.randint(k, (N // 8,), 0, N_LISTS)
+            return (centers[idx]
+                    + 0.3 * jax.random.normal(k, (N // 8, D))).astype(jnp.bfloat16)
+
+        def mkq(k):
+            idx = jax.random.randint(k, (BATCH,), 0, N_LISTS)
+            return (centers[idx]
+                    + 0.3 * jax.random.normal(k, (BATCH, D))).astype(jnp.float32)
+
+        return mk, mkq
+
+    def corpus_hard(r=64):
+        kc = jax.random.fold_in(key, 555)
+        proj = jax.random.orthogonal(jax.random.fold_in(kc, 1), D)[:r]
+        centers_z = jax.random.normal(kc, (N_LISTS, r), jnp.float32)
+
+        def sample(k, idx, m):
+            z = centers_z[idx] + 1.0 * jax.random.normal(k, (m, r))
+            eps = 0.02 * jax.random.normal(jax.random.fold_in(k, 1), (m, D))
+            return z @ proj + eps
+
+        def mk(i):
+            k = jax.random.fold_in(key, 10_000 + i)
+            idx = jax.random.randint(k, (N // 8,), 0, N_LISTS)
+            return sample(k, idx, N // 8).astype(jnp.bfloat16)
+
+        def mkq(k):
+            idx = jax.random.randint(k, (BATCH,), 0, N_LISTS)
+            return sample(k, idx, BATCH).astype(jnp.float32)
+
+        return mk, mkq
+
+    for kind in (["easy", "hard"] if which == "both" else [which]):
+        mk, mkq = corpus_easy() if kind == "easy" else corpus_hard()
+        mk_j = jax.jit(mk)
+        corpus = jnp.concatenate([mk_j(jnp.int32(i)) for i in range(8)])
+        jax.block_until_ready(corpus)
+        queries = mkq(jax.random.fold_in(key, 777))
+        qrs = [
+            queries + 0.01 * jax.random.normal(
+                jax.random.fold_in(key, 5000 + i), queries.shape)
+            for i in range(REPS)
+        ]
+        _ = [q.block_until_ready() for q in qrs]
+
+        fx = flat.build(FlatParams(dtype="bfloat16", tile_n=8192), corpus)
+        _, gt = flat.search(None, fx, queries, K)
+        gt = np.asarray(gt)
+
+        # exact floor timing
+        t0 = time.perf_counter()
+        for q in qrs:
+            last = flat.search(None, fx, q, K)
+        np.asarray(last[0])
+        t_exact = (time.perf_counter() - t0) / REPS
+        print(f"\n=== {kind} corpus, N={N} ===", flush=True)
+        print(f"flat exact floor: {t_exact/BATCH*1e3:.4f} ms/q", flush=True)
+        del fx
+
+        def measure(search_fn):
+            _, i0 = search_fn(queries)
+            i0 = np.asarray(i0)
+            rec = np.mean([
+                len(set(i0[r]) & set(gt[r])) / K for r in range(BATCH)
+            ])
+            best = 1e9
+            for _t in range(2):
+                t0 = time.perf_counter()
+                for q in qrs:
+                    last = search_fn(q)
+                np.asarray(last[0])
+                best = min(best, (time.perf_counter() - t0) / REPS)
+            return rec, best / BATCH * 1e3
+
+        rows = []
+        t0 = time.time()
+        ivf = ivf_flat.build(IVFFlatParams(n_lists=N_LISTS), corpus)
+        print(f"ivf build {time.time()-t0:.1f}s", flush=True)
+        for npb in (1, 2, 4, 8, 16, 32, 64, 128):
+            if npb > ivf.n_lists:
+                continue
+            sp = IVFFlatSearchParams(n_probes=npb)
+            rec, msq = measure(lambda q: ivf_flat.search(sp, ivf, q, K))
+            rows.append(("ivf_flat", f"nprobe={npb}", rec, msq))
+            print(f"  ivf nprobe={npb:3d}: {msq:7.4f} ms/q  recall={rec:.4f}",
+                  flush=True)
+            if rec >= 0.9995 and npb >= 8:
+                break
+        del ivf
+
+        t0 = time.time()
+        cg = cagra.build(CagraParams(graph_degree=32), corpus)
+        print(f"cagra build {time.time()-t0:.1f}s", flush=True)
+        for itopk, iters in ((32, 0), (64, 0), (64, 6), (128, 0), (256, 0),
+                             (512, 0)):
+            sp = CagraSearchParams(itopk_size=itopk, max_iterations=iters)
+            rec, msq = measure(lambda q: cagra.search(sp, cg, q, K))
+            rows.append(("cagra", f"itopk={itopk},it={iters}", rec, msq))
+            print(f"  cagra itopk={itopk:3d} iters={iters}: {msq:7.4f} ms/q  "
+                  f"recall={rec:.4f}", flush=True)
+            if rec >= 0.9995:
+                break
+        del cg
+
+        print(f"--- cheapest config per target ({kind}) ---", flush=True)
+        for t in TARGETS:
+            ok = [r for r in rows if r[2] >= t]
+            if not ok:
+                print(f"  target {t}: UNREACHED by approx families "
+                      f"(exact floor {t_exact/BATCH*1e3:.3f} ms/q)",
+                      flush=True)
+                continue
+            fam, cfg, rec, msq = min(ok, key=lambda r: r[3])
+            print(f"  target {t}: {fam} {cfg} -> {msq:.4f} ms/q "
+                  f"(recall {rec:.4f})", flush=True)
+        del corpus
+
+
+if __name__ == "__main__":
+    main()

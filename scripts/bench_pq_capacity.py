@@ -47,6 +47,15 @@ def main():
                         "come from outside HBM (here: regenerated chunks; "
                         "in production: host RAM / disk mmap). Only codes "
                         "stay device-resident")
+    p.add_argument("--host-store", action="store_true",
+                   help="with --refine-external: serve fetch_rows from a "
+                        "REAL host-RAM bf16 ndarray (materialized once by "
+                        "regenerating the corpus RNG stream on the CPU "
+                        "backend — backend matmul rounding perturbs values "
+                        "by <=1 bf16 ulp vs the chip corpus) and run the "
+                        "exact re-rank ON HOST (ivf_pq.search("
+                        "host_rerank=True)) — the production serving path: "
+                        "only candidate ids cross D2H, no row upload")
     p.add_argument("--opq", action="store_true",
                    help="train an OPQ rotation (concentrates low-rank "
                         "signal into codable subspaces)")
@@ -75,32 +84,43 @@ def main():
     key = jax.random.PRNGKey(42)
     kc = jax.random.fold_in(key, 999)
     r = args.intrinsic_dim
-    if r:
-        # Low-intrinsic-dimension corpus: cluster centers AND noise live in
-        # an r-dim subspace (+ tiny full-rank jitter), matching real text
-        # embeddings whose PCA spectrum decays fast. Cluster noise sigma
-        # 1.0 in the subspace keeps clusters overlapping (hard for the
-        # coarse quantizer) while residuals stay PQ-codable.
-        proj = jax.random.orthogonal(jax.random.fold_in(kc, 1), d)[:r]
-        centers_z = jax.random.normal(kc, (args.n_lists, r), jnp.float32)
-        centers = centers_z @ proj
 
-        def sample(k, idx, m):
-            z = centers_z[idx] + 1.0 * jax.random.normal(k, (m, r))
-            eps = 0.02 * jax.random.normal(jax.random.fold_in(k, 1), (m, d))
-            return z @ proj + eps
-    else:
-        centers = jax.random.normal(kc, (args.n_lists, d), jnp.float32)
+    def build_generator():
+        """(sample, make_chunk) on the CURRENT default device — called
+        once for the chip and (with --host-store) once on the CPU backend
+        to materialize the host RAM store from the same RNG stream."""
+        if r:
+            # Low-intrinsic-dimension corpus: cluster centers AND noise
+            # live in an r-dim subspace (+ tiny full-rank jitter),
+            # matching real text embeddings whose PCA spectrum decays
+            # fast. Cluster noise sigma 1.0 in the subspace keeps
+            # clusters overlapping (hard for the coarse quantizer) while
+            # residuals stay PQ-codable.
+            proj = jax.random.orthogonal(jax.random.fold_in(kc, 1), d)[:r]
+            centers_z = jax.random.normal(kc, (args.n_lists, r), jnp.float32)
 
-        def sample(k, idx, m):
-            # sigma 1.0 full-rank: pure-noise residuals (bench_10m.py note)
-            return centers[idx] + 1.0 * jax.random.normal(k, (m, d))
+            def sample(k, idx, m):
+                z = centers_z[idx] + 1.0 * jax.random.normal(k, (m, r))
+                eps = 0.02 * jax.random.normal(
+                    jax.random.fold_in(k, 1), (m, d)
+                )
+                return z @ proj + eps
+        else:
+            centers = jax.random.normal(kc, (args.n_lists, d), jnp.float32)
 
-    @jax.jit
-    def make_chunk(i):
-        k = jax.random.fold_in(key, i)
-        idx = jax.random.randint(k, (rows,), 0, args.n_lists)
-        return sample(k, idx, rows).astype(jnp.bfloat16)
+            def sample(k, idx, m):
+                # sigma 1.0 full-rank: pure-noise residuals (bench_10m.py)
+                return centers[idx] + 1.0 * jax.random.normal(k, (m, d))
+
+        @jax.jit
+        def make_chunk(i):
+            k = jax.random.fold_in(key, i)
+            idx = jax.random.randint(k, (rows,), 0, args.n_lists)
+            return sample(k, idx, rows).astype(jnp.bfloat16)
+
+        return sample, make_chunk
+
+    sample, make_chunk = build_generator()
 
     qk = jax.random.fold_in(key, 777)
     qidx = jax.random.randint(qk, (args.batch,), 0, args.n_lists)
@@ -149,7 +169,33 @@ def main():
           f"window {ix.max_list_size}  levels {ix.levels}", flush=True)
 
     fetch_rows = None
-    if args.refine_external:
+    host_rerank = False
+    if args.refine_external and args.host_store:
+        # Materialize the corpus ONCE in host RAM (bf16: n*d*2 bytes, e.g.
+        # 46 GB at 30M x 768 — fits a 128 GB host) by regenerating the
+        # same RNG stream on the CPU backend. The test tunnel cannot D2H
+        # the chip-generated corpus (46 GB at ~10-35 MB/s); CPU-backend
+        # regeneration is value-identical up to backend matmul rounding
+        # (measured max |delta| = 1 bf16 ulp = 0.0078 on this generator).
+        import ml_dtypes
+
+        cpu = jax.devices("cpu")[0]
+        t0 = time.time()
+        store = np.empty((n, d), ml_dtypes.bfloat16)
+        with jax.default_device(cpu):
+            _, cpu_chunk = build_generator()
+            for i in range(n_chunks):
+                store[i * rows:(i + 1) * rows] = np.asarray(
+                    cpu_chunk(jnp.int32(i))
+                )
+        print(f"host store materialized {store.nbytes/1e9:.1f} GB "
+              f"in {time.time()-t0:.0f}s", flush=True)
+        host_rerank = True
+
+        def fetch_rows(uids):
+            return store[uids].astype(np.float32)
+
+    elif args.refine_external:
         # out-of-core raw source: regenerate the candidate rows' chunks on
         # device, gather, one small D2H per chunk. In production this is a
         # host-RAM ndarray / disk mmap slice; the regeneration stand-in
@@ -182,30 +228,38 @@ def main():
     ]
     _ = [q.block_until_ready() for q in qrs]
 
+    refine_cfg = (args.refine_external or
+                  (args.refine if args.store_raw else 0))
+    refine_modes = [0, refine_cfg] if refine_cfg else [0]
     for np_ in args.probes:
-        sp = IVFPQSearchParams(
-            n_probes=np_,
-            refine_ratio=(args.refine_external or
-                          (args.refine if args.store_raw else 0)),
-        )
-        # recall on the SAME queries the gt was computed for (the timing
-        # loop alone uses the perturbed copies)
-        _, i = ivf_pq.search(sp, ix, queries, args.k, fetch_rows=fetch_rows)
-        i0 = np.asarray(i)
-        rec = np.mean(
-            [len(set(i0[r]) & set(gt[r])) / args.k for r in range(args.batch)]
-        )
-        t_best = 1e9
-        for _t in range(2):
-            t0 = time.perf_counter()
-            last = None
-            for q in qrs:
-                last = ivf_pq.search(sp, ix, q, args.k, fetch_rows=fetch_rows)
-            _ = np.asarray(last[0])
-            t_best = min(t_best, (time.perf_counter() - t0) / reps)
-        print(f"nprobe={np_}: {t_best*1e3:.2f} ms/batch "
-              f"{t_best/args.batch*1e3:.4f} ms/q  qps={args.batch/t_best:.0f}  "
-              f"recall@{args.k}={rec:.3f}", flush=True)
+        for rr in refine_modes:
+            sp = IVFPQSearchParams(n_probes=np_, refine_ratio=rr)
+            fr = fetch_rows if rr else None
+            hr = host_rerank if rr else False
+            # recall on the SAME queries the gt was computed for (the
+            # timing loop alone uses the perturbed copies)
+            _, i = ivf_pq.search(sp, ix, queries, args.k,
+                                 fetch_rows=fr, host_rerank=hr)
+            i0 = np.asarray(i)
+            rec = np.mean([
+                len(set(i0[r]) & set(gt[r])) / args.k
+                for r in range(args.batch)
+            ])
+            t_best = 1e9
+            for _t in range(2):
+                t0 = time.perf_counter()
+                last = None
+                for q in qrs:
+                    last = ivf_pq.search(sp, ix, q, args.k,
+                                         fetch_rows=fr, host_rerank=hr)
+                _ = np.asarray(last[0])
+                t_best = min(t_best, (time.perf_counter() - t0) / reps)
+            tag = (f"refine={rr}" + (" host-store" if hr else "")
+                   if rr else "ADC-only")
+            print(f"nprobe={np_} {tag}: {t_best*1e3:.2f} ms/batch "
+                  f"{t_best/args.batch*1e3:.4f} ms/q  "
+                  f"qps={args.batch/t_best:.0f}  "
+                  f"recall@{args.k}={rec:.3f}", flush=True)
 
 
 if __name__ == "__main__":

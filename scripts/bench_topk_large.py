@@ -1,0 +1,79 @@
+"""Top-2000 retrieval A/B — the reference's SearchConfig.top_k=2000 default.
+
+VERDICT r3 #4: exact flat k=2000 at 2M was 7.2 ms/q (XLA top_k per query
+dominates). The certified large-k kernel (per-class top-R + exactness
+certificate, ops/pallas_flat.flat_topk_large) targets <= 3 ms/q; this
+measures it against the XLA exact and approx paths on the same corpus.
+"""
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cuvs_rag_tpu.index import flat
+    from cuvs_rag_tpu.ops import pallas_flat
+    from cuvs_rag_tpu.utils.config import FlatParams, FlatSearchParams
+
+    N, D, BATCH, REPS = 2_000_000, 768, 100, 5
+    K = int(_sys.argv[1]) if len(_sys.argv) > 1 else 2000
+    key = jax.random.PRNGKey(42)
+    mk = jax.jit(lambda k: jax.random.normal(k, (N // 8, D), jnp.bfloat16))
+    corpus = jnp.concatenate([mk(jax.random.fold_in(key, i)) for i in range(8)])
+    jax.block_until_ready(corpus)
+    ix = flat.build(FlatParams(dtype="bfloat16", tile_n=8192), corpus)
+    print(f"corpus ready; k={K}  r_planes="
+          f"{pallas_flat.default_r_planes(K, 1024)}", flush=True)
+
+    qrs = [
+        jax.random.normal(jax.random.fold_in(key, 100 + r), (BATCH, D))
+        for r in range(REPS)
+    ]
+    _ = [q.block_until_ready() for q in qrs]
+
+    def timed(name, fn):
+        out = fn(qrs[0])
+        ids = np.asarray(out[1])
+        best = 1e9
+        for _t in range(2):
+            t0 = time.perf_counter()
+            last = None
+            for q in qrs:
+                last = fn(q)
+            _ = np.asarray(last[0])
+            best = min(best, (time.perf_counter() - t0) / REPS)
+        print(f"{name:28s} {best*1e3:8.2f} ms/batch  "
+              f"{best/BATCH*1e3:.4f} ms/q", flush=True)
+        return ids
+
+    i_new = timed("large-k kernel (certified)",
+                  lambda q: flat.search(None, ix, q, K))
+
+    _os.environ["CUVS_RAG_TPU_DISABLE_PALLAS"] = "1"
+    try:
+        i_xla = timed("XLA exact",
+                      lambda q: flat.search(None, ix, q, K))
+        i_apx = timed(
+            "XLA approx (approx_max_k)",
+            lambda q: flat.search(FlatSearchParams(approx=True), ix, q, K),
+        )
+    finally:
+        del _os.environ["CUVS_RAG_TPU_DISABLE_PALLAS"]
+
+    agree = np.mean([
+        len(set(i_new[r]) & set(i_xla[r])) / K for r in range(BATCH)
+    ])
+    print(f"kernel vs XLA exact id agreement@{K}: {agree:.5f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -135,6 +135,21 @@ def main():
         jax.block_until_ready(i_xla)
         _check(f"pallas_ivf {sdtype} vs XLA fallback", i, i_xla, 0.95)
 
+    # --- certified large-k selection (per-class top-R + certificate) -----
+    k_large = 200
+    s_l, i_l, cert = pallas_flat.flat_topk_large(
+        cj.astype(jnp.bfloat16), sq, qj, nv, k=k_large, metric="sqeuclidean",
+    )
+    jax.block_until_ready(cert)
+    if not bool(np.asarray(jnp.all(cert))):
+        raise SystemExit("TPU_SMOKE FAILED: large-k certificate violated "
+                         "on random data")
+    _, gt_l = topk_ops.flat_topk_search_dense(
+        cj, sq, qj, nv, jnp.ones((n,), jnp.float32),
+        k=k_large, metric="sqeuclidean",
+    )
+    _check(f"pallas large-k (k={k_large}, certified)", i_l, gt_l, 0.97)
+
     # --- pallas_pq ADC window scan (8-bit two-level + 4-bit fastscan) ----
     from cuvs_rag_tpu.index import ivf_pq
     from cuvs_rag_tpu.ops import pq as pq_ops

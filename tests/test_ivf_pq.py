@@ -474,6 +474,48 @@ class TestExternalRefine:
         assert r_ref > r_adc, (r_ref, r_adc)
         assert r_ref > 0.95, r_ref
 
+    def test_host_rerank_matches_device_rerank(self, data):
+        # host BLAS re-rank (the production out-of-core serving path —
+        # no candidate-row upload) must agree with the device re-rank
+        corpus, queries = data
+        ix = ivf_pq.build(
+            IVFPQParams(n_lists=16, pq_dim=8, store_raw=False),
+            jnp.asarray(corpus),
+        )
+        sp = IVFPQSearchParams(n_probes=8, refine_ratio=16)
+        d_dev, i_dev = ivf_pq.search(
+            sp, ix, jnp.asarray(queries), 10,
+            fetch_rows=lambda ids: corpus[ids],
+        )
+        d_h, i_h = ivf_pq.search(
+            sp, ix, jnp.asarray(queries), 10,
+            fetch_rows=lambda ids: corpus[ids], host_rerank=True,
+        )
+        assert isinstance(d_h, np.ndarray)
+        np.testing.assert_array_equal(np.asarray(i_dev), i_h)
+        np.testing.assert_allclose(np.asarray(d_dev), d_h,
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_host_rerank_cosine(self, data):
+        corpus, queries = data
+        ix = ivf_pq.build(
+            IVFPQParams(n_lists=16, pq_dim=8, store_raw=False,
+                        metric=Metric.COSINE),
+            jnp.asarray(corpus),
+        )
+        sp = IVFPQSearchParams(n_probes=8, refine_ratio=16)
+        d_dev, i_dev = ivf_pq.search(
+            sp, ix, jnp.asarray(queries), 10,
+            fetch_rows=lambda ids: corpus[ids],
+        )
+        d_h, i_h = ivf_pq.search(
+            sp, ix, jnp.asarray(queries), 10,
+            fetch_rows=lambda ids: corpus[ids], host_rerank=True,
+        )
+        np.testing.assert_array_equal(np.asarray(i_dev), i_h)
+        np.testing.assert_allclose(np.asarray(d_dev), d_h,
+                                   rtol=1e-4, atol=1e-4)
+
     def test_callback_gets_sorted_unique_ids(self, data):
         corpus, queries = data
         ix = ivf_pq.build(

@@ -85,6 +85,18 @@ def test_ivf_scan_lowers_for_tpu(dtype):
     )
 
 
+@pytest.mark.parametrize("k", [100, 2000])
+def test_large_k_topr_kernel_lowers_for_tpu(k):
+    corpus = jnp.zeros((8192, D), jnp.bfloat16)
+    fn = functools.partial(
+        pallas_flat.flat_topk_large, k=k, metric="sqeuclidean",
+    )
+    _lower_tpu(
+        fn, corpus, jnp.zeros((8192,), jnp.float32),
+        jnp.zeros((24, D), jnp.float32), jnp.asarray(8000, jnp.int32),
+    )
+
+
 @pytest.mark.parametrize("mb", [48, 96])  # 4-bit pq96 / two-level 8-bit pq96
 @pytest.mark.parametrize("use_corr", [True, False])
 def test_pq_adc_kernel_lowers_for_tpu(use_corr, mb):

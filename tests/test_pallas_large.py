@@ -1,0 +1,125 @@
+"""Certified large-k selection (ops/pallas_flat.flat_topk_large).
+
+Interpret-mode on CPU (hardware execution gated by scripts/tpu_smoke.py).
+The kernel keeps per-column-class top-R + the best-rejected value per
+class; exactness holds iff no class's (R+1)-th best reaches the global
+kth (the certificate). These tests check: exact agreement with the XLA
+oracle when certified, certificate soundness on an adversarial corpus
+that stuffs one class with all the true top-k, and the deleted-rows mask.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from cuvs_rag_tpu.ops import pallas_flat, topk as topk_ops
+
+N, D, Q = 4096, 64, 12
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(17)
+    corpus = rng.standard_normal((N, D)).astype(np.float32)
+    queries = rng.standard_normal((Q, D)).astype(np.float32)
+    return corpus, queries
+
+
+def _oracle(corpus, queries, k, metric):
+    cj = jnp.asarray(corpus)
+    return topk_ops.flat_topk_search_dense(
+        cj, jnp.sum(cj * cj, axis=1), jnp.asarray(queries),
+        jnp.asarray(len(corpus), jnp.int32),
+        jnp.ones((len(corpus),), jnp.float32), k=k, metric=metric,
+    )
+
+
+@pytest.mark.parametrize("metric", ["sqeuclidean", "inner_product"])
+@pytest.mark.parametrize("k", [100, 600])
+def test_large_k_matches_oracle_when_certified(data, metric, k):
+    corpus, queries = data
+    cj = jnp.asarray(corpus)
+    s, i, cert = pallas_flat.flat_topk_large(
+        cj, jnp.sum(cj * cj, axis=1), jnp.asarray(queries),
+        jnp.asarray(N, jnp.int32),
+        k=k, metric=metric, interpret=True,
+    )
+    assert bool(jnp.all(cert)), "random data must certify at default R"
+    want_s, want_i = _oracle(corpus, queries, k, metric)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(want_i))
+    np.testing.assert_allclose(np.asarray(s), np.asarray(want_s),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_certificate_fails_on_class_stuffed_corpus(data):
+    """Adversarial: all true top-k in ONE residue class (> R members) —
+    the kernel CANNOT be exact there, and the certificate must say so."""
+    _, queries = data
+    tile_c, k = 1024, 64
+    r = pallas_flat.default_r_planes(k, tile_c)
+    n_adv = (k + r + 8) * tile_c  # enough tiles to stuff one class
+    rng = np.random.default_rng(3)
+    corpus = rng.standard_normal((n_adv, D)).astype(np.float32)
+    q = queries[:1]
+    # plant k + r + 4 near-duplicates of the query, all in class 7
+    for m in range(k + r + 4):
+        corpus[7 + m * tile_c] = q[0] + 1e-3 * m
+    cj = jnp.asarray(corpus)
+    s, i, cert = pallas_flat.flat_topk_large(
+        cj, jnp.sum(cj * cj, axis=1), jnp.asarray(q),
+        jnp.asarray(n_adv, jnp.int32),
+        k=k, metric="sqeuclidean", tile_c=tile_c, interpret=True,
+    )
+    assert not bool(cert[0]), "stuffed class must fail the certificate"
+
+
+def test_certified_run_handles_deleted_and_pad_rows(data):
+    corpus, queries = data
+    from cuvs_rag_tpu.index import flat
+    from cuvs_rag_tpu.utils.config import FlatParams
+
+    ix = flat.build(FlatParams(dtype="float32", tile_n=1024), corpus)
+    gone = np.arange(0, N, 5)
+    ix = flat.delete(ix, gone)
+    k = 150
+    s, i, cert = pallas_flat.flat_topk_large(
+        ix.vectors, ix.sqnorms, jnp.asarray(queries), ix.n_valid,
+        ix.scales, k=k, metric="sqeuclidean", interpret=True,
+    )
+    assert bool(jnp.all(cert))
+    i = np.asarray(i)
+    assert not np.isin(i, gone).any()
+    live = np.setdiff1d(np.arange(N), gone)
+    want_i = np.asarray(_oracle(corpus[live], queries, k, "sqeuclidean")[1])
+    np.testing.assert_array_equal(i, live[want_i])
+
+
+def test_search_wiring_falls_back_when_uncertified(data, monkeypatch):
+    """flat.search must return EXACT results even when the certificate
+    fails — by re-running the XLA path."""
+    corpus, queries = data
+    from cuvs_rag_tpu.index import flat
+
+    # force the large path on CPU, interpreted
+    monkeypatch.setattr(flat, "_use_pallas_large", lambda *a: True)
+    orig = pallas_flat.flat_topk_large.__wrapped__
+    import functools
+
+    monkeypatch.setattr(
+        pallas_flat, "flat_topk_large",
+        functools.partial(orig, interpret=True),
+    )
+    from cuvs_rag_tpu.utils.config import FlatParams
+
+    tile_c, k = 1024, 64
+    r = pallas_flat.default_r_planes(k, tile_c)
+    n_adv = (k + r + 8) * tile_c
+    rng = np.random.default_rng(3)
+    adv = rng.standard_normal((n_adv, D)).astype(np.float32)
+    for m in range(k + r + 4):
+        adv[7 + m * tile_c] = queries[0] + 1e-3 * m
+    ix = flat.build(FlatParams(dtype="float32", tile_n=1024), adv)
+    d, i = flat.search(None, ix, jnp.asarray(queries[:1]), k)
+    want_s, want_i = _oracle(adv, queries[:1], k, "sqeuclidean")
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(want_i))
