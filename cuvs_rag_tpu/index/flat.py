@@ -406,6 +406,8 @@ def _search_large(index: FlatIndex, queries: jax.Array, k: int):
 
 @functools.partial(jax.jit, static_argnames=("k", "pallas_metric"))
 def _search_large_jit(index, q, k, pallas_metric):
+    from cuvs_rag_tpu.ops import pallas_flat
+
     scores, ids, cert = pallas_flat.flat_topk_large(
         index.vectors, index.sqnorms, q, index.n_valid, index.scales,
         k=k, metric=pallas_metric,

@@ -66,18 +66,27 @@ def index_bytes_estimate(
     dtype: str = "float32",
     pq_dim: int = 0,
     graph_degree: int = 64,
+    store_raw: bool = True,
+    pq_bits: int = 8,
 ) -> int:
     """Estimated HBM footprint of one index over n rows.
 
-    flat: vectors + sqnorms. ivf_flat: + centroids/offsets (~same as flat).
-    ivf_pq: codes + codebooks (+ raw store if refine). cagra: vectors + graph.
+    flat: vectors + sqnorms. ivf_flat: + centroids/offsets (~same as flat;
+    int8 adds a per-row dequant scale). ivf_pq: codes + per-row sidecars +
+    codebooks, plus the raw refine store when store_raw (dtype = raw store
+    dtype). cagra: vectors + graph.
     """
     b = _DTYPE_BYTES[dtype]
     if family in ("flat", "ivf_flat"):
-        return n * dim * b + n * 4
+        side = n * 8 if dtype == "int8" else n * 4  # sqnorms (+ scales)
+        return n * dim * b + side
     if family == "ivf_pq":
         m = pq_dim or max(1, dim // 8)
-        return n * m + n * 4 + 256 * dim * 4
+        code_b = m if pq_bits == 8 else -(-m // 2)  # two-level 8b = m bytes
+        est = n * code_b + n * 8 + 2 * 256 * dim * 4  # codes+sidecars+CBs
+        if store_raw:
+            est += n * dim * b + n * 4
+        return est
     if family == "cagra":
         return n * dim * b + n * graph_degree * 4 + n * 4
     raise ValueError(f"unknown family {family!r}")

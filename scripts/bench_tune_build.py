@@ -1,0 +1,108 @@
+"""Build-param auto-tuning on the real chip — two corpus hardness regimes.
+
+VERDICT r3 #7: tune_build(corpus_sample, budget, target_recall) -> params,
+measured on chip on 2 corpus types:
+  * easy   — well-separated clusters (sigma 0.3): every published round-2
+             tune landed at n_probes=1 here.
+  * hard   — low-intrinsic-dim (r=64) OVERLAPPING clusters (sigma 1.0 in
+             the subspace, centers at unit scale): a query's true
+             neighbors spread across many k-means lists, so the probe
+             ladder actually has to climb (n_probes=1 must NOT win).
+
+Usage: python scripts/bench_tune_build.py [--n 2000000] [--sample 500000]
+       [--n-total 10000000] [--budget-gb 16]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def make_corpus(kind, n, d, batch, key, jax, jnp):
+    kc = jax.random.fold_in(key, 1)
+    n_centers = max(16, n // 1000)
+    if kind == "easy":
+        centers = jax.random.normal(kc, (n_centers, d), jnp.float32)
+        sigma, proj = 0.3, None
+    else:  # hard: low-rank subspace, overlapping clusters
+        r = 64
+        proj = jax.random.orthogonal(jax.random.fold_in(kc, 2), d)[:r]
+        centers_z = jax.random.normal(kc, (n_centers, r), jnp.float32)
+        centers = centers_z  # in z-space
+        sigma = 1.0
+
+    def sample(k_, m):
+        idx = jax.random.randint(k_, (m,), 0, n_centers)
+        if proj is None:
+            return centers[idx] + sigma * jax.random.normal(k_, (m, d))
+        z = centers[idx] + sigma * jax.random.normal(k_, (m, r))
+        eps = 0.02 * jax.random.normal(jax.random.fold_in(k_, 1), (m, d))
+        return z @ proj + eps
+
+    mk = jax.jit(lambda k_: sample(k_, n // 8).astype(jnp.bfloat16))
+    corpus = jnp.concatenate(
+        [mk(jax.random.fold_in(key, i)) for i in range(8)]
+    )
+    qk = jax.random.fold_in(key, 99)
+    queries = np.asarray(sample(qk, batch)).astype(np.float32)
+    return corpus, queries
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=2_000_000,
+                    help="sample corpus rows built/tuned on chip")
+    ap.add_argument("--dim", type=int, default=768)
+    ap.add_argument("--n-total", type=int, default=10_000_000,
+                    help="full-corpus size the budget must hold")
+    ap.add_argument("--budget-gb", type=float, default=16.0)
+    ap.add_argument("--batch", type=int, default=100)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--target", type=float, default=0.95)
+    ap.add_argument("--kinds", nargs="+", default=["easy", "hard"])
+    ap.add_argument("--families", nargs="+", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    import jax.numpy as jnp
+
+    from cuvs_rag_tpu.eval.tune import tune_build
+    from cuvs_rag_tpu.utils.memory import DeviceBudget
+
+    budget = DeviceBudget(limit_bytes=int(args.budget_gb * (1 << 30)))
+    key = jax.random.PRNGKey(7)
+    for kind in args.kinds:
+        print(f"\n=== corpus: {kind}  sample {args.n} x {args.dim}, "
+              f"n_total {args.n_total}, budget {args.budget_gb} GB ===",
+              flush=True)
+        corpus, queries = make_corpus(
+            kind, args.n, args.dim, args.batch,
+            jax.random.fold_in(key, {"easy": 0, "hard": 1}[kind]), jax, jnp,
+        )
+        jax.block_until_ready(corpus)
+        t0 = time.time()
+        res = tune_build(
+            corpus, queries, n_total=args.n_total, k=args.k,
+            target_recall=args.target, budget=budget,
+            families=args.families, verbose=True,
+        )
+        print(f"tune_build wall {time.time()-t0:.0f}s -> {res}", flush=True)
+        for t in res.trials:
+            tr = t["tune"]
+            pt = tr.point
+            print(f"    {t['candidate'].label():28s} "
+                  f"build {t['build_s']:6.1f}s  "
+                  + (f"recall {pt.recall:.3f}  "
+                     f"{pt.latency_ms_per_query:7.3f} ms/q  "
+                     f"params {tr.search_params}" if pt else "no point"),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -123,3 +123,33 @@ def test_search_wiring_falls_back_when_uncertified(data, monkeypatch):
     d, i = flat.search(None, ix, jnp.asarray(queries[:1]), k)
     want_s, want_i = _oracle(adv, queries[:1], k, "sqeuclidean")
     np.testing.assert_array_equal(np.asarray(i), np.asarray(want_i))
+
+
+def test_search_uses_certified_kernel_when_eligible(data, monkeypatch):
+    """Regression (round 3): flat.search k>32 must actually RUN the
+    certified kernel, not silently fall back (a module-scope NameError in
+    _search_large_jit made every large-k search take the XLA path while
+    the fallback hid it)."""
+    corpus, queries = data
+    import functools
+
+    from cuvs_rag_tpu.index import flat
+
+    monkeypatch.setattr(flat, "_use_pallas_large", lambda *a: True)
+    orig = pallas_flat.flat_topk_large.__wrapped__
+    monkeypatch.setattr(
+        pallas_flat, "flat_topk_large",
+        functools.partial(orig, interpret=True),
+    )
+
+    def boom(*a, **kw):
+        raise AssertionError("fell back to the XLA path")
+
+    monkeypatch.setattr(flat, "_search_core", boom)
+    from cuvs_rag_tpu.utils.config import FlatParams
+
+    k = 64
+    ix = flat.build(FlatParams(dtype="float32", tile_n=1024), corpus)
+    d, i = flat.search(None, ix, jnp.asarray(queries[:2]), k)
+    want_s, want_i = _oracle(corpus, queries[:2], k, "sqeuclidean")
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(want_i))

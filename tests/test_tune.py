@@ -99,3 +99,58 @@ def test_tune_computes_gt_from_corpus(clustered):
     res = tune("ivf_flat", ix, queries, k=K, target_recall=0.9,
                corpus=corpus, iters=1)
     assert res.met
+
+
+# --- tune_build (VERDICT r3 #7): build-param auto-tuning under a budget ---
+
+from cuvs_rag_tpu.eval.tune import candidate_ladder, tune_build  # noqa: E402
+from cuvs_rag_tpu.utils.memory import DeviceBudget  # noqa: E402
+
+
+def test_candidate_ladder_budget_filter_and_order():
+    # 10M x 768: bf16 ivf_flat needs ~15.4 GB resident -> excluded by a
+    # 8 GB budget; codes-only PQ (~1 GB) and int8 (~7.7+ GB w/ headroom
+    # factor 1.0) stay
+    cands = candidate_ladder(768, 10_000_000, 8 << 30, working_factor=1.0)
+    labels = [c.label() for c in cands]
+    assert any("codes-only" in l for l in labels)
+    assert all("ivf_flat[bfloat16]" != l for l in labels)
+    assert "ivf_flat[int8]" in labels
+    # ascending footprint
+    assert [c.est_bytes for c in cands] == sorted(c.est_bytes for c in cands)
+
+
+def test_candidate_ladder_tiny_budget_pq_only():
+    cands = candidate_ladder(768, 30_000_000, 6 << 30, working_factor=1.0)
+    assert cands, "codes-only PQ must fit 30M in 6 GB"
+    assert all(c.family == "ivf_pq" and not c.params.store_raw for c in cands)
+
+
+def test_tune_build_picks_in_budget_winner(clustered):
+    corpus, queries, gt = clustered
+    # budget that (at n_total=1M, fp32 corpus) excludes ivf_flat fp32/bf16
+    # but admits int8 and PQ
+    res = tune_build(
+        corpus, queries, n_total=1_000_000, k=K, target_recall=0.85,
+        budget=DeviceBudget(limit_bytes=(1 << 30) + (2 << 30)),
+        families=["ivf_flat", "ivf_pq"], ground_truth=gt, iters=1,
+    )
+    assert res.met
+    assert res.candidate.est_bytes <= res.budget_bytes
+    assert res.point.recall >= 0.85
+    # winner must be the fastest passing trial
+    passing = [t for t in res.trials if t["tune"].met]
+    fastest = min(p["tune"].point.latency_ms_per_query for p in passing)
+    assert res.point.latency_ms_per_query == fastest
+
+
+def test_tune_build_unreachable_target(clustered):
+    corpus, queries, gt = clustered
+    res = tune_build(
+        corpus, queries, n_total=1_000_000, k=K, target_recall=1.01,
+        budget=DeviceBudget(limit_bytes=64 << 30),
+        families=["ivf_flat"], ground_truth=gt, iters=1,
+    )
+    assert not res.met
+    assert res.candidate is None and res.search_params is None
+    assert len(res.trials) >= 1
