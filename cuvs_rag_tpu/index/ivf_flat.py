@@ -145,13 +145,20 @@ def build(
     capacity = ivf_ops.capacity_for(n_pad, n_lists, max_list)
 
     if base.storage_dtype(params.dtype, vec_pad.dtype) == jnp.int8:
-        vec_pad, scales, recon_sq = _quantize_residuals_jit(
-            vec_pad, labels, centroids
+        # Chunk-wise quantize + scatter straight into donated layout
+        # buffers: the resident int8 path used to materialize a full
+        # (N, D) int8 codes array and then run the whole-corpus layout
+        # sort program — at 6M x 768 that peak (bf16 source + codes +
+        # sorted layout + sort temps) was the stress harness's breaking
+        # point (VERDICT r3 #8). Now only the placement math (int32
+        # arrays) sees all rows at once; vector bytes move one chunk at a
+        # time, so the peak is source corpus + final layout + one chunk.
+        return _build_int8_scatter(
+            params, vec_pad, labels, valid, centroids, n,
+            n_lists=n_lists, capacity=capacity, max_list=max_list,
         )
-    else:
-        scales = recon_sq = None
     layout = _layout_jit(vec_pad, labels, valid, n_lists, capacity, max_list,
-                         scales, recon_sq)
+                         None, None)
     return IVFFlatIndex(
         vectors=layout.sorted_vectors,
         sqnorms=layout.sorted_sqnorms,
@@ -161,6 +168,67 @@ def build(
         centroid_sqnorms=dist_ops.sqnorms(centroids),
         list_offsets=layout.list_offsets,
         list_counts=layout.list_counts,
+        n_valid=jnp.asarray(n, jnp.int32),
+        metric=params.metric,
+        max_list_size=max_list,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("c",), donate_argnums=(0, 1, 2)
+)
+def _int8_scatter_step(vbuf, sqbuf, scbuf, vec_pad, labels, pos_of_row,
+                       centroids, start, *, c):
+    """One chunk of the resident int8 build: residual-quantize rows
+    [start, start+c) and scatter codes/sqnorms/scales into the donated
+    layout buffers (module-level jit — a per-build wrapper would
+    recompile every call, the _layout_jit lesson)."""
+    d = vec_pad.shape[1]
+    x = jax.lax.dynamic_slice(vec_pad, (start, 0), (c, d)).astype(jnp.float32)
+    lb = jax.lax.dynamic_slice(labels, (start,), (c,))
+    pos = jax.lax.dynamic_slice(pos_of_row, (start,), (c,))
+    cents = centroids.astype(jnp.float32)[lb]
+    codes, s = flat_family._quantize_rows(x - cents)
+    recon = cents + s[:, None] * codes.astype(jnp.float32)
+    return (
+        vbuf.at[pos].set(codes),
+        sqbuf.at[pos].set(dist_ops.sqnorms(recon)),
+        scbuf.at[pos].set(s),
+    )
+
+
+def _build_int8_scatter(
+    params, vec_pad, labels, valid, centroids, n, *,
+    n_lists, capacity, max_list, chunk: int = 131_072,
+):
+    """Resident int8 layout via per-chunk residual-quantize + scatter."""
+    n_pad, d = vec_pad.shape
+    pos_of_row, row_ids, offsets, counts_d = _chunks_placement(
+        labels, valid, n_lists=n_lists, capacity=capacity
+    )
+    vec_buf = jnp.zeros((capacity, d), jnp.int8)
+    sq_buf = jnp.zeros((capacity,), jnp.float32)
+    sc_buf = jnp.ones((capacity,), jnp.float32)
+
+    c = min(chunk, n_pad)
+    # clamped starts: the tail window overlaps the previous one; the
+    # overlapped rows rewrite identical values at identical positions
+    n_steps = -(-n_pad // c)
+    for i in range(n_steps):
+        start = min(i * c, n_pad - c)
+        vec_buf, sq_buf, sc_buf = _int8_scatter_step(
+            vec_buf, sq_buf, sc_buf, vec_pad, labels, pos_of_row,
+            centroids, jnp.asarray(start, jnp.int32), c=c,
+        )
+    return IVFFlatIndex(
+        vectors=vec_buf,
+        sqnorms=sq_buf,
+        scales=sc_buf,
+        row_ids=row_ids,
+        centroids=centroids,
+        centroid_sqnorms=dist_ops.sqnorms(centroids),
+        list_offsets=offsets,
+        list_counts=jnp.minimum(counts_d, max_list),
         n_valid=jnp.asarray(n, jnp.int32),
         metric=params.metric,
         max_list_size=max_list,

@@ -15,10 +15,18 @@ def test_index_bytes_estimate_orders():
     n, d = 1_000_000, 768
     flat32 = mem.index_bytes_estimate(n, d, "flat", "float32")
     flat16 = mem.index_bytes_estimate(n, d, "flat", "bfloat16")
-    pq = mem.index_bytes_estimate(n, d, "ivf_pq", pq_dim=96)
+    pq = mem.index_bytes_estimate(n, d, "ivf_pq", pq_dim=96,
+                                  store_raw=False)
     assert flat32 > flat16 > pq
     assert flat32 == n * d * 4 + n * 4
-    assert pq < flat32 / 10  # PQ is the capacity play
+    assert pq < flat32 / 10  # codes-only PQ is the capacity play
+    # the build DEFAULT keeps a raw refine store (IVFPQParams.store_raw),
+    # so the default estimate must include it
+    pq_raw = mem.index_bytes_estimate(n, d, "ivf_pq", "bfloat16", pq_dim=96)
+    assert pq_raw > flat16  # codes + raw store > raw store alone
+    # int8 carries per-row dequant scales alongside sqnorms
+    int8 = mem.index_bytes_estimate(n, d, "ivf_flat", "int8")
+    assert int8 == n * d + n * 8
 
 
 def test_plan_shards_fit_and_overflow():
