@@ -1,5 +1,6 @@
 import json
 
+import pytest
 import numpy as np
 
 from cuvs_rag_tpu.rag import datasets
@@ -45,6 +46,7 @@ def test_topic_recall_metric():
     assert r == 3 / 4
 
 
+@pytest.mark.slow
 def test_main_cli_smoke(capsys):
     from cuvs_rag_tpu import main as main_mod
 

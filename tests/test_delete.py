@@ -359,6 +359,7 @@ def test_delete_sharded_and_replicated(data):
     np.testing.assert_array_equal(np.asarray(i), want)
 
 
+@pytest.mark.slow
 def test_delete_survives_sharded_reshard(tmp_path, data):
     """Mesh-size-change reload REBUILDS from recovered rows — tombstones
     must be re-applied (io.load_sharded), not silently resurrected."""

@@ -74,6 +74,7 @@ def test_scaling_stress_chunked_rejects_unsupported():
         )
 
 
+@pytest.mark.slow
 def test_scaling_stress_breaking_point():
     # a params factory that fails at the second size exercises the
     # breaking-point protocol

@@ -1,6 +1,7 @@
 """Train-then-add-in-batches flow (FAISS IndexIVFFlat train/add parity,
 SURVEY.md §2a; faiss-main.ipynb#cell7 trains on 100k then adds in batches)."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -20,6 +21,7 @@ def test_flat_extend(rng):
     assert np.asarray(i)[:, 0].tolist() == [5, 110]
 
 
+@pytest.mark.slow
 def test_ivf_train_then_add_batches(rng):
     full = rng.standard_normal((3000, 24)).astype(np.float32)
     sample = full[:1000]
@@ -49,6 +51,7 @@ def test_ivf_train_then_add_batches(rng):
     assert recall_lib.recall_at_k(np.asarray(i10), gt, 10) == 1.0
 
 
+@pytest.mark.slow
 def test_extend_matches_one_shot_build(rng):
     full = rng.standard_normal((1200, 16)).astype(np.float32)
     queries = rng.standard_normal((6, 16)).astype(np.float32)
@@ -65,6 +68,7 @@ def test_extend_matches_one_shot_build(rng):
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
 
 
+@pytest.mark.slow
 def test_extend_amortized_fast_path(rng):
     """Appends are amortized O(batch): the first overflow re-layouts WITH
     per-list growth headroom, after which further appends land in place
@@ -88,6 +92,7 @@ def test_extend_amortized_fast_path(rng):
     assert np.asarray(i)[:, 0].tolist() == [1900, 2050, 2399, 5]
 
 
+@pytest.mark.slow
 def test_extend_overflow_triggers_relayout(rng):
     """Appends that outgrow a list's region/window fall back to the full
     re-layout with regrown windows — nothing is truncated."""
@@ -108,6 +113,7 @@ def test_extend_overflow_triggers_relayout(rng):
     assert np.asarray(i)[:, 0].tolist() == [600, 1299]
 
 
+@pytest.mark.slow
 def test_extend_fast_path_int8(rng):
     full = rng.standard_normal((2200, 24)).astype(np.float32)
     ix = ivf_flat.build(

@@ -92,6 +92,7 @@ def test_import_flat_search_parity(tmp_path, data):
     np.testing.assert_array_equal(np.asarray(ids), want)
 
 
+@pytest.mark.slow
 def test_ivf_round_trip_preserves_lists_and_search(tmp_path, data):
     corpus, queries = data
     # native build -> FAISS file -> native import: same lists, same results
@@ -113,6 +114,7 @@ def test_ivf_round_trip_preserves_lists_and_search(tmp_path, data):
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_import_preserves_file_quantizer_not_reclustered(tmp_path, data):
     """The imported index must probe the FILE's lists (frozen quantizer) —
     a re-clustered import would diverge from the FAISS deployment it is

@@ -129,6 +129,7 @@ def test_int8_storage_close_to_fp32(rng):
         assert agree >= 0.8, (metric, agree)
 
 
+@pytest.mark.slow
 def test_int8_extend_matches_one_shot(rng):
     d, n = 32, 300
     corpus = rng.standard_normal((n, d)).astype(np.float32)

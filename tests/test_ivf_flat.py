@@ -215,6 +215,7 @@ def test_build_from_chunks_matches_build(clustered_data, dtype):
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_build_from_chunks_matches_build_skewed(rng):
     """Spill-path parity: on a skewed corpus (balance cap exceeded) the
     chunked and one-shot builds must still run the SAME assignment

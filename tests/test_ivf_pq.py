@@ -156,6 +156,7 @@ def test_strip_raw_disables_refine_but_searches(data):
     assert ix2.codes.nbytes < corpus.nbytes / 8
 
 
+@pytest.mark.slow
 def test_pq_memory_compression(data):
     # reference parity: IVF-PQ memory 75% saved vs raw
     # (VectorSearch_QuestionRetrieval.ipynb#cell8); ours is far better

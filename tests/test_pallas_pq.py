@@ -72,6 +72,7 @@ def test_kernel_matches_oracle(fixture, use_corr):
     np.testing.assert_allclose(np.asarray(s), want_s, rtol=1e-5, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_scan_probed_lists_kernel_path_matches_xla(fixture, monkeypatch):
     """End-to-end: scan_probed_lists_pq with the kernel branch forced on
     (interpreted) must reproduce the XLA select-sum path exactly."""

@@ -110,6 +110,7 @@ def test_retriever_out_of_core_refine():
         assert res.passages[0].index == qi, (qi, res.passages[0])
 
 
+@pytest.mark.slow
 def test_retriever_default_params_wire_out_of_core(monkeypatch):
     # regression: with search_params=None the gate must resolve the
     # family's default params (refine_ratio=2) — not see None and skip

@@ -43,6 +43,7 @@ def test_top_k_2000(rng):
     assert np.all(np.diff(d, axis=1) >= -1e-5)
 
 
+@pytest.mark.slow
 def test_recall_ks_sweep_full_width(rng):
     corpus = rng.standard_normal((3000, 32)).astype(np.float32)
     queries = rng.standard_normal((5, 32)).astype(np.float32)

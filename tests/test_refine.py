@@ -29,6 +29,7 @@ def data():
     return corpus.astype(np.float32), queries.astype(np.float32)
 
 
+@pytest.mark.slow
 def test_rerank_overfetched_int8_matches_exact(data):
     # int8 IVF candidates carry quantized distances; the external re-rank
     # must return the fp32-exact distances and ordering for the top-k

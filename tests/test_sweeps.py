@@ -1,4 +1,5 @@
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from cuvs_rag_tpu.eval import recall as recall_lib
@@ -29,6 +30,7 @@ def test_nprobe_sweep_monotone_recall(rng):
     assert sweeps.best_operating_point(curve, min_recall=1.1) is None
 
 
+@pytest.mark.slow
 def test_batched_sharded_search(rng):
     from cuvs_rag_tpu.parallel import search as psearch
     from cuvs_rag_tpu.parallel.mesh import DeviceMesh

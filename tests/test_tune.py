@@ -33,6 +33,7 @@ def clustered():
     return corpus, queries, gt
 
 
+@pytest.mark.slow
 def test_tune_ivf_flat_minimal_nprobe(clustered):
     corpus, queries, gt = clustered
     ix = ivf_flat.build(IVFFlatParams(n_lists=16), corpus)
@@ -51,6 +52,7 @@ def test_tune_ivf_flat_minimal_nprobe(clustered):
         assert recall_lib.recall_at_k(np.asarray(i), gt, K) < 0.95
 
 
+@pytest.mark.slow
 def test_tune_ivf_flat_unreachable_target(clustered):
     corpus, queries, gt = clustered
     ix = ivf_flat.build(IVFFlatParams(n_lists=16, dtype="int8"), corpus)
@@ -126,6 +128,7 @@ def test_candidate_ladder_tiny_budget_pq_only():
     assert all(c.family == "ivf_pq" and not c.params.store_raw for c in cands)
 
 
+@pytest.mark.slow
 def test_tune_build_picks_in_budget_winner(clustered):
     corpus, queries, gt = clustered
     # budget that (at n_total=1M, fp32 corpus) excludes ivf_flat fp32/bf16
@@ -144,6 +147,7 @@ def test_tune_build_picks_in_budget_winner(clustered):
     assert res.point.latency_ms_per_query == fastest
 
 
+@pytest.mark.slow
 def test_tune_build_unreachable_target(clustered):
     corpus, queries, gt = clustered
     res = tune_build(
