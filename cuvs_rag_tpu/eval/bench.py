@@ -14,6 +14,7 @@ Reference parity (SURVEY.md §2 #14-16):
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Any, Callable, List, Optional, Sequence
 
@@ -128,17 +129,27 @@ def scaling_stress(
         # 768 is 6 GB of H2D (minutes through the test tunnel) and doubles
         # HBM vs bf16 — the harness then measures the transfer, not the
         # engine. The breaking-point protocol probes the ENGINE's limits.
+        # Parts are written into ONE donated buffer (a concatenate of the
+        # parts held corpus x2 at peak and was itself the 6M breaking
+        # point — the harness OOMing, not the engine).
         key = jax.random.fold_in(jax.random.PRNGKey(seed), n)
         chunk = max(1, n // 8)
-        mk = jax.jit(
-            lambda k, r: jax.random.normal(k, (r, dim), jnp.bfloat16),
-            static_argnames="r",
+
+        @functools.partial(
+            jax.jit, donate_argnums=(0,), static_argnames="r"
         )
-        parts = [
-            mk(jax.random.fold_in(key, i), min(chunk, n - i * chunk))
-            for i in range((n + chunk - 1) // chunk)
-        ]
-        return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+        def write(buf, k, start, *, r):
+            part = jax.random.normal(k, (r, dim), jnp.bfloat16)
+            return jax.lax.dynamic_update_slice(buf, part, (start, 0))
+
+        buf = jnp.zeros((n, dim), jnp.bfloat16)
+        start = 0
+        for i in range((n + chunk - 1) // chunk):
+            r = min(chunk, n - start)
+            buf = write(buf, jax.random.fold_in(key, i),
+                        jnp.int32(start), r=r)
+            start += r
+        return buf
 
     def chunk_plan(n, target=262_144):
         # smallest chunk count giving chunks <= target that still divides n
@@ -162,8 +173,10 @@ def scaling_stress(
         # release the previous size's index BEFORE allocating this size's
         # corpus/layout — two resident layouts is a false breaking point
         index = do_search = None  # noqa: F841
-        corpus = None if chunked else device_corpus(n)
         try:
+            # inside the try: at breaking-point sizes the corpus itself
+            # may exceed HBM — that is a finding to record, not a crash
+            corpus = None if chunked else device_corpus(n)
             params = make_params(n)
             t0 = time.perf_counter()
             if chunked:
@@ -230,7 +243,10 @@ def scaling_stress(
                     recall_at_10=None, ok=False, error=f"{type(e).__name__}: {e}",
                 )
             )
+            print(f"[stress] n={n}: {rows[-1].error}", flush=True)
             break
+        print(f"[stress] n={n}: build {rows[-1].build_s:.1f}s "
+              f"search {rows[-1].search_ms:.2f}ms", flush=True)
     return rows
 
 
