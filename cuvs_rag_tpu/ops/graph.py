@@ -12,8 +12,19 @@ departures from the CUDA design, both forced by XLA/TPU semantics:
   * Search: cuVS's greedy traversal uses a hash-table visited set and
     data-dependent termination. Here the beam is a fixed-width array, the
     loop runs a *static* number of iterations (lax.fori_loop), and
-    deduplication is a sort over (id, expanded-flag) keys — no hash tables,
-    no dynamic shapes, fully jit/vmap/shard_map-compatible.
+    deduplication exploits the MONOTONE-BEAM property — no hash tables,
+    no sorts, no dynamic shapes, fully jit/vmap/shard_map-compatible.
+
+    Monotone-beam dedup: per-query scores are static, and the beam keeps
+    the top-`itopk` scores seen so far, so its admission threshold only
+    rises — an id displaced from the beam can never re-enter (it already
+    lost to `itopk` better ids). Hence "visited AND still relevant" ==
+    "in the current beam", and exact deduplication needs only two masks:
+    new neighbors vs the current beam ids ((m, b) equality) and
+    first-occurrence within the new batch ((m, m) equality) — cheap VPU
+    compares that replaced a (b+m)-element argsort per query-iteration
+    (the sort chain was HALF of beam latency at bench shapes:
+    scripts/bench_beam_profile.py, 17 ms of 34.6 ms at Q=100).
 """
 
 from __future__ import annotations
@@ -349,8 +360,27 @@ def beam_search(
             s = ip - dist_ops.deletion_penalty(sqnorms[ids])
         return jnp.where(row_valid[ids], s, topk_ops.NEG_INF)
 
+    m = e * g
+
+    def first_occurrence_mask(v):
+        # (M,) ids -> (M,) bool: True where an EARLIER element equals v[i].
+        # O(M^2) equality on the VPU — at beam sizes (M <= ~1k) this is
+        # far cheaper than a sort, and shape-static.
+        M = v.shape[0]
+        eq = v[:, None] == v[None, :]
+        earlier = jax.lax.broadcasted_iota(jnp.int32, (M, M), 1) < (
+            jax.lax.broadcasted_iota(jnp.int32, (M, M), 0)
+        )
+        return jnp.any(eq & earlier, axis=1)
+
     def one_query(qvec, entries):
         e_scores = score_rows(qvec, entries)
+        # the monotone-beam dedup needs the INITIAL beam id-distinct too:
+        # duplicate entry ids (static linspace fill at tiny n_pad, or a
+        # static row colliding with a medoid) are masked here once
+        e_scores = jnp.where(
+            first_occurrence_mask(entries), topk_ops.NEG_INF, e_scores
+        )
         init_scores = jnp.full((b,), topk_ops.NEG_INF)
         init_ids = jnp.full((b,), -1, jnp.int32)
         init_exp = jnp.zeros((b,), jnp.bool_)
@@ -368,32 +398,29 @@ def beam_search(
             expanded = expanded.at[picks].set(True)
 
             nbrs = graph[jnp.maximum(pick_ids, 0)]  # (e, G)
+            flat_nbrs = nbrs.reshape(-1)  # (m,)
             n_scores = jnp.where(
                 valid_pick[:, None],
-                score_rows(qvec, nbrs.reshape(-1)).reshape(e, g),
+                score_rows(qvec, flat_nbrs).reshape(e, g),
                 topk_ops.NEG_INF,
-            )
+            ).reshape(-1)
 
-            all_scores = jnp.concatenate([scores, n_scores.reshape(-1)])
-            all_ids = jnp.concatenate([ids, nbrs.reshape(-1)])
-            all_exp = jnp.concatenate(
-                [expanded, jnp.zeros((e * g,), jnp.bool_)]
-            )
+            # exact dedup WITHOUT a sort (see module docstring): beam ids
+            # are distinct by induction and a dropped id can never
+            # re-enter, so duplicates are exactly (a) news already in the
+            # current beam and (b) later copies within the news batch.
+            # Scoring-wise this equals the old (id, expanded)-key argsort
+            # (duplicates keep the beam copy, which carries the true
+            # expanded flag); masked news keep -inf and lose top_k.
+            in_beam = jnp.any(flat_nbrs[:, None] == ids[None, :], axis=1)
+            dup = in_beam | first_occurrence_mask(flat_nbrs)
+            n_scores = jnp.where(dup, topk_ops.NEG_INF, n_scores)
 
-            # dedup: sort by (id, expanded-first); equal-id runs keep the
-            # expanded copy, duplicates get -inf
-            # int32 is safe: ids < 2^30 rows per shard
-            sort_key = all_ids * 2 + (1 - all_exp.astype(jnp.int32))
-            order = jnp.argsort(sort_key)
-            s_ids = all_ids[order]
-            dup = jnp.concatenate(
-                [jnp.zeros((1,), jnp.bool_), s_ids[1:] == s_ids[:-1]]
-            )
-            s_scores = jnp.where(dup, topk_ops.NEG_INF, all_scores[order])
-            s_exp = all_exp[order]
-
-            new_scores, sel = jax.lax.top_k(s_scores, b)
-            return new_scores, s_ids[sel], s_exp[sel]
+            all_scores = jnp.concatenate([scores, n_scores])
+            all_ids = jnp.concatenate([ids, flat_nbrs])
+            all_exp = jnp.concatenate([expanded, jnp.zeros((m,), jnp.bool_)])
+            new_scores, sel = jax.lax.top_k(all_scores, b)
+            return new_scores, all_ids[sel], all_exp[sel]
 
         scores, ids, _ = jax.lax.fori_loop(
             0, iters, step, (init_scores, init_ids, init_exp)

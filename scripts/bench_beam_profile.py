@@ -1,0 +1,158 @@
+"""Where does CAGRA beam-search time go? (VERDICT r3 weak #1)
+
+Decomposes the per-iteration cost of ops/graph.beam_search at bench
+shapes: the batched neighbor row-gather + score, the dedup sort chain,
+and the fixed dispatch overhead of the sequential fori_loop. Informs
+whether a fused Pallas gather+score kernel is the right lever.
+
+    python scripts/bench_beam_profile.py --n 2000000 --queries 100
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cuvs_rag_tpu.ops import distance as dist_ops
+from cuvs_rag_tpu.ops import topk as topk_ops
+from cuvs_rag_tpu.utils.profiling import drain
+
+
+def timed(fn, *args, iters=20, warmup=3):
+    # drain, not block_until_ready: the tunnel acks dispatch before
+    # execution (utils/profiling.drain docstring)
+    for _ in range(warmup):
+        drain(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    drain(out)
+    return (time.perf_counter() - t0) / iters * 1e3  # ms
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=2_000_000)
+    p.add_argument("--dim", type=int, default=768)
+    p.add_argument("--queries", type=int, default=100)
+    p.add_argument("--itopk", type=int, default=64)
+    p.add_argument("--g", type=int, default=32, help="graph degree")
+    p.add_argument("--e", type=int, default=16, help="search width")
+    p.add_argument("--iters", type=int, default=8)
+    args = p.parse_args()
+
+    n, d, q_n = args.n, args.dim, args.queries
+    b, g, e, iters = args.itopk, args.g, args.e, args.iters
+    key = jax.random.PRNGKey(0)
+    kv, kq, ki = jax.random.split(key, 3)
+    vectors = jax.random.normal(kv, (n, d), jnp.bfloat16)
+    sqnorms = dist_ops.sqnorms(vectors.astype(jnp.float32))
+    queries = jax.random.normal(kq, (q_n, d), jnp.float32)
+    # random candidate ids, regenerated per iteration inside the loop so
+    # XLA cannot hoist the gather
+    jax.block_until_ready((vectors, sqnorms, queries))
+    m = e * g
+    print(f"n={n} d={d} Q={q_n} b={b} e={e} g={g} m/iter={m} iters={iters}")
+    bytes_per_iter = q_n * m * d * vectors.dtype.itemsize
+    print(f"gather bytes/iter: {bytes_per_iter/1e6:.1f} MB "
+          f"({iters * bytes_per_iter / 1e9:.2f} GB total)")
+
+    def rand_ids(k, shape):
+        return jax.random.randint(k, shape, 0, n, jnp.int32)
+
+    # --- 1. gather+score only, sequential loop (the hot half) -----------
+    # NB: vectors/sqnorms are explicit args everywhere — closure capture
+    # inlines them as multi-GB HLO constants and stalls lowering.
+    @jax.jit
+    def gather_score_loop(vectors, sqnorms, key, queries):
+        def step(c, _):
+            k, acc = c
+            k, sub = jax.random.split(k)
+            ids = rand_ids(sub, (q_n, m))
+            vecs = vectors[ids.reshape(-1)].astype(jnp.float32)
+            ip = jax.vmap(
+                lambda qv, vv: dist_ops.dot_general_prec(
+                    vv, qv[:, None], (((1,), (0,)), ((), ()))
+                )[:, 0]
+            )(queries, vecs.reshape(q_n, m, d))
+            s = 2.0 * ip - sqnorms[ids]
+            return (k, acc + s.sum()), None
+        (_, acc), _ = jax.lax.scan(step, (key, 0.0), None, length=iters)
+        return acc
+
+    ms = timed(gather_score_loop, vectors, sqnorms, ki, queries)
+    print(f"gather+score loop: {ms:.2f} ms "
+          f"({iters*bytes_per_iter/ms*1e3/1e9:.0f} GB/s effective)")
+
+    # --- 2. dedup-sort + top_k chain only (the other half) --------------
+    @jax.jit
+    def sort_loop(key, queries):
+        scores0 = jnp.zeros((q_n, b), jnp.float32)
+        ids0 = jnp.zeros((q_n, b), jnp.int32)
+        exp0 = jnp.zeros((q_n, b), jnp.bool_)
+
+        def one_query_step(scores, ids, expanded, n_scores, nbrs):
+            cand = jnp.where(expanded, topk_ops.NEG_INF, scores)
+            _, picks = jax.lax.top_k(cand, e)
+            expanded = expanded.at[picks].set(True)
+            all_s = jnp.concatenate([scores, n_scores])
+            all_i = jnp.concatenate([ids, nbrs])
+            all_e = jnp.concatenate([expanded, jnp.zeros((m,), jnp.bool_)])
+            sk = all_i * 2 + (1 - all_e.astype(jnp.int32))
+            order = jnp.argsort(sk)
+            s_i = all_i[order]
+            dup = jnp.concatenate(
+                [jnp.zeros((1,), jnp.bool_), s_i[1:] == s_i[:-1]])
+            s_s = jnp.where(dup, topk_ops.NEG_INF, all_s[order])
+            ns, sel = jax.lax.top_k(s_s, b)
+            return ns, s_i[sel], all_e[order][sel]
+
+        def step(c, _):
+            k, scores, ids, expanded = c
+            k, s1, s2 = jax.random.split(k, 3)
+            n_scores = jax.random.normal(s1, (q_n, m), jnp.float32)
+            nbrs = rand_ids(s2, (q_n, m))
+            scores, ids, expanded = jax.vmap(one_query_step)(
+                scores, ids, expanded, n_scores, nbrs)
+            return (k, scores, ids, expanded), None
+
+        (_, scores, _, _), _ = jax.lax.scan(
+            step, (key, scores0, ids0, exp0), None, length=iters)
+        return scores.sum()
+
+    ms2 = timed(sort_loop, ki, queries)
+    print(f"dedup-sort loop:   {ms2:.2f} ms")
+
+    # --- 3. one-shot amortized gather (upper bound if loop overhead =0) -
+    @jax.jit
+    def oneshot(vectors, key):
+        ids = rand_ids(key, (q_n * m * iters,))
+        return vectors[ids].astype(jnp.float32).sum()
+
+    ms3 = timed(oneshot, vectors, ki)
+    print(f"one-shot gather of all rows: {ms3:.2f} ms "
+          f"({iters*bytes_per_iter/ms3*1e3/1e9:.0f} GB/s)")
+
+    # --- 4. the real beam at these settings -----------------------------
+    from cuvs_rag_tpu.ops import graph as graph_ops
+    kg = jax.random.PRNGKey(7)
+    graph = jax.random.randint(kg, (n, g), 0, n, jnp.int32)
+    row_valid = jnp.ones((n,), jnp.bool_)
+
+    def beam(qs):
+        return graph_ops.beam_search(
+            vectors, sqnorms, row_valid, graph, qs,
+            k=10, metric="sqeuclidean", itopk=b,
+            max_iters=iters, expansions=e)
+
+    ms4 = timed(beam, queries, iters=10)
+    print(f"beam_search e2e:   {ms4:.2f} ms  ({ms4/q_n:.3f} ms/q)")
+
+
+if __name__ == "__main__":
+    main()

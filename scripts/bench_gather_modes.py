@@ -1,0 +1,245 @@
+"""What governs scattered-row read bandwidth on TPU? (beam kernel design)
+
+bench_pallas_gather.py established that per-row DMA (~53 GB/s) does not
+beat XLA's gather (~43 GB/s) for scattered 1.5 KB bf16 rows — both are
+~8x below the 563 GB/s sequential roofline. This bench isolates WHICH
+lever moves that number, deciding the CAGRA beam redesign:
+
+  rows:   is time per-row (fixed ~34 ns) or per-byte? -> int8 rows
+  dups:   do repeated ids cost full fetches? -> 50%/90% dup id sets
+  blocks: do contiguous spans recover the roofline? -> 32-row blocks,
+          XLA (iota-expanded gather) and Pallas (one DMA per block)
+
+    python scripts/bench_gather_modes.py --n 2000000 --m 131072
+"""
+
+import argparse
+import functools
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cuvs_rag_tpu.utils.profiling import drain
+
+
+def timed(fn, *args, iters=10, warmup=2):
+    for _ in range(warmup):
+        drain(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    drain(out)
+    return (time.perf_counter() - t0) / iters * 1e3  # ms
+
+
+def _kernel(ids_ref, vectors_hbm, out_ref, sems, *, rows, span):
+    j = pl.program_id(0)
+
+    def issue(i):
+        rid = ids_ref[j * rows + i]
+        return pltpu.make_async_copy(
+            vectors_hbm.at[pl.ds(rid, span)],
+            out_ref.at[pl.ds(i * span, span)],
+            sems.at[i],
+        )
+
+    for i in range(rows):
+        issue(i).start()
+    for i in range(rows):
+        issue(i).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "span"))
+def pallas_gather(vectors, ids, *, rows, span=1):
+    # vectors: (n, sub, 128) 3-D view; leading dim untiled so (span, sub,
+    # 128) slices at data-dependent rows are legal DMAs.
+    m = ids.shape[0]
+    n, sub, _ = vectors.shape
+    grid = (m // rows,)
+    return pl.pallas_call(
+        functools.partial(_kernel, rows=rows, span=span),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(
+                (rows * span, sub, 128), lambda j, *_: (j, 0, 0)
+            ),
+            scratch_shapes=[pltpu.SemaphoreType.DMA((rows,))],
+        ),
+        out_shape=jax.ShapeDtypeStruct((m * span, sub, 128), vectors.dtype),
+    )(ids, vectors)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=2_000_000)
+    p.add_argument("--dim", type=int, default=768)
+    p.add_argument("--m", type=int, default=131_072)
+    args = p.parse_args()
+    n, d, m = args.n, args.dim, args.m
+
+    key = jax.random.PRNGKey(0)
+    vec_bf16 = jax.random.normal(key, (n, d), jnp.bfloat16)
+    vec_int8 = (vec_bf16 * 40).astype(jnp.int8)
+    ids = jax.random.randint(jax.random.fold_in(key, 1), (m,), 0, n, jnp.int32)
+    jax.block_until_ready((vec_bf16, vec_int8, ids))
+
+    @jax.jit
+    def xla_gather(vectors, ids):
+        return vectors[ids]
+
+    def report(tag, ms, nbytes):
+        print(f"{tag:34s} {ms:7.2f} ms  ({nbytes/ms*1e3/1e9:5.0f} GB/s, "
+              f"{ms*1e6/m:5.0f} ns/row-group)", flush=True)
+
+    print(f"n={n} d={d} m={m}")
+    nb_bf, nb_i8 = m * d * 2, m * d * 1
+
+    report("xla row gather bf16", timed(xla_gather, vec_bf16, ids), nb_bf)
+    report("xla row gather int8", timed(xla_gather, vec_int8, ids), nb_i8)
+
+    # dup-heavy id sets: visited-filtering would route dups to row 0
+    for frac in (0.5, 0.9):
+        k = int(m * frac)
+        ids_dup = ids.at[:k].set(0)
+        jax.block_until_ready(ids_dup)
+        report(f"xla bf16, {int(frac*100)}% ids==0",
+               timed(xla_gather, vec_bf16, ids_dup), nb_bf)
+
+    # contiguous 32-row blocks, same total rows
+    span = 32
+    starts = jax.random.randint(
+        jax.random.fold_in(key, 2), (m // span,), 0, n - span, jnp.int32)
+    block_ids = (starts[:, None] + jnp.arange(span, dtype=jnp.int32)).reshape(-1)
+    jax.block_until_ready(block_ids)
+    report("xla bf16, 32-row blocks (as rows)",
+           timed(xla_gather, vec_bf16, block_ids), nb_bf)
+
+    @jax.jit
+    def xla_block_slice(vectors, starts):
+        def one(s):
+            return jax.lax.dynamic_slice(vectors, (s, 0), (span, d))
+        return jax.vmap(one)(starts)
+
+    report("xla bf16, 32-row dynamic_slice",
+           timed(xla_block_slice, vec_bf16, starts), nb_bf)
+
+    # pallas DMA: per-row and per-block, bf16 and int8
+    sub = -(-d // 128)
+    sub_pad = -(-sub // 8) * 8  # bf16 sublane tile 16? (8,128) f32; bf16 (16,128)
+    v3_bf = jnp.pad(vec_bf16.reshape(n, sub, 128),
+                    ((0, 0), (0, sub_pad - sub), (0, 0)))
+    v3_i8 = jnp.pad(vec_int8.reshape(n, sub, 128),
+                    ((0, 0), (0, sub_pad - sub), (0, 0)))
+    jax.block_until_ready((v3_bf, v3_i8))
+    phys_bf = m * sub_pad * 128 * 2
+    phys_i8 = m * sub_pad * 128 * 1
+
+    for rows in (128, 256):
+        got = pallas_gather(v3_bf, ids[:4096], rows=rows)
+        want = xla_gather(vec_bf16, ids[:4096])
+        assert np.array_equal(
+            np.asarray(got)[:, :sub].reshape(4096, d), np.asarray(want))
+        report(f"pallas row DMA bf16 rows={rows}",
+               timed(functools.partial(pallas_gather, rows=rows), v3_bf, ids),
+               phys_bf)
+        report(f"pallas row DMA int8 rows={rows}",
+               timed(functools.partial(pallas_gather, rows=rows), v3_i8, ids),
+               phys_i8)
+
+    # per-block DMA: m//span DMAs of span rows each (48 KB bf16)
+    for rows in (16, 64):
+        fn = functools.partial(pallas_gather, rows=rows, span=span)
+        got = pallas_gather(v3_bf, starts[: rows * 4], rows=rows, span=span)
+        want = xla_block_slice(vec_bf16, starts[: rows * 4])
+        assert np.array_equal(
+            np.asarray(got)[:, :sub].reshape(-1, span, d), np.asarray(want))
+        report(f"pallas block DMA bf16 span=32 rows={rows}",
+               timed(fn, v3_bf, starts), phys_bf)
+
+
+
+
+def _kernel_reduce(ids_ref, vectors_hbm, out_ref, scratch, sems, *, rows):
+    # gather rows into VMEM scratch and reduce there — no HBM write-back
+    # of the gathered block. Measures the fused-kernel gather ceiling.
+    j = pl.program_id(0)
+
+    def issue(i):
+        rid = ids_ref[j * rows + i]
+        return pltpu.make_async_copy(
+            vectors_hbm.at[pl.ds(rid, 1)],
+            scratch.at[pl.ds(i, 1)],
+            sems.at[i],
+        )
+
+    for i in range(rows):
+        issue(i).start()
+    for i in range(rows):
+        issue(i).wait()
+    acc = jnp.sum(scratch[...].astype(jnp.float32), axis=0)  # (sub, 128)
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += acc
+
+
+@functools.partial(jax.jit, static_argnames=("rows",))
+def pallas_gather_reduce(vectors, ids, *, rows):
+    m = ids.shape[0]
+    n, sub, _ = vectors.shape
+    return pl.pallas_call(
+        functools.partial(_kernel_reduce, rows=rows),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(m // rows,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((sub, 128), lambda j, *_: (0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((rows, sub, 128), vectors.dtype),
+                pltpu.SemaphoreType.DMA((rows,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((sub, 128), jnp.float32),
+    )(ids, vectors)
+
+
+def main_reduce():
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=2_000_000)
+    p.add_argument("--dim", type=int, default=768)
+    p.add_argument("--m", type=int, default=131_072)
+    p.add_argument("--mode", default="all")
+    args, _ = p.parse_known_args()
+    n, d, m = args.n, args.dim, args.m
+    key = jax.random.PRNGKey(0)
+    vec = jax.random.normal(key, (n, d), jnp.bfloat16)
+    ids = jax.random.randint(jax.random.fold_in(key, 1), (m,), 0, n, jnp.int32)
+    sub = -(-d // 128)
+    sub_pad = -(-sub // 8) * 8
+    v3 = jnp.pad(vec.reshape(n, sub, 128), ((0, 0), (0, sub_pad - sub), (0, 0)))
+    jax.block_until_ready((v3, ids))
+    nb = m * d * 2
+    for rows in (128, 256, 512):
+        got = pallas_gather_reduce(v3, ids[:4096], rows=rows)
+        want = vec[ids[:4096]].astype(jnp.float32).sum(0)
+        np.testing.assert_allclose(
+            np.asarray(got)[:sub].reshape(d), np.asarray(want), rtol=2e-2)
+        ms = timed(functools.partial(pallas_gather_reduce, rows=rows), v3, ids)
+        print(f"pallas gather+reduce rows={rows:4d}: {ms:7.2f} ms  "
+              f"({nb/ms*1e3/1e9:5.0f} GB/s, {ms*1e6/m:5.1f} ns/row)", flush=True)
+
+
+if __name__ == "__main__":
+    import sys as _s
+    (main_reduce if "--reduce" in _s.argv else main)()

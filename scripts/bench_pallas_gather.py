@@ -1,0 +1,140 @@
+"""Scattered-row gather bandwidth: Pallas per-row DMA vs XLA gather.
+
+Decides the CAGRA beam-kernel design (VERDICT r3 #2a): the beam's hot
+half is gathering e*g scattered 1.5 KB rows per query-iteration, which
+XLA's gather runs at ~45-68 GB/s (scripts/bench_beam_profile.py). If
+per-row async DMAs from an ANY/HBM memref sustain several hundred GB/s,
+a fused Pallas beam step wins ~5x; if DMA issue overhead dominates at
+this row size, the lever is elsewhere (int8 storage, fewer/wider rows).
+
+    python scripts/bench_pallas_gather.py --n 2000000 --m 409600
+"""
+
+import argparse
+import functools
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cuvs_rag_tpu.utils.profiling import drain
+
+
+def timed(fn, *args, iters=10, warmup=2):
+    for _ in range(warmup):
+        drain(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    drain(out)
+    return (time.perf_counter() - t0) / iters * 1e3  # ms
+
+
+def _kernel(ids_ref, vectors_hbm, out_ref, sems, *, rows):
+    # vectors_hbm is the corpus viewed 3-D (n, d//128, 128): leading dims
+    # of a >=3-D memref are untiled, so a (1, d//128, 128) slice at a
+    # data-dependent row is a legal DMA — (1, d) slices of a 2-D
+    # (8,128)-tiled memref and 768-element slices of a (1024,)-tiled 1-D
+    # memref are not (both measured MosaicError).
+    j = pl.program_id(0)
+
+    def issue(i):
+        rid = ids_ref[j * rows + i]
+        return pltpu.make_async_copy(
+            vectors_hbm.at[pl.ds(rid, 1)],
+            out_ref.at[pl.ds(i, 1)],
+            sems.at[i],
+        )
+
+    for i in range(rows):
+        issue(i).start()
+    for i in range(rows):
+        issue(i).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("rows",))
+def pallas_gather(vectors, ids, *, rows):
+    # vectors: (n, sub, 128) pre-padded so sub is a multiple of the
+    # sublane tile (8) — XLA pads HBM physically to that anyway, so the
+    # explicit pad costs no extra memory and makes (1, sub, 128) slices
+    # tile-aligned.
+    m = ids.shape[0]
+    n, sub, _ = vectors.shape
+    grid = (m // rows,)
+    return pl.pallas_call(
+        functools.partial(_kernel, rows=rows),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(
+                (rows, sub, 128), lambda j, *_: (j, 0, 0)
+            ),
+            scratch_shapes=[pltpu.SemaphoreType.DMA((rows,))],
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, sub, 128), vectors.dtype),
+    )(ids, vectors)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=2_000_000)
+    p.add_argument("--dim", type=int, default=768)
+    p.add_argument("--m", type=int, default=409_600)
+    p.add_argument("--rows", type=int, default=128)
+    args = p.parse_args()
+    n, d, m = args.n, args.dim, args.m
+
+    key = jax.random.PRNGKey(0)
+    vectors = jax.random.normal(key, (n, d), jnp.bfloat16)
+    ids = jax.random.randint(jax.random.fold_in(key, 1), (m,), 0, n, jnp.int32)
+    jax.block_until_ready((vectors, ids))
+    nbytes = m * d * vectors.dtype.itemsize
+    print(f"n={n} d={d} m={m} bytes={nbytes/1e6:.1f} MB")
+
+    @jax.jit
+    def xla_gather(vectors, ids):
+        return vectors[ids]
+
+    ms = timed(xla_gather, vectors, ids)
+    print(f"xla gather:    {ms:7.2f} ms  ({nbytes/ms*1e3/1e9:5.0f} GB/s)")
+
+    import numpy as np
+
+    # pad rows to a sublane-tile multiple (8 for bf16 lane-packing): the
+    # physical HBM layout is padded to this anyway
+    sub = -(-d // 128)
+    sub_pad = -(-sub // 8) * 8
+    v3 = jnp.pad(
+        vectors.reshape(n, sub, 128), ((0, 0), (0, sub_pad - sub), (0, 0))
+    )
+    jax.block_until_ready(v3)
+    phys = m * sub_pad * 128 * vectors.dtype.itemsize
+
+    for rows in (64, 128, 256, 512):
+        if m % rows:
+            continue
+        try:
+            got = pallas_gather(v3, ids[:4096], rows=rows)
+            want = xla_gather(vectors, ids[:4096])
+            assert np.array_equal(
+                np.asarray(got)[:, :sub].reshape(4096, d), np.asarray(want)
+            ), "parity"
+            ms = timed(
+                functools.partial(pallas_gather, rows=rows), v3, ids
+            )
+            print(f"pallas rows={rows:4d}: {ms:7.2f} ms  "
+                  f"({nbytes/ms*1e3/1e9:5.0f} GB/s valid, "
+                  f"{phys/ms*1e3/1e9:5.0f} GB/s physical)", flush=True)
+        except Exception as e:
+            print(f"pallas rows={rows}: FAILED {type(e).__name__}: {e}")
+            break
+
+
+if __name__ == "__main__":
+    main()
