@@ -25,8 +25,14 @@ from cuvs_rag_tpu.utils.config import CagraParams, CagraSearchParams, Metric
 @base.register_index
 @dataclasses.dataclass(frozen=True)
 class CagraIndex:
-    vectors: jax.Array  # (Np, D) storage dtype
-    sqnorms: jax.Array  # (Np,)
+    # Score-augmented rows (Np, D+2), storage dtype: [v, hi, lo] where
+    # hi+lo is ||v||^2 (sqeuclidean) or 0 (ip/cosine), and hi carries the
+    # DELETED_PENALTY tombstone for pad/deleted rows. ONE row gather per
+    # beam candidate carries everything scoring needs — scattered reads
+    # cost ~30 ns/row regardless of row bytes, so the separate sqnorm /
+    # row_valid gathers were pure loss (ops/graph.augment_rows).
+    vectors: jax.Array
+    sqnorms: jax.Array  # (Np,) f32 — bookkeeping (deleted_row_ids)
     graph: jax.Array  # (Np, graph_degree) int32
     # Query-adaptive entry points (IVF-bootstrapped builds): the coarse
     # centroids and each list's medoid row. Beam search seeds from the
@@ -37,10 +43,13 @@ class CagraIndex:
     entry_rows: jax.Array
     n_valid: jax.Array  # () int32
     metric: str
+    # true data dimensionality (static): vectors.shape[-1] is the
+    # lane-tile-rounded augmented width, not recoverable from it
+    data_dim: int
 
     @property
     def dim(self) -> int:
-        return self.vectors.shape[-1]
+        return self.data_dim
 
     @property
     def graph_degree(self) -> int:
@@ -96,13 +105,14 @@ def _finish(params, vectors, sq, graph, n_valid, final_deg,
         entry_centroids = jnp.zeros((0, d), jnp.float32)
         entry_rows = jnp.zeros((0,), jnp.int32)
     return CagraIndex(
-        vectors=vectors,
+        vectors=graph_ops.augment_rows(vectors, sq, n_valid, params.metric),
         sqnorms=sq,
         graph=graph,
         entry_centroids=entry_centroids,
         entry_rows=entry_rows,
         n_valid=n_valid.astype(jnp.int32),
         metric=params.metric,
+        data_dim=d,
     )
 
 
@@ -178,6 +188,7 @@ _augment_jit = jax.jit(
     graph_ops.augment_reverse_edges, static_argnums=(1, 2)
 )
 _sqnorms_jit = jax.jit(dist_ops.sqnorms)
+_augment_rows_jit = jax.jit(graph_ops.augment_rows, static_argnums=(3,))
 
 
 def build(params: CagraParams, dataset: jax.Array) -> CagraIndex:
@@ -245,14 +256,21 @@ def build(params: CagraParams, dataset: jax.Array) -> CagraIndex:
     fwd = _forward_split(params, final_deg)
     graph_final = _augment_jit(graph, final_deg, fwd)
     sq = _sqnorms_jit(block)
+    # score-augmented rows: block + augmented copy briefly coexist
+    # (~6.7 GB at 2M x 768 bf16); the raw block is dropped right after
+    aug = _augment_rows_jit(block, sq, nv, metric)
+    data_dim = block.shape[1]
+    _np.asarray(sq[:1])  # drain so the block's free lands device-side
+    del block
     return CagraIndex(
-        vectors=block,
+        vectors=aug,
         sqnorms=sq,
         graph=graph_final,
         entry_centroids=entry_centroids,
         entry_rows=entry_rows,
         n_valid=nv.astype(jnp.int32),
         metric=metric,
+        data_dim=data_dim,
     )
 
 
@@ -326,11 +344,24 @@ def delete(index: CagraIndex, ids) -> CagraIndex:
         return index
     from cuvs_rag_tpu.index import flat as flat_family
 
+    d = index.dim
+    storage = index.vectors.dtype
+    ok = (ids >= 0) & (ids < index.n_valid)
+    # tombstone BOTH stores: the sqnorms slot (bookkeeping —
+    # io.deleted_row_ids) and the augmented hi column the beam actually
+    # scores with ([hi, lo] -> [DELETED_PENALTY, 0]; idempotent).
+    # Invalid ids route out of bounds and are dropped.
+    tgt = jnp.where(ok, ids, index.vectors.shape[0])
+    hi_lo = jnp.broadcast_to(
+        jnp.array([dist_ops.DELETED_PENALTY, 0.0]).astype(storage),
+        (ids.shape[0], 2),
+    )
     return dataclasses.replace(
         index,
         sqnorms=flat_family._tombstone_rows(
             index.sqnorms, ids, index.n_valid
         ),
+        vectors=index.vectors.at[tgt, d : d + 2].set(hi_lo, mode="drop"),
     )
 
 
@@ -344,9 +375,6 @@ def search_scores(
     if index.metric == Metric.COSINE:
         queries = dist_ops.l2_normalize(queries)
     n_pad = index.vectors.shape[0]
-    row_valid = (
-        jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)[:, 0] < index.n_valid
-    )
     queries = queries.astype(jnp.float32)
     entry_ids = None
     if index.has_entry_map:
@@ -374,8 +402,6 @@ def search_scores(
             )
     return graph_ops.beam_search(
         index.vectors,
-        index.sqnorms,
-        row_valid,
         index.graph,
         queries,
         k=k,

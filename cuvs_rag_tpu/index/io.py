@@ -118,7 +118,7 @@ def recover_rows(index: Any) -> jax.Array:
             v = v.astype(jnp.float32) * index.scales[:nv, None]
         return v
     if cls == "CagraIndex":
-        return index.vectors[:nv]
+        return index.vectors[:nv, : index.dim]  # drop the [hi, lo] columns
     if cls == "IVFFlatIndex":
         from cuvs_rag_tpu.index.ivf_flat import _recover_rows
 

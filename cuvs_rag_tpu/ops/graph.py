@@ -37,6 +37,7 @@ import jax.numpy as jnp
 
 from cuvs_rag_tpu.ops import distance as dist_ops
 from cuvs_rag_tpu.ops import topk as topk_ops
+from cuvs_rag_tpu.utils.config import Metric
 
 
 def build_knn_graph(
@@ -306,14 +307,76 @@ def augment_reverse_edges(
     return jnp.concatenate([fwd, rev], axis=1)
 
 
+def augment_rows(
+    vectors: jax.Array, sqnorms: jax.Array, n_valid: jax.Array, metric: str
+) -> jax.Array:
+    """(Np, D) rows -> (Np, D+2) score-augmented rows for beam_search.
+
+    The two extra columns make ONE row gather carry everything a beam
+    score needs — scattered reads cost ~30 ns/row on TPU regardless of
+    row bytes (scripts/bench_gather_modes.py), so the separate
+    `sqnorms[ids]` and `row_valid[ids]` scalar gathers were pure loss
+    (+6.3 ms of a 24.6 ms beam at bench shapes, measured).
+
+      sqeuclidean:  v' = [v, hi, lo, 0...] with hi+lo == ||v||^2 split
+                    across two storage-dtype lanes (bf16 split error
+                    ~2^-16 relative — far below the bf16 vector rounding).
+                    Query side uses [2q, -1, -1, 0...]:
+                    q'.v' = 2 q.v - ||v||^2.
+      ip/cosine:    v' = [v, 0, 0, 0...]; query [q, -1, -1, 0...].
+
+    The augmented width is rounded up to a lane-tile multiple (128):
+    gathering rows whose logical width is NOT a multiple of 128 runs ~2x
+    slower (measured 12.8 -> 23.7 ms at bench shapes for 768 -> 770), and
+    the physical HBM layout is padded to the tile anyway, so the explicit
+    zeros cost nothing.
+
+    Pad rows (>= n_valid) carry hi = DELETED_PENALTY, the same tombstone
+    delete() writes, so any metric scores them ~-2e30: never returned
+    (filtered by DELETED_THRESHOLD), never expanded. This replaces the
+    row_valid mask entirely.
+    """
+    n_pad, d = vectors.shape
+    storage = vectors.dtype
+    if metric == Metric.SQEUCLIDEAN:
+        sq = sqnorms.astype(jnp.float32)
+        # reduce_precision, NOT astype(bf16).astype(f32): XLA's algebraic
+        # simplifier folds the final bf16 narrowing INTO the subtraction
+        # (sub_bf16(hi, hi) == 0), silently zeroing the lo column — measured
+        # recall 0.965 -> 0.758 at 2M x 768. reduce_precision is an opaque
+        # HLO the simplifier keeps in f32.
+        if storage == jnp.bfloat16:
+            hi_f32 = jax.lax.reduce_precision(sq, exponent_bits=8, mantissa_bits=7)
+        else:
+            hi_f32 = sq
+        hi = hi_f32.astype(storage)
+        lo = (sq - hi_f32).astype(storage)
+    else:
+        hi = jnp.zeros((n_pad,), storage)
+        lo = jnp.zeros((n_pad,), storage)
+    pad = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)[:, 0] >= n_valid
+    hi = jnp.where(pad, jnp.asarray(dist_ops.DELETED_PENALTY, storage), hi)
+    lo = jnp.where(pad, jnp.zeros((), storage), lo)
+    width = -(-(d + 2) // 128) * 128
+    zeros = jnp.zeros((n_pad, width - d - 2), storage)
+    return jnp.concatenate([vectors, hi[:, None], lo[:, None], zeros], axis=1)
+
+
+def augmented_query(queries: jax.Array, metric: str, width: int) -> jax.Array:
+    """(Q, D) queries -> (Q, width) f32 so that q'.v' is the beam score."""
+    q = queries.astype(jnp.float32)
+    scale = 2.0 if metric == Metric.SQEUCLIDEAN else 1.0
+    tail = jnp.full((q.shape[0], 2), -1.0, jnp.float32)
+    zeros = jnp.zeros((q.shape[0], width - q.shape[1] - 2), jnp.float32)
+    return jnp.concatenate([scale * q, tail, zeros], axis=1)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "itopk", "max_iters", "n_entries", "expansions"),
 )
 def beam_search(
-    vectors: jax.Array,
-    sqnorms: jax.Array,
-    row_valid: jax.Array,
+    aug_vectors: jax.Array,
     graph: jax.Array,
     queries: jax.Array,
     *,
@@ -327,20 +390,20 @@ def beam_search(
 ) -> Tuple[jax.Array, jax.Array]:
     """Fixed-iteration greedy beam search over the graph.
 
-    vectors (Np, D) storage dtype; row_valid (Np,) bool; graph (Np, G).
-    Returns (scores (Q,k) desc, ids (Q,k)). Entry points: `entry_ids`
-    (Q, E) per-query rows when given (the coarse-quantizer medoid map —
-    required for recall on clustered corpora at scale), else evenly spaced
-    rows. `expansions` best unexpanded candidates are expanded per
-    iteration (batched neighbor gathers — the latency lever; cuVS CAGRA's
-    search_width equivalent).
+    aug_vectors (Np, D+2) score-augmented storage rows (augment_rows);
+    graph (Np, G). Returns (scores (Q,k) desc, ids (Q,k)). Entry points:
+    `entry_ids` (Q, E) per-query rows when given (the coarse-quantizer
+    medoid map — required for recall on clustered corpora at scale), else
+    evenly spaced rows. `expansions` best unexpanded candidates are
+    expanded per iteration (batched neighbor gathers — the latency lever;
+    cuVS CAGRA's search_width equivalent).
     """
-    n_pad, d = vectors.shape
+    n_pad, width = aug_vectors.shape
     g = graph.shape[1]
     b = max(itopk, k)
     e = max(1, min(expansions, b))
     iters = max_iters or min(64, max(8, 2 * -(-b // e)))
-    queries = queries.astype(jnp.float32)
+    aug_queries = augmented_query(queries, metric, width)
 
     if entry_ids is None:
         # entry points: evenly spaced rows (static), shared by all queries
@@ -349,16 +412,12 @@ def beam_search(
     n_entries = entry_ids.shape[1]
 
     def score_rows(qvec, ids):
-        vecs = vectors[ids].astype(jnp.float32)  # (M, D)
-        ip = dist_ops.dot_general_prec(vecs, qvec[:, None], (((1,), (0,)), ((), ())))[:, 0]
-        if metric == "sqeuclidean":
-            # a tombstoned (deleted) row's sqnorm slot carries ~2e30
-            # (ops/distance.py), so its score lands at ~-2e30: never in
-            # results and never expanded (the beam routes around it)
-            s = 2.0 * ip - sqnorms[ids]
-        else:
-            s = ip - dist_ops.deletion_penalty(sqnorms[ids])
-        return jnp.where(row_valid[ids], s, topk_ops.NEG_INF)
+        # ONE gather per candidate: the augmented row makes the dot itself
+        # the score (deletion/pad tombstones included — see augment_rows)
+        vecs = aug_vectors[ids].astype(jnp.float32)  # (M, D+2)
+        return dist_ops.dot_general_prec(
+            vecs, qvec[:, None], (((1,), (0,)), ((), ()))
+        )[:, 0]
 
     m = e * g
 
@@ -434,4 +493,4 @@ def beam_search(
         out_i = jnp.where(live, ids[order], -1)
         return out_s, out_i
 
-    return jax.vmap(one_query)(queries, entry_ids)
+    return jax.vmap(one_query)(aug_queries, entry_ids)

@@ -88,7 +88,10 @@ def index_bytes_estimate(
             est += n * dim * b + n * 4
         return est
     if family == "cagra":
-        return n * dim * b + n * graph_degree * 4 + n * 4
+        # score-augmented [v, hi, lo] rows, lane-tile-rounded to 128
+        # (ops/graph.augment_rows) — at 768-d the stored width is 896
+        width = -(-(dim + 2) // 128) * 128
+        return n * width * b + n * graph_degree * 4 + n * 4
     raise ValueError(f"unknown family {family!r}")
 
 

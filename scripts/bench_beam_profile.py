@@ -68,65 +68,99 @@ def main():
     # --- 1. gather+score only, sequential loop (the hot half) -----------
     # NB: vectors/sqnorms are explicit args everywhere — closure capture
     # inlines them as multi-GB HLO constants and stalls lowering.
-    @jax.jit
-    def gather_score_loop(vectors, sqnorms, key, queries):
-        def step(c, _):
-            k, acc = c
-            k, sub = jax.random.split(k)
-            ids = rand_ids(sub, (q_n, m))
-            vecs = vectors[ids.reshape(-1)].astype(jnp.float32)
-            ip = jax.vmap(
-                lambda qv, vv: dist_ops.dot_general_prec(
-                    vv, qv[:, None], (((1,), (0,)), ((), ()))
-                )[:, 0]
-            )(queries, vecs.reshape(q_n, m, d))
-            s = 2.0 * ip - sqnorms[ids]
-            return (k, acc + s.sum()), None
-        (_, acc), _ = jax.lax.scan(step, (key, 0.0), None, length=iters)
-        return acc
+    row_valid = jnp.ones((n,), jnp.bool_)
 
-    ms = timed(gather_score_loop, vectors, sqnorms, ki, queries)
-    print(f"gather+score loop: {ms:.2f} ms "
-          f"({iters*bytes_per_iter/ms*1e3/1e9:.0f} GB/s effective)")
+    def mk_gather_score(norm_mode):
+        @jax.jit
+        def gather_score_loop(vectors, sqnorms, key, queries):
+            def step(c, _):
+                k, acc = c
+                k, sub = jax.random.split(k)
+                ids = rand_ids(sub, (q_n, m))
+                vecs = vectors[ids.reshape(-1)].astype(jnp.float32)
+                vecs = vecs.reshape(q_n, m, d)
+                ip = jax.vmap(
+                    lambda qv, vv: dist_ops.dot_general_prec(
+                        vv, qv[:, None], (((1,), (0,)), ((), ()))
+                    )[:, 0]
+                )(queries, vecs)
+                if norm_mode == "insitu":
+                    s = 2.0 * ip - jnp.sum(vecs * vecs, axis=-1)
+                else:
+                    s = 2.0 * ip - sqnorms[ids]
+                if norm_mode == "valid":
+                    s = jnp.where(row_valid[ids], s, -jnp.inf)
+                return (k, acc + s.sum()), None
+            (_, acc), _ = jax.lax.scan(step, (key, 0.0), None, length=iters)
+            return acc
+        return gather_score_loop
 
-    # --- 2. dedup-sort + top_k chain only (the other half) --------------
-    @jax.jit
-    def sort_loop(key, queries):
-        scores0 = jnp.zeros((q_n, b), jnp.float32)
-        ids0 = jnp.zeros((q_n, b), jnp.int32)
-        exp0 = jnp.zeros((q_n, b), jnp.bool_)
+    for mode, tag in (("valid", "sqnorm+row_valid gathers"),
+                      ("sqnorm", "sqnorm gather only"),
+                      ("insitu", "in-situ norms, no scalar gathers")):
+        ms = timed(mk_gather_score(mode), vectors, sqnorms, ki, queries)
+        print(f"gather+score [{tag:32s}]: {ms:6.2f} ms "
+              f"({iters*bytes_per_iter/ms*1e3/1e9:.0f} GB/s effective)")
 
-        def one_query_step(scores, ids, expanded, n_scores, nbrs):
-            cand = jnp.where(expanded, topk_ops.NEG_INF, scores)
-            _, picks = jax.lax.top_k(cand, e)
-            expanded = expanded.at[picks].set(True)
-            all_s = jnp.concatenate([scores, n_scores])
-            all_i = jnp.concatenate([ids, nbrs])
-            all_e = jnp.concatenate([expanded, jnp.zeros((m,), jnp.bool_)])
-            sk = all_i * 2 + (1 - all_e.astype(jnp.int32))
-            order = jnp.argsort(sk)
-            s_i = all_i[order]
-            dup = jnp.concatenate(
-                [jnp.zeros((1,), jnp.bool_), s_i[1:] == s_i[:-1]])
-            s_s = jnp.where(dup, topk_ops.NEG_INF, all_s[order])
-            ns, sel = jax.lax.top_k(s_s, b)
-            return ns, s_i[sel], all_e[order][sel]
+    # --- 2. dedup + merge chain only (the other half) --------------------
+    def mk_dedup_loop(kind):
+        @jax.jit
+        def dedup_loop(key, queries):
+            scores0 = jnp.zeros((q_n, b), jnp.float32)
+            ids0 = jnp.zeros((q_n, b), jnp.int32)
+            exp0 = jnp.zeros((q_n, b), jnp.bool_)
 
-        def step(c, _):
-            k, scores, ids, expanded = c
-            k, s1, s2 = jax.random.split(k, 3)
-            n_scores = jax.random.normal(s1, (q_n, m), jnp.float32)
-            nbrs = rand_ids(s2, (q_n, m))
-            scores, ids, expanded = jax.vmap(one_query_step)(
-                scores, ids, expanded, n_scores, nbrs)
-            return (k, scores, ids, expanded), None
+            def one_query_step(scores, ids, expanded, n_scores, nbrs):
+                cand = jnp.where(expanded, topk_ops.NEG_INF, scores)
+                _, picks = jax.lax.top_k(cand, e)
+                expanded = expanded.at[picks].set(True)
+                if kind == "argsort":
+                    all_s = jnp.concatenate([scores, n_scores])
+                    all_i = jnp.concatenate([ids, nbrs])
+                    all_e = jnp.concatenate(
+                        [expanded, jnp.zeros((m,), jnp.bool_)])
+                    sk = all_i * 2 + (1 - all_e.astype(jnp.int32))
+                    order = jnp.argsort(sk)
+                    s_i = all_i[order]
+                    dup = jnp.concatenate(
+                        [jnp.zeros((1,), jnp.bool_), s_i[1:] == s_i[:-1]])
+                    s_s = jnp.where(dup, topk_ops.NEG_INF, all_s[order])
+                    ns, sel = jax.lax.top_k(s_s, b)
+                    return ns, s_i[sel], all_e[order][sel]
+                # monotone-beam compare dedup (ops/graph.py)
+                in_beam = jnp.any(nbrs[:, None] == ids[None, :], axis=1)
+                eq = nbrs[:, None] == nbrs[None, :]
+                earlier = jax.lax.broadcasted_iota(jnp.int32, (m, m), 1) < (
+                    jax.lax.broadcasted_iota(jnp.int32, (m, m), 0))
+                dup = in_beam | jnp.any(eq & earlier, axis=1)
+                n_s = jnp.where(dup, topk_ops.NEG_INF, n_scores)
+                all_s = jnp.concatenate([scores, n_s])
+                all_i = jnp.concatenate([ids, nbrs])
+                all_e = jnp.concatenate([expanded, jnp.zeros((m,), jnp.bool_)])
+                if kind == "approx":
+                    ns, sel = jax.lax.approx_max_k(
+                        all_s, b, recall_target=0.95)
+                else:
+                    ns, sel = jax.lax.top_k(all_s, b)
+                return ns, all_i[sel], all_e[sel]
 
-        (_, scores, _, _), _ = jax.lax.scan(
-            step, (key, scores0, ids0, exp0), None, length=iters)
-        return scores.sum()
+            def step(c, _):
+                k, scores, ids, expanded = c
+                k, s1, s2 = jax.random.split(k, 3)
+                n_scores = jax.random.normal(s1, (q_n, m), jnp.float32)
+                nbrs = rand_ids(s2, (q_n, m))
+                scores, ids, expanded = jax.vmap(one_query_step)(
+                    scores, ids, expanded, n_scores, nbrs)
+                return (k, scores, ids, expanded), None
 
-    ms2 = timed(sort_loop, ki, queries)
-    print(f"dedup-sort loop:   {ms2:.2f} ms")
+            (_, scores, _, _), _ = jax.lax.scan(
+                step, (key, scores0, ids0, exp0), None, length=iters)
+            return scores.sum()
+        return dedup_loop
+
+    for kind in ("argsort", "compare", "approx"):
+        ms2 = timed(mk_dedup_loop(kind), ki, queries)
+        print(f"dedup loop [{kind:8s}]: {ms2:6.2f} ms")
 
     # --- 3. one-shot amortized gather (upper bound if loop overhead =0) -
     @jax.jit
@@ -142,11 +176,13 @@ def main():
     from cuvs_rag_tpu.ops import graph as graph_ops
     kg = jax.random.PRNGKey(7)
     graph = jax.random.randint(kg, (n, g), 0, n, jnp.int32)
-    row_valid = jnp.ones((n,), jnp.bool_)
+    aug = jax.jit(graph_ops.augment_rows, static_argnums=(3,))(
+        vectors, sqnorms, jnp.int32(n), "sqeuclidean")
+    jax.block_until_ready(aug)
 
     def beam(qs):
         return graph_ops.beam_search(
-            vectors, sqnorms, row_valid, graph, qs,
+            aug, graph, qs,
             k=10, metric="sqeuclidean", itopk=b,
             max_iters=iters, expansions=e)
 

@@ -255,3 +255,52 @@ def test_forward_split_scales_with_realized_degree():
     # pure-forward request stays pure-forward even when shrunk
     pf = CagraParams(graph_degree=64, forward_edges=64)
     assert _forward_split(pf, 39) == 39
+
+
+def test_augment_rows_hi_lo_split():
+    """The bf16 [hi, lo] norm split must survive XLA's algebraic
+    simplifier: a naive `(sq - hi.astype(f32)).astype(bf16)` gets the
+    narrowing folded INTO the subtraction (sub_bf16(hi, hi) == 0),
+    silently zeroing lo — measured recall 0.965 -> 0.758 at 2M x 768.
+    Pin hi+lo == ||v||^2 to lo's own bf16 resolution, far below hi's."""
+    import jax
+
+    from cuvs_rag_tpu.ops import distance as dist_ops
+    from cuvs_rag_tpu.ops import graph as graph_ops
+
+    rng = np.random.default_rng(3)
+    # sq ~ 1200: bf16 spacing at this magnitude is 8, so a dead lo column
+    # shows up as error ~4 while a live one stays ~0.03
+    v = jnp.asarray(rng.standard_normal((256, 128)) + 3.0, jnp.bfloat16)
+    sq = dist_ops.sqnorms(v.astype(jnp.float32))
+    aug = jax.jit(graph_ops.augment_rows, static_argnums=(3,))(
+        v, sq, jnp.int32(256), Metric.SQEUCLIDEAN
+    )
+    assert aug.shape == (256, 256)  # 128+2 rounded to the lane tile
+    hi = np.asarray(aug[:, 128].astype(jnp.float32))
+    lo = np.asarray(aug[:, 129].astype(jnp.float32))
+    sqn = np.asarray(sq)
+    err = np.abs(hi + lo - sqn).max()
+    assert err < 0.1, f"hi+lo drifted {err} from ||v||^2 (lo column dead?)"
+    # the padding tail is explicit zeros (tile-aligned gather width)
+    assert not np.any(np.asarray(aug[:, 130:]))
+
+
+def test_augmented_query_score_parity():
+    """q'.v' must equal 2 q.v - ||v||^2 (the sqeuclidean beam score)."""
+    import jax
+
+    from cuvs_rag_tpu.ops import distance as dist_ops
+    from cuvs_rag_tpu.ops import graph as graph_ops
+
+    rng = np.random.default_rng(4)
+    v = jnp.asarray(rng.standard_normal((64, 24)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((3, 24)), jnp.float32)
+    sq = dist_ops.sqnorms(v)
+    aug = jax.jit(graph_ops.augment_rows, static_argnums=(3,))(
+        v, sq, jnp.int32(64), Metric.SQEUCLIDEAN
+    )
+    aq = graph_ops.augmented_query(q, Metric.SQEUCLIDEAN, aug.shape[1])
+    got = np.asarray(aq @ aug.T)
+    want = np.asarray(2.0 * (q @ v.T) - sq[None, :])
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-3)
