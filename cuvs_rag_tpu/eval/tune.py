@@ -25,6 +25,15 @@ grid):
 
 Ground truth: pass `ground_truth` directly, or `corpus` and it is computed
 with the exact flat oracle (streamed — never a full host copy).
+
+Family selection on TPU (measured, PERF.md "Family selection on TPU";
+differs from GPU folklore): clustered/real-embedding corpora → ivf_flat
+(this tuner finds nprobe); unclusterable corpora at ≤~4M rows → the exact
+flat scan (it beats both approximate families); capacity-bound → ivf_pq.
+CAGRA is never the TPU latency winner — scattered graph-walk reads are
+issue-bound (~30 ns/row) while the IVF scan streams lists at 550 GB/s —
+use `tune_build()` to pick on evidence rather than assuming the
+reference's GPU ranking.
 """
 
 from __future__ import annotations

@@ -1,0 +1,77 @@
+"""Is the easy-corpus 0.981 recall plateau a bf16 tie artifact?
+
+Two EXACT engines over the same bf16 corpus — the fused Pallas flat
+kernel vs the XLA scores_from_tile path (different summation orders) —
+should disagree only on rounding ties. If their id overlap matches the
+IVF full-probe plateau (~0.981), the plateau is storage-precision ties,
+not retrieval misses.
+"""
+import sys
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+import time
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from cuvs_rag_tpu.index import flat
+    from cuvs_rag_tpu.ops import distance as dist_ops
+    from cuvs_rag_tpu.ops import topk as topk_ops
+    from cuvs_rag_tpu.utils.config import FlatParams
+
+    N, D, K, BATCH = 2_000_000, 768, 10, 100
+    N_LISTS = N // 1000
+    key = jax.random.PRNGKey(42)
+    kc = jax.random.fold_in(key, 999)
+    centers = jax.random.normal(kc, (N_LISTS, D), jnp.float32)
+
+    def mk(i):
+        k = jax.random.fold_in(key, i)
+        idx = jax.random.randint(k, (N // 8,), 0, N_LISTS)
+        return (centers[idx] + 0.3 * jax.random.normal(k, (N // 8, D))
+                ).astype(jnp.bfloat16)
+
+    corpus = jnp.concatenate([jax.jit(mk)(jnp.int32(i)) for i in range(8)])
+    jax.block_until_ready(corpus)
+    qk = jax.random.fold_in(key, 777)
+    idx = jax.random.randint(qk, (BATCH,), 0, N_LISTS)
+    queries = (centers[idx] + 0.3 * jax.random.normal(qk, (BATCH, D))
+               ).astype(jnp.float32)
+
+    fx = flat.build(FlatParams(dtype="bfloat16", tile_n=8192), corpus)
+    _, i_pallas = flat.search(None, fx, queries, K)
+    i_pallas = np.asarray(i_pallas)
+
+    # XLA oracle on the same bf16 corpus: tiled scores + top_k
+    sq = dist_ops.sqnorms(corpus.astype(jnp.float32))
+
+    @jax.jit
+    def xla_exact(c, s, q):
+        sc = dist_ops.scores_from_tile(q, c, s, "sqeuclidean")
+        return jax.lax.top_k(sc, K)
+
+    chunk = 500_000
+    best_s = np.full((BATCH, 0), -np.inf)
+    best_i = np.zeros((BATCH, 0), np.int64)
+    for st in range(0, N, chunk):
+        s_, i_ = xla_exact(corpus[st:st + chunk], sq[st:st + chunk], queries)
+        best_s = np.concatenate([best_s, np.asarray(s_)], axis=1)
+        best_i = np.concatenate([best_i, np.asarray(i_) + st], axis=1)
+    ordr = np.argsort(-best_s, axis=1)[:, :K]
+    i_xla = np.take_along_axis(best_i, ordr, axis=1)
+
+    overlap = np.mean([len(set(i_pallas[r]) & set(i_xla[r])) / K
+                       for r in range(BATCH)])
+    print(f"Pallas-exact vs XLA-exact id overlap @k={K}: {overlap:.4f}")
+
+    # and the margin structure: distance gap between slots 9 and 10/11
+    # of the XLA oracle (how crowded is the k-th boundary?)
+    gaps = -np.sort(-best_s, axis=1)
+    print("median |score gap| at the k-th boundary:",
+          float(np.median(np.abs(gaps[:, K - 1] - gaps[:, K]))))
+    print("median top-1..k score spread:",
+          float(np.median(np.abs(gaps[:, 0] - gaps[:, K - 1]))))
+
+
+main()

@@ -84,8 +84,36 @@ def main():
 
         return mk, mkq
 
-    for kind in (["easy", "hard"] if which == "both" else [which]):
-        mk, mkq = corpus_easy() if kind == "easy" else corpus_hard()
+    def corpus_uniform(r=24):
+        # ONE low-rank Gaussian blob — no cluster structure at all, so
+        # k-means cells are arbitrary Voronoi partitions of a continuum
+        # and true neighbors routinely straddle cell boundaries: the
+        # classic IVF-hostile geometry (and the classic graph-friendly
+        # one). If CAGRA has a TPU win region, it is here.
+        kc = jax.random.fold_in(key, 333)
+        proj = jax.random.orthogonal(jax.random.fold_in(kc, 1), D)[:r]
+
+        def sample(k, m):
+            z = jax.random.normal(k, (m, r), jnp.float32)
+            eps = 0.02 * jax.random.normal(jax.random.fold_in(k, 1), (m, D))
+            return z @ proj + eps
+
+        def mk(i):
+            return sample(
+                jax.random.fold_in(key, 20_000 + i), N // 8
+            ).astype(jnp.bfloat16)
+
+        def mkq(k):
+            return sample(k, BATCH).astype(jnp.float32)
+
+        return mk, mkq
+
+    kinds = (["easy", "hard", "uniform"] if which in ("both", "all")
+             else [which])
+    makers = {"easy": corpus_easy, "hard": corpus_hard,
+              "uniform": corpus_uniform}
+    for kind in kinds:
+        mk, mkq = makers[kind]()
         mk_j = jax.jit(mk)
         corpus = jnp.concatenate([mk_j(jnp.int32(i)) for i in range(8)])
         jax.block_until_ready(corpus)
@@ -130,7 +158,7 @@ def main():
         t0 = time.time()
         ivf = ivf_flat.build(IVFFlatParams(n_lists=N_LISTS), corpus)
         print(f"ivf build {time.time()-t0:.1f}s", flush=True)
-        for npb in (1, 2, 4, 8, 16, 32, 64, 128):
+        for npb in (1, 2, 4, 8, 16, 32, 64, 128, 256, 512):
             if npb > ivf.n_lists:
                 continue
             sp = IVFFlatSearchParams(n_probes=npb)
