@@ -829,32 +829,55 @@ def default_search_params() -> IVFFlatSearchParams:
 _PALLAS_BROKEN = False
 
 
-def _use_pallas_ivf(index: IVFFlatIndex, k: int) -> bool:
-    """Pallas DMA-scan eligibility: TPU, small k, 128-aligned dim, window
-    fits a double buffer in VMEM. Measured 3.3x the XLA gather path at 2M
-    (and far more once inside one jitted dispatch); id-identical results."""
+_PALLAS_WIN_BYTES = 8 * 1024 * 1024  # double-buffered window VMEM budget
+
+
+def _pallas_n_sub(index: IVFFlatIndex, k: int) -> Optional[int]:
+    """Pallas DMA-scan eligibility: TPU, small k, 128-aligned dim/window.
+    Returns the smallest sub-window split whose double buffer fits the
+    VMEM budget (1 = whole-window DMAs, the bf16/int8 case; fp32 at
+    window 2048 x 768 needs 2), or None when the XLA gather path must be
+    used. Measured 3.3x the XLA path at 2M for bf16 (and far more once
+    inside one jitted dispatch); id-identical results."""
     import os
 
     if _PALLAS_BROKEN:
-        return False
+        return None
     if os.environ.get("CUVS_RAG_TPU_DISABLE_PALLAS") == "1":
-        return False
+        return None
     try:
         if jax.default_backend() in ("cpu",):
-            return False
+            return None
     except Exception:
-        return False
+        return None
     from cuvs_rag_tpu.ops import pallas_ivf
 
-    dtype_size = index.vectors.dtype.itemsize
-    vmem_win = 2 * index.max_list_size * index.dim * dtype_size
-    return (
+    if not (
         k <= pallas_ivf.MAX_PALLAS_K
         and index.dim % 128 == 0
         and index.max_list_size % 128 == 0
         and index.size % 128 == 0
-        and vmem_win <= 8 * 1024 * 1024
+    ):
+        return None
+    return _fit_n_sub(
+        index.max_list_size, index.dim, index.vectors.dtype.itemsize
     )
+
+
+def _fit_n_sub(window: int, dim: int, itemsize: int) -> Optional[int]:
+    """Smallest divisor split of `window` (keeping 128-row pieces) whose
+    double-buffered sub-window fits _PALLAS_WIN_BYTES; None if none does."""
+    blocks = window // 128
+    for n_sub in range(1, blocks + 1):
+        if blocks % n_sub:
+            continue
+        if 2 * (window // n_sub) * dim * itemsize <= _PALLAS_WIN_BYTES:
+            return n_sub
+    return None
+
+
+def _use_pallas_ivf(index: IVFFlatIndex, k: int) -> bool:
+    return _pallas_n_sub(index, k) is not None
 
 
 def search_scores(
@@ -898,6 +921,7 @@ def search_scores(
             index.vectors, index.sqnorms, index.scales, queries, offs, cnts,
             k=k, nprobe=n_probes, window=index.max_list_size,
             metric=index.metric, coarse_ip=coarse_ip,
+            n_sub=_pallas_n_sub(index, k) or 1,
         )
         ids = jnp.where(pos >= 0, index.row_ids[jnp.maximum(pos, 0)], -1)
         return scores, ids

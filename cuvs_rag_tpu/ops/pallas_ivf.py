@@ -10,10 +10,16 @@ overlap compute.
 
 Shape strategy (everything static):
   * queries are processed in tiles of 8 (sublane minimum); the grid is
-    (query_tiles, 8 * nprobe) with the probe axis fastest. Step s serves
-    local query qi = s // P and its probe p = s % P: one window DMA, scores
-    computed for the whole 8-row tile but masked to row qi (VPU cost is
-    negligible next to the DMA).
+    (query_tiles, 8 * nprobe * n_sub) with the probe axis fastest. Step s
+    serves local query qi, probe p, sub-window u: one window/n_sub-row DMA,
+    scores computed for the whole 8-row tile but masked to row qi (VPU cost
+    is negligible next to the DMA).
+  * n_sub > 1 splits each probe window into n_sub sequential sub-window
+    DMAs so the double buffer fits VMEM for wide storage dtypes: fp32 at
+    window=2048, D=768 needs 12.6 MB double-buffered (over the ~16 MB/core
+    VMEM budget shared with queries/scratch) but 6.3 MB at n_sub=2. The
+    DMA stream covers exactly the same bytes in the same order, just in
+    smaller pipelined pieces.
   * the running top-k lives in VMEM scratch (same sort-free k-round
     selection as pallas_flat); outputs written at the last step.
   * the kernel returns *positions in the sorted layout*; the caller maps
@@ -50,13 +56,15 @@ def _kernel(
                          # [b, 0, l] = sqnorms[b*128+l], [b, 1, l] = scales
     out_s_ref, out_i_ref,  # (QT, k)
     win, aux_win, sems, aux_sems, s_scr, i_scr,
-    *, k, nprobe, window, metric, scaled,
+    *, k, nprobe, window, metric, scaled, n_sub,
 ):
     s = pl.program_id(1)
     n_steps = pl.num_programs(1)
     qt_idx = pl.program_id(0)
-    qi = s // nprobe
-    p = s % nprobe
+    subwin = window // n_sub
+    qi = s // (nprobe * n_sub)
+    p = (s // n_sub) % nprobe
+    sub = s % n_sub
     flat_idx = (qt_idx * _QT + qi) * nprobe + p
 
     @pl.when(s == 0)
@@ -65,20 +73,22 @@ def _kernel(
         i_scr[:] = jnp.full_like(i_scr, -1)
 
     def dma(slot, step):
-        qi2 = step // nprobe
-        p2 = step % nprobe
+        qi2 = step // (nprobe * n_sub)
+        p2 = (step // n_sub) % nprobe
+        sub2 = step % n_sub
         fi = (qt_idx * _QT + qi2) * nprobe + p2
-        # list starts are ALIGN(=128)-aligned by the layout (ops/ivf.py);
-        # Mosaic needs the proof to slice the tiled HBM memref
-        off = pl.multiple_of(offs_ref[fi], 128)
+        # list starts are ALIGN(=128)-aligned by the layout (ops/ivf.py)
+        # and subwin is a multiple of 128; Mosaic needs the proof to slice
+        # the tiled HBM memref
+        off = pl.multiple_of(offs_ref[fi] + sub2 * subwin, 128)
         return (
             pltpu.make_async_copy(
-                corpus_hbm.at[pl.ds(off, window), :],
+                corpus_hbm.at[pl.ds(off, subwin), :],
                 win.at[slot],
                 sems.at[slot],
             ),
             pltpu.make_async_copy(
-                aux_hbm.at[pl.ds(off // 128, window // 128)],
+                aux_hbm.at[pl.ds(off // 128, subwin // 128)],
                 aux_win.at[slot],
                 aux_sems.at[slot],
             ),
@@ -103,8 +113,14 @@ def _kernel(
     q = q_ref[:]  # (QT, D)
     if w.dtype == jnp.int8:
         w = w.astype(q.dtype)  # int8 windows: halve DMA bytes, score bf16
+    # fp32 storage promises fp32 scoring (the XLA path uses HIGHEST,
+    # ops/distance.py) — the MXU default truncates fp32 operands to bf16,
+    # measured as a recall drop 0.980 -> 0.951 at 2M fp32. The multi-pass
+    # FLOP cost is invisible next to the window DMA.
+    fp32 = q.dtype == jnp.float32 and w.dtype == jnp.float32
     ip = jax.lax.dot_general(
-        q, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST if fp32 else None,
     )  # (QT, window)
     # aux slot 0 = reconstruction sqnorms, possibly tombstoned past the
     # deletion threshold (ops/distance.py): sqeuclidean kills deleted rows
@@ -128,8 +144,8 @@ def _kernel(
     else:
         scores = ip - del_pen
 
-    cnt = cnts_ref[flat_idx]
-    off = offs_ref[flat_idx]
+    cnt = cnts_ref[flat_idx] - sub * subwin  # rows live in THIS sub-window
+    off = offs_ref[flat_idx] + sub * subwin
     col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
     row = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
     scores = jnp.where((col < cnt) & (row == qi), scores, NEG_INF)
@@ -161,7 +177,8 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "nprobe", "window", "metric", "interpret")
+    jax.jit,
+    static_argnames=("k", "nprobe", "window", "metric", "n_sub", "interpret"),
 )
 def ivf_scan_pallas(
     sorted_vectors: jax.Array,  # (cap, D) storage dtype
@@ -176,6 +193,7 @@ def ivf_scan_pallas(
     window: int,
     metric: str,
     coarse_ip: jax.Array | None = None,
+    n_sub: int = 1,
     interpret: bool = False,
 ):
     """Returns ((Q, k) scores desc, (Q, k) positions in the sorted layout).
@@ -183,11 +201,14 @@ def ivf_scan_pallas(
     window must satisfy off + window <= cap for every offset (the sorted-CSR
     build guarantees capacity >= rows + max_list_size); offsets and window
     must be 128-aligned (ops/ivf.ALIGN). int8 storage is scored against the
-    reconstruction via the per-row scales (SQ8).
+    reconstruction via the per-row scales (SQ8). n_sub splits each probe
+    window into n_sub sub-window DMAs (window must stay 128-aligned per
+    piece) so wide dtypes fit the VMEM double buffer — see module docstring.
     """
     assert k <= MAX_PALLAS_K, k
     cap, d = sorted_vectors.shape
     assert cap % 128 == 0 and window % 128 == 0, (cap, window)
+    assert n_sub >= 1 and window % (n_sub * 128) == 0, (window, n_sub)
     scaled = sorted_vectors.dtype == jnp.int8
     q_n = queries.shape[0]
     q_pad = topk_ops.round_up(q_n, _QT)
@@ -207,10 +228,10 @@ def ivf_scan_pallas(
         axis=1,
     )  # (cap//128, 2, 128)
 
-    grid = (q_pad // _QT, _QT * nprobe)
+    grid = (q_pad // _QT, _QT * nprobe * n_sub)
     kernel = functools.partial(
         _kernel, k=k, nprobe=nprobe, window=window, metric=metric,
-        scaled=scaled,
+        scaled=scaled, n_sub=n_sub,
     )
     out_s, out_i = pl.pallas_call(
         kernel,
@@ -227,8 +248,8 @@ def ivf_scan_pallas(
                 pl.BlockSpec((_QT, k), lambda i, s, *_: (i, 0)),
             ],
             scratch_shapes=[
-                pltpu.VMEM((2, window, d), sorted_vectors.dtype),
-                pltpu.VMEM((2, window // 128, 2, 128), jnp.float32),
+                pltpu.VMEM((2, window // n_sub, d), sorted_vectors.dtype),
+                pltpu.VMEM((2, window // (n_sub * 128), 2, 128), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.VMEM((_QT, k), jnp.float32),

@@ -1,0 +1,91 @@
+"""fp32-storage IVF-Flat at 2M x 768 on the real TPU: sub-windowed Pallas
+DMA scan (n_sub=2 — the fp32 window needs 12.6 MB double-buffered, over the
+8 MB VMEM budget, so each probe window streams as two pipelined DMAs) vs
+the XLA gather fallback that fp32 used to take. Queue-drain timing; recall
+vs the exact oracle on the same corpus."""
+
+# runnable from any cwd: put the repo root on sys.path
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cuvs_rag_tpu.index import flat, ivf_flat
+    from cuvs_rag_tpu.utils.config import (
+        FlatParams, IVFFlatParams, IVFFlatSearchParams,
+    )
+
+    N, D, K, BATCH, REPS = 2_000_000, 768, 10, 100, 10
+    key = jax.random.PRNGKey(42)
+
+    kc = jax.random.fold_in(key, 999)
+    centers = jax.random.normal(kc, (2000, D), jnp.float32)
+    mk = jax.jit(lambda k: (
+        centers[jax.random.randint(k, (N // 8,), 0, 2000)]
+        + 0.3 * jax.random.normal(k, (N // 8, D))
+    ))
+    corpus = jnp.concatenate([mk(jax.random.fold_in(key, i)) for i in range(8)])
+    jax.block_until_ready(corpus)
+    print("corpus ready (fp32, %.1f GB)" % (corpus.nbytes / 1e9), flush=True)
+
+    qk = jax.random.fold_in(key, 777)
+    queries = (
+        centers[jax.random.randint(qk, (BATCH,), 0, 2000)]
+        + 0.3 * jax.random.normal(qk, (BATCH, D))
+    ).astype(jnp.float32)
+    qrs = [
+        queries + 0.01 * jax.random.normal(jax.random.fold_in(key, r), queries.shape)
+        for r in range(REPS)
+    ]
+    _ = [q.block_until_ready() for q in qrs]
+
+    fx = flat.build(FlatParams(dtype="bfloat16", tile_n=8192), corpus)
+    _, gt = flat.search(None, fx, qrs[0], K)
+    gt = np.asarray(gt)
+    del fx
+
+    t0 = time.time()
+    ix = ivf_flat.build(
+        IVFFlatParams(n_lists=2000, dtype="float32", kmeans_sample=100_000),
+        corpus,
+    )
+    jax.block_until_ready(ix.vectors)
+    del corpus
+    print(f"fp32 build {time.time()-t0:.1f}s "
+          f"lists {ix.vectors.nbytes/1e6:.0f} MB "
+          f"max_list {ix.max_list_size} "
+          f"n_sub {ivf_flat._pallas_n_sub(ix, K)}", flush=True)
+
+    for use_pallas, label in ((True, "pallas n_sub"), (False, "xla gather")):
+        for np_ in (10, 20):
+            sp = IVFFlatSearchParams(n_probes=np_)
+            d, i = ivf_flat._search_core(sp, ix, qrs[0], K, use_pallas)
+            i0 = np.asarray(i)
+            rec = np.mean([
+                len(set(i0[r]) & set(gt[r])) / K for r in range(BATCH)
+            ])
+            best = 1e9
+            for _t in range(2):
+                t0 = time.perf_counter()
+                last = None
+                for q in qrs:
+                    last = ivf_flat._search_core(sp, ix, q, K, use_pallas)
+                _ = np.asarray(last[0])
+                best = min(best, (time.perf_counter() - t0) / REPS)
+            print(f"{label} nprobe={np_}: {best*1e3:.2f} ms/batch "
+                  f"{best/BATCH*1e3:.4f} ms/q  recall@{K}={rec:.3f}",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -19,7 +19,7 @@ def built():
     return ix, corpus, queries
 
 
-def _pallas_search(ix, queries, k, nprobe, interpret=True):
+def _pallas_search(ix, queries, k, nprobe, interpret=True, n_sub=1):
     coarse_scores, probes = ivf_ops.probe_lists(
         jnp.asarray(queries), ix.centroids, ix.centroid_sqnorms, nprobe, ix.metric
     )
@@ -31,7 +31,7 @@ def _pallas_search(ix, queries, k, nprobe, interpret=True):
     s, pos = pallas_ivf.ivf_scan_pallas(
         ix.vectors, ix.sqnorms, ix.scales, jnp.asarray(queries), offs, cnts,
         k=k, nprobe=nprobe, window=ix.max_list_size, metric=ix.metric,
-        coarse_ip=coarse_ip, interpret=interpret,
+        coarse_ip=coarse_ip, interpret=interpret, n_sub=n_sub,
     )
     ids = jnp.where(pos >= 0, ix.row_ids[jnp.maximum(pos, 0)], -1)
     return s, ids
@@ -65,6 +65,35 @@ def test_pallas_ivf_empty_lists(built):
     s, i = _pallas_search(ix, queries[:2], 3, 1)
     assert np.asarray(i).shape == (2, 3)
     assert np.all(np.asarray(i) >= -1)
+
+
+def test_pallas_ivf_subwindow_matches_whole_window(built):
+    # n_sub > 1 (the fp32-fits-VMEM path) must cover exactly the same rows:
+    # identical ids and scores to whole-window DMAs and to the XLA path
+    ix, corpus, queries = built
+    k, nprobe = 10, 8
+    blocks = ix.max_list_size // 128
+    subs = [n for n in (2, 3, 4) if blocks % n == 0]
+    assert subs, f"fixture max_list_size {ix.max_list_size} not splittable"
+    s1, i1 = _pallas_search(ix, queries, k, nprobe)
+    for n_sub in subs:
+        s2, i2 = _pallas_search(ix, queries, k, nprobe, n_sub=n_sub)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(
+            np.asarray(s1), np.asarray(s2), rtol=1e-5, atol=1e-5
+        )
+
+
+def test_fit_n_sub_selection():
+    # fp32 at window 2048 x 768 exceeds the 8 MB double buffer at n_sub=1;
+    # the helper picks the smallest fitting divisor split
+    assert ivf_flat._fit_n_sub(2048, 768, 2) == 1  # bf16: whole window
+    assert ivf_flat._fit_n_sub(2048, 768, 4) == 2  # fp32: halves fit
+    assert ivf_flat._fit_n_sub(2048, 768, 1) == 1  # int8
+    # a window so wide nothing fits (even 128-row pieces) -> None
+    assert ivf_flat._fit_n_sub(128, 64 * 1024, 4) is None
+    # non-power-of-two block counts still split evenly (blocks=6 -> 3x2)
+    assert ivf_flat._fit_n_sub(768, 768, 4) in (1, 2, 3, 6)
 
 
 @pytest.mark.slow
