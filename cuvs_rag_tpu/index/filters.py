@@ -1,0 +1,240 @@
+"""Filtered (allow-list) search — FAISS `IDSelector` / cuVS prefiltering
+parity, TPU-native.
+
+The reference stack exposes metadata filtering through FAISS's
+`SearchParameters(sel=IDSelector...)` and cuVS's bitset prefilter; the
+reference project itself never used them, but any RAG deployment filtering
+by source/date/tenant needs the capability. TPU-native design: shapes never
+change (no dynamic compaction), so no jitted search program recompiles per
+filter — exclusion rides the same score algebra as tombstone deletion
+(ops/distance.py): an excluded row's score drops ~-2e30 in every metric.
+
+Two mechanisms, chosen per family:
+
+* **Filtered views** (flat, ivf_flat, ivf_pq): `filtered_view(index, allow)`
+  returns a same-type index SHARING the big vector arrays and replacing one
+  (rows,)-shaped bookkeeping leaf (sqnorm slots, or PQ row ids). Building a
+  view costs one elementwise pass (flat) or one (cap,) gather through the
+  layout permutation (ivf families); searching a view costs exactly a
+  normal search. Views compose with deletion (deleted rows stay dead) and
+  are positionally exact: search(view) == search restricted to allowed rows.
+* **Post-filter** (cagra): the beam must traverse excluded rows to preserve
+  graph connectivity (a scoring tombstone would sever their edges —
+  index/cagra.delete documents that trade-off), so `search(...)` over-fetches
+  beam candidates and masks afterwards. Semantics are the standard
+  graph-ANN filtered-search contract: results are always ⊆ allow, and
+  recall under heavy filtering is governed by over_fetch/itopk.
+
+`search(params, index, queries, k, allow)` dispatches per family, so
+callers need no family-specific code.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cuvs_rag_tpu.index import base
+from cuvs_rag_tpu.ops import distance as dist_ops
+from cuvs_rag_tpu.utils.config import Metric
+
+NEG_INF = -float("inf")
+
+
+# --------------------------------------------------------------------------
+# allow-mask construction helpers
+# --------------------------------------------------------------------------
+
+def allow_from_ids(n: int, ids) -> np.ndarray:
+    """(n,) bool mask allowing exactly `ids` (out-of-range ids ignored)."""
+    ids = np.asarray(ids, dtype=np.int64).reshape(-1)
+    mask = np.zeros((n,), dtype=bool)
+    ids = ids[(ids >= 0) & (ids < n)]
+    mask[ids] = True
+    return mask
+
+
+def deny_from_ids(n: int, ids) -> np.ndarray:
+    """(n,) bool mask allowing everything EXCEPT `ids`."""
+    return ~allow_from_ids(n, ids)
+
+
+def _as_mask(allow, n: int) -> jax.Array:
+    """Validate/convert an allow mask for an n-row corpus."""
+    mask = jnp.asarray(allow)
+    if mask.dtype != jnp.bool_:
+        raise ValueError(
+            f"allow must be a boolean mask, got dtype {mask.dtype}; build "
+            "one with filters.allow_from_ids/deny_from_ids"
+        )
+    if mask.ndim != 1 or mask.shape[0] != n:
+        raise ValueError(
+            f"allow mask must be ({n},) to match the corpus rows, got "
+            f"{mask.shape}"
+        )
+    return mask
+
+
+def _fit(mask: jax.Array, rows: int) -> jax.Array:
+    """Pad a (n,) mask with False up to the padded layout length."""
+    n = mask.shape[0]
+    if n == rows:
+        return mask
+    return jnp.pad(mask, (0, rows - n), constant_values=False)
+
+
+# --------------------------------------------------------------------------
+# filtered views (flat / ivf_flat / ivf_pq)
+# --------------------------------------------------------------------------
+
+@jax.jit
+def _penalize_slots(sqnorms: jax.Array, allow_padded: jax.Array) -> jax.Array:
+    """Raise excluded rows' sqnorm slots past the deletion threshold —
+    the same convention as remove_ids, so every kernel (XLA and Pallas)
+    already honors it with zero search-path changes."""
+    return sqnorms + jnp.where(
+        allow_padded, 0.0, jnp.float32(dist_ops.DELETED_PENALTY)
+    )
+
+
+@jax.jit
+def _gather_by_row_ids(allow: jax.Array, row_ids: jax.Array) -> jax.Array:
+    """Permute an original-id-space mask into a sorted-CSR layout:
+    out[slot] = allow[row_ids[slot]], False on pads (row_ids == -1)."""
+    n = allow.shape[0]
+    ext = jnp.pad(allow, (0, 1), constant_values=False)
+    idx = jnp.where((row_ids >= 0) & (row_ids < n), row_ids, n)
+    return ext[idx]
+
+
+def view_traced(index, allow):
+    """Traced core of `filtered_view`: no host-side validation, safe under
+    jit/vmap/shard_map (the sharded layer vmaps it over shard-stacked
+    leaves). `allow` is an original-LOCAL-id-space bool mask; for FlatIndex
+    its width must equal the padded row count, for the IVF families any
+    width ≥ the local row count works (out-of-range row ids read False)."""
+    from cuvs_rag_tpu.index import flat as flat_mod
+    from cuvs_rag_tpu.index import ivf_flat as ivf_mod
+    from cuvs_rag_tpu.index import ivf_pq as pq_mod
+
+    if isinstance(index, flat_mod.FlatIndex):
+        return dataclasses.replace(
+            index, sqnorms=_penalize_slots(index.sqnorms, allow)
+        )
+    if isinstance(index, ivf_mod.IVFFlatIndex):
+        a = _gather_by_row_ids(allow, index.row_ids)
+        return dataclasses.replace(
+            index, sqnorms=_penalize_slots(index.sqnorms, a)
+        )
+    if isinstance(index, pq_mod.IVFPQIndex):
+        a = _gather_by_row_ids(allow, index.row_ids)
+        # the ADC scan (XLA and Pallas) drops id<0 slots before selection,
+        # and the refine re-rank pool inherits the same ids — one masked
+        # leaf filters both passes. NB: io.deleted_row_ids on the VIEW
+        # reports excluded rows as deleted; call it on the base index.
+        return dataclasses.replace(
+            index, row_ids=jnp.where(a, index.row_ids, -1)
+        )
+    raise TypeError(
+        f"filtered views do not support {type(index).__name__}; CAGRA "
+        "filtering is post-filter only — use filters.search"
+    )
+
+
+def filtered_view(index, allow):
+    """Same-type index restricted to `allow` (a (n_valid,) bool mask over
+    ORIGINAL corpus ids). Shares the vector storage; replaces only a
+    (rows,)-shaped bookkeeping leaf. Deleted rows stay deleted regardless
+    of the mask. Reusable across searches — build once per filter.
+
+    Supported: FlatIndex, IVFFlatIndex, IVFPQIndex. CAGRA is post-filter
+    only (see module docstring) — use `filters.search` for it.
+    """
+    from cuvs_rag_tpu.index import flat as flat_mod
+
+    mask = _as_mask(allow, int(index.n_valid))
+    if isinstance(index, flat_mod.FlatIndex):
+        mask = _fit(mask, index.vectors.shape[0])
+    return view_traced(index, mask)
+
+
+# --------------------------------------------------------------------------
+# unified filtered search
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("search_params", "k", "kk"))
+def _cagra_postfilter_core(search_params, index, queries, allow, k, kk):
+    from cuvs_rag_tpu.index import cagra as cagra_mod
+
+    scores, ids = cagra_mod.search_scores(search_params, index, queries, kk)
+    ok = _gather_by_row_ids(allow, ids.reshape(-1)).reshape(ids.shape)
+    scores = jnp.where(ok, scores, NEG_INF)
+    ids = jnp.where(ok, ids, -1)
+    top_s, arg = jax.lax.top_k(scores, k)
+    top_i = jnp.take_along_axis(ids, arg, axis=1)
+    top_i = jnp.where(top_s > NEG_INF, top_i, -1)
+    qn = (
+        dist_ops.l2_normalize(queries)
+        if index.metric == Metric.COSINE else queries
+    )
+    return dist_ops.scores_to_distances(
+        top_s, dist_ops.sqnorms(qn), index.metric
+    ), top_i
+
+
+def search(
+    search_params,
+    index,
+    queries: jax.Array,
+    k: int,
+    allow,
+    over_fetch: float = 4.0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Filtered search for any family: (distances, original ids), results
+    always ⊆ allow; surplus slots report id -1 when fewer than k allowed
+    rows are reachable.
+
+    flat/ivf_flat/ivf_pq: exact view semantics (identical to searching the
+    allowed subset). cagra: the beam runs at max(k·over_fetch, k) ≤ itopk
+    candidates and is masked afterwards — raise over_fetch (and/or
+    itopk_size) for highly selective filters.
+    """
+    from cuvs_rag_tpu.index import cagra as cagra_mod
+
+    if isinstance(index, cagra_mod.CagraIndex):
+        queries = base.validate_queries(queries, index.dim)
+        sp = search_params or cagra_mod.default_search_params()
+        kk = max(k, int(round(k * over_fetch)))
+        kk = min(kk, sp.itopk_size)
+        kk = max(kk, k)
+        if kk > sp.itopk_size:
+            raise ValueError(
+                f"k={k} exceeds itopk_size={sp.itopk_size}; raise "
+                "CagraSearchParams.itopk_size"
+            )
+        mask = _as_mask(allow, int(index.n_valid))
+        return _cagra_postfilter_core(
+            sp, index, queries, mask, k, kk
+        )
+    view = filtered_view(index, allow)
+    mod = _family_module(view)
+    return mod.search(search_params, view, queries, k)
+
+
+def _family_module(index):
+    from cuvs_rag_tpu.index import flat as flat_mod
+    from cuvs_rag_tpu.index import ivf_flat as ivf_mod
+    from cuvs_rag_tpu.index import ivf_pq as pq_mod
+
+    if isinstance(index, flat_mod.FlatIndex):
+        return flat_mod
+    if isinstance(index, ivf_mod.IVFFlatIndex):
+        return ivf_mod
+    if isinstance(index, pq_mod.IVFPQIndex):
+        return pq_mod
+    raise TypeError(type(index).__name__)

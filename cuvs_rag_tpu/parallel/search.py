@@ -28,9 +28,11 @@ from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from cuvs_rag_tpu.index import base as index_base
+from cuvs_rag_tpu.index import filters as filters_lib
 from cuvs_rag_tpu.index import flat as flat_family
 from cuvs_rag_tpu.ops import distance as dist_ops
 from cuvs_rag_tpu.ops import topk as topk_ops
@@ -197,6 +199,75 @@ def delete_replicated(rindex: ReplicatedIndex, ids) -> ReplicatedIndex:
     return dataclasses.replace(rindex, index=mod.delete(rindex.index, ids))
 
 
+def filtered_view_sharded(sindex: ShardedIndex, allow) -> ShardedIndex:
+    """Sharded counterpart of `index.filters.filtered_view`: restrict a
+    sharded index to a GLOBAL (total,) bool allow mask. The mask is split
+    by the shard layout (each shard sees its own rows in local id space)
+    and the per-shard views are built in one vmapped program — vector
+    storage is shared, only the (rows,)-shaped bookkeeping leaf changes.
+
+    CAGRA is post-filter only (see index/filters.py) — pass `allow=` to
+    `search_sharded` instead.
+    """
+    _load_families()
+    if sindex.family == "cagra":
+        raise ValueError(
+            "cagra filtering is post-filter only; pass allow= to "
+            "search_sharded instead of building a view"
+        )
+    mask = np.asarray(allow)
+    if mask.dtype != np.bool_ or mask.shape != (sindex.total,):
+        raise ValueError(
+            f"allow must be a ({sindex.total},) bool mask over global ids, "
+            f"got {mask.dtype} {mask.shape}"
+        )
+    offs = np.asarray(sindex.offsets, dtype=np.int64)
+    # shard i owns global rows [offs[i], min(offs[i+1], total)) — offsets
+    # use padded strides (shard.shard_layout), so they can exceed `total`
+    # and trailing shards can be empty
+    sizes = np.clip(np.minimum(np.append(offs[1:], sindex.total),
+                               sindex.total) - offs, 0, None)
+    if sindex.family == "flat":
+        # flat views add the penalty elementwise: width = padded local rows
+        width = int(sindex.local.sqnorms.shape[-1])
+    else:
+        # IVF families gather by local row id (< shard size)
+        width = int(sizes.max())
+    stacked = np.zeros((len(offs), width), dtype=bool)
+    for s in range(len(offs)):
+        stacked[s, : sizes[s]] = mask[offs[s] : offs[s] + sizes[s]]
+    stacked_dev = jnp.asarray(stacked)
+    try:  # co-locate the mask with the shard-stacked leaves
+        sh = sindex.offsets.sharding
+        stacked_dev = jax.device_put(
+            stacked_dev,
+            jax.sharding.NamedSharding(sh.mesh, P(sindex.axis_name, None)),
+        )
+    except (AttributeError, ValueError, TypeError):
+        pass
+    return dataclasses.replace(
+        sindex, local=_filtered_view_core(sindex.local, stacked_dev)
+    )
+
+
+@jax.jit
+def _filtered_view_core(local, allow_stacked):
+    return jax.vmap(filters_lib.view_traced)(local, allow_stacked)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _postfilter_merged(scores, idx, mask, k):
+    """Drop merged candidates outside the global allow mask, re-select k."""
+    ok = filters_lib._gather_by_row_ids(
+        mask, idx.reshape(-1)
+    ).reshape(idx.shape)
+    scores = jnp.where(ok, scores, -jnp.inf)
+    idx = jnp.where(ok, idx, -1)
+    top_s, arg = jax.lax.top_k(scores, k)
+    top_i = jnp.take_along_axis(idx, arg, axis=1)
+    return top_s, jnp.where(top_s > -jnp.inf, top_i, -1)
+
+
 def _shard_k(family: str, k: int, over_fetch: float) -> int:
     """Per-shard candidate count. Exact families need exactly k; approximate
     families over-fetch (reference fetches k*2 per shard,
@@ -252,6 +323,7 @@ def search_sharded(
     k: int,
     dmesh: DeviceMesh,
     over_fetch: float = 2.0,
+    allow=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Distributed search: fan-out (replicated queries) → per-shard top-k →
     all_gather over ICI → on-chip k-way merge → (distances, global indices).
@@ -259,6 +331,12 @@ def search_sharded(
     Implements the SearchResultAggregator contract
     (test_search_result_aggregator.py:330-358 merge semantics) as one SPMD
     program.
+
+    `allow` (optional): (total,) bool mask over GLOBAL ids — filtered
+    search (FAISS IDSelector parity). View families (flat/ivf) are exact;
+    cagra over-fetches the merge 4× and post-filters (index/filters.py).
+    Reusing one filter across many searches? Build the view once with
+    `filtered_view_sharded` and search that.
     """
     _load_families()
     mod = FAMILIES[sindex.family]
@@ -266,18 +344,39 @@ def search_sharded(
     queries = index_base.validate_queries(queries, _index_dim(sindex))
     if search_params is None:
         search_params = mod.default_search_params()
-    k_local = _shard_k(sindex.family, k, over_fetch)
+    kk, mask = k, None
+    if allow is not None:
+        if sindex.family == "cagra":
+            mask = jnp.asarray(allow)
+            if mask.dtype != jnp.bool_ or mask.shape != (sindex.total,):
+                raise ValueError(
+                    f"allow must be a ({sindex.total},) bool mask, got "
+                    f"{mask.dtype} {mask.shape}"
+                )
+            kk = min(max(k, int(round(k * 4.0))), search_params.itopk_size)
+            if kk < k:
+                raise ValueError(
+                    f"k={k} exceeds itopk_size={search_params.itopk_size}; "
+                    "raise CagraSearchParams.itopk_size"
+                )
+        else:
+            sindex = filtered_view_sharded(sindex, allow)
+    k_local = _shard_k(sindex.family, kk, over_fetch)
+    if mask is not None:
+        k_local = min(k_local, search_params.itopk_size)
     scores, idx = _distributed_search(
         sindex.local,
         sindex.offsets,
         queries,
         mesh=dmesh.mesh,
-        k=k,
+        k=kk,
         k_local=k_local,
         family=sindex.family,
         axis_name=sindex.axis_name,
         search_params=search_params,
     )
+    if mask is not None:
+        scores, idx = _postfilter_merged(scores, idx, mask, k)
     qn = dist_ops.l2_normalize(queries) if metric == Metric.COSINE else queries
     dists = dist_ops.scores_to_distances(scores, dist_ops.sqnorms(qn), metric)
     return dists, idx
@@ -296,6 +395,7 @@ def search_sharded_batched(
     dmesh: DeviceMesh,
     batch_size: int = 100,
     over_fetch: float = 2.0,
+    allow=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Large query sets in fixed-size batches (reference `batch_search`,
     improved_multi_gpu_rag.py:279-303, batch_size=100 default).
@@ -304,6 +404,9 @@ def search_sharded_batched(
     chunk is padded); results are concatenated on the host side of the API.
     """
     queries = index_base.validate_queries(queries, _index_dim(sindex))
+    if allow is not None and sindex.family != "cagra":
+        # build the filtered view ONCE, not per batch
+        sindex, allow = filtered_view_sharded(sindex, allow), None
     q = queries.shape[0]
     outs_d, outs_i = [], []
     for start in range(0, q, batch_size):
@@ -311,7 +414,9 @@ def search_sharded_batched(
         pad = batch_size - chunk.shape[0]
         if pad:
             chunk = jnp.pad(jnp.asarray(chunk), ((0, pad), (0, 0)))
-        d, i = search_sharded(search_params, sindex, chunk, k, dmesh, over_fetch)
+        d, i = search_sharded(
+            search_params, sindex, chunk, k, dmesh, over_fetch, allow=allow
+        )
         if pad:
             d, i = d[:-pad], i[:-pad]
         outs_d.append(d)
@@ -354,11 +459,15 @@ def search_replicated(
     queries: jax.Array,
     k: int,
     dmesh: DeviceMesh,
+    allow=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Query-batch-parallel search on a replicated index.
 
     Queries are padded to a multiple of the mesh size and sharded on the batch
     axis; XLA runs the per-device searches with zero communication.
+
+    `allow` (optional): (n,) bool mask — filtered search; ids are global ==
+    local on a replicated index.
     """
     _load_families()
     mod = FAMILIES[rindex.family]
@@ -372,6 +481,18 @@ def search_replicated(
         topk_ops.pad_rows(jnp.asarray(queries), qp),
         dmesh.sharding(dmesh.axis_name, None),
     )
+    if allow is not None:
+        if rindex.family == "cagra":
+            # post-filter path; batch-sharded queries partition the jitted
+            # program exactly like the unfiltered case
+            mask = jax.device_put(jnp.asarray(allow), dmesh.replicated())
+            dists, idx = filters_lib.search(
+                search_params, rindex.index, queries_p, k, mask
+            )
+            return dists[:q], idx[:q]
+        rindex = dataclasses.replace(
+            rindex, index=filters_lib.filtered_view(rindex.index, allow)
+        )
 
     @functools.partial(jax.jit, static_argnames=("k",))
     def _go(ix, qs, k):

@@ -101,10 +101,15 @@ class Retriever:
 
     # -- retrieval -------------------------------------------------------
 
-    def retrieve(self, query: str, k: int = 5) -> RetrievalResult:
-        return self.retrieve_batch([query], k)[0]
+    def retrieve(self, query: str, k: int = 5, allow=None) -> RetrievalResult:
+        return self.retrieve_batch([query], k, allow=allow)[0]
 
-    def retrieve_batch(self, queries: Sequence[str], k: int = 5) -> List[RetrievalResult]:
+    def retrieve_batch(
+        self, queries: Sequence[str], k: int = 5, allow=None
+    ) -> List[RetrievalResult]:
+        """`allow` (optional): (n_passages,) bool mask — metadata-filtered
+        retrieval (tenant/source/date predicates evaluated host-side into a
+        mask; index/filters.py). Results are always ⊆ allow."""
         from cuvs_rag_tpu.utils.metrics import default_registry as metrics
 
         metrics.inc("retriever.queries", len(queries))
@@ -112,14 +117,23 @@ class Retriever:
         q = jnp.asarray(self.encoder.encode(list(queries)))
         if isinstance(self.index, psearch.ShardedIndex):
             dists, idx = psearch.search_sharded(
-                self.search_params, self.index, q, k, self.dmesh
+                self.search_params, self.index, q, k, self.dmesh, allow=allow
             )
         elif isinstance(self.index, psearch.ReplicatedIndex):
             dists, idx = psearch.search_replicated(
-                self.search_params, self.index, q, k, self.dmesh
+                self.search_params, self.index, q, k, self.dmesh, allow=allow
             )
         else:
             mod = psearch.FAMILIES[self.family]
+            index = self.index
+            if allow is not None:
+                from cuvs_rag_tpu.index import filters as filters_lib
+
+                if self.family == "cagra":
+                    # post-filter family: no view exists (index/filters.py)
+                    mod = _CagraFilteredSearch(allow)
+                else:
+                    index = filters_lib.filtered_view(index, allow)
             kwargs = {}
             # resolve the family's defaults BEFORE gating: with
             # search_params=None, ivf_pq.search would substitute
@@ -142,7 +156,7 @@ class Retriever:
                 emb = np.asarray(self.corpus.embeddings)
                 kwargs["fetch_rows"] = lambda ids: emb[ids]
             dists, idx = mod.search(
-                self.search_params, self.index, q, k, **kwargs
+                self.search_params, index, q, k, **kwargs
             )
         dt = time.time() - t0
         from cuvs_rag_tpu.utils.metrics import default_registry as metrics
@@ -195,6 +209,19 @@ class Retriever:
         prompt context block (VectorSearch_QuestionRetrieval.ipynb#cell6)."""
         res = self.retrieve(query, k)
         return separator.join(p.text for p in res.passages)
+
+
+class _CagraFilteredSearch:
+    """Adapter giving the post-filter path the family-module `.search`
+    shape retrieve_batch dispatches through."""
+
+    def __init__(self, allow):
+        self.allow = allow
+
+    def search(self, search_params, index, queries, k, **kwargs):
+        from cuvs_rag_tpu.index import filters as filters_lib
+
+        return filters_lib.search(search_params, index, queries, k, self.allow)
 
 
 def _default_params(family: str):

@@ -1,0 +1,111 @@
+"""Filtered-search overhead on the real TPU (index/filters.py).
+
+Measures at 2M x 768 bf16: (a) filtered vs unfiltered search latency for
+flat (Pallas fused kernel) and IVF-Flat (Pallas DMA scan) — the view rides
+the existing sqnorm-slot penalty, so the expectation is ~zero marginal
+cost; (b) the one-off cost of building a view (elementwise pass for flat,
+(cap,) layout gather for IVF); (c) CAGRA post-filter cost vs plain beam.
+"""
+
+# runnable from any cwd: put the repo root on sys.path
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import time
+
+import numpy as np
+
+
+def _timed(fn, reps=10, trials=2):
+    best = 1e9
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        last = None
+        for _ in range(reps):
+            last = fn()
+        np.asarray(jax_block(last))
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return best
+
+
+def jax_block(x):
+    import jax
+
+    jax.block_until_ready(x)
+    return x[0] if isinstance(x, tuple) else x
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cuvs_rag_tpu.index import filters, flat, ivf_flat
+    from cuvs_rag_tpu.utils.config import (
+        FlatParams, IVFFlatParams, IVFFlatSearchParams,
+    )
+
+    N, D, K, BATCH, REPS = 2_000_000, 768, 10, 100, 10
+    key = jax.random.PRNGKey(42)
+    kc = jax.random.fold_in(key, 999)
+    centers = jax.random.normal(kc, (2000, D), jnp.float32)
+    mk = jax.jit(lambda k: (
+        centers[jax.random.randint(k, (N // 8,), 0, 2000)]
+        + 0.3 * jax.random.normal(k, (N // 8, D))
+    ).astype(jnp.bfloat16))
+    corpus = jnp.concatenate([mk(jax.random.fold_in(key, i)) for i in range(8)])
+    jax.block_until_ready(corpus)
+    qk = jax.random.fold_in(key, 777)
+    queries = (
+        centers[jax.random.randint(qk, (BATCH,), 0, 2000)]
+        + 0.3 * jax.random.normal(qk, (BATCH, D))
+    ).astype(jnp.float32)
+
+    rng = np.random.default_rng(7)
+    allow = rng.random(N) < 0.5  # 50% selectivity
+
+    # ---- flat ----
+    fx = flat.build(FlatParams(dtype="bfloat16", tile_n=8192), corpus)
+    jax.block_until_ready(fx.vectors)
+    _ = np.asarray(flat.search(None, fx, queries, K)[0])  # warm
+    t_plain = _timed(lambda: flat.search(None, fx, queries, K), REPS)
+
+    t0 = time.perf_counter()
+    view = filters.filtered_view(fx, allow)
+    jax.block_until_ready(view.sqnorms)
+    t_view = time.perf_counter() - t0
+    i = np.asarray(flat.search(None, view, queries, K)[1])
+    assert np.all((i == -1) | allow[np.maximum(i, 0)]), "filter leak"
+    t_filt = _timed(lambda: flat.search(None, view, queries, K), REPS)
+    print(f"flat   search {t_plain/BATCH*1e3:.4f} ms/q -> filtered "
+          f"{t_filt/BATCH*1e3:.4f} ms/q  (view build {t_view*1e3:.1f} ms, "
+          "incl. host mask transfer + compile)", flush=True)
+
+    # ---- ivf ----
+    ix = ivf_flat.build(
+        IVFFlatParams(n_lists=2000, dtype="bfloat16", kmeans_sample=100_000),
+        corpus,
+    )
+    jax.block_until_ready(ix.vectors)
+    sp = IVFFlatSearchParams(n_probes=10)
+    _ = np.asarray(ivf_flat.search(sp, ix, queries, K)[0])
+    t_plain = _timed(lambda: ivf_flat.search(sp, ix, queries, K), REPS)
+    t0 = time.perf_counter()
+    view = filters.filtered_view(ix, allow)
+    jax.block_until_ready(view.sqnorms)
+    t_view = time.perf_counter() - t0
+    i = np.asarray(ivf_flat.search(sp, view, queries, K)[1])
+    assert np.all((i == -1) | allow[np.maximum(i, 0)]), "filter leak"
+    t_filt = _timed(lambda: ivf_flat.search(sp, view, queries, K), REPS)
+    t0 = time.perf_counter()
+    view2 = filters.filtered_view(ix, allow)  # warm view rebuild (new mask)
+    jax.block_until_ready(view2.sqnorms)
+    t_view_warm = time.perf_counter() - t0
+    print(f"ivf    search {t_plain/BATCH*1e3:.4f} ms/q -> filtered "
+          f"{t_filt/BATCH*1e3:.4f} ms/q  (view build cold {t_view*1e3:.1f} "
+          f"ms / warm {t_view_warm*1e3:.1f} ms)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -218,6 +218,42 @@ def main():
         raise SystemExit("TPU_SMOKE FAILED: ivf delete leaked ids")
     print("  delete tombstones honored by flat (both metrics) + ivf kernels")
 
+    # --- filtered search through the real kernels (index/filters.py) ---
+    # allow-list views ride the same sqnorm-slot penalty as deletion, but
+    # through a different construction path (layout-permuted mask) — gate
+    # that excluded ids never leak and allowed results match the oracle.
+    from cuvs_rag_tpu.index import filters as filters_lib
+
+    allow_np = np.zeros((n,), bool)
+    allow_np[live_gt_rows] = True  # same live set as the delete check
+    fxv = flat_family.build(
+        FlatParams(dtype="bfloat16", tile_n=2048), cj
+    )
+    _, i = flat_family.search(
+        None, filters_lib.filtered_view(fxv, allow_np), qj, k
+    )
+    if np.isin(np.asarray(i), gone).any():
+        raise SystemExit("TPU_SMOKE FAILED: flat filter leaked ids")
+    _, gt_allow = topk_ops.flat_topk_search_dense(
+        cj[live_gt_rows], jnp.sum(cj[live_gt_rows] ** 2, 1), qj,
+        jnp.asarray(len(live_gt_rows), jnp.int32),
+        jnp.ones((len(live_gt_rows),), jnp.float32), k=k,
+        metric="sqeuclidean",
+    )
+    _check("flat filtered view (Pallas kernel)", np.asarray(i),
+           live_gt_rows[np.asarray(gt_allow)], 0.9)
+    ixv = filters_lib.filtered_view(
+        ivf_flat.build(
+            IVFFlatParams(n_lists=32, dtype="bfloat16", kmeans_iters=5), cj
+        ),
+        allow_np,
+    )
+    _, i = ivf_flat.search(IVFFlatSearchParams(n_probes=32), ixv, qj, k)
+    jax.block_until_ready(i)
+    if np.isin(np.asarray(i), gone).any():
+        raise SystemExit("TPU_SMOKE FAILED: ivf filter leaked ids")
+    print("  filtered views honored by flat + ivf kernels")
+
     # --- Qwen flash-attention kernel (models/flax_qwen use_flash path) ---
     # Compile AND execute the Pallas TPU flash-attention block (causal +
     # segment-id pad masking) and check parity against the dense-softmax

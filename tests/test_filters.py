@@ -1,0 +1,270 @@
+"""Filtered (allow-list) search — FAISS IDSelector / cuVS prefilter parity.
+
+Golden property: for view families (flat/ivf_flat/ivf_pq at full probe),
+filtered search must EQUAL exact brute force restricted to the allowed
+rows. CAGRA is post-filter (results ⊆ allow; recall governed by
+over_fetch) — see index/filters.py.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cuvs_rag_tpu.index import cagra, filters, flat, ivf_flat, ivf_pq
+from cuvs_rag_tpu.parallel import search as psearch
+from cuvs_rag_tpu.parallel.mesh import DeviceMesh
+from cuvs_rag_tpu.utils.config import (
+    CagraParams,
+    CagraSearchParams,
+    FlatParams,
+    IVFFlatParams,
+    IVFFlatSearchParams,
+    IVFPQParams,
+    Metric,
+)
+
+
+def _oracle(corpus, queries, k, allow, metric=Metric.SQEUCLIDEAN):
+    """Exact top-k over the allowed subset, reported in original ids."""
+    if metric == Metric.COSINE:
+        corpus = corpus / np.linalg.norm(corpus, axis=1, keepdims=True)
+        queries = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    if metric in (Metric.INNER_PRODUCT, Metric.COSINE):
+        scores = queries @ corpus.T
+    else:
+        scores = -(
+            (queries ** 2).sum(1)[:, None]
+            - 2 * queries @ corpus.T
+            + (corpus ** 2).sum(1)[None, :]
+        )
+    scores = np.where(allow[None, :], scores, -np.inf)
+    order = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    ids = np.where(
+        np.take_along_axis(scores, order, 1) > -np.inf, order, -1
+    )
+    return ids
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(31)
+    corpus = rng.standard_normal((2000, 64)).astype(np.float32)
+    queries = rng.standard_normal((9, 64)).astype(np.float32)
+    allow = rng.random(2000) < 0.4
+    return corpus, queries, allow
+
+
+def test_allow_deny_helpers():
+    a = filters.allow_from_ids(10, [2, 5, 5, 99, -1])
+    assert a.tolist() == [i in (2, 5) for i in range(10)]
+    d = filters.deny_from_ids(10, [0, 9])
+    assert d.tolist() == [i not in (0, 9) for i in range(10)]
+
+
+def test_mask_validation(data):
+    corpus, _, _ = data
+    ix = flat.build(FlatParams(tile_n=256), jnp.asarray(corpus))
+    with pytest.raises(ValueError, match="boolean"):
+        filters.filtered_view(ix, np.ones(2000, dtype=np.int32))
+    with pytest.raises(ValueError, match="2000"):
+        filters.filtered_view(ix, np.ones(7, dtype=bool))
+
+
+@pytest.mark.parametrize("metric", [Metric.SQEUCLIDEAN, Metric.INNER_PRODUCT])
+def test_flat_view_matches_oracle(data, metric):
+    corpus, queries, allow = data
+    k = 10
+    ix = flat.build(FlatParams(tile_n=256, metric=metric), jnp.asarray(corpus))
+    view = filters.filtered_view(ix, allow)
+    _, i = flat.search(None, view, jnp.asarray(queries), k)
+    gt = _oracle(corpus, queries, k, allow, metric)
+    np.testing.assert_array_equal(np.asarray(i), gt)
+    # the unfiltered index is untouched (a view, not a mutation)
+    _, i0 = flat.search(None, ix, jnp.asarray(queries), k)
+    assert not np.array_equal(np.asarray(i0), gt)
+
+
+def test_flat_int8_view_subset(data):
+    corpus, queries, allow = data
+    ix = flat.build(FlatParams(tile_n=256, dtype="int8"), jnp.asarray(corpus))
+    view = filters.filtered_view(ix, allow)
+    _, i = flat.search(None, view, jnp.asarray(queries), 10)
+    i = np.asarray(i)
+    assert np.all((i == -1) | allow[np.maximum(i, 0)])
+
+
+def test_view_composes_with_delete(data):
+    corpus, queries, allow = data
+    allowed_ids = np.flatnonzero(allow)
+    victim = int(allowed_ids[0])
+    ix = flat.build(FlatParams(tile_n=256), jnp.asarray(corpus))
+    ix = flat.delete(ix, [victim])
+    view = filters.filtered_view(ix, allow)
+    _, i = flat.search(None, view, jnp.asarray(corpus[[victim]]), 5)
+    assert victim not in np.asarray(i)[0].tolist()
+
+
+def test_underfilled_reports_pads(data):
+    corpus, queries, _ = data
+    allow = filters.allow_from_ids(2000, [3, 44, 555])
+    ix = flat.build(FlatParams(tile_n=256), jnp.asarray(corpus))
+    _, i = flat.search(None, filters.filtered_view(ix, allow), jnp.asarray(queries), 5)
+    i = np.asarray(i)
+    assert set(i[:, :3].ravel()) <= {3, 44, 555}
+    assert np.all(i[:, 3:] == -1)
+
+
+def test_ivf_flat_view_full_probe_matches_oracle(data):
+    corpus, queries, allow = data
+    k = 10
+    ix = ivf_flat.build(IVFFlatParams(n_lists=16), jnp.asarray(corpus))
+    view = filters.filtered_view(ix, allow)
+    sp = IVFFlatSearchParams(n_probes=16)
+    _, i = ivf_flat.search(sp, view, jnp.asarray(queries), k)
+    gt = _oracle(corpus, queries, k, allow)
+    np.testing.assert_array_equal(np.asarray(i), gt)
+
+
+def test_ivf_pq_view_subset_and_refine(data):
+    corpus, queries, allow = data
+    ix = ivf_pq.build(
+        IVFPQParams(n_lists=16, pq_dim=16, store_raw=True),
+        jnp.asarray(corpus),
+    )
+    view = filters.filtered_view(ix, allow)
+    from cuvs_rag_tpu.utils.config import IVFPQSearchParams
+
+    sp = IVFPQSearchParams(n_probes=16, refine_ratio=4)
+    _, i = ivf_pq.search(sp, view, jnp.asarray(queries), 10)
+    i = np.asarray(i)
+    assert np.all((i == -1) | allow[np.maximum(i, 0)])
+    assert np.any(i >= 0)
+
+
+def test_cagra_postfilter_subset_and_recall(data):
+    corpus, queries, allow = data
+    ix = cagra.build(CagraParams(graph_degree=32), jnp.asarray(corpus))
+    sp = CagraSearchParams(itopk_size=128)
+    k = 10
+    d, i = filters.search(sp, ix, jnp.asarray(queries), k, allow, over_fetch=8.0)
+    i = np.asarray(i)
+    assert np.all((i == -1) | allow[np.maximum(i, 0)])
+    gt = _oracle(corpus, queries, k, allow)
+    hits = np.mean([
+        len(set(i[r]) & set(gt[r][gt[r] >= 0])) / max((gt[r] >= 0).sum(), 1)
+        for r in range(len(queries))
+    ])
+    assert hits > 0.5, hits  # exact-build graph, generous over-fetch
+
+
+def test_cagra_view_raises(data):
+    corpus, _, allow = data
+    ix = cagra.build(CagraParams(graph_degree=32), jnp.asarray(corpus))
+    with pytest.raises(TypeError, match="post-filter"):
+        filters.filtered_view(ix, allow)
+
+
+def test_cagra_k_exceeds_itopk_raises(data):
+    corpus, queries, allow = data
+    ix = cagra.build(CagraParams(graph_degree=32), jnp.asarray(corpus))
+    with pytest.raises(ValueError, match="itopk"):
+        filters.search(
+            CagraSearchParams(itopk_size=16), ix, jnp.asarray(queries), 32, allow
+        )
+
+
+def test_filters_search_dispatch_equals_view(data):
+    corpus, queries, allow = data
+    ix = flat.build(FlatParams(tile_n=256), jnp.asarray(corpus))
+    d1, i1 = filters.search(None, ix, jnp.asarray(queries), 10, allow)
+    d2, i2 = flat.search(
+        None, filters.filtered_view(ix, allow), jnp.asarray(queries), 10
+    )
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-5)
+
+
+# --------------------------------------------------------------------------
+# distributed
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dmesh():
+    return DeviceMesh()
+
+
+def test_sharded_flat_filtered_matches_oracle(data, dmesh):
+    corpus, queries, allow = data
+    k = 10
+    sindex = psearch.build_sharded(
+        "flat", FlatParams(tile_n=64), corpus, dmesh
+    )
+    _, i = psearch.search_sharded(None, sindex, queries, k, dmesh, allow=allow)
+    gt = _oracle(corpus, queries, k, allow)
+    np.testing.assert_array_equal(np.asarray(i), gt)
+
+
+def test_sharded_ivf_filtered_full_probe_matches_oracle(data, dmesh):
+    corpus, queries, allow = data
+    k = 10
+    sindex = psearch.build_sharded(
+        "ivf_flat", IVFFlatParams(n_lists=4), corpus, dmesh
+    )
+    sp = IVFFlatSearchParams(n_probes=4)
+    _, i = psearch.search_sharded(sp, sindex, queries, k, dmesh, allow=allow)
+    gt = _oracle(corpus, queries, k, allow)
+    np.testing.assert_array_equal(np.asarray(i), gt)
+
+
+def test_sharded_view_reusable(data, dmesh):
+    corpus, queries, allow = data
+    sindex = psearch.build_sharded("flat", FlatParams(tile_n=64), corpus, dmesh)
+    view = psearch.filtered_view_sharded(sindex, allow)
+    _, i1 = psearch.search_sharded(None, view, queries, 10, dmesh)
+    _, i2 = psearch.search_sharded(None, sindex, queries, 10, dmesh, allow=allow)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_sharded_cagra_filtered_subset(data, dmesh):
+    corpus, queries, allow = data
+    sindex = psearch.build_sharded(
+        "cagra", CagraParams(graph_degree=32), corpus, dmesh
+    )
+    sp = CagraSearchParams(itopk_size=128)
+    _, i = psearch.search_sharded(sp, sindex, queries, 10, dmesh, allow=allow)
+    i = np.asarray(i)
+    assert np.all((i == -1) | allow[np.maximum(i, 0)])
+    assert np.any(i >= 0)
+    with pytest.raises(ValueError, match="post-filter"):
+        psearch.filtered_view_sharded(sindex, allow)
+
+
+def test_sharded_batched_filtered(data, dmesh):
+    corpus, queries, allow = data
+    sindex = psearch.build_sharded("flat", FlatParams(tile_n=64), corpus, dmesh)
+    d, i = psearch.search_sharded_batched(
+        None, sindex, queries, 10, dmesh, batch_size=4, allow=allow
+    )
+    gt = _oracle(corpus, queries, 10, allow)
+    np.testing.assert_array_equal(np.asarray(i), gt)
+
+
+def test_replicated_filtered(data, dmesh):
+    corpus, queries, allow = data
+    rindex = psearch.build_replicated("flat", FlatParams(tile_n=64), corpus, dmesh)
+    _, i = psearch.search_replicated(None, rindex, queries, 10, dmesh, allow=allow)
+    gt = _oracle(corpus, queries, 10, allow)
+    np.testing.assert_array_equal(np.asarray(i), gt)
+
+
+def test_replicated_cagra_filtered_subset(data, dmesh):
+    corpus, queries, allow = data
+    rindex = psearch.build_replicated(
+        "cagra", CagraParams(graph_degree=32), corpus, dmesh
+    )
+    sp = CagraSearchParams(itopk_size=128)
+    _, i = psearch.search_replicated(sp, rindex, queries, 10, dmesh, allow=allow)
+    i = np.asarray(i)
+    assert np.all((i == -1) | allow[np.maximum(i, 0)])
+    assert np.any(i >= 0)

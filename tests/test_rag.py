@@ -61,6 +61,30 @@ def test_retriever_end_to_end(placement):
     assert "Python" in ctx
 
 
+@pytest.mark.parametrize("placement", ["single", "shard", "replicate"])
+def test_retriever_filtered(placement):
+    from cuvs_rag_tpu.index import filters
+
+    enc = HashingEncoder(dim=128)
+    corpus = Corpus(passages=list(PASSAGES))
+    r = Retriever.build(
+        corpus, enc,
+        family="flat",
+        params=FlatParams(metric=Metric.COSINE, tile_n=8),
+        placement=placement,
+    )
+    # self-retrieval with the true best passage denied: the filter must
+    # force the second-best, and the denied id must never appear
+    for qi, text in enumerate(PASSAGES):
+        allow = filters.deny_from_ids(len(PASSAGES), [qi])
+        res = r.retrieve(text, k=3, allow=allow)
+        ids = [p.index for p in res.passages]
+        assert qi not in ids, (placement, qi, ids)
+        assert len(ids) == 3
+    # unfiltered retrieval is unaffected afterwards (allow is per-call)
+    assert r.retrieve(PASSAGES[0], k=1).passages[0].index == 0
+
+
 def test_retriever_exact_self_retrieval():
     enc = HashingEncoder(dim=128)
     corpus = Corpus(passages=list(PASSAGES))
