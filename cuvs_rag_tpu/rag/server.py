@@ -14,6 +14,10 @@ a lone request, near-batched throughput under load).
 Endpoints:
   POST /v1/search   {"texts": [...], "k": 5}            — encode + retrieve
                     {"vectors": [[...], ...], "k": 5}    — raw vector search
+                    + optional "deny_ids": [...]         — per-request exact
+                      exclusion (≤1024 ids; over-fetch k+|deny| then drop —
+                      bake larger/persistent filters into a filtered view,
+                      index/filters.py)
   GET  /healthz     liveness + device check
   GET  /stats       index/corpus/device info
   GET  /metrics     metrics registry snapshot (see utils/metrics.py)
@@ -186,17 +190,20 @@ class SearchService:
         return b
 
     def _run_texts(self, items):
-        """items: [(texts, k)]; one retrieve_batch at max(k), sliced back."""
-        kmax = self._bucket(max(k for _, k in items))  # k is static too
+        """items: [(texts, k, deny)]; one retrieve_batch at max(k + |deny|),
+        sliced back. Per-request deny lists are EXACT by over-fetch: at most
+        |deny| of the k + |deny| fetched candidates can be denied, so k
+        always survive (or the corpus ran out)."""
+        kmax = self._bucket(max(k + len(deny) for _, k, deny in items))
         flat: list[str] = []
-        for texts, _ in items:
+        for texts, _, _ in items:
             flat.extend(texts)
         n_real = len(flat)
         flat.extend([flat[-1]] * (self._bucket(n_real) - n_real))
         results = self.retriever.retrieve_batch(flat, kmax)
         out = []
         off = 0
-        for texts, k in items:
+        for texts, k, deny in items:
             rs = results[off:off + len(texts)]
             off += len(texts)
             out.append([
@@ -204,8 +211,8 @@ class SearchService:
                     "passages": [
                         {"text": p.text, "index": p.index,
                          "distance": p.distance, "title": p.title}
-                        for p in r.passages[:k]
-                    ],
+                        for p in r.passages if p.index not in deny
+                    ][:k],
                     "query_time_s": r.query_time_s,
                 }
                 for r in rs
@@ -213,13 +220,14 @@ class SearchService:
         return out
 
     def _run_vectors(self, items):
-        """items: [(q_array, k)]; one search at max(k), sliced back."""
+        """items: [(q_array, k, deny)]; one search at max(k + |deny|),
+        sliced back (see _run_texts for the exactness argument)."""
         import jax.numpy as jnp
 
         from cuvs_rag_tpu.parallel import search as psearch
 
-        kmax = self._bucket(max(k for _, k in items))  # k is static too
-        qh = np.concatenate([v for v, _ in items], axis=0)
+        kmax = self._bucket(max(k + len(deny) for _, k, deny in items))
+        qh = np.concatenate([v for v, _, _ in items], axis=0)
         pad = self._bucket(len(qh)) - len(qh)
         if pad:
             qh = np.concatenate([qh, np.repeat(qh[-1:], pad, axis=0)], axis=0)
@@ -237,18 +245,42 @@ class SearchService:
         d, i = np.asarray(d), np.asarray(i)
         out = []
         off = 0
-        for v, k in items:
+        for v, k, deny in items:
             n = len(v)
+            dd, ii = d[off:off + n], i[off:off + n]
+            if deny:
+                keep = ~np.isin(ii, list(deny))
+                # stable left-compaction of surviving candidates per row
+                order = np.argsort(~keep, axis=1, kind="stable")
+                ks = np.take_along_axis(keep, order, 1)
+                dd = np.where(ks, np.take_along_axis(dd, order, 1), np.inf)
+                ii = np.where(ks, np.take_along_axis(ii, order, 1), -1)
             out.append({
-                "distances": d[off:off + n, :k].tolist(),
-                "indices": i[off:off + n, :k].tolist(),
+                "distances": dd[:, :k].tolist(),
+                "indices": ii[:, :k].tolist(),
             })
             off += n
         return out
 
     # -- per-request entry points ------------------------------------------
 
-    def search_texts(self, texts, k: int):
+    # Bound per-request deny lists: the batch over-fetches k + |deny|, so
+    # an unbounded list would let one request inflate every co-batched
+    # request's device work. Persistent/large filters belong in a filtered
+    # VIEW (index/filters.py) baked into the Retriever instead.
+    MAX_DENY = 1024
+
+    def _check_deny(self, deny_ids) -> frozenset:
+        deny = frozenset(int(x) for x in (deny_ids or ()))
+        if len(deny) > self.MAX_DENY:
+            raise ValueError(
+                f"deny_ids is capped at {self.MAX_DENY} per request; bake "
+                "larger/persistent filters into a filtered view "
+                "(index/filters.py)"
+            )
+        return deny
+
+    def search_texts(self, texts, k: int, deny_ids=()):
         # Validate BEFORE submit(): a bad item reaching the batch runner
         # fails every co-batched request (MicroBatcher contract).
         texts = list(texts)
@@ -256,12 +288,13 @@ class SearchService:
             raise ValueError("texts must be a non-empty list")
         if not all(isinstance(t, str) for t in texts):
             raise ValueError("texts must all be strings")
+        deny = self._check_deny(deny_ids)
         with metrics.time_block("server.search_texts_seconds"):
             if self._text_batcher is not None:
-                return self._text_batcher.submit((texts, k))
-            return self._run_texts([(texts, k)])[0]
+                return self._text_batcher.submit((texts, k, deny))
+            return self._run_texts([(texts, k, deny)])[0]
 
-    def search_vectors(self, vectors, k: int):
+    def search_vectors(self, vectors, k: int, deny_ids=()):
         q = np.asarray(vectors, np.float32)
         if q.ndim != 2 or q.shape[0] == 0:
             raise ValueError(
@@ -271,10 +304,11 @@ class SearchService:
             raise ValueError(
                 f"vector dim {q.shape[1]} != index dim {self.dim}"
             )
+        deny = self._check_deny(deny_ids)
         with metrics.time_block("server.search_vectors_seconds"):
             if self._vec_batcher is not None:
-                return self._vec_batcher.submit((q, k))
-            return self._run_vectors([(q, k)])[0]
+                return self._vec_batcher.submit((q, k, deny))
+            return self._run_vectors([(q, k, deny)])[0]
 
     def stats(self):
         import jax
@@ -338,13 +372,16 @@ def make_handler(service: SearchService):
                 if k <= 0:
                     self._reply(400, {"error": "k must be positive"})
                     return
+                deny = req.get("deny_ids", ())
                 if "texts" in req:
                     if not req["texts"]:
                         self._reply(400, {"error": "texts must be non-empty"})
                         return
-                    self._reply(200, {"results": service.search_texts(req["texts"], k)})
+                    self._reply(200, {"results": service.search_texts(
+                        req["texts"], k, deny_ids=deny)})
                 elif "vectors" in req:
-                    self._reply(200, service.search_vectors(req["vectors"], k))
+                    self._reply(200, service.search_vectors(
+                        req["vectors"], k, deny_ids=deny))
                 else:
                     self._reply(400, {"error": "provide 'texts' or 'vectors'"})
             except (ValueError, KeyError, json.JSONDecodeError) as e:

@@ -69,6 +69,41 @@ def test_vector_search(live_server):
     assert body["indices"][0][0] == 2
 
 
+def test_text_search_deny_ids(live_server):
+    # the true best passage denied: the second-best must surface, the
+    # denied id must never appear (exact by k+|deny| over-fetch)
+    code, body = _req(live_server, "POST", "/v1/search",
+                      {"texts": ["machine learning tpus"], "k": 2,
+                       "deny_ids": [1]})
+    assert code == 200
+    ids = [p["index"] for p in body["results"][0]["passages"]]
+    assert 1 not in ids and len(ids) == 2
+
+
+def test_vector_search_deny_ids(live_server):
+    enc = HashingEncoder(dim=128)
+    v = enc.encode([PASSAGES[2]])
+    code, body = _req(live_server, "POST", "/v1/search",
+                      {"vectors": v.tolist(), "k": 2, "deny_ids": [2, 3]})
+    assert code == 200
+    row = body["indices"][0]
+    assert 2 not in row and 3 not in row and len(row) == 2
+    assert all(i >= 0 for i in row)  # 2 survivors exist (corpus of 4)
+    # denying more rows than survive: slots pad with -1
+    code, body = _req(live_server, "POST", "/v1/search",
+                      {"vectors": v.tolist(), "k": 3,
+                       "deny_ids": [0, 1, 2]})
+    assert code == 200
+    assert body["indices"][0] == [3, -1, -1]
+
+
+def test_deny_ids_cap_is_400(live_server):
+    code, body = _req(live_server, "POST", "/v1/search",
+                      {"texts": ["fox"], "k": 1,
+                       "deny_ids": list(range(2000))})
+    assert code == 400 and "deny_ids" in body["error"]
+
+
 def test_bad_requests(live_server):
     code, body = _req(live_server, "POST", "/v1/search", {"k": 3})
     assert code == 400 and "texts" in body["error"]
@@ -269,8 +304,9 @@ def test_mixed_k_vector_batch_slicing():
     svc = server_mod.SearchService(r, micro_batch=False)
     enc = HashingEncoder(dim=128)
     items = [
-        (np.asarray(enc.encode([PASSAGES[0]]), np.float32), 1),
-        (np.asarray(enc.encode([PASSAGES[1], PASSAGES[3]]), np.float32), 3),
+        (np.asarray(enc.encode([PASSAGES[0]]), np.float32), 1, frozenset()),
+        (np.asarray(enc.encode([PASSAGES[1], PASSAGES[3]]), np.float32), 3,
+         frozenset()),
     ]
     out = svc._run_vectors(items)
     assert len(out[0]["indices"]) == 1 and len(out[0]["indices"][0]) == 1
