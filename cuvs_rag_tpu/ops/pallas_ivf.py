@@ -94,20 +94,39 @@ def _kernel(
             ),
         )
 
+    def live(step):
+        # does this step's sub-window hold any rows? Dead sub-windows skip
+        # their DMA entirely — balanced lists average ~50-60% window fill
+        # (mean count N/C vs the cap-rounded max_list_size), so count-gated
+        # skipping recovers most of the padding bytes the static window
+        # would stream. Start/wait predicates are the same pure function of
+        # the prefetched counts, so semaphore pairing always matches; a
+        # skipped step reads the slot's stale bytes, fully masked below
+        # (cnt_eff <= 0). Clamped: the lookahead evaluates live(n_steps).
+        step = jnp.minimum(step, n_steps - 1)
+        qi2 = step // (nprobe * n_sub)
+        p2 = (step // n_sub) % nprobe
+        sub2 = step % n_sub
+        fi = (qt_idx * _QT + qi2) * nprobe + p2
+        return cnts_ref[fi] > sub2 * subwin
+
     # double buffering: start next window while computing this one
-    @pl.when(s == 0)
+    @pl.when((s == 0) & live(0))
     def _():
         for c in dma(0, 0):
             c.start()
 
-    @pl.when(s + 1 < n_steps)
+    @pl.when((s + 1 < n_steps) & live(s + 1))
     def _():
         for c in dma((s + 1) % 2, s + 1):
             c.start()
 
-    for c in dma(s % 2, s):
-        c.wait()
-    w = win[s % 2]  # (window, D)
+    @pl.when(live(s))
+    def _():
+        for c in dma(s % 2, s):
+            c.wait()
+
+    w = win[s % 2]  # (subwin, D)
     aux = aux_win[s % 2]  # (window//128, 2, 128): recon sqnorms, scales
 
     q = q_ref[:]  # (QT, D)

@@ -1,0 +1,100 @@
+"""A/B the IVF DMA-scan sub-window size on the real TPU.
+
+Count-gated sub-window skipping (ops/pallas_ivf.py) trades DMA bytes
+against per-step overhead: finer sub-windows skip more of the dead tail
+of each probe window (balanced lists average ~50-60% fill of the
+cap-rounded max_list_size) but issue more, smaller DMAs. This sweep picks
+_PALLAS_SUBWIN_TARGET. 2M x 768 bf16 clustered corpus, n_lists=2000
+(mean count 1000, window cap 2048), k=10, batch 100.
+"""
+
+# runnable from any cwd: put the repo root on sys.path
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cuvs_rag_tpu.index import ivf_flat
+    from cuvs_rag_tpu.ops import ivf as ivf_ops
+    from cuvs_rag_tpu.ops import pallas_ivf
+    from cuvs_rag_tpu.utils.config import IVFFlatParams
+
+    N, D, K, BATCH, REPS = 2_000_000, 768, 10, 100, 10
+    key = jax.random.PRNGKey(42)
+    kc = jax.random.fold_in(key, 999)
+    centers = jax.random.normal(kc, (2000, D), jnp.float32)
+    mk = jax.jit(lambda k: (
+        centers[jax.random.randint(k, (N // 8,), 0, 2000)]
+        + 0.3 * jax.random.normal(k, (N // 8, D))
+    ).astype(jnp.bfloat16))
+    corpus = jnp.concatenate([mk(jax.random.fold_in(key, i)) for i in range(8)])
+    jax.block_until_ready(corpus)
+    qk = jax.random.fold_in(key, 777)
+    queries = (
+        centers[jax.random.randint(qk, (BATCH,), 0, 2000)]
+        + 0.3 * jax.random.normal(qk, (BATCH, D))
+    ).astype(jnp.float32)
+    qrs = [
+        queries + 0.01 * jax.random.normal(jax.random.fold_in(key, r), queries.shape)
+        for r in range(REPS)
+    ]
+
+    ix = ivf_flat.build(
+        IVFFlatParams(n_lists=2000, dtype="bfloat16", kmeans_sample=100_000),
+        corpus,
+    )
+    jax.block_until_ready(ix.vectors)
+    cnts_h = np.asarray(ix.list_counts)
+    print(f"window {ix.max_list_size}, counts mean {cnts_h.mean():.0f} "
+          f"p50 {np.percentile(cnts_h, 50):.0f} max {cnts_h.max()}",
+          flush=True)
+
+    def run(nprobe, n_sub, q):
+        _, probes = ivf_ops.probe_lists(
+            q, ix.centroids, ix.centroid_sqnorms, nprobe, ix.metric
+        )
+        s, pos = pallas_ivf.ivf_scan_pallas(
+            ix.vectors, ix.sqnorms, ix.scales, q,
+            ix.list_offsets[probes], ix.list_counts[probes],
+            k=K, nprobe=nprobe, window=ix.max_list_size, metric=ix.metric,
+            n_sub=n_sub,
+        )
+        return s, pos
+
+    blocks = ix.max_list_size // 128
+    subs = [n for n in (1, 2, 4, 8, 16) if blocks % n == 0]
+    for nprobe in (10, 20):
+        base_ids = None
+        for n_sub in subs:
+            s, pos = run(nprobe, n_sub, qrs[0])
+            pos = np.asarray(pos)
+            if base_ids is None:
+                base_ids = pos
+            else:
+                assert np.array_equal(base_ids, pos), (
+                    f"n_sub={n_sub} changed results"
+                )
+            best = 1e9
+            for _t in range(2):
+                t0 = time.perf_counter()
+                last = None
+                for q in qrs:
+                    last = run(nprobe, n_sub, q)
+                _ = np.asarray(last[0])
+                best = min(best, (time.perf_counter() - t0) / REPS)
+            print(f"nprobe={nprobe} n_sub={n_sub:2d} (subwin "
+                  f"{ix.max_list_size // n_sub:4d}): {best*1e3:7.2f} ms/batch"
+                  f"  {best/BATCH*1e3:.4f} ms/q", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -84,6 +84,28 @@ def test_pallas_ivf_subwindow_matches_whole_window(built):
         )
 
 
+def test_pallas_ivf_subwindow_skip_with_empty_and_short_lists():
+    # count-gated DMA skipping: lists shorter than a sub-window (and empty
+    # lists) skip their dead sub-window DMAs; results must equal the XLA
+    # path exactly. Few rows over many lists maximizes dead sub-windows.
+    rng = np.random.default_rng(29)
+    corpus = rng.standard_normal((600, 128)).astype(np.float32)
+    queries = rng.standard_normal((5, 128)).astype(np.float32)
+    ix = ivf_flat.build(IVFFlatParams(n_lists=24), jnp.asarray(corpus))
+    blocks = ix.max_list_size // 128
+    k, nprobe = 7, 24  # full probe: exact vs oracle
+    subs = [n for n in (1, 2, 3, 4, blocks) if blocks % n == 0]
+    s_ref, i_ref = ivf_flat.search_scores(
+        IVFFlatSearchParams(n_probes=nprobe), ix, jnp.asarray(queries), k
+    )
+    for n_sub in subs:
+        s, i = _pallas_search(ix, queries, k, nprobe, n_sub=n_sub)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+        np.testing.assert_allclose(
+            np.asarray(s), np.asarray(s_ref), rtol=1e-4, atol=1e-4
+        )
+
+
 def test_fit_n_sub_selection():
     # fp32 at window 2048 x 768 exceeds the 8 MB double buffer at n_sub=1;
     # the helper picks the smallest fitting divisor split
