@@ -53,9 +53,13 @@ def save_index(path: str, index: Any) -> None:
     if cls not in _REGISTRY:
         raise ValueError(f"unknown index type {cls}; known: {list(_REGISTRY)}")
     # format 2: IVFPQIndex.codes is stream-major (mb, cap); format-1 files
-    # stored (cap, mb) and are transposed on load
+    # stored (cap, mb) and are transposed on load.
+    # format 3: CagraIndex.vectors is score-augmented (Np, width) with a
+    # `data_dim` static field; earlier CAGRA files stored raw (Np, D) rows
+    # and are detected by the *absence* of data_dim (not the format number)
+    # and migrated on load.
     arrays, meta = {}, {"__class__": cls, "static": {}, "bf16": [],
-                        "format": 2}
+                        "format": 3}
     for f in dataclasses.fields(index):
         v = getattr(index, f.name)
         if f.name in type(index)._array_fields:
@@ -81,6 +85,8 @@ def load_index(path: str, device=None) -> Any:
         cls = _REGISTRY[meta["__class__"]]
         kwargs = dict(meta["static"])
         for name in cls._array_fields:
+            if name not in z:
+                continue  # field added after this file was saved; migrated below
             a = z[name]
             if name in meta["bf16"]:
                 a = jnp.asarray(a).view(jnp.bfloat16)
@@ -91,7 +97,38 @@ def load_index(path: str, device=None) -> Any:
             kwargs[name] = a
         if meta["__class__"] == "IVFPQIndex" and meta.get("format", 1) < 2:
             kwargs["codes"] = jnp.swapaxes(kwargs["codes"], 0, 1)
+        if meta["__class__"] == "CagraIndex" and "data_dim" not in kwargs:
+            _migrate_cagra_v2(kwargs)
     return cls(**kwargs)
+
+
+def _migrate_cagra_v2(kwargs: dict) -> None:
+    """Pre-format-3 CagraIndex files stored raw (Np, D) rows with no
+    data_dim / entry-point fields. Rebuild the score-augmented row layout
+    (ops/graph.augment_rows) the beam kernel now scores with, and re-apply
+    the sqnorm-slot tombstones to the augmented [hi, lo] columns so
+    previously-deleted rows stay deleted in every metric (augment_rows
+    only encodes sqnorms for sqeuclidean)."""
+    from cuvs_rag_tpu.ops import distance as dist_ops
+    from cuvs_rag_tpu.ops import graph as graph_ops
+
+    v = kwargs["vectors"]
+    d = int(v.shape[-1])
+    kwargs["data_dim"] = d
+    kwargs.setdefault("entry_centroids", jnp.zeros((0, d), jnp.float32))
+    kwargs.setdefault("entry_rows", jnp.zeros((0,), jnp.int32))
+    sq = kwargs["sqnorms"].astype(jnp.float32)
+    aug = graph_ops.augment_rows(
+        v, jnp.minimum(sq, dist_ops.DELETED_THRESHOLD),
+        kwargs["n_valid"], kwargs["metric"],
+    )
+    tomb = sq > dist_ops.DELETED_THRESHOLD
+    hi_lo = jnp.where(
+        tomb[:, None],
+        jnp.array([dist_ops.DELETED_PENALTY, 0.0]).astype(aug.dtype),
+        aug[:, d : d + 2],
+    )
+    kwargs["vectors"] = aug.at[:, d : d + 2].set(hi_lo)
 
 
 # ---------------------------------------------------------------------------

@@ -1,5 +1,6 @@
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cuvs_rag_tpu.index import flat, io, ivf_flat
 from cuvs_rag_tpu.utils.config import FlatParams, IVFFlatParams, IVFFlatSearchParams
@@ -43,3 +44,99 @@ def test_ivf_round_trip(tmp_path, rng):
     d1, i1 = ivf_flat.search(sp, ix, jnp.asarray(queries), 5)
     d2, i2 = ivf_flat.search(sp, ix2, jnp.asarray(queries), 5)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def _old_format_cagra_npz(path, ix):
+    """Write a pre-format-3 CagraIndex file: raw (Np, D) rows, no data_dim
+    or entry-point fields — the schema round-2 builds persisted."""
+    import json
+
+    import jax
+
+    d = ix.dim
+    meta = {
+        "__class__": "CagraIndex",
+        "static": {"metric": ix.metric},
+        "bf16": [],
+        "format": 2,
+    }
+    arrays = {
+        "vectors": np.asarray(
+            jax.device_get(ix.vectors[:, :d].astype(jnp.float32))
+        ),
+        "sqnorms": np.asarray(jax.device_get(ix.sqnorms)),
+        "graph": np.asarray(jax.device_get(ix.graph)),
+        "n_valid": np.asarray(jax.device_get(ix.n_valid)),
+        "__meta__": np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+    }
+    np.savez(path, **arrays)
+
+
+def test_cagra_round_trip(tmp_path, rng):
+    from cuvs_rag_tpu.index import cagra
+    from cuvs_rag_tpu.utils.config import CagraParams, CagraSearchParams
+
+    corpus = rng.standard_normal((300, 24)).astype(np.float32)
+    queries = rng.standard_normal((4, 24)).astype(np.float32)
+    ix = cagra.build(
+        CagraParams(intermediate_graph_degree=16, graph_degree=8,
+                    build_algo="exact"),
+        jnp.asarray(corpus),
+    )
+    p = str(tmp_path / "cagra.npz")
+    io.save_index(p, ix)
+    ix2 = io.load_index(p)
+    assert ix2.data_dim == 24
+    sp = CagraSearchParams(itopk_size=16)
+    d1, i1 = cagra.search(sp, ix, jnp.asarray(queries), 5)
+    d2, i2 = cagra.search(sp, ix2, jnp.asarray(queries), 5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2))
+
+
+def test_cagra_migrates_pre_format3_file(tmp_path, rng):
+    """A CAGRA checkpoint saved before the score-augmented row layout
+    (no data_dim, raw (Np, D) vectors) loads and searches identically."""
+    from cuvs_rag_tpu.index import cagra
+    from cuvs_rag_tpu.utils.config import CagraParams, CagraSearchParams
+
+    corpus = rng.standard_normal((300, 24)).astype(np.float32)
+    queries = rng.standard_normal((4, 24)).astype(np.float32)
+    ix = cagra.build(
+        CagraParams(intermediate_graph_degree=16, graph_degree=8,
+                    build_algo="exact"),
+        jnp.asarray(corpus),
+    )
+    p = str(tmp_path / "cagra_old.npz")
+    _old_format_cagra_npz(p, ix)
+    ix2 = io.load_index(p)
+    assert ix2.data_dim == 24 and not ix2.has_entry_map
+    assert ix2.vectors.shape == ix.vectors.shape
+    sp = CagraSearchParams(itopk_size=16)
+    d1, i1 = cagra.search(sp, ix, jnp.asarray(queries), 5)
+    d2, i2 = cagra.search(sp, ix2, jnp.asarray(queries), 5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-5)
+
+
+@pytest.mark.parametrize("metric", ["sqeuclidean", "inner_product"])
+def test_cagra_migration_preserves_deletions(tmp_path, rng, metric):
+    """Tombstoned rows in a pre-format-3 file stay deleted after migration
+    in every metric (augment_rows alone only encodes sqeuclidean norms)."""
+    from cuvs_rag_tpu.index import cagra
+    from cuvs_rag_tpu.utils.config import CagraParams, CagraSearchParams
+
+    corpus = rng.standard_normal((200, 24)).astype(np.float32)
+    ix = cagra.build(
+        CagraParams(intermediate_graph_degree=16, graph_degree=8,
+                    build_algo="exact", metric=metric),
+        jnp.asarray(corpus),
+    )
+    ix = cagra.delete(ix, np.array([7]))
+    p = str(tmp_path / "cagra_del_old.npz")
+    _old_format_cagra_npz(p, ix)
+    ix2 = io.load_index(p)
+    np.testing.assert_array_equal(io.deleted_row_ids(ix2), [7])
+    sp = CagraSearchParams(itopk_size=16)
+    _, i2 = cagra.search(sp, ix2, jnp.asarray(corpus[7:8]), 1)
+    assert int(np.asarray(i2)[0, 0]) != 7
