@@ -222,8 +222,8 @@ class BuildCandidate:
 
     def label(self) -> str:
         p = self.params
-        if self.family == "ivf_flat":
-            return f"ivf_flat[{p.dtype}]"
+        if self.family in ("flat", "ivf_flat"):
+            return f"{self.family}[{p.dtype}]"
         if self.family == "ivf_pq":
             bits = p.pq_bits
             raw = "+raw" if p.store_raw else ",codes-only"
@@ -285,6 +285,12 @@ def candidate_ladder(
     )
 
     families = list(families) if families else ["ivf_pq", "ivf_flat", "cagra"]
+    known = {"flat", "ivf_flat", "ivf_pq", "cagra"}
+    unknown = sorted(set(families) - known)
+    if unknown:
+        raise ValueError(
+            f"unknown families {unknown}; choose from {sorted(known)}"
+        )
     m8 = max(1, dim // 8)
     m4 = max(1, dim // 4)
     cands: List[BuildCandidate] = []
@@ -321,6 +327,18 @@ def candidate_ladder(
             "cagra", CagraParams(dtype="auto"),
             est("cagra", dtype=corpus_dtype),
         ))
+    if "flat" in families:
+        # the module-docstring crossover: exact flat beats both approximate
+        # families on unclusterable corpora up to ~4M rows — measurable
+        # only if the ladder actually contains it
+        from cuvs_rag_tpu.utils.config import FlatParams
+
+        for dt in ("int8", "bfloat16", "float32"):
+            if dt == "float32" and corpus_dtype != "float32":
+                continue
+            cands.append(BuildCandidate(
+                "flat", FlatParams(dtype=dt), est("flat", dtype=dt)
+            ))
     cands = [c for c in cands if c.est_bytes <= budget_bytes]
     cands.sort(key=lambda c: c.est_bytes)
     return cands

@@ -453,7 +453,12 @@ def beam_search(
             cand_scores = jnp.where(expanded, topk_ops.NEG_INF, scores)
             pick_scores, picks = jax.lax.top_k(cand_scores, e)  # (e,)
             pick_ids = ids[picks]
-            valid_pick = pick_scores > topk_ops.NEG_INF  # (e,)
+            # gate on the tombstone threshold, not NEG_INF: pad/deleted
+            # rows score ~-DELETED_PENALTY (finite), so without this they
+            # could win expansion slots when fewer than e live unexpanded
+            # candidates exist — wasted gathers on their build-artifact
+            # edges (results stay correct via the final `live` filter)
+            valid_pick = pick_scores > -dist_ops.DELETED_THRESHOLD  # (e,)
             expanded = expanded.at[picks].set(True)
 
             nbrs = graph[jnp.maximum(pick_ids, 0)]  # (e, G)

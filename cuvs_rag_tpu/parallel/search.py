@@ -255,6 +255,43 @@ def _filtered_view_core(local, allow_stacked):
     return jax.vmap(filters_lib.view_traced)(local, allow_stacked)
 
 
+# Per-request `allow=` masks repeat across requests (tenant ACLs, session
+# scopes), but rebuilding the sharded view costs O(total) host work + an
+# H2D copy per call. Cache the derived per-shard view keyed on the mask
+# CONTENT and the identity of the source index's leaves; entries share
+# vector storage with the source, so each costs only the (rows,)-shaped
+# bookkeeping leaf. Identity is re-checked via weakref so a recycled id()
+# can never alias, and dead entries are purged on every lookup.
+_VIEW_CACHE: "dict[tuple, tuple]" = {}
+_VIEW_CACHE_MAX = 8
+
+
+def _filtered_view_sharded_cached(sindex: ShardedIndex, allow) -> ShardedIndex:
+    import hashlib
+    import weakref
+
+    mask = np.ascontiguousarray(np.asarray(allow))
+    key = (
+        id(sindex.local),
+        sindex.total,
+        hashlib.sha1(mask.tobytes()).hexdigest(),
+    )
+    for kk in [k for k, v in _VIEW_CACHE.items() if v[0]() is None]:
+        del _VIEW_CACHE[kk]
+    hit = _VIEW_CACHE.get(key)
+    if hit is not None and hit[0]() is sindex.local:
+        return dataclasses.replace(sindex, local=hit[1])
+    view = filtered_view_sharded(sindex, mask)
+    try:
+        src_ref = weakref.ref(sindex.local)
+    except TypeError:  # un-weakref-able local container: skip caching
+        return view
+    if len(_VIEW_CACHE) >= _VIEW_CACHE_MAX:
+        _VIEW_CACHE.pop(next(iter(_VIEW_CACHE)))
+    _VIEW_CACHE[key] = (src_ref, view.local)
+    return view
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def _postfilter_merged(scores, idx, mask, k):
     """Drop merged candidates outside the global allow mask, re-select k."""
@@ -360,7 +397,7 @@ def search_sharded(
                     "raise CagraSearchParams.itopk_size"
                 )
         else:
-            sindex = filtered_view_sharded(sindex, allow)
+            sindex = _filtered_view_sharded_cached(sindex, allow)
     k_local = _shard_k(sindex.family, kk, over_fetch)
     if mask is not None:
         k_local = min(k_local, search_params.itopk_size)
@@ -405,8 +442,8 @@ def search_sharded_batched(
     """
     queries = index_base.validate_queries(queries, _index_dim(sindex))
     if allow is not None and sindex.family != "cagra":
-        # build the filtered view ONCE, not per batch
-        sindex, allow = filtered_view_sharded(sindex, allow), None
+        # build the filtered view ONCE, not per batch (cached across calls)
+        sindex, allow = _filtered_view_sharded_cached(sindex, allow), None
     q = queries.shape[0]
     outs_d, outs_i = [], []
     for start in range(0, q, batch_size):

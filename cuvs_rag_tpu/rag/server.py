@@ -271,7 +271,23 @@ class SearchService:
     MAX_DENY = 1024
 
     def _check_deny(self, deny_ids) -> frozenset:
-        deny = frozenset(int(x) for x in (deny_ids or ()))
+        # Strict validation (a malformed filter silently no-op'ing is worse
+        # than a 400): integral values only — bool/float like 3.7 rejected,
+        # not truncated — and within the corpus id range.
+        n_corpus = len(self.retriever.corpus)
+        deny = set()
+        for x in (deny_ids or ()):
+            if isinstance(x, bool) or not isinstance(x, (int, float)):
+                raise ValueError(f"deny_ids must be integers, got {x!r}")
+            if isinstance(x, float) and not x.is_integer():
+                raise ValueError(f"deny_ids must be integral, got {x!r}")
+            xi = int(x)
+            if not 0 <= xi < n_corpus:
+                raise ValueError(
+                    f"deny_ids entry {xi} outside corpus [0, {n_corpus})"
+                )
+            deny.add(xi)
+        deny = frozenset(deny)
         if len(deny) > self.MAX_DENY:
             raise ValueError(
                 f"deny_ids is capped at {self.MAX_DENY} per request; bake "

@@ -135,6 +135,40 @@ def main():
         jax.block_until_ready(i_xla)
         _check(f"pallas_ivf {sdtype} vs XLA fallback", i, i_xla, 0.95)
 
+    # --- pallas_ivf fp32 SUB-WINDOW path (n_sub > 1) ----------------------
+    # The path with the recorded recall-bug history (MXU bf16 truncation of
+    # fp32 inputs, 0.980->0.951, fixed with Precision.HIGHEST — PERF.md IVF
+    # §). fp32 at d=768 overflows the 8 MiB double-buffer budget at any
+    # whole window, so the kernel must take the sub-window split here.
+    d32 = 768
+    c32 = jnp.asarray(rng.standard_normal((8192, d32)).astype(np.float32))
+    q32 = jnp.asarray(rng.standard_normal((qn, d32)).astype(np.float32))
+    ix32 = ivf_flat.build(
+        IVFFlatParams(n_lists=4, dtype="float32", kmeans_iters=5), c32
+    )
+    nsub = ivf_flat._pallas_n_sub(ix32, k)
+    if jax.default_backend() != "cpu":
+        assert nsub is not None and nsub > 1, (
+            f"fp32 sub-window split not engaged (n_sub={nsub}, "
+            f"max_list_size={ix32.max_list_size})"
+        )
+    _, i32 = ivf_flat.search(IVFFlatSearchParams(n_probes=4), ix32, q32, k)
+    jax.block_until_ready(i32)
+    cs32, probes32 = ivf_ops.probe_lists(
+        q32, ix32.centroids, ix32.centroid_sqnorms, 4, ix32.metric
+    )
+    _, i32_xla = ivf_ops.scan_probed_lists(
+        q32, probes32, ix32.vectors, ix32.sqnorms, ix32.row_ids,
+        ix32.list_offsets, ix32.list_counts,
+        max_list_size=ix32.max_list_size, metric=ix32.metric, k=k,
+        layout_scales=ix32.scales,
+    )
+    jax.block_until_ready(i32_xla)
+    # full probe + fp32 storage: the kernel IS an exact scan — its ids must
+    # match the XLA gather path bit-for-bit up to distance ties
+    _check(f"pallas_ivf fp32 n_sub={nsub} vs XLA fallback", i32, i32_xla,
+           0.99)
+
     # --- certified large-k selection (per-class top-R + certificate) -----
     k_large = 200
     s_l, i_l, cert = pallas_flat.flat_topk_large(
