@@ -5,17 +5,33 @@ batched queries, per-query search latency. Reference best: cuVS IVF-Flat on
 A100-SXM4-40GB = 2.01 ms/query at 2M vectors (Attempt_1/cuvs_2gpu.ipynb#cell22).
 vs_baseline = baseline_ms / our_ms (>1 means faster than the reference).
 
-Runs exact brute-force search (flat index, bf16 storage, fused Pallas
-distance+top-k kernel) — we compare our *exact* search against the
-reference's *approximate* search, which only understates the advantage.
+Headline: exact brute-force search (flat index, bf16 storage, fused Pallas
+distance+top-k kernel) — our *exact* search against the reference's
+*approximate* search, which only understates the advantage.
+
+Extra rows (VERDICT r3 #1 — every headline PERF.md claim driver-captured):
+  * exact_k2000      — certified large-k kernel at the reference's default
+                       SearchConfig.top_k=2000 (improved_multi_gpu_rag.py:37)
+  * sketch_int8      — approx selection + int8 storage/MXU matmul
+  * ivf_bf16         — IVF-Flat nprobe=10 + certified recall (the baseline's
+                       own index family)
+  * filtered_view    — 50%-selectivity allow-list view on that IVF index,
+                       overhead vs the unfiltered row
+  * pq_adc8          — IVF-PQ 8-bit two-level Pallas ADC scan + recall
+  * cagra_itopk64    — CAGRA beam search, graph_degree 32 + recall
 
 Timing methodology: the test-tunnel TPU runtime acks dispatches
-asynchronously, so each timed call fetches its result to host (full data
-dependency) and the fixed dispatch+fetch overhead — measured separately
-with a trivial op — is subtracted. Every rep uses distinct queries. The
-corpus is generated on device (host->device through the tunnel is ~35 MB/s)
-and always passed as a jit *argument* (a closure would embed it as a 3 GB
-lowering-time constant fetched through the tunnel).
+asynchronously, so timing uses queue-then-drain — R batches are dispatched
+and only the LAST result is fetched (the device executes in order, so one
+fetch bounds all R executions and its fixed overhead amortizes). Every rep
+uses distinct queries. Corpora are generated on device (host->device
+through the tunnel is ~35 MB/s) and always passed as jit *arguments* (a
+closure would embed a 3 GB lowering-time constant fetched through the
+tunnel).
+
+Tunnel robustness (VERDICT r3 #1, BENCH_r03 rc=2): the device probe
+retries 3 x 120 s with backoff before declaring the tunnel down, so a
+transient outage at capture time cannot zero out a round's metric.
 """
 
 import json
@@ -26,14 +42,16 @@ import numpy as np
 N = 2_000_000
 D = 768
 K = 5
+K_LARGE = 2000  # the reference's default SearchConfig.top_k
 BATCH = 100
 BASELINE_MS = 2.01  # A100 cuVS IVF-Flat @ 2M, ms/query (approximate search)
 
-# Wall-clock budget for the OPTIONAL extra rows (sketch/int8, IVF-Flat).
-# The headline metric always runs to completion; extras are skipped when
-# the budget is spent (e.g. a cold compile cache) so the driver always
-# gets its one JSON line instead of a timeout.
-EXTRAS_BUDGET_S = 420.0
+# Wall-clock budget for the OPTIONAL extra rows. The headline metric always
+# runs to completion; each extra is skipped when the budget is spent (e.g.
+# a cold compile cache) so the driver always gets its one JSON line instead
+# of a timeout. Ordered cheapest-first within each corpus so a tight budget
+# still captures the most rows.
+EXTRAS_BUDGET_S = 1400.0
 _T_START = time.time()
 
 
@@ -41,50 +59,100 @@ def _budget_left() -> bool:
     return (time.time() - _T_START) < EXTRAS_BUDGET_S
 
 
-def _probe_device_or_die(jax, jnp, deadline_s: float = 240.0, die=None):
+def _probe_device_or_die(jax, jnp, deadline_s: float = 120.0,
+                         attempts: int = 3, backoff_s: float = 20.0,
+                         die=None):
     """Fail fast (rc=2, stderr diagnostic) if the TPU never answers a
     trivial op — a down tunnel otherwise hangs the process until the
     driver's timeout, indistinguishable from a crash (round-1 optics).
-    The probe runs in a daemon thread so a hung dispatch can't block exit.
-    A backend that fails FAST (raises at init, e.g. driver/env mismatch)
-    is reported immediately with the real traceback instead of burning the
-    full deadline. `die` is injectable for tests (default: os._exit)."""
+    Each probe runs in a daemon thread so a hung dispatch can't block
+    exit. A TRANSIENT outage gets `attempts` probes of `deadline_s` each
+    with `backoff_s` sleeps between (BENCH_r03 rc=2 was a tunnel blip that
+    healed 30 minutes later — one 240 s probe gave up on a whole round's
+    metric). A backend that fails FAST (raises at init, e.g. driver/env
+    mismatch) is retried on the same schedule and reported with the real
+    traceback if it never heals. `die` is injectable for tests (default:
+    os._exit)."""
     import os
     import sys
     import threading
 
     if die is None:
         die = lambda rc: os._exit(rc)  # noqa: E731
-    done = threading.Event()
-    error: list = []
+    last_error = None
+    for attempt in range(attempts):
+        done = threading.Event()
+        error: list = []
 
-    def probe():
-        try:
-            x = jnp.ones((8, 8))
-            _ = float(np.asarray(x @ x)[0, 0])
-        except BaseException as e:  # record, don't swallow: main reports it
-            error.append(e)
-        finally:
-            done.set()
+        def probe():
+            try:
+                x = jnp.ones((8, 8))
+                _ = float(np.asarray(x @ x)[0, 0])
+            except BaseException as e:  # record, don't swallow
+                error.append(e)
+            finally:
+                done.set()
 
-    threading.Thread(target=probe, daemon=True).start()
-    if not done.wait(deadline_s):
-        # NB: no jax calls here — jax.devices() itself blocks on backend
-        # init when the tunnel is down (measured: hung past the deadline)
-        print(
-            f"bench.py: device did not answer a trivial 8x8 matmul within "
-            f"{deadline_s:.0f}s — TPU tunnel down or unreachable; aborting "
-            "instead of hanging.",
-            file=sys.stderr, flush=True,
+        threading.Thread(target=probe, daemon=True).start()
+        if done.wait(deadline_s) and not error:
+            return  # device answered
+        last_error = error[0] if error else None
+        msg = (
+            f"probe {attempt + 1}/{attempts}: "
+            + (f"raised {type(last_error).__name__}: {last_error}"
+               if last_error
+               else f"no answer to a trivial 8x8 matmul in {deadline_s:.0f}s")
         )
-        return die(2)
-    if error:
-        print(
-            f"bench.py: device probe raised {type(error[0]).__name__}: "
-            f"{error[0]} — backend unusable; aborting.",
-            file=sys.stderr, flush=True,
-        )
-        return die(2)
+        print(f"bench.py: {msg}", file=sys.stderr, flush=True)
+        if attempt + 1 < attempts:
+            time.sleep(backoff_s * (attempt + 1))
+    print(
+        f"bench.py: device unusable after {attempts} probes — TPU tunnel "
+        "down or backend broken; aborting instead of hanging.",
+        file=sys.stderr, flush=True,
+    )
+    return die(2)
+
+
+def _queue_drain(search_fn, query_list, reps_divisor=None):
+    """min-of-2 queue-then-drain timing: dispatch every batch, fetch only
+    the last result. Returns seconds per batch."""
+    reps = reps_divisor or len(query_list)
+    best = 1e9
+    for _trial in range(2):
+        t0 = time.perf_counter()
+        last = None
+        for q in query_list:
+            last = search_fn(q)
+        _ = np.asarray(last[0])  # drain the queue
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return best
+
+
+def _try_row(name, fn, skipped):
+    """Run one OPTIONAL row; a failure (or spent budget) skips the row
+    instead of killing the headline JSON line (round-1 lesson, re-learned
+    round 4: a %-format typo in one extra row's note zeroed a dry run)."""
+    if not _budget_left():
+        skipped.append(name)
+        return
+    import sys
+    import traceback
+
+    try:
+        fn()
+    except Exception as e:
+        print(f"bench.py: extra row {name} failed: {e}", file=sys.stderr,
+              flush=True)
+        traceback.print_exc()
+        skipped.append(f"{name}:error")
+
+
+def _recall(ids: np.ndarray, gt: np.ndarray, k: int) -> float:
+    return float(np.mean(
+        [len(set(ids[r, :k]) & set(gt[r, :k])) / k
+         for r in range(ids.shape[0])]
+    ))
 
 
 def main():
@@ -96,6 +164,8 @@ def main():
 
     _probe_device_or_die(jax, jnp)
     key = jax.random.PRNGKey(42)
+    rows = {}
+    skipped = []
 
     t0 = time.time()
     mk = jax.jit(lambda k: jax.random.normal(k, (N // 8, D), jnp.bfloat16))
@@ -105,10 +175,6 @@ def main():
     jax.block_until_ready(index.vectors)
     build_s = time.time() - t0
 
-    # Queue-then-drain timing: dispatches are async (the tunnel acks before
-    # completion) but the device executes in order, so queueing R searches
-    # and fetching only the LAST result bounds all R executions. One fetch's
-    # fixed overhead amortizes over R batches.
     q0 = jax.random.normal(jax.random.fold_in(key, 7), (BATCH, D))
     d, i = flat.search(None, index, q0, K)
     _ = np.asarray(d)  # compile + warmup + drain
@@ -120,62 +186,72 @@ def main():
     ]
     _ = [qr.block_until_ready() for qr in qrs]
 
-    def timed_run():
-        t0 = time.perf_counter()
-        last = None
-        for qr in qrs:
-            last = flat.search(None, index, qr, K)
-            del qr
-        _ = np.asarray(last[0])  # drain the queue
-        return (time.perf_counter() - t0) / reps
-
-    t1 = timed_run()
-    t2 = timed_run()
-    dt = min(t1, t2)
+    dt = _queue_drain(lambda q: flat.search(None, index, q, K), qrs)
     ms_per_query = dt / BATCH * 1e3
     qps = BATCH / dt
 
-    # secondary: sketch selection + int8 storage + int8 MXU matmul — the
+    # --- certified large-k: exact k=2000 on the same index (the
+    # reference's default top_k; ops/pallas_flat.flat_topk_large) --------
+    def row_k2000():
+        _ = np.asarray(flat.search(None, index, q0, K_LARGE)[0])  # compile
+        t_lk = _queue_drain(
+            lambda q: flat.search(None, index, q, K_LARGE), qrs[:10]
+        )
+        rows["exact_k2000_ms_per_query"] = round(t_lk / BATCH * 1e3, 4)
+        rows["exact_k2000_note"] = (
+            "certified large-k selection kernel, exact ids, the "
+            "reference's default SearchConfig.top_k=2000"
+        )
+
+    _try_row("exact_k2000", row_k2000, skipped)
+
+    # --- sketch selection + int8 storage + int8 MXU matmul — the
     # recall-matched comparison against the reference's approximate search
-    # (measured id agreement vs our fp32 exact oracle: 0.97 at k=5)
+    # (measured id agreement vs our fp32 exact oracle: 0.97 at k=5) ------
     from cuvs_rag_tpu.utils.config import FlatSearchParams
 
-    sketch_ms_q = None
-    if _budget_left():
+    def row_sketch():
         sp = FlatSearchParams(approx=True)
         ix8 = flat.build(
             FlatParams(dtype="int8", tile_n=8192), index.vectors[:N]
         )
-        del index
         jax.block_until_ready(ix8.vectors)
         _ = np.asarray(flat.search(sp, ix8, q0, K)[0])
-        t_sk = 1e9
-        for _trial in range(2):
-            t0 = time.perf_counter()
-            last = None
-            for qr in qrs:
-                last = flat.search(sp, ix8, qr, K)
-            _ = np.asarray(last[0])
-            t_sk = min(t_sk, (time.perf_counter() - t0) / reps)
-        sketch_ms_q = t_sk / BATCH * 1e3
-        del ix8
-    else:
-        del index
+        t_sk = _queue_drain(lambda q: flat.search(sp, ix8, q, K), qrs)
+        sk = t_sk / BATCH * 1e3
+        rows["sketch_int8_ms_per_query"] = round(sk, 4)
+        rows["sketch_int8_vs_baseline"] = round(BASELINE_MS / sk, 2)
+        rows["sketch_int8_note"] = (
+            "approx=True + int8 storage/MXU; recall 0.97@5 vs fp32 exact "
+            "(reference's own search is approximate)"
+        )
 
-    # tertiary: IVF-Flat with CERTIFIED recall — the apples-to-apples row
-    # against the baseline metric itself (cuVS IVF-Flat, approximate). A
-    # clustered corpus + in-distribution queries (IVF on i.i.d. gaussian is
-    # degenerate for every engine); recall measured against the exact flat
-    # oracle over the same corpus.
-    from cuvs_rag_tpu.index import ivf_flat
-    from cuvs_rag_tpu.utils.config import IVFFlatParams, IVFFlatSearchParams
+    _try_row("sketch_int8", row_sketch, skipped)
+    del index
 
-    ivf_ms_q = None
-    ivf_recall = None
-    if not _budget_left():
-        _emit(ms_per_query, qps, build_s, dt, sketch_ms_q, None, None, jax)
-        return
+    # --- clustered-corpus rows: IVF / filtered view / PQ ADC / CAGRA ----
+    # A clustered corpus + in-distribution queries (IVF on i.i.d. gaussian
+    # is degenerate for every engine); recall measured against the exact
+    # flat oracle over the same corpus.
+    _try_row(
+        "clustered_rows",
+        lambda: _clustered_rows(jax, jnp, key, qrs, rows, skipped),
+        skipped,
+    )
 
+    _emit(ms_per_query, qps, build_s, dt, rows, skipped, jax)
+
+
+def _clustered_rows(jax, jnp, key, qrs, rows, skipped):
+    from cuvs_rag_tpu.index import filters as filters_lib
+    from cuvs_rag_tpu.index import flat, ivf_flat
+    from cuvs_rag_tpu.utils.config import (
+        FlatParams,
+        IVFFlatParams,
+        IVFFlatSearchParams,
+    )
+
+    reps = len(qrs)
     kc = jax.random.fold_in(key, 999)
     centers = jax.random.normal(kc, (2000, D), jnp.float32)
     mkc = jax.jit(lambda k: (
@@ -194,41 +270,166 @@ def main():
     _, gt = flat.search(None, fx, queries_c, 10)
     gt = np.asarray(gt)
     del fx
-    # bf16 storage: halves window DMA bytes and keeps the double-buffered
-    # probe window inside the Pallas kernel's VMEM budget (fp32 storage
-    # falls back to the XLA scan path — 0.33 vs 0.08 ms/query measured)
-    ivf = ivf_flat.build(
-        IVFFlatParams(n_lists=2000, dtype="bfloat16"), corpus_c
-    )
-    _ = np.asarray(ivf.list_counts)  # drain before timing
-    spi = IVFFlatSearchParams(n_probes=10)
-    _, iv = ivf_flat.search(spi, ivf, queries_c, 10)
-    iv = np.asarray(iv)
-    ivf_recall = float(np.mean(
-        [len(set(iv[r]) & set(gt[r])) / 10 for r in range(BATCH)]
-    ))
     qcs = [
         queries_c + 0.01 * jax.random.normal(
             jax.random.fold_in(key, 300 + r), queries_c.shape)
         for r in range(reps)
     ]
     _ = [q.block_until_ready() for q in qcs]
-    t_ivf = 1e9
-    for _trial in range(2):
+
+    state = {}
+
+    # bf16 storage: halves window DMA bytes and keeps the double-buffered
+    # probe window inside the Pallas kernel's VMEM budget (fp32 storage
+    # takes the sub-windowed path — slower)
+    def row_ivf():
+        ivf = ivf_flat.build(
+            IVFFlatParams(n_lists=2000, dtype="bfloat16"), corpus_c
+        )
+        _ = np.asarray(ivf.list_counts)  # drain before timing
+        spi = IVFFlatSearchParams(n_probes=10)
+        _, iv = ivf_flat.search(spi, ivf, queries_c, 10)
+        rows["ivf_bf16_recall_at_10"] = round(
+            _recall(np.asarray(iv), gt, 10), 3
+        )
+        t_ivf = _queue_drain(lambda q: ivf_flat.search(spi, ivf, q, 10), qcs)
+        ivf_ms = t_ivf / BATCH * 1e3
+        rows["ivf_bf16_ms_per_query"] = round(ivf_ms, 4)
+        rows["ivf_bf16_vs_baseline"] = round(BASELINE_MS / ivf_ms, 2)
+        rows["ivf_note"] = (
+            "IVF-Flat nprobe=10 on a clustered 2M corpus, recall certified "
+            "vs the exact flat oracle — the same index family as the "
+            "baseline metric"
+        )
+        state.update(ivf=ivf, spi=spi, ivf_ms=ivf_ms)
+
+    _try_row("ivf_bf16", row_ivf, skipped)
+
+    # --- filtered (allow-list) view on the same IVF index ---------------
+    def row_filter():
+        ivf, spi, ivf_ms = state["ivf"], state["spi"], state["ivf_ms"]
+        rng = np.random.default_rng(7)
+        allow = rng.random(N) < 0.5  # 50% selectivity
         t0 = time.perf_counter()
-        last = None
-        for qr in qcs:
-            last = ivf_flat.search(spi, ivf, qr, 10)
-        _ = np.asarray(last[0])
-        t_ivf = min(t_ivf, (time.perf_counter() - t0) / reps)
-    ivf_ms_q = t_ivf / BATCH * 1e3
+        view = filters_lib.filtered_view(ivf, allow)
+        jax.block_until_ready(view.sqnorms)
+        t_view = time.perf_counter() - t0
+        ids_f = np.asarray(ivf_flat.search(spi, view, queries_c, 10)[1])
+        assert np.all((ids_f == -1) | allow[np.maximum(ids_f, 0)]), \
+            "filter leak"
+        t_f = _queue_drain(lambda q: ivf_flat.search(spi, view, q, 10), qcs)
+        f_ms = t_f / BATCH * 1e3
+        rows["filtered_view_ms_per_query"] = round(f_ms, 4)
+        rows["filtered_view_overhead_pct"] = round(
+            (f_ms / ivf_ms - 1.0) * 100.0, 1
+        )
+        rows["filtered_view_note"] = (
+            "50pct-selectivity allow-list view on the IVF row above "
+            "(FAISS IDSelector parity); view build "
+            f"{t_view * 1e3:.0f} ms incl. host mask transfer + compile"
+        )
 
-    _emit(ms_per_query, qps, build_s, dt, sketch_ms_q, ivf_ms_q,
-          ivf_recall, jax)
+    # --- certified large-k IVF probed scan at the reference's top_k=2000
+    # (round-4 kernel, VERDICT r3 #4: closes the inversion where the
+    # approximate index was slower than brute force at large k) ----------
+    def row_ivf_k2000():
+        ivf = state["ivf"]
+        sp20 = IVFFlatSearchParams(n_probes=20)
+        fx = flat.build(FlatParams(dtype="bfloat16", tile_n=8192), corpus_c)
+        _, gtl = flat.search(None, fx, queries_c, K_LARGE)
+        gtl = np.asarray(gtl)
+        del fx
+        _, il = ivf_flat.search(sp20, ivf, queries_c, K_LARGE)
+        rows["ivf_k2000_recall_at_2000"] = round(
+            _recall(np.asarray(il), gtl, K_LARGE), 3
+        )
+        t_l = _queue_drain(
+            lambda q: ivf_flat.search(sp20, ivf, q, K_LARGE), qcs[:10]
+        )
+        l_ms = t_l / BATCH * 1e3
+        rows["ivf_k2000_ms_per_query"] = round(l_ms, 4)
+        rows["ivf_k2000_note"] = (
+            "certified large-k IVF probed scan (per-class top-R + "
+            "exactness certificate in the window DMA kernel), nprobe=20; "
+            "recall vs the exact k=2000 flat oracle"
+        )
+
+    if "ivf" in state:
+        _try_row("filtered_view", row_filter, skipped)
+        _try_row("ivf_k2000", row_ivf_k2000, skipped)
+        state.clear()  # free the IVF index before the PQ/CAGRA builds
+    else:
+        skipped += ["filtered_view", "ivf_k2000"]
+
+    # --- IVF-PQ 8-bit two-level Pallas ADC scan --------------------------
+    def row_pq():
+        from cuvs_rag_tpu.index import ivf_pq
+        from cuvs_rag_tpu.utils.config import IVFPQParams, IVFPQSearchParams
+
+        pq = ivf_pq.build(
+            IVFPQParams(n_lists=2000, pq_dim=96, pq_bits=8,
+                        kmeans_sample=100_000, store_raw=True),
+            corpus_c,
+        )
+        jax.block_until_ready(pq.codes)
+        spq = IVFPQSearchParams(n_probes=20, refine_ratio=0)
+        _, ip = ivf_pq.search(spq, pq, queries_c, 10)
+        rows["pq_adc8_recall_at_10"] = round(
+            _recall(np.asarray(ip), gt, 10), 3
+        )
+        t_pq = _queue_drain(lambda q: ivf_pq.search(spq, pq, q, 10), qcs)
+        pq_ms = t_pq / BATCH * 1e3
+        rows["pq_adc8_ms_per_query"] = round(pq_ms, 4)
+        rows["pq_adc8_vs_baseline"] = round(BASELINE_MS / pq_ms, 2)
+        rows["pq_adc8_note"] = (
+            "IVF-PQ 8-bit two-level codes, Pallas stream-major ADC window "
+            "scan, nprobe=20, refine off (codes are 96 B/row; the ADC "
+            "shortlist bounds recall on this hard corpus — see refine row)"
+        )
+        # + exact re-rank: the quality operating point (ADC shortlist
+        # k*refine_ratio, exact re-scored from the raw store)
+        spr = IVFPQSearchParams(n_probes=20, refine_ratio=16)
+        _, ir = ivf_pq.search(spr, pq, queries_c, 10)
+        rows["pq_refine16_recall_at_10"] = round(
+            _recall(np.asarray(ir), gt, 10), 3
+        )
+        t_pr = _queue_drain(lambda q: ivf_pq.search(spr, pq, q, 10), qcs)
+        pr_ms = t_pr / BATCH * 1e3
+        rows["pq_refine16_ms_per_query"] = round(pr_ms, 4)
+        rows["pq_refine16_vs_baseline"] = round(BASELINE_MS / pr_ms, 2)
+
+    _try_row("pq_adc8", row_pq, skipped)
+
+    # --- CAGRA beam search, itopk=64 -------------------------------------
+    def row_cagra():
+        from cuvs_rag_tpu.index import cagra
+        from cuvs_rag_tpu.utils.config import CagraParams, CagraSearchParams
+
+        t0 = time.time()
+        gx = cagra.build(
+            CagraParams(graph_degree=32, intermediate_graph_degree=64,
+                        dtype="bfloat16"), corpus_c
+        )
+        jax.block_until_ready(gx.graph)
+        rows["cagra_build_s"] = round(time.time() - t0, 1)
+        spg = CagraSearchParams(itopk_size=64, num_entry_points=64)
+        _, ig = cagra.search(spg, gx, queries_c, 10)
+        rows["cagra_itopk64_recall_at_10"] = round(
+            _recall(np.asarray(ig), gt, 10), 3
+        )
+        t_cg = _queue_drain(lambda q: cagra.search(spg, gx, q, 10), qcs)
+        cg_ms = t_cg / BATCH * 1e3
+        rows["cagra_itopk64_ms_per_query"] = round(cg_ms, 4)
+        rows["cagra_itopk64_vs_baseline"] = round(BASELINE_MS / cg_ms, 2)
+        rows["cagra_note"] = (
+            "monotone-beam graph search, graph_degree=32 "
+            "(reference CAGRA A100 build 11.95 s, T4 search 6.52 ms/q)"
+        )
+
+    _try_row("cagra_itopk64", row_cagra, skipped)
 
 
-def _emit(ms_per_query, qps, build_s, dt, sketch_ms_q, ivf_ms_q,
-          ivf_recall, jax):
+def _emit(ms_per_query, qps, build_s, dt, rows, skipped, jax):
     extra = {
         "qps": round(qps, 1),
         "build_s": round(build_s, 2),
@@ -239,28 +440,12 @@ def _emit(ms_per_query, qps, build_s, dt, sketch_ms_q, ivf_ms_q,
                 "reference is approximate",
         "device": str(jax.devices()[0]),
     }
-    if sketch_ms_q is not None:
-        extra.update({
-            "sketch_int8_ms_per_query": round(sketch_ms_q, 4),
-            "sketch_int8_vs_baseline": round(BASELINE_MS / sketch_ms_q, 2),
-            "sketch_int8_note": "approx=True + int8 storage/MXU; recall "
-                                "0.97@5 vs fp32 exact (reference's own "
-                                "search is approximate)",
-        })
-    if ivf_ms_q is not None:
-        extra.update({
-            "ivf_bf16_ms_per_query": round(ivf_ms_q, 4),
-            "ivf_bf16_vs_baseline": round(BASELINE_MS / ivf_ms_q, 2),
-            "ivf_bf16_recall_at_10": round(ivf_recall, 3),
-            "ivf_note": "IVF-Flat nprobe=10 on a clustered 2M corpus, "
-                        "recall certified vs the exact flat oracle — the "
-                        "same index family as the baseline metric",
-        })
-    if sketch_ms_q is None or ivf_ms_q is None:
+    extra.update(rows)
+    if skipped:
         extra["extras_skipped"] = (
-            "optional rows skipped: %.0fs wall exceeded the %.0fs extras "
-            "budget (cold compile cache); headline metric is complete"
-            % (time.time() - _T_START, EXTRAS_BUDGET_S)
+            "skipped rows %s: %.0fs wall exceeded the %.0fs extras budget "
+            "(cold compile cache); headline metric is complete"
+            % (",".join(skipped), time.time() - _T_START, EXTRAS_BUDGET_S)
         )
     print(json.dumps({
         "metric": f"exact_search_ms_per_query_{N}x{D}_k{K}_batch{BATCH}",

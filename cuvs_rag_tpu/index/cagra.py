@@ -14,6 +14,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from cuvs_rag_tpu.index import base
 from cuvs_rag_tpu.ops import distance as dist_ops
@@ -363,6 +364,126 @@ def delete(index: CagraIndex, ids) -> CagraIndex:
         ),
         vectors=index.vectors.at[tgt, d : d + 2].set(hi_lo, mode="drop"),
     )
+
+
+# extend() growth fraction past which incremental patching gives way to a
+# full graph rebuild: one big batch of patched-in nodes thins the beam's
+# road network (new nodes are reachable only through overwritten reverse
+# slots), while a rebuild re-ranks every edge. 25% matches the IVF
+# families' re-layout hysteresis.
+_EXTEND_REBUILD_FRACTION = 0.25
+
+
+def extend(index: CagraIndex, new_vectors: jax.Array) -> CagraIndex:
+    """Append rows (FAISS `index.add` flow, faiss-main.ipynb#cell7 re-adds
+    in 100k batches — cuVS CAGRA itself has no extend; this completes the
+    four-family contract, VERDICT r3 #8). New rows get ids
+    n_valid..n_valid+B-1; existing ids are stable.
+
+    Incremental insert: each new row is beam-searched against the current
+    graph to find its graph_degree nearest rows (its forward edges), the
+    augmented-row layout is grown in place (pad slots absorb small
+    batches), and reverse edges are patched by overwriting the lowest-rank
+    adjacency slots of the new row's top neighbors (rank-staggered so a
+    batch spreads across slots). Past a growth threshold
+    (_EXTEND_REBUILD_FRACTION of n_valid in one call) the graph is rebuilt
+    from the stored rows instead — extend-as-policy: accumulated patching
+    degrades connectivity, a rebuild re-ranks every edge. Repeated large
+    incremental growth without rebuilds is NOT recommended; the
+    recall-after-extend test (tests/test_extend.py) pins the supported
+    regime.
+    """
+    if new_vectors.ndim != 2 or new_vectors.shape[1] != index.dim:
+        raise ValueError(
+            f"new vectors must be (B, {index.dim}), got {new_vectors.shape}"
+        )
+    add = jnp.asarray(new_vectors)
+    m = add.shape[0]
+    if m == 0:
+        return index
+    nv = int(index.n_valid)
+    if nv == 0 or m > _EXTEND_REBUILD_FRACTION * nv:
+        return _extend_rebuild(index, add)
+    deg = index.graph_degree
+    if index.metric == Metric.COSINE:
+        add = dist_ops.l2_normalize(add)
+
+    # forward edges: the new row's nearest live rows in the current graph
+    sp = CagraSearchParams(
+        itopk_size=max(64, 2 * deg),
+        num_entry_points=max(32, min(128, nv)),
+    )
+    _, nbrs = search_scores(sp, index, add.astype(jnp.float32), deg)
+    # a sparse/deleted-heavy graph can return fewer than deg rows; route
+    # empty slots to row 0 — duplicate edges are deduped by the beam
+    nbrs = jnp.maximum(nbrs, 0).astype(jnp.int32)
+
+    # grow the augmented storage: positions nv..nv+m-1 (old pad rows are
+    # overwritten — ids are positions, so new rows MUST land there)
+    total = nv + m
+    n_pad_new = topk_ops.round_up(total, 8)
+    block = jnp.zeros((n_pad_new - nv, index.dim), index.vectors.dtype)
+    block = block.at[:m].set(add.astype(index.vectors.dtype))
+    block_sq = dist_ops.sqnorms(block)
+    aug_block = graph_ops.augment_rows(
+        block, block_sq, jnp.asarray(m, jnp.int32), index.metric
+    )
+    vectors = jnp.concatenate([index.vectors[:nv], aug_block])
+    sqnorms = jnp.concatenate([index.sqnorms[:nv], block_sq])
+
+    graph_block = jnp.zeros((n_pad_new - nv, deg), jnp.int32)
+    graph_block = graph_block.at[:m].set(nbrs)
+    graph = jnp.concatenate([index.graph[:nv], graph_block])
+
+    # reverse edges: new node j overwrites slot (deg-1-r) of its rank-r
+    # neighbor for r < rev — the slots the build's reverse fill owned.
+    # Collisions across a batch keep the last writer (best-effort
+    # connectivity, same spirit as CAGRA's rank-based reverse fill).
+    rev = max(1, deg // 4)
+    new_ids = nv + jnp.arange(m, dtype=jnp.int32)
+    tgt = nbrs[:, :rev]  # (m, rev) — all valid after the maximum() above
+    slots = (deg - 1) - jnp.arange(rev, dtype=jnp.int32)
+    graph = graph.at[
+        tgt, jnp.broadcast_to(slots[None, :], tgt.shape)
+    ].set(jnp.broadcast_to(new_ids[:, None], tgt.shape))
+
+    return dataclasses.replace(
+        index,
+        vectors=vectors,
+        sqnorms=sqnorms,
+        graph=graph,
+        n_valid=jnp.asarray(total, jnp.int32),
+    )
+
+
+def _extend_rebuild(index: CagraIndex, add: jax.Array) -> CagraIndex:
+    """extend-as-policy: rebuild the whole graph from the stored rows +
+    new rows. Ids stay stable (rows keep original order; tombstoned rows
+    are rebuilt in place and re-deleted)."""
+    from cuvs_rag_tpu.index import io as io_lib
+
+    nv = int(index.n_valid)
+    storage = index.vectors.dtype
+    rows = io_lib.recover_rows(index) if nv else \
+        jnp.zeros((0, index.dim), storage)
+    full = jnp.concatenate([
+        rows.astype(jnp.float32), jnp.asarray(add, jnp.float32)
+    ])
+    deg = index.graph_degree
+    params = CagraParams(
+        graph_degree=deg,
+        intermediate_graph_degree=2 * deg,
+        metric=index.metric,
+        dtype=str(jnp.dtype(storage)),
+    )
+    out = build(params, full)
+    if nv:
+        deleted = np.nonzero(
+            np.asarray(index.sqnorms[:nv]) > dist_ops.DELETED_THRESHOLD
+        )[0]
+        if deleted.size:
+            out = delete(out, jnp.asarray(deleted, jnp.int32))
+    return out
 
 
 def search_scores(

@@ -880,6 +880,36 @@ def _use_pallas_ivf(index: IVFFlatIndex, k: int) -> bool:
     return _pallas_n_sub(index, k) is not None
 
 
+def _pallas_large_cfg(index: IVFFlatIndex, k: int):
+    """Eligibility for the certified large-k probed scan (VERDICT r3 #4 —
+    the reference's top_k=2000 regime, where the XLA gather fallback made
+    the approximate index SLOWER than brute force). Returns
+    (n_sub, r_planes) or None."""
+    import os
+
+    if _PALLAS_BROKEN:
+        return None
+    if os.environ.get("CUVS_RAG_TPU_DISABLE_PALLAS") == "1":
+        return None
+    try:
+        if jax.default_backend() in ("cpu",):
+            return None
+    except Exception:
+        return None
+    from cuvs_rag_tpu.ops import pallas_ivf
+
+    if not (
+        pallas_ivf.MAX_PALLAS_K < k <= 8192
+        and index.dim % 128 == 0
+        and index.max_list_size % 128 == 0
+        and index.size % 128 == 0
+    ):
+        return None
+    return pallas_ivf.large_k_config(
+        index.max_list_size, index.dim, index.vectors.dtype.itemsize, k
+    )
+
+
 def search_scores(
     search_params: Optional[IVFFlatSearchParams],
     index: IVFFlatIndex,
@@ -954,6 +984,57 @@ def _search_core(search_params, index, queries, k, use_pallas):
     ), idx
 
 
+@functools.partial(
+    jax.jit, static_argnames=("search_params", "k", "n_sub", "r_planes")
+)
+def _search_large_jit(search_params, index, queries, k, n_sub, r_planes):
+    from cuvs_rag_tpu.ops import pallas_ivf
+
+    sp = search_params or default_search_params()
+    if index.metric == Metric.COSINE:
+        queries = dist_ops.l2_normalize(queries)
+    queries = queries.astype(jnp.float32)
+    n_probes = min(sp.n_probes, index.n_lists)
+    coarse_scores, probes = ivf_ops.probe_lists(
+        queries, index.centroids, index.centroid_sqnorms, n_probes,
+        index.metric,
+    )
+    coarse_ip = None
+    if index.vectors.dtype == jnp.int8:
+        if index.metric == Metric.SQEUCLIDEAN:
+            coarse_ip = coarse_scores + index.centroid_sqnorms[probes]
+        else:
+            coarse_ip = coarse_scores
+    scores, pos, cert = pallas_ivf.ivf_scan_pallas_large(
+        index.vectors, index.sqnorms, index.scales, queries,
+        index.list_offsets[probes], index.list_counts[probes],
+        k=k, nprobe=n_probes, window=index.max_list_size,
+        metric=index.metric, coarse_ip=coarse_ip,
+        n_sub=n_sub, r_planes=r_planes,
+    )
+    ids = jnp.where(pos >= 0, index.row_ids[jnp.maximum(pos, 0)], -1)
+    qn = dist_ops.l2_normalize(queries) \
+        if index.metric == Metric.COSINE else queries
+    dists = dist_ops.scores_to_distances(
+        scores, dist_ops.sqnorms(qn), index.metric
+    )
+    return dists, ids, cert
+
+
+def _search_large(search_params, index, queries, k, cfg):
+    """Certified large-k probed search; returns None on certificate
+    violation (caller falls back to the XLA scan — results stay exact
+    w.r.t. the probed lists). The certificate check is a (Q,)-bool host
+    fetch — one small sync per call."""
+    n_sub, r_planes = cfg
+    d, i, cert = _search_large_jit(
+        search_params, index, queries, k, n_sub, r_planes
+    )
+    if not bool(np.asarray(jnp.all(cert))):
+        return None
+    return d, i
+
+
 def search(
     search_params: Optional[IVFFlatSearchParams],
     index: IVFFlatIndex,
@@ -961,8 +1042,24 @@ def search(
     k: int,
 ) -> Tuple[jax.Array, jax.Array]:
     """cuVS surface: search(SearchParams(n_probes), index, queries, k).
-    One jitted program per call (prep + probe + scan + conversion)."""
+    One jitted program per call (prep + probe + scan + conversion).
+
+    k > 32 on TPU takes the certified large-k probed scan (per-class
+    top-R + exactness certificate riding the same double-buffered window
+    DMAs — ops/pallas_ivf.ivf_scan_pallas_large); certificate violations
+    (Poisson-rare) re-run the XLA scan, so results always equal the exact
+    top-k of the probed lists."""
     queries = base.validate_queries(queries, index.dim)
+    cfg = _pallas_large_cfg(index, k)
+    if cfg is not None:
+        out = base.run_with_pallas_fallback(
+            lambda: _search_large(search_params, index, queries, k, cfg),
+            lambda: None,
+            kernel_name="IVF_large", disable=_disable_pallas,
+        )
+        if out is not None:
+            return out
+        return _search_core(search_params, index, queries, k, False)
     if not _use_pallas_ivf(index, k):
         return _search_core(search_params, index, queries, k, False)
     return base.run_with_pallas_fallback(

@@ -41,11 +41,52 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cuvs_rag_tpu.ops import topk as topk_ops
 from cuvs_rag_tpu.ops.distance import DELETED_THRESHOLD
-from cuvs_rag_tpu.ops.pallas_flat import _select_topk_rounds
+from cuvs_rag_tpu.ops.pallas_flat import _select_topk_rounds, default_r_planes
 
 MAX_PALLAS_K = 32
 NEG_INF = -float("inf")
 _QT = 8  # query tile (sublane minimum)
+# VMEM budget for the large-k variant: window double buffer + per-class
+# plane scratch + output blocks must coexist (chip VMEM ~16 MB/core,
+# shared with queries and Mosaic overhead)
+_LARGE_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _window_scores(q_ref, w, aux, coarse_ref, flat_idx, *, metric, scaled):
+    """Score one DMA'd window against the query tile: (QT, subwin) fp32.
+
+    w: (subwin, D) storage dtype; aux: (subwin//128, 2, 128) fp32 with
+    slot 0 = reconstruction sqnorms (possibly tombstoned past the deletion
+    threshold, ops/distance.py) and slot 1 = dequant scales."""
+    q = q_ref[:]  # (QT, D)
+    if w.dtype == jnp.int8:
+        w = w.astype(q.dtype)  # int8 windows: halve DMA bytes, score bf16
+    # fp32 storage promises fp32 scoring (the XLA path uses HIGHEST,
+    # ops/distance.py) — the MXU default truncates fp32 operands to bf16,
+    # measured as a recall drop 0.980 -> 0.951 at 2M fp32. The multi-pass
+    # FLOP cost is invisible next to the window DMA.
+    fp32 = q.dtype == jnp.float32 and w.dtype == jnp.float32
+    ip = jax.lax.dot_general(
+        q, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST if fp32 else None,
+    )  # (QT, subwin)
+    # sqeuclidean kills deleted rows through the existing "- sqnorms" term;
+    # inner_product subtracts only the over-threshold part (0.0 live rows).
+    aux0 = aux[:, 0, :].reshape(1, -1)
+    del_pen = jnp.maximum(aux0 - jnp.float32(DELETED_THRESHOLD), 0.0)
+    if scaled:
+        # residual SQ8: sqnorms/scales ride a 16 KB fp32 side DMA —
+        # cheaper than recomputing ||w||² from the multi-MB window
+        ip = ip * aux[:, 1, :].reshape(1, -1)
+        if metric == "sqeuclidean":
+            # scores = 2*q·c (coarse scalar, prefetched) + 2*s*(q·r) - ||x̂||²
+            return 2.0 * ip - aux0 + coarse_ref[flat_idx]
+        # scores = q·c + s*(q·r); ||x̂||² must NOT be subtracted for
+        # inner_product (the XLA path never did — this branch used to)
+        return ip + coarse_ref[flat_idx] - del_pen
+    if metric == "sqeuclidean":
+        return 2.0 * ip - aux0
+    return ip - del_pen
 
 
 def _kernel(
@@ -126,43 +167,10 @@ def _kernel(
         for c in dma(s % 2, s):
             c.wait()
 
-    w = win[s % 2]  # (subwin, D)
-    aux = aux_win[s % 2]  # (window//128, 2, 128): recon sqnorms, scales
-
-    q = q_ref[:]  # (QT, D)
-    if w.dtype == jnp.int8:
-        w = w.astype(q.dtype)  # int8 windows: halve DMA bytes, score bf16
-    # fp32 storage promises fp32 scoring (the XLA path uses HIGHEST,
-    # ops/distance.py) — the MXU default truncates fp32 operands to bf16,
-    # measured as a recall drop 0.980 -> 0.951 at 2M fp32. The multi-pass
-    # FLOP cost is invisible next to the window DMA.
-    fp32 = q.dtype == jnp.float32 and w.dtype == jnp.float32
-    ip = jax.lax.dot_general(
-        q, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST if fp32 else None,
-    )  # (QT, window)
-    # aux slot 0 = reconstruction sqnorms, possibly tombstoned past the
-    # deletion threshold (ops/distance.py): sqeuclidean kills deleted rows
-    # through the existing "- sqnorms" term; inner_product subtracts only
-    # the over-threshold part (0.0 on live rows).
-    aux0 = aux[:, 0, :].reshape(1, -1)
-    del_pen = jnp.maximum(aux0 - jnp.float32(DELETED_THRESHOLD), 0.0)
-    if scaled:
-        # residual SQ8: sqnorms/scales ride a 16 KB fp32 side DMA —
-        # cheaper than recomputing ||w||² from the multi-MB window
-        ip = ip * aux[:, 1, :].reshape(1, -1)
-        if metric == "sqeuclidean":
-            # scores = 2*q·c (coarse scalar, prefetched) + 2*s*(q·r) - ||x̂||²
-            scores = 2.0 * ip - aux0 + coarse_ref[flat_idx]
-        else:
-            # scores = q·c + s*(q·r); ||x̂||² must NOT be subtracted for
-            # inner_product (the XLA path never did — this branch used to)
-            scores = ip + coarse_ref[flat_idx] - del_pen
-    elif metric == "sqeuclidean":
-        scores = 2.0 * ip - aux0
-    else:
-        scores = ip - del_pen
-
+    scores = _window_scores(
+        q_ref, win[s % 2], aux_win[s % 2], coarse_ref, flat_idx,
+        metric=metric, scaled=scaled,
+    )
     cnt = cnts_ref[flat_idx] - sub * subwin  # rows live in THIS sub-window
     off = offs_ref[flat_idx] + sub * subwin
     col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
@@ -282,3 +290,272 @@ def ivf_scan_pallas(
         interpret=interpret,
     )(offs, cnts, coarse, queries_p, sorted_vectors, aux)
     return out_s[:q_n], out_i[:q_n]
+
+
+# ---------------------------------------------------------------------------
+# Large-k variant (VERDICT r3 #4): the reference's default top_k=2000
+# (improved_multi_gpu_rag.py:37-48) exceeds the k-round selection's budget
+# (MAX_PALLAS_K=32 — each round is a full compare pass). Instead of the XLA
+# gather fallback (0.84 ms/q at 2M nprobe=20 k=2000 — SLOWER than brute
+# force), reuse the certified per-class top-R scheme from
+# pallas_flat._topr_kernel inside the same probed-window DMA scan: classes
+# are column residues of the sub-window, each keeps its R best via an
+# insertion chain, and the best-ever-REJECTED value per class certifies
+# exactness (see _topr_kernel's proof). Probed lists are disjoint per
+# query, so every candidate row appears exactly once — the flat proof
+# carries over unchanged.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_large(
+    offs_ref, cnts_ref, coarse_ref,  # scalar prefetch: (Qp*P,) each
+    q_ref,               # (QT, D) VMEM — this tile's queries
+    corpus_hbm,          # (cap, D) ANY/HBM
+    aux_hbm,             # (cap//128, 2, 128) fp32 ANY/HBM
+    out_s_ref, out_i_ref, out_rej_ref,  # (QT, R*subwin) x2, (QT, subwin)
+    win, aux_win, sems, aux_sems, b_scr, bi_scr, rej_scr,
+    *, k, nprobe, window, metric, scaled, n_sub, r_planes,
+):
+    s = pl.program_id(1)
+    n_steps = pl.num_programs(1)
+    qt_idx = pl.program_id(0)
+    subwin = window // n_sub
+    qi = s // (nprobe * n_sub)
+    p = (s // n_sub) % nprobe
+    sub = s % n_sub
+    flat_idx = (qt_idx * _QT + qi) * nprobe + p
+
+    @pl.when(s == 0)
+    def _():
+        b_scr[:] = jnp.full_like(b_scr, NEG_INF)
+        bi_scr[:] = jnp.full_like(bi_scr, -1)
+        rej_scr[:] = jnp.full_like(rej_scr, NEG_INF)
+
+    def dma(slot, step):
+        qi2 = step // (nprobe * n_sub)
+        p2 = (step // n_sub) % nprobe
+        sub2 = step % n_sub
+        fi = (qt_idx * _QT + qi2) * nprobe + p2
+        off = pl.multiple_of(offs_ref[fi] + sub2 * subwin, 128)
+        return (
+            pltpu.make_async_copy(
+                corpus_hbm.at[pl.ds(off, subwin), :],
+                win.at[slot],
+                sems.at[slot],
+            ),
+            pltpu.make_async_copy(
+                aux_hbm.at[pl.ds(off // 128, subwin // 128)],
+                aux_win.at[slot],
+                aux_sems.at[slot],
+            ),
+        )
+
+    def live(step):
+        step = jnp.minimum(step, n_steps - 1)
+        qi2 = step // (nprobe * n_sub)
+        p2 = (step // n_sub) % nprobe
+        sub2 = step % n_sub
+        fi = (qt_idx * _QT + qi2) * nprobe + p2
+        return cnts_ref[fi] > sub2 * subwin
+
+    @pl.when((s == 0) & live(0))
+    def _():
+        for c in dma(0, 0):
+            c.start()
+
+    @pl.when((s + 1 < n_steps) & live(s + 1))
+    def _():
+        for c in dma((s + 1) % 2, s + 1):
+            c.start()
+
+    @pl.when(live(s))
+    def _():
+        for c in dma(s % 2, s):
+            c.wait()
+
+    scores = _window_scores(
+        q_ref, win[s % 2], aux_win[s % 2], coarse_ref, flat_idx,
+        metric=metric, scaled=scaled,
+    )
+    cnt = cnts_ref[flat_idx] - sub * subwin
+    off = offs_ref[flat_idx] + sub * subwin
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
+    scores = jnp.where((col < cnt) & (row == qi), scores, NEG_INF)
+
+    # per-class insertion chain: each (query row, column) class keeps its
+    # R best (score, window base offset) pairs; the displaced value falls
+    # through and is max'd into the rejected-best tracker. NEG_INF
+    # candidates (masked rows/cols, dead windows) never displace anything.
+    cand = scores
+    cid = jnp.full(scores.shape, off, jnp.int32)  # payload: window base
+    for r in range(r_planes):
+        b = b_scr[r]
+        bi = bi_scr[r]
+        better = cand > b
+        b_scr[r] = jnp.where(better, cand, b)
+        bi_scr[r] = jnp.where(better, cid, bi)
+        cand = jnp.where(better, b, cand)
+        cid = jnp.where(better, bi, cid)
+    rej_scr[:] = jnp.maximum(rej_scr[:], cand)
+
+    @pl.when(s == n_steps - 1)
+    def _():
+        ccol = jax.lax.broadcasted_iota(
+            jnp.int32, (b_scr.shape[1], subwin), 1
+        )
+        thr = jnp.float32(-DELETED_THRESHOLD)
+        for r in range(r_planes):
+            sarr = b_scr[r]
+            # position in the sorted layout = window base + column; mask
+            # tombstoned/pad slots like the small-k kernel
+            alive = sarr > thr
+            out_s_ref[:, r * subwin:(r + 1) * subwin] = jnp.where(
+                alive, sarr, NEG_INF
+            )
+            out_i_ref[:, r * subwin:(r + 1) * subwin] = jnp.where(
+                alive, bi_scr[r] + ccol, -1
+            )
+        out_rej_ref[:] = rej_scr[:]
+
+
+def large_k_config(window: int, dim: int, itemsize: int, k: int):
+    """(n_sub, r_planes) for the large-k scan, or None if no sub-window
+    split fits the VMEM budget. Walks n_sub up (finer DMA pieces shrink
+    both the double buffer and the per-class scratch; r_planes grows as
+    lam = k/subwin rises, but r*subwin shrinks net)."""
+    if window % 128:
+        return None
+    blocks = window // 128
+    for n_sub in range(1, blocks + 1):
+        if blocks % n_sub:
+            continue
+        subwin = window // n_sub
+        r = default_r_planes(k, subwin)
+        if k > r * subwin:
+            continue
+        if r > 64:
+            # the insertion chain is r sequential compare passes per DMA
+            # step — past this depth the VPU cost rivals the DMA and the
+            # XLA scan is the better tool (tiny windows + huge k)
+            continue
+        vmem = (
+            2 * subwin * dim * itemsize     # window double buffer
+            + 2 * subwin // 128 * 2 * 128 * 4 * 2  # aux double buffer
+            + 2 * r * _QT * subwin * 4      # b/bi plane scratch
+            + _QT * subwin * 4              # rej scratch
+            + _QT * r * subwin * 8          # out s+i blocks
+            + _QT * subwin * 4              # rej out block
+            + _QT * dim * 4                 # query tile
+        )
+        if vmem <= _LARGE_VMEM_BUDGET:
+            return n_sub, r
+    return None
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "nprobe", "window", "metric", "n_sub", "r_planes",
+                     "interpret"),
+)
+def ivf_scan_pallas_large(
+    sorted_vectors: jax.Array,
+    sorted_sqnorms: jax.Array,
+    sorted_scales: jax.Array,
+    queries: jax.Array,
+    probe_offsets: jax.Array,
+    probe_counts: jax.Array,
+    *,
+    k: int,
+    nprobe: int,
+    window: int,
+    metric: str,
+    coarse_ip: jax.Array | None = None,
+    n_sub: int = 1,
+    r_planes: int = 0,
+    interpret: bool = False,
+):
+    """Certified large-k probed scan: ((Q, k) scores desc, (Q, k) sorted-
+    layout positions, (Q,) certified bool).
+
+    certified[q] == True PROVES row q is the exact top-k of the probed
+    lists (same argument as pallas_flat.flat_topk_large); False rows must
+    be recomputed via the XLA scan path. Input contract matches
+    ivf_scan_pallas."""
+    cap, d = sorted_vectors.shape
+    assert cap % 128 == 0 and window % 128 == 0, (cap, window)
+    assert n_sub >= 1 and window % (n_sub * 128) == 0, (window, n_sub)
+    subwin = window // n_sub
+    r_planes = r_planes or default_r_planes(k, subwin)
+    assert MAX_PALLAS_K < k <= r_planes * subwin, (k, r_planes, subwin)
+    scaled = sorted_vectors.dtype == jnp.int8
+    q_n = queries.shape[0]
+    q_pad = topk_ops.round_up(q_n, _QT)
+    qdtype = jnp.bfloat16 if scaled else sorted_vectors.dtype
+    queries_p = topk_ops.pad_rows(queries.astype(qdtype), q_pad)
+    pad_spec = [(0, q_pad - q_n), (0, 0)]
+    offs = jnp.pad(probe_offsets, pad_spec).reshape(-1).astype(jnp.int32)
+    cnts = jnp.pad(probe_counts, pad_spec).reshape(-1).astype(jnp.int32)
+    if coarse_ip is None:
+        coarse_ip = jnp.zeros(probe_offsets.shape, jnp.float32)
+    coarse = jnp.pad(coarse_ip, pad_spec).reshape(-1).astype(jnp.float32)
+    aux = jnp.stack(
+        [
+            sorted_sqnorms.astype(jnp.float32).reshape(cap // 128, 128),
+            sorted_scales.astype(jnp.float32).reshape(cap // 128, 128),
+        ],
+        axis=1,
+    )
+
+    grid = (q_pad // _QT, _QT * nprobe * n_sub)
+    kernel = functools.partial(
+        _kernel_large, k=k, nprobe=nprobe, window=window, metric=metric,
+        scaled=scaled, n_sub=n_sub, r_planes=r_planes,
+    )
+    out_s, out_i, out_rej = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((_QT, d), lambda i, s, *_: (i, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=[
+                pl.BlockSpec((_QT, r_planes * subwin),
+                             lambda i, s, *_: (i, 0)),
+                pl.BlockSpec((_QT, r_planes * subwin),
+                             lambda i, s, *_: (i, 0)),
+                pl.BlockSpec((_QT, subwin), lambda i, s, *_: (i, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, subwin, d), sorted_vectors.dtype),
+                pltpu.VMEM((2, subwin // 128, 2, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((r_planes, _QT, subwin), jnp.float32),
+                pltpu.VMEM((r_planes, _QT, subwin), jnp.int32),
+                pltpu.VMEM((_QT, subwin), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((q_pad, r_planes * subwin), jnp.float32),
+            jax.ShapeDtypeStruct((q_pad, r_planes * subwin), jnp.int32),
+            jax.ShapeDtypeStruct((q_pad, subwin), jnp.float32),
+        ],
+        interpret=interpret,
+    )(offs, cnts, coarse, queries_p, sorted_vectors, aux)
+
+    out_s, out_i, out_rej = out_s[:q_n], out_i[:q_n], out_rej[:q_n]
+    top_s, top_arg = jax.lax.top_k(out_s, k)
+    top_i = jnp.take_along_axis(out_i, top_arg, axis=1)
+    live = top_s > NEG_INF
+    top_i = jnp.where(live, top_i, -1)
+    # exactness certificate: every class's (R+1)-th best must be strictly
+    # below this query's kth collected best (ties conservatively fail).
+    # When fewer than k live candidates exist tau is -inf and the row
+    # fails certification — the XLA fallback settles it.
+    tau = top_s[:, k - 1]
+    certified = jnp.max(out_rej, axis=1) < tau
+    return top_s, top_i, certified

@@ -169,6 +169,43 @@ def main():
     _check(f"pallas_ivf fp32 n_sub={nsub} vs XLA fallback", i32, i32_xla,
            0.99)
 
+    # --- certified large-k IVF probed scan (k > 32, per-class top-R) -----
+    # round-4 kernel (VERDICT r3 #4): same DMA scan, top-R insertion chain
+    # + exactness certificate instead of the k-round selection
+    from cuvs_rag_tpu.ops import ivf as ivf_ops2
+
+    k_big = 64
+    cfg_l = ivf_flat._pallas_large_cfg(ix32, k_big)
+    if jax.default_backend() != "cpu":
+        assert cfg_l is not None, "large-k IVF config must be eligible"
+        _, probes_l = ivf_ops2.probe_lists(
+            q32, ix32.centroids, ix32.centroid_sqnorms, 4, ix32.metric
+        )
+        s_big, pos_big, cert_big = pallas_ivf.ivf_scan_pallas_large(
+            ix32.vectors, ix32.sqnorms, ix32.scales, q32,
+            ix32.list_offsets[probes_l], ix32.list_counts[probes_l],
+            k=k_big, nprobe=4, window=ix32.max_list_size,
+            metric=ix32.metric, n_sub=cfg_l[0], r_planes=cfg_l[1],
+        )
+        jax.block_until_ready(cert_big)
+        if not bool(np.asarray(jnp.all(cert_big))):
+            raise SystemExit(
+                "TPU_SMOKE FAILED: large-k IVF certificate violated at "
+                f"k={k_big} with default r_planes={cfg_l[1]}"
+            )
+        i_big = np.asarray(jnp.where(
+            pos_big >= 0, ix32.row_ids[jnp.maximum(pos_big, 0)], -1
+        ))
+        _, i_big_xla = ivf_ops2.scan_probed_lists(
+            q32, probes_l, ix32.vectors, ix32.sqnorms, ix32.row_ids,
+            ix32.list_offsets, ix32.list_counts,
+            max_list_size=ix32.max_list_size, metric=ix32.metric, k=k_big,
+            layout_scales=ix32.scales,
+        )
+        jax.block_until_ready(i_big_xla)
+        _check(f"pallas_ivf LARGE-k={k_big} certified vs XLA", i_big,
+               np.asarray(i_big_xla), 0.99)
+
     # --- certified large-k selection (per-class top-R + certificate) -----
     k_large = 200
     s_l, i_l, cert = pallas_flat.flat_topk_large(

@@ -24,6 +24,9 @@ def test_family_surface(family):
     assert callable(mod.default_search_params)
     # sharded build path: either generic traced builder or custom SPMD build
     assert hasattr(mod, "build_local") or hasattr(mod, "build_sharded_local")
+    # uniform mutation contract (VERDICT r3 #8: no cagra special-case)
+    assert callable(mod.extend), family
+    assert callable(mod.delete), family
     # cuVS argument order: search(search_params, index, queries, k)
     sig = list(inspect.signature(mod.search).parameters)
     assert sig[:4] == ["search_params", "index", "queries", "k"], (family, sig)
