@@ -12,19 +12,43 @@ Format coverage (faiss >= 1.7 on-disk layout, impl/index_write.cpp):
   * IndexFlat      — fourccs "IxF2" (L2), "IxFI" (IP), "IxFl" (generic)
   * IndexIVFFlat   — fourcc "IwFl" with an ArrayInvertedLists "ilar"/"full"
     payload and an IndexFlat coarse quantizer
-Anything else (PQ files, HNSW, ID-mapped wrappers, sparse/mmap list
-payloads) raises with the offending fourcc so the failure is diagnosable.
+  * IndexPQ        — fourcc "IxPq" (nbits=8 only)
+  * IndexIVFPQ     — fourcc "IwPQ" (nbits=8, by_residual; the reference's
+    compressed family — cuVS ivf_pq at
+    Attempt_1/index_building_coordinator.py:398-404 — has IndexIVFPQ as
+    its on-disk analogue, VERDICT r3 #7)
+Anything else (HNSW, ID-mapped/PreTransform wrappers, IVFPQR, fastscan,
+sparse/mmap list payloads) raises with the offending fourcc so the
+failure is diagnosable.
 
 Layout notes (all little-endian):
   header  = fourcc u32 | d i32 | ntotal i64 | dummy i64 x2 (=1<<20)
           | is_trained u8 | metric_type i32 | [metric_arg f32 if metric>1]
   IndexFlat payload   = nfloat u64 | f32 x nfloat         (codes as floats)
+  ProductQuantizer    = d u64 | M u64 | nbits u64
+                      | ncent u64 | f32 x ncent  (M * 2^nbits * d/M floats)
+  IndexPQ             = header | ProductQuantizer
+                      | ncodes u64 | u8 x ncodes (ntotal * M for nbits=8)
+                      | search_type i32 | encode_signs u8 | polysemous_ht i32
   IndexIVFFlat        = header | nlist u64 | nprobe u64
                       | <nested quantizer index>
                       | direct_map: type u8 | n u64 | i64 x n
                       | invlists: "ilar" u32 | nlist u64 | code_size u64
                       | "full" u32 | nsz u64 | u64 x nsz (list sizes)
                       | per list: f32 codes (n*d) then i64 ids (n)
+  IndexIVFPQ          = header | nlist u64 | nprobe u64 | <quantizer>
+                      | direct_map | by_residual u8 | code_size u64
+                      | ProductQuantizer
+                      | invlists (code_size = M bytes/row for nbits=8)
+
+Two-level note (the TPU-native 8-bit realization): the native IVFPQIndex
+stores 8-bit codes as ADDITIVE nibble pairs r̂ = CB1[c&15] + CB2[c>>4]
+(ops/pq.train_two_level_codebooks — a 256-way flat lookup is 256 VPU
+compare passes on TPU; two 16-way selects are 32). The additive form
+expands EXACTLY to a flat 256-entry FAISS codebook
+(flat[c] = CB1[c&15] + CB2[c>>4]) with the SAME code bytes, so export is
+reconstruction-exact; imports land as levels=1 flat-codebook indexes
+(two_level=False), which the search path supports natively.
 """
 
 from __future__ import annotations
@@ -91,6 +115,45 @@ class FaissIVFFlat:
         return self.vectors.shape[1]
 
 
+@dataclasses.dataclass
+class FaissPQ:
+    """Parsed IndexPQ content (standalone PQ, no coarse quantizer)."""
+
+    codes: np.ndarray  # (ntotal, M) uint8, row r = original id r
+    codebooks: np.ndarray  # (M, 256, d/M) float32
+    metric: str
+    d: int
+
+    @property
+    def ntotal(self) -> int:
+        return self.codes.shape[0]
+
+    @property
+    def m(self) -> int:
+        return self.codes.shape[1]
+
+
+@dataclasses.dataclass
+class FaissIVFPQ:
+    """Parsed IndexIVFPQ content (reassembled to original-id order)."""
+
+    codes: np.ndarray  # (ntotal, M) uint8, row r = original id r
+    labels: np.ndarray  # (ntotal,) int32 list assignment
+    codebooks: np.ndarray  # (M, 256, d/M) float32
+    centroids: np.ndarray  # (nlist, d) float32 coarse quantizer
+    metric: str
+    nprobe: int
+    d: int
+
+    @property
+    def ntotal(self) -> int:
+        return self.codes.shape[0]
+
+    @property
+    def m(self) -> int:
+        return self.codes.shape[1]
+
+
 # ----------------------------------------------------------------- reading
 
 
@@ -153,13 +216,20 @@ def _read_index_any(f: BinaryIO):
         return FaissFlat(vectors=_read_flat_body(f, d, ntotal), metric=metric)
     if fourcc == "IwFl":
         return _read_ivf_flat(f)
+    if fourcc == "IxPq":
+        return _read_pq(f)
+    if fourcc == "IwPQ":
+        return _read_ivf_pq(f)
     raise ValueError(
         f"unsupported FAISS index type {fourcc!r} — supported: IndexFlatL2/"
-        "IndexFlatIP (IxF2/IxFI/IxFl) and IndexIVFFlat (IwFl)"
+        "IndexFlatIP (IxF2/IxFI/IxFl), IndexIVFFlat (IwFl), IndexPQ (IxPq) "
+        "and IndexIVFPQ (IwPQ)"
     )
 
 
-def _read_ivf_flat(f: BinaryIO) -> FaissIVFFlat:
+def _read_ivf_common(f: BinaryIO):
+    """header | nlist | nprobe | quantizer | direct_map — shared by every
+    IndexIVF* subtype (faiss read_ivf_header)."""
     d, ntotal, _, metric = _read_header(f)
     nlist = _read(f, "Q")
     nprobe = _read(f, "Q")
@@ -177,7 +247,14 @@ def _read_ivf_flat(f: BinaryIO) -> FaissIVFFlat:
     _read_array(f, np.int64, dm_n)
     if dm_type == 2:
         raise ValueError("hashtable direct maps are unsupported")
-    # inverted lists
+    return d, ntotal, metric, int(nlist), int(nprobe), quantizer
+
+
+def _read_invlists_bytes(f: BinaryIO, nlist: int, ntotal: int,
+                         code_size: int):
+    """ArrayInvertedLists payload: yields the raw per-row code bytes and
+    original-id placement. Returns (codes (ntotal, code_size) u8 in
+    original-id order, labels (ntotal,) i32)."""
     il = _read_fourcc(f)
     if il != "ilar":
         raise ValueError(
@@ -185,12 +262,12 @@ def _read_ivf_flat(f: BinaryIO) -> FaissIVFFlat:
             "ArrayInvertedLists 'ilar')"
         )
     il_nlist = _read(f, "Q")
-    code_size = _read(f, "Q")
+    file_code_size = _read(f, "Q")
     if il_nlist != nlist:
         raise ValueError(f"list count mismatch: {il_nlist} vs {nlist}")
-    if code_size != 4 * d:
+    if file_code_size != code_size:
         raise ValueError(
-            f"code_size {code_size} != 4*d={4 * d} — not an IVFFlat payload"
+            f"code_size {file_code_size} != expected {code_size}"
         )
     list_fmt = _read_fourcc(f)
     if list_fmt != "full":
@@ -205,29 +282,98 @@ def _read_ivf_flat(f: BinaryIO) -> FaissIVFFlat:
         raise ValueError(
             f"list sizes sum {int(sizes.sum())} != ntotal {ntotal}"
         )
-
-    vectors = np.empty((ntotal, d), np.float32)
+    codes = np.empty((ntotal, code_size), np.uint8)
     labels = np.empty((ntotal,), np.int32)
     seen = np.zeros((ntotal,), bool)
-    for li in range(int(nlist)):
+    for li in range(nlist):
         n = int(sizes[li])
         if n == 0:
             continue
-        codes = _read_array(f, np.float32, n * d).reshape(n, d)
+        row_codes = _read_array(f, np.uint8, n * code_size)
         ids = _read_array(f, np.int64, n)
         if (ids < 0).any() or (ids >= ntotal).any():
             raise ValueError(
                 "IVF ids outside [0, ntotal) — add_with_ids indexes need an "
                 "explicit id remap before import"
             )
-        vectors[ids] = codes
+        codes[ids] = row_codes.reshape(n, code_size)
         labels[ids] = li
         seen[ids] = True
     if not seen.all():
         raise ValueError("duplicate/missing ids in IVF lists")
+    return codes, labels
+
+
+def _read_ivf_flat(f: BinaryIO) -> FaissIVFFlat:
+    d, ntotal, metric, nlist, nprobe, quantizer = _read_ivf_common(f)
+    codes, labels = _read_invlists_bytes(f, nlist, ntotal, 4 * d)
+    vectors = codes.view(np.float32).reshape(ntotal, d)
     return FaissIVFFlat(
         vectors=vectors, labels=labels, centroids=quantizer.vectors,
-        metric=metric, nprobe=int(nprobe),
+        metric=metric, nprobe=nprobe,
+    )
+
+
+def _read_product_quantizer(f: BinaryIO):
+    """ProductQuantizer block -> (M, 256, dsub) float32 (nbits=8 only)."""
+    d = _read(f, "Q")
+    m = _read(f, "Q")
+    nbits = _read(f, "Q")
+    if nbits != 8:
+        raise ValueError(
+            f"PQ nbits={nbits} unsupported (only 8-bit flat codebooks; "
+            "4-bit fastscan files use a different index type)"
+        )
+    if d == 0 or m == 0 or d % m:
+        raise ValueError(f"implausible PQ geometry d={d} M={m}")
+    ncent = _read(f, "Q")
+    ksub, dsub = 256, d // m
+    if ncent != m * ksub * dsub:
+        raise ValueError(
+            f"PQ centroid count {ncent} != M*256*dsub={m * ksub * dsub}"
+        )
+    cents = _read_array(f, np.float32, ncent)
+    return int(d), int(m), cents.reshape(m, ksub, dsub)
+
+
+def _read_pq(f: BinaryIO) -> FaissPQ:
+    d, ntotal, _, metric = _read_header(f)
+    pq_d, m, codebooks = _read_product_quantizer(f)
+    if pq_d != d:
+        raise ValueError(f"PQ dim {pq_d} != index dim {d}")
+    ncodes = _read(f, "Q")
+    if ncodes != ntotal * m:
+        raise ValueError(
+            f"IndexPQ code bytes {ncodes} != ntotal*M={ntotal * m}"
+        )
+    codes = _read_array(f, np.uint8, ncodes).reshape(ntotal, m)
+    _read(f, "i")  # search_type — parsed but unused
+    _read(f, "B")  # encode_signs
+    _read(f, "i")  # polysemous_ht
+    return FaissPQ(codes=codes, codebooks=codebooks, metric=metric, d=d)
+
+
+def _read_ivf_pq(f: BinaryIO) -> FaissIVFPQ:
+    d, ntotal, metric, nlist, nprobe, quantizer = _read_ivf_common(f)
+    by_residual = _read(f, "B")
+    code_size = _read(f, "Q")
+    pq_d, m, codebooks = _read_product_quantizer(f)
+    if pq_d != d:
+        raise ValueError(f"PQ dim {pq_d} != index dim {d}")
+    if code_size != m:
+        raise ValueError(
+            f"code_size {code_size} != M={m} — not an 8-bit IVFPQ payload"
+        )
+    if not by_residual:
+        raise ValueError(
+            "IndexIVFPQ with by_residual=False is unsupported — the native "
+            "ivf_pq family encodes residuals against the coarse centroid "
+            "(the FAISS default); re-train with by_residual=True"
+        )
+    codes, labels = _read_invlists_bytes(f, nlist, ntotal, m)
+    return FaissIVFPQ(
+        codes=codes, labels=labels, codebooks=codebooks,
+        centroids=quantizer.vectors, metric=metric, nprobe=nprobe, d=d,
     )
 
 
@@ -297,14 +443,124 @@ def _write_ivf_flat(f: BinaryIO, vectors, labels, centroids, metric,
         f.write(ids.astype(np.int64).tobytes())
 
 
+def _write_product_quantizer(f: BinaryIO, codebooks: np.ndarray):
+    m, ksub, dsub = codebooks.shape
+    assert ksub == 256, ksub
+    _write(f, "QQQ", m * dsub, m, 8)  # d, M, nbits
+    _write(f, "Q", m * ksub * dsub)
+    f.write(np.ascontiguousarray(codebooks, np.float32).tobytes())
+
+
+def _write_pq(f: BinaryIO, codes: np.ndarray, codebooks: np.ndarray,
+              metric: str):
+    ntotal, m = codes.shape
+    d = codebooks.shape[0] * codebooks.shape[2]
+    _write_header(f, "IxPq", d, ntotal, metric)
+    _write_product_quantizer(f, codebooks)
+    _write(f, "Q", ntotal * m)
+    f.write(np.ascontiguousarray(codes, np.uint8).tobytes())
+    _write(f, "i", 0)  # search_type = ST_PQ
+    _write(f, "B", 0)  # encode_signs
+    _write(f, "i", 0)  # polysemous_ht
+
+
+def _write_ivf_pq(f: BinaryIO, codes: np.ndarray, labels: np.ndarray,
+                  codebooks: np.ndarray, centroids: np.ndarray,
+                  metric: str, nprobe: int = 1):
+    codes = np.ascontiguousarray(codes, np.uint8)
+    lb = np.asarray(labels, np.int64)
+    cents = np.ascontiguousarray(centroids, np.float32)
+    ntotal, m = codes.shape
+    nlist, d = cents.shape
+    _write_header(f, "IwPQ", d, ntotal, metric)
+    _write(f, "QQ", nlist, nprobe)
+    _write_flat(f, cents, metric)  # nested quantizer
+    _write(f, "B", 0)  # DirectMap::NoMap
+    _write(f, "Q", 0)  # empty direct-map array
+    _write(f, "B", 1)  # by_residual (the native encoding)
+    _write(f, "Q", m)  # code_size
+    _write_product_quantizer(f, codebooks)
+    f.write(b"ilar")
+    _write(f, "QQ", nlist, m)
+    f.write(b"full")
+    order = np.argsort(lb, kind="stable")
+    sizes = np.bincount(lb, minlength=nlist).astype(np.uint64)
+    _write(f, "Q", nlist)
+    f.write(sizes.tobytes())
+    off = 0
+    for li in range(nlist):
+        n = int(sizes[li])
+        if n == 0:
+            continue
+        ids = order[off:off + n]
+        off += n
+        f.write(np.ascontiguousarray(codes[ids]).tobytes())
+        f.write(ids.astype(np.int64).tobytes())
+
+
+def _pq_export_parts(index):
+    """Native IVFPQIndex -> (codes (nlive, M) u8 original-id order,
+    labels (nlive,), flat (M, 256, dsub) codebooks, centroids (C, d)).
+
+    Two-level additive codebooks expand EXACTLY to a flat 256-entry
+    codebook (flat[c] = CB1[c & 15] + CB2[c >> 4] — ops/pq.pack_nibbles
+    order) with the stored code bytes unchanged, so the FAISS
+    reconstruction is bit-identical to the native one. Deleted rows are
+    dropped and ids compacted (FAISS has no tombstones — same policy as
+    the IVFFlat exporter)."""
+    m = index.pq_dim
+    if index.rotation.shape[0]:
+        raise ValueError(
+            "OPQ-rotated indexes cannot be exported (FAISS stores the "
+            "rotation in an IndexPreTransform wrapper this writer does not "
+            "produce); build with opq=False for FAISS-portable indexes"
+        )
+    if index.levels == 1 and (
+        index.codes_packed or index.codebooks.shape[1] != 256
+    ):
+        raise ValueError(
+            "4-bit fastscan codes are not exportable to IndexIVFPQ "
+            "(FAISS packs nbits=4 differently); build with pq_bits=8"
+        )
+    if index.padded_dim != index.dim:
+        raise ValueError(
+            f"dim {index.dim} is not a multiple of pq_dim {m}; the padded "
+            "subspace layout has no FAISS equivalent — pick pq_dim "
+            "dividing dim for FAISS-portable indexes"
+        )
+    cb = np.asarray(index.codebooks, np.float32)
+    if index.levels == 2:
+        c = np.arange(256)
+        flat_cb = cb[:m, c & 15, :] + cb[m:, c >> 4, :]  # (m, 256, ds)
+    else:
+        flat_cb = cb
+    codes_sm = np.asarray(index.codes)  # (m, cap) stream-major
+    row_ids = np.asarray(index.row_ids)
+    offs = np.asarray(index.list_offsets)
+    cnts = np.asarray(index.list_counts)
+    slot_lists = np.full((codes_sm.shape[1],), -1, np.int64)
+    for li in range(len(offs)):
+        slot_lists[offs[li]:offs[li] + cnts[li]] = li
+    live = (row_ids >= 0) & (slot_lists >= 0)
+    orig = row_ids[live]
+    order = np.argsort(orig, kind="stable")
+    codes_rm = codes_sm[:, live].T[order]  # (nlive, m) original-id order
+    labels = slot_lists[live][order].astype(np.int32)
+    cents = np.asarray(index.centroids, np.float32)[:, :index.dim]
+    return codes_rm, labels, flat_cb, cents
+
+
 def write_index(index, path: str) -> None:
     """Export to the FAISS binary format (readable by `faiss.read_index`).
 
-    Accepts a parsed FaissFlat/FaissIVFFlat, a native FlatIndex, or a
-    native IVFFlatIndex. Native indexes export their fp32 reconstruction
-    (int8 storage dequantizes; deleted rows are dropped — FAISS has no
-    tombstones). Cosine indexes export as IP over the stored normalized
-    rows (equivalent ordering).
+    Accepts a parsed FaissFlat/FaissIVFFlat/FaissPQ/FaissIVFPQ, or a
+    native FlatIndex/IVFFlatIndex/IVFPQIndex. Native indexes export their
+    fp32 reconstruction (int8 storage dequantizes; deleted rows are
+    dropped — FAISS has no tombstones). Cosine indexes export as IP over
+    the stored normalized rows (equivalent ordering). IVFPQIndex exports
+    as IndexIVFPQ — two-level codebooks expand exactly (see
+    _pq_export_parts); a single-list index exports as IndexPQ only via
+    the parsed FaissPQ form.
     """
     from cuvs_rag_tpu.index import ivf_flat as ivf_mod
     from cuvs_rag_tpu.index.io import deleted_row_ids
@@ -315,6 +571,14 @@ def write_index(index, path: str) -> None:
         elif isinstance(index, FaissIVFFlat):
             _write_ivf_flat(f, index.vectors, index.labels, index.centroids,
                             index.metric, index.nprobe)
+        elif isinstance(index, FaissPQ):
+            _write_pq(f, index.codes, index.codebooks, index.metric)
+        elif isinstance(index, FaissIVFPQ):
+            _write_ivf_pq(f, index.codes, index.labels, index.codebooks,
+                          index.centroids, index.metric, index.nprobe)
+        elif type(index).__name__ == "IVFPQIndex":
+            codes, labels, flat_cb, cents = _pq_export_parts(index)
+            _write_ivf_pq(f, codes, labels, flat_cb, cents, index.metric)
         elif type(index).__name__ == "FlatIndex":
             nv = int(index.n_valid)
             v = (np.asarray(index.vectors[:nv], np.float32)
@@ -406,15 +670,84 @@ def to_ivf_flat_index(parsed: FaissIVFFlat, dtype: str = "auto"):
     )
 
 
+def to_ivf_pq_index(parsed):
+    """FaissPQ | FaissIVFPQ -> native IVFPQIndex (levels=1, flat 256-entry
+    codebooks — the FAISS-compatible pq_bits=8 two_level=False variant)
+    with the FILE's quantizer, codebooks and codes preserved exactly: a
+    FAISS-built and an imported index probe identical lists and produce
+    identical reconstructions.
+
+    A standalone IndexPQ lands as a single-list IVF-PQ whose coarse
+    centroid is the origin (residual-vs-zero == IndexPQ's raw encoding);
+    search it with n_probes=1.
+    """
+    import jax.numpy as jnp
+
+    from cuvs_rag_tpu.index import ivf_pq as pq_mod
+    from cuvs_rag_tpu.ops import distance as dist_ops
+    from cuvs_rag_tpu.ops import ivf as ivf_ops
+    from cuvs_rag_tpu.ops import topk as topk_ops
+
+    if isinstance(parsed, FaissPQ):
+        labels_np = np.zeros((parsed.ntotal,), np.int32)
+        centroids_np = np.zeros((1, parsed.d), np.float32)
+    else:
+        labels_np = parsed.labels
+        centroids_np = parsed.centroids
+    codes_np, m, d = parsed.codes, parsed.m, parsed.d
+    n = codes_np.shape[0]
+    n_lists = centroids_np.shape[0]
+    n_pad = topk_ops.round_up(n, 8)
+    codes_pad = np.zeros((n_pad, m), np.uint8)
+    codes_pad[:n] = codes_np
+    labels = jnp.asarray(np.pad(labels_np, (0, n_pad - n)).astype(np.int32))
+    valid = jnp.arange(n_pad) < n
+    counts = np.bincount(labels_np, minlength=n_lists)
+    max_list = int(topk_ops.round_up(max(int(counts.max()), 8),
+                                     ivf_ops.ALIGN))
+    capacity = ivf_ops.capacity_for(n_pad, n_lists, max_list)
+    centroids = jnp.asarray(centroids_np, jnp.float32)
+    sorted_codes, row_ids, offsets, counts_j, raw, raw_sq, sorted_corr = (
+        pq_mod._pq_layout(
+            jnp.asarray(codes_pad),
+            jnp.zeros((n_pad, d), jnp.bfloat16),  # no raw refine store
+            labels, valid, jnp.zeros((0,), jnp.float32),
+            n_lists=n_lists, capacity=capacity, max_list_size=max_list,
+            store_raw=False,
+        )
+    )
+    return pq_mod.IVFPQIndex(
+        codes=sorted_codes,
+        row_ids=row_ids,
+        centroids=centroids,
+        centroid_sqnorms=dist_ops.sqnorms(centroids),
+        codebooks=jnp.asarray(parsed.codebooks, jnp.float32),
+        list_offsets=offsets,
+        list_counts=counts_j,
+        raw_vectors=raw,
+        raw_sqnorms=raw_sq,
+        norm_corr=sorted_corr,
+        rotation=jnp.zeros((0, 0), jnp.float32),
+        n_valid=jnp.asarray(n, jnp.int32),
+        metric=parsed.metric,
+        max_list_size=max_list,
+        dim=d,
+        levels=1,
+    )
+
+
 def import_index(path: str, dtype: str = "auto"):
     """One-call migration: FAISS file -> the matching native index.
 
-    Returns (family_name, index): ("flat", FlatIndex) or
-    ("ivf_flat", IVFFlatIndex). The reference's `faiss.read_index` +
+    Returns (family_name, index): ("flat", FlatIndex), ("ivf_flat",
+    IVFFlatIndex) or ("ivf_pq", IVFPQIndex — also for standalone IndexPQ
+    files, as a single-list index). The reference's `faiss.read_index` +
     `index_cpu_to_gpus_list` flow becomes `import_index` + (optionally)
     `parallel.search.shard_index` for multi-chip placement.
     """
     parsed = read_index(path)
     if isinstance(parsed, FaissFlat):
         return "flat", to_flat_index(parsed, dtype)
+    if isinstance(parsed, (FaissPQ, FaissIVFPQ)):
+        return "ivf_pq", to_ivf_pq_index(parsed)
     return "ivf_flat", to_ivf_flat_index(parsed, dtype)

@@ -202,3 +202,225 @@ def test_load_pt_fp16_and_dict(tmp_path, data):
     out = load_embeddings(str(p))
     assert out.dtype == np.float32
     np.testing.assert_allclose(out, corpus, atol=1e-2)
+
+
+# --- IndexPQ / IndexIVFPQ interop (VERDICT r3 #7) -------------------------
+
+import jax.numpy as jnp
+
+from cuvs_rag_tpu.index import ivf_pq
+from cuvs_rag_tpu.utils.config import IVFPQParams, IVFPQSearchParams
+
+
+def _faiss_pq_block(codebooks: np.ndarray) -> bytes:
+    """ProductQuantizer bytes per the documented layout (nbits=8)."""
+    m, ksub, dsub = codebooks.shape
+    return b"".join([
+        struct.pack("<QQQ", m * dsub, m, 8),
+        struct.pack("<Q", m * ksub * dsub),
+        codebooks.astype("<f4").tobytes(),
+    ])
+
+
+def _faiss_index_pq_bytes(codes, codebooks, metric_type: int) -> bytes:
+    ntotal, m = codes.shape
+    d = codebooks.shape[0] * codebooks.shape[2]
+    return b"".join([
+        b"IxPq",
+        struct.pack("<i", d),
+        struct.pack("<q", ntotal),
+        struct.pack("<qq", 1 << 20, 1 << 20),
+        struct.pack("<B", 1),
+        struct.pack("<i", metric_type),
+        _faiss_pq_block(codebooks),
+        struct.pack("<Q", ntotal * m),
+        codes.astype(np.uint8).tobytes(),
+        struct.pack("<i", 0), struct.pack("<B", 0), struct.pack("<i", 0),
+    ])
+
+
+def _faiss_ivfpq_bytes(codes, labels, codebooks, centroids,
+                       metric_type: int, nprobe: int = 1) -> bytes:
+    ntotal, m = codes.shape
+    nlist, d = centroids.shape
+    order = np.argsort(labels, kind="stable")
+    sizes = np.bincount(labels, minlength=nlist).astype(np.uint64)
+    lists = []
+    off = 0
+    for li in range(nlist):
+        n = int(sizes[li])
+        if n == 0:
+            continue
+        ids = order[off:off + n]
+        off += n
+        lists.append(codes[ids].astype(np.uint8).tobytes())
+        lists.append(ids.astype("<i8").tobytes())
+    return b"".join([
+        b"IwPQ",
+        struct.pack("<i", d),
+        struct.pack("<q", ntotal),
+        struct.pack("<qq", 1 << 20, 1 << 20),
+        struct.pack("<B", 1),
+        struct.pack("<i", metric_type),
+        struct.pack("<QQ", nlist, nprobe),
+        _faiss_flat_bytes(centroids, metric_type),  # nested quantizer
+        struct.pack("<B", 0), struct.pack("<Q", 0),  # direct map
+        struct.pack("<B", 1),                        # by_residual
+        struct.pack("<Q", m),                        # code_size
+        _faiss_pq_block(codebooks),
+        b"ilar", struct.pack("<QQ", nlist, m), b"full",
+        struct.pack("<Q", nlist), sizes.tobytes(),
+    ] + lists)
+
+
+@pytest.fixture(scope="module")
+def pq_parts():
+    rng = np.random.default_rng(17)
+    n, d, m, nlist = 300, 32, 8, 4
+    codes = rng.integers(0, 256, (n, m), dtype=np.uint8)
+    codebooks = rng.standard_normal((m, 256, d // m)).astype(np.float32)
+    centroids = rng.standard_normal((nlist, d)).astype(np.float32)
+    labels = rng.integers(0, nlist, (n,)).astype(np.int32)
+    return codes, codebooks, centroids, labels
+
+
+def test_read_hand_built_ivfpq(tmp_path, pq_parts):
+    codes, codebooks, centroids, labels = pq_parts
+    p = tmp_path / "ivfpq.faiss"
+    p.write_bytes(_faiss_ivfpq_bytes(codes, labels, codebooks, centroids, 1))
+    parsed = faiss_io.read_index(str(p))
+    assert isinstance(parsed, faiss_io.FaissIVFPQ)
+    np.testing.assert_array_equal(parsed.codes, codes)
+    np.testing.assert_array_equal(parsed.labels, labels)
+    np.testing.assert_allclose(parsed.codebooks, codebooks)
+    np.testing.assert_allclose(parsed.centroids, centroids)
+    assert parsed.metric == Metric.SQEUCLIDEAN
+
+
+def test_ivfpq_writer_matches_hand_built_bytes(tmp_path, pq_parts):
+    codes, codebooks, centroids, labels = pq_parts
+    p = tmp_path / "ivfpq_w.faiss"
+    parsed = faiss_io.FaissIVFPQ(
+        codes=codes, labels=labels, codebooks=codebooks,
+        centroids=centroids, metric=Metric.SQEUCLIDEAN, nprobe=1, d=32,
+    )
+    faiss_io.write_index(parsed, str(p))
+    assert p.read_bytes() == _faiss_ivfpq_bytes(
+        codes, labels, codebooks, centroids, 1
+    )
+
+
+def test_read_hand_built_index_pq(tmp_path, pq_parts):
+    codes, codebooks, _, _ = pq_parts
+    p = tmp_path / "pq.faiss"
+    p.write_bytes(_faiss_index_pq_bytes(codes, codebooks, 1))
+    parsed = faiss_io.read_index(str(p))
+    assert isinstance(parsed, faiss_io.FaissPQ)
+    np.testing.assert_array_equal(parsed.codes, codes)
+    np.testing.assert_allclose(parsed.codebooks, codebooks)
+    # writer round-trip is byte-exact too
+    p2 = tmp_path / "pq_w.faiss"
+    faiss_io.write_index(parsed, str(p2))
+    assert p2.read_bytes() == p.read_bytes()
+
+
+def test_native_ivfpq_export_import_search_parity(tmp_path, data):
+    """Native flat-codebook (two_level=False) ivf_pq -> IndexIVFPQ file ->
+    import: quantizer, codebooks and codes survive exactly, so both
+    indexes return identical ADC results."""
+    corpus, queries = data
+    ix = ivf_pq.build(
+        IVFPQParams(n_lists=8, pq_dim=8, pq_bits=8, two_level=False,
+                    store_raw=False),
+        jnp.asarray(corpus),
+    )
+    p = tmp_path / "native_ivfpq.faiss"
+    faiss_io.write_index(ix, str(p))
+    fam, ix2 = faiss_io.import_index(str(p))
+    assert fam == "ivf_pq"
+    sp = IVFPQSearchParams(n_probes=8, refine_ratio=0)
+    d1, i1 = ivf_pq.search(sp, ix, jnp.asarray(queries), K)
+    d2, i2 = ivf_pq.search(sp, ix2, jnp.asarray(queries), K)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(
+        np.asarray(d1), np.asarray(d2), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_two_level_export_expands_exactly(tmp_path, data):
+    """The two-level additive realization exports to a flat 256-entry
+    codebook with IDENTICAL reconstructions: imported ADC results equal
+    the native two-level ADC results."""
+    corpus, queries = data
+    ix = ivf_pq.build(
+        IVFPQParams(n_lists=8, pq_dim=8, pq_bits=8, store_raw=False),
+        jnp.asarray(corpus),
+    )
+    assert ix.levels == 2, "default 8-bit realization is two-level"
+    p = tmp_path / "twolevel.faiss"
+    faiss_io.write_index(ix, str(p))
+    fam, ix2 = faiss_io.import_index(str(p))
+    assert fam == "ivf_pq" and ix2.levels == 1
+    sp = IVFPQSearchParams(n_probes=8, refine_ratio=0)
+    d1, i1 = ivf_pq.search(sp, ix, jnp.asarray(queries), K)
+    d2, i2 = ivf_pq.search(sp, ix2, jnp.asarray(queries), K)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(
+        np.asarray(d1), np.asarray(d2), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_standalone_pq_imports_as_single_list(tmp_path, pq_parts):
+    codes, codebooks, _, _ = pq_parts
+    p = tmp_path / "pq_single.faiss"
+    p.write_bytes(_faiss_index_pq_bytes(codes, codebooks, 1))
+    fam, ix = faiss_io.import_index(str(p))
+    assert fam == "ivf_pq"
+    assert ix.n_lists == 1
+    # reconstruction = flat_cb sum (origin centroid); check ADC self-recall
+    # against the decoded rows' brute force
+    ds = codebooks.shape[2]
+    recon = codebooks[np.arange(codes.shape[1])[None, :], codes, :]
+    recon = recon.reshape(codes.shape[0], -1)  # (n, d)
+    q = recon[:7]
+    _, i = ivf_pq.search(
+        IVFPQSearchParams(n_probes=1, refine_ratio=0), ix, jnp.asarray(q), 1
+    )
+    assert np.asarray(i)[:, 0].tolist() == list(range(7))
+
+
+def test_pq_unsupported_payloads_fail_loudly(tmp_path, pq_parts, data):
+    corpus, _ = data
+    codes, codebooks, centroids, labels = pq_parts
+    # by_residual=False
+    raw = bytearray(_faiss_ivfpq_bytes(codes, labels, codebooks,
+                                       centroids, 1))
+    # by_residual byte sits right after the direct-map (type u8 + count u64)
+    # — locate it by reproducing the prefix length
+    prefix = len(b"".join([
+        b"IwPQ", struct.pack("<i", 32), struct.pack("<q", len(codes)),
+        struct.pack("<qq", 1 << 20, 1 << 20), struct.pack("<B", 1),
+        struct.pack("<i", 1), struct.pack("<QQ", 4, 1),
+        _faiss_flat_bytes(centroids, 1), struct.pack("<B", 0),
+        struct.pack("<Q", 0),
+    ]))
+    raw[prefix] = 0  # by_residual = False
+    p = tmp_path / "noresid.faiss"
+    p.write_bytes(bytes(raw))
+    with pytest.raises(ValueError, match="by_residual"):
+        faiss_io.read_index(str(p))
+    # 4-bit fastscan export refused
+    ix4 = ivf_pq.build(
+        IVFPQParams(n_lists=8, pq_dim=8, pq_bits=4, store_raw=False),
+        jnp.asarray(corpus),
+    )
+    with pytest.raises(ValueError, match="4-bit"):
+        faiss_io.write_index(ix4, str(tmp_path / "x.faiss"))
+    # OPQ export refused
+    ixo = ivf_pq.build(
+        IVFPQParams(n_lists=8, pq_dim=8, pq_bits=8, opq=True,
+                    store_raw=False),
+        jnp.asarray(corpus),
+    )
+    with pytest.raises(ValueError, match="OPQ"):
+        faiss_io.write_index(ixo, str(tmp_path / "y.faiss"))
