@@ -105,27 +105,34 @@ class Retriever:
         return self.retrieve_batch([query], k, allow=allow)[0]
 
     def retrieve_batch(
-        self, queries: Sequence[str], k: int = 5, allow=None
+        self, queries: Sequence[str], k: int = 5, allow=None, *, index=None
     ) -> List[RetrievalResult]:
         """`allow` (optional): (n_passages,) bool mask — metadata-filtered
         retrieval (tenant/source/date predicates evaluated host-side into a
-        mask; index/filters.py). Results are always ⊆ allow."""
+        mask; index/filters.py). Results are always ⊆ allow.
+
+        `index` (optional): search THIS index instead of self.index — must
+        be a view of the same corpus with the same placement (the serving
+        daemon's named persistent filter views, rag/server.py: the view is
+        baked once, so per-request cost equals an unfiltered search)."""
         from cuvs_rag_tpu.utils.metrics import default_registry as metrics
 
         metrics.inc("retriever.queries", len(queries))
         t0 = time.time()
+        base_index = self.index if index is None else index
         q = jnp.asarray(self.encoder.encode(list(queries)))
-        if isinstance(self.index, psearch.ShardedIndex):
+        if isinstance(base_index, psearch.ShardedIndex):
             dists, idx = psearch.search_sharded(
-                self.search_params, self.index, q, k, self.dmesh, allow=allow
+                self.search_params, base_index, q, k, self.dmesh, allow=allow
             )
-        elif isinstance(self.index, psearch.ReplicatedIndex):
+        elif isinstance(base_index, psearch.ReplicatedIndex):
             dists, idx = psearch.search_replicated(
-                self.search_params, self.index, q, k, self.dmesh, allow=allow
+                self.search_params, base_index, q, k, self.dmesh, allow=allow
             )
         else:
+            psearch._load_families()  # direct-constructed Retrievers
             mod = psearch.FAMILIES[self.family]
-            index = self.index
+            index = base_index
             if allow is not None:
                 from cuvs_rag_tpu.index import filters as filters_lib
 
@@ -152,9 +159,17 @@ class Retriever:
                 # out-of-core refine: the index holds only PQ codes
                 # (store_raw=False — the beyond-HBM configuration); the
                 # exact re-rank fetches candidate raw rows from the host
-                # embedding store the Retriever already keeps
-                emb = np.asarray(self.corpus.embeddings)
-                kwargs["fetch_rows"] = lambda ids: emb[ids]
+                # embedding store the Retriever already keeps. A
+                # disk-backed store (rag/host_store.MemmapStore) plugs in
+                # through its fetch_rows and re-ranks on host BLAS — only
+                # candidate ids cross D2H.
+                emb = self.corpus.embeddings
+                if hasattr(emb, "fetch_rows"):
+                    kwargs["fetch_rows"] = emb.fetch_rows
+                    kwargs["host_rerank"] = True
+                else:
+                    emb = np.asarray(emb)
+                    kwargs["fetch_rows"] = lambda ids: emb[ids]
             dists, idx = mod.search(
                 self.search_params, index, q, k, **kwargs
             )

@@ -15,11 +15,20 @@ Endpoints:
   POST /v1/search   {"texts": [...], "k": 5}            — encode + retrieve
                     {"vectors": [[...], ...], "k": 5}    — raw vector search
                     + optional "deny_ids": [...]         — per-request exact
-                      exclusion (≤1024 ids; over-fetch k+|deny| then drop —
-                      bake larger/persistent filters into a filtered view,
-                      index/filters.py)
+                      exclusion (≤1024 ids; over-fetch k+|deny| then drop)
+                    + optional "view": "name"            — search a named
+                      persistent filter view (see /v1/views); combinable
+                      with deny_ids
+  POST /v1/views    {"name": ..., "allow_ids": [...]} or {"deny_ids": [...]}
+                    — bake a persistent filtered VIEW once (FAISS
+                    IDSelector-parity, index/filters.py: vector storage is
+                    shared, one bookkeeping leaf changes); per-request
+                    search overhead vs the base index is ~0 and the
+                    1024-id deny cap does not apply. Multi-tenant: one
+                    view per tenant, "view" per request.
+  GET  /v1/views    list views; DELETE /v1/views/{name} drops one
   GET  /healthz     liveness + device check
-  GET  /stats       index/corpus/device info
+  GET  /stats       index/corpus/device info (+ view count)
   GET  /metrics     metrics registry snapshot (see utils/metrics.py)
 
 Run:  python -m cuvs_rag_tpu.rag.server --port 8080   (demo corpus)
@@ -144,11 +153,18 @@ class SearchService:
     of top-k at larger k, so slicing is exact).
     """
 
+    MAX_VIEWS = 64
+
     def __init__(self, retriever, micro_batch: bool = True,
                  max_batch: int = 256, window_s: float = 0.0,
                  pipeline_depth: int = 4):
         self.retriever = retriever
         self.dim = self._index_dim(retriever)
+        # name -> immutable view entry {"kind": "index"|"mask", "obj", ...}
+        # Entries are resolved at submit() time and carried INTO the batch
+        # items, so a concurrent DELETE can never fail an in-flight search.
+        self._views: dict = {}
+        self._views_lock = threading.Lock()
         self._text_batcher = None
         self._vec_batcher = None
         if micro_batch:
@@ -189,77 +205,121 @@ class SearchService:
             b *= 2
         return b
 
+    @staticmethod
+    def _by_view(items):
+        """Group batch item indices by their (submit-time-resolved) view
+        entry. Viewless traffic stays ONE group = one device dispatch;
+        mixed-view batches dispatch once per distinct view."""
+        groups: dict = {}
+        for pos, it in enumerate(items):
+            groups.setdefault(id(it[3]) if it[3] is not None else None,
+                              []).append(pos)
+        return groups
+
     def _run_texts(self, items):
-        """items: [(texts, k, deny)]; one retrieve_batch at max(k + |deny|),
-        sliced back. Per-request deny lists are EXACT by over-fetch: at most
-        |deny| of the k + |deny| fetched candidates can be denied, so k
-        always survive (or the corpus ran out)."""
-        kmax = self._bucket(max(k + len(deny) for _, k, deny in items))
-        flat: list[str] = []
-        for texts, _, _ in items:
-            flat.extend(texts)
-        n_real = len(flat)
-        flat.extend([flat[-1]] * (self._bucket(n_real) - n_real))
-        results = self.retriever.retrieve_batch(flat, kmax)
-        out = []
-        off = 0
-        for texts, k, deny in items:
-            rs = results[off:off + len(texts)]
-            off += len(texts)
-            out.append([
-                {
-                    "passages": [
-                        {"text": p.text, "index": p.index,
-                         "distance": p.distance, "title": p.title}
-                        for p in r.passages if p.index not in deny
-                    ][:k],
-                    "query_time_s": r.query_time_s,
-                }
-                for r in rs
-            ])
+        """items: [(texts, k, deny, view_entry)]; one retrieve_batch per
+        distinct view at max(k + |deny|), sliced back. Per-request deny
+        lists are EXACT by over-fetch: at most |deny| of the k + |deny|
+        fetched candidates can be denied, so k always survive (or the
+        corpus ran out)."""
+        out = [None] * len(items)
+        for positions in self._by_view(items).values():
+            sub = [items[p] for p in positions]
+            entry = sub[0][3]
+            kmax = self._bucket(max(k + len(deny) for _, k, deny, _ in sub))
+            flat: list[str] = []
+            for texts, _, _, _ in sub:
+                flat.extend(texts)
+            n_real = len(flat)
+            flat.extend([flat[-1]] * (self._bucket(n_real) - n_real))
+            kwargs = {}
+            if entry is not None:
+                if entry["kind"] == "index":
+                    kwargs["index"] = entry["obj"]
+                else:  # post-filter family (cagra): mask rides allow=
+                    kwargs["allow"] = entry["obj"]
+            results = self.retriever.retrieve_batch(flat, kmax, **kwargs)
+            off = 0
+            for pos, (texts, k, deny, _) in zip(positions, sub):
+                rs = results[off:off + len(texts)]
+                off += len(texts)
+                out[pos] = [
+                    {
+                        "passages": [
+                            {"text": p.text, "index": p.index,
+                             "distance": p.distance, "title": p.title}
+                            for p in r.passages if p.index not in deny
+                        ][:k],
+                        "query_time_s": r.query_time_s,
+                    }
+                    for r in rs
+                ]
         return out
 
-    def _run_vectors(self, items):
-        """items: [(q_array, k, deny)]; one search at max(k + |deny|),
-        sliced back (see _run_texts for the exactness argument)."""
-        import jax.numpy as jnp
-
+    def _search_one_index(self, index, q, kmax, allow=None):
+        """Dispatch a raw-vector search against any placement."""
         from cuvs_rag_tpu.parallel import search as psearch
 
-        kmax = self._bucket(max(k + len(deny) for _, k, deny in items))
-        qh = np.concatenate([v for v, _, _ in items], axis=0)
-        pad = self._bucket(len(qh)) - len(qh)
-        if pad:
-            qh = np.concatenate([qh, np.repeat(qh[-1:], pad, axis=0)], axis=0)
-        q = jnp.asarray(qh)
         r = self.retriever
-        if isinstance(r.index, psearch.ShardedIndex):
-            d, i = psearch.search_sharded(r.search_params, r.index, q,
-                                          kmax, r.dmesh)
-        elif isinstance(r.index, psearch.ReplicatedIndex):
-            d, i = psearch.search_replicated(r.search_params, r.index, q,
-                                             kmax, r.dmesh)
-        else:
-            mod = psearch.FAMILIES[r.family]
-            d, i = mod.search(r.search_params, r.index, q, kmax)
-        d, i = np.asarray(d), np.asarray(i)
-        out = []
-        off = 0
-        for v, k, deny in items:
-            n = len(v)
-            dd, ii = d[off:off + n], i[off:off + n]
-            if deny:
-                keep = ~np.isin(ii, list(deny))
-                # stable left-compaction of surviving candidates per row
-                order = np.argsort(~keep, axis=1, kind="stable")
-                ks = np.take_along_axis(keep, order, 1)
-                dd = np.where(ks, np.take_along_axis(dd, order, 1), np.inf)
-                ii = np.where(ks, np.take_along_axis(ii, order, 1), -1)
-            out.append({
-                "distances": dd[:, :k].tolist(),
-                "indices": ii[:, :k].tolist(),
-            })
-            off += n
+        if isinstance(index, psearch.ShardedIndex):
+            return psearch.search_sharded(r.search_params, index, q, kmax,
+                                          r.dmesh, allow=allow)
+        if isinstance(index, psearch.ReplicatedIndex):
+            return psearch.search_replicated(r.search_params, index, q,
+                                             kmax, r.dmesh, allow=allow)
+        if allow is not None:  # single-device post-filter family (cagra)
+            import jax.numpy as jnp
+
+            from cuvs_rag_tpu.index import filters as filters_lib
+
+            return filters_lib.search(r.search_params, index, q, kmax,
+                                      jnp.asarray(allow))
+        mod = psearch.FAMILIES[r.family]
+        return mod.search(r.search_params, index, q, kmax)
+
+    def _run_vectors(self, items):
+        """items: [(q_array, k, deny, view_entry)]; one search per distinct
+        view at max(k + |deny|), sliced back (see _run_texts)."""
+        import jax.numpy as jnp
+
+        out = [None] * len(items)
+        for positions in self._by_view(items).values():
+            sub = [items[p] for p in positions]
+            entry = sub[0][3]
+            kmax = self._bucket(max(k + len(deny) for _, k, deny, _ in sub))
+            qh = np.concatenate([v for v, _, _, _ in sub], axis=0)
+            pad = self._bucket(len(qh)) - len(qh)
+            if pad:
+                qh = np.concatenate(
+                    [qh, np.repeat(qh[-1:], pad, axis=0)], axis=0
+                )
+            q = jnp.asarray(qh)
+            index, allow = self.retriever.index, None
+            if entry is not None:
+                if entry["kind"] == "index":
+                    index = entry["obj"]
+                else:
+                    allow = entry["obj"]
+            d, i = self._search_one_index(index, q, kmax, allow=allow)
+            d, i = np.asarray(d), np.asarray(i)
+            off = 0
+            for pos, (v, k, deny, _) in zip(positions, sub):
+                n = len(v)
+                dd, ii = d[off:off + n], i[off:off + n]
+                if deny:
+                    keep = ~np.isin(ii, list(deny))
+                    # stable left-compaction of surviving candidates per row
+                    order = np.argsort(~keep, axis=1, kind="stable")
+                    ks = np.take_along_axis(keep, order, 1)
+                    dd = np.where(
+                        ks, np.take_along_axis(dd, order, 1), np.inf
+                    )
+                    ii = np.where(ks, np.take_along_axis(ii, order, 1), -1)
+                out[pos] = {
+                    "distances": dd[:, :k].tolist(),
+                    "indices": ii[:, :k].tolist(),
+                }
+                off += n
         return out
 
     # -- per-request entry points ------------------------------------------
@@ -296,7 +356,112 @@ class SearchService:
             )
         return deny
 
-    def search_texts(self, texts, k: int, deny_ids=()):
+    # -- named persistent filter views (VERDICT r3 #5) ---------------------
+
+    def _resolve_view(self, view):
+        if view is None:
+            return None
+        if not isinstance(view, str):
+            raise ValueError(f"view must be a string name, got {view!r}")
+        with self._views_lock:
+            entry = self._views.get(view)
+        if entry is None:
+            raise ValueError(f"unknown view {view!r} — POST /v1/views first")
+        return entry
+
+    def create_view(self, name, allow_ids=None, deny_ids=None) -> dict:
+        """Bake a persistent filtered view. Exactly one of allow_ids /
+        deny_ids. No size cap: the view is built ONCE (a (n,) bool mask +
+        one bookkeeping leaf; vector storage is shared), so searches
+        against it cost the same as the unfiltered index."""
+        import time as _time
+
+        if not isinstance(name, str) or not name or len(name) > 64 or \
+                not all(c.isalnum() or c in "_.-" for c in name):
+            raise ValueError(
+                "view name must be 1-64 chars of [A-Za-z0-9_.-]"
+            )
+        if (allow_ids is None) == (deny_ids is None):
+            raise ValueError("provide exactly one of allow_ids / deny_ids")
+        n = len(self.retriever.corpus)
+        ids = allow_ids if allow_ids is not None else deny_ids
+        idx = self._validate_ids(ids, n)
+        mask = np.zeros((n,), bool) if allow_ids is not None \
+            else np.ones((n,), bool)
+        mask[idx] = allow_ids is not None
+        if not mask.any():
+            raise ValueError("view would allow zero passages")
+        with self._views_lock:
+            exists = name in self._views
+            if not exists and len(self._views) >= self.MAX_VIEWS:
+                raise ValueError(
+                    f"view limit {self.MAX_VIEWS} reached — DELETE unused "
+                    "views first"
+                )
+        t0 = _time.perf_counter()
+        entry = dict(self._bake_view(mask))
+        entry.update(
+            allowed=int(mask.sum()),
+            build_ms=round((_time.perf_counter() - t0) * 1e3, 1),
+        )
+        with self._views_lock:
+            self._views[name] = entry
+        metrics.inc("server.views_created")
+        return {"name": name, "allowed": entry["allowed"],
+                "build_ms": entry["build_ms"], "replaced": exists}
+
+    def _bake_view(self, mask):
+        import dataclasses as _dc
+
+        from cuvs_rag_tpu.index import filters as filters_lib
+        from cuvs_rag_tpu.parallel import search as psearch
+
+        r = self.retriever
+        if r.family == "cagra":
+            # post-filter family: no view exists (index/filters.py) — the
+            # mask rides allow= at search time (beam post-filter)
+            return {"kind": "mask", "obj": mask}
+        if isinstance(r.index, psearch.ShardedIndex):
+            return {"kind": "index",
+                    "obj": psearch.filtered_view_sharded(r.index, mask)}
+        if isinstance(r.index, psearch.ReplicatedIndex):
+            view = filters_lib.filtered_view(r.index.index, mask)
+            return {"kind": "index",
+                    "obj": _dc.replace(r.index, index=view)}
+        return {"kind": "index",
+                "obj": filters_lib.filtered_view(r.index, mask)}
+
+    def drop_view(self, name: str) -> bool:
+        with self._views_lock:
+            return self._views.pop(name, None) is not None
+
+    def list_views(self) -> dict:
+        with self._views_lock:
+            return {
+                nm: {"allowed": e["allowed"], "kind": e["kind"],
+                     "build_ms": e["build_ms"]}
+                for nm, e in self._views.items()
+            }
+
+    @staticmethod
+    def _validate_ids(ids, n_corpus) -> np.ndarray:
+        out = []
+        for x in (ids or ()):
+            if isinstance(x, bool) or not isinstance(x, (int, float)):
+                raise ValueError(f"ids must be integers, got {x!r}")
+            if isinstance(x, float) and not x.is_integer():
+                raise ValueError(f"ids must be integral, got {x!r}")
+            xi = int(x)
+            if not 0 <= xi < n_corpus:
+                raise ValueError(
+                    f"id {xi} outside corpus [0, {n_corpus})"
+                )
+            out.append(xi)
+        if not out:
+            raise ValueError("id list must be non-empty")
+        return np.asarray(out, np.int64)
+
+    def search_texts(self, texts, k: int, deny_ids=(), view=None):
         # Validate BEFORE submit(): a bad item reaching the batch runner
         # fails every co-batched request (MicroBatcher contract).
         texts = list(texts)
@@ -305,12 +470,13 @@ class SearchService:
         if not all(isinstance(t, str) for t in texts):
             raise ValueError("texts must all be strings")
         deny = self._check_deny(deny_ids)
+        entry = self._resolve_view(view)
         with metrics.time_block("server.search_texts_seconds"):
             if self._text_batcher is not None:
-                return self._text_batcher.submit((texts, k, deny))
-            return self._run_texts([(texts, k, deny)])[0]
+                return self._text_batcher.submit((texts, k, deny, entry))
+            return self._run_texts([(texts, k, deny, entry)])[0]
 
-    def search_vectors(self, vectors, k: int, deny_ids=()):
+    def search_vectors(self, vectors, k: int, deny_ids=(), view=None):
         q = np.asarray(vectors, np.float32)
         if q.ndim != 2 or q.shape[0] == 0:
             raise ValueError(
@@ -321,20 +487,24 @@ class SearchService:
                 f"vector dim {q.shape[1]} != index dim {self.dim}"
             )
         deny = self._check_deny(deny_ids)
+        entry = self._resolve_view(view)
         with metrics.time_block("server.search_vectors_seconds"):
             if self._vec_batcher is not None:
-                return self._vec_batcher.submit((q, k, deny))
-            return self._run_vectors([(q, k, deny)])[0]
+                return self._vec_batcher.submit((q, k, deny, entry))
+            return self._run_vectors([(q, k, deny, entry)])[0]
 
     def stats(self):
         import jax
 
         r = self.retriever
+        with self._views_lock:
+            n_views = len(self._views)
         return {
             "family": r.family,
             "corpus_size": len(r.corpus),
             "devices": [str(d) for d in jax.devices()],
             "placement": type(r.index).__name__,
+            "views": n_views,
         }
 
 
@@ -366,6 +536,22 @@ def make_handler(service: SearchService):
                     self._reply(200, service.stats())
                 elif self.path == "/metrics":
                     self._reply(200, metrics.snapshot())
+                elif self.path == "/v1/views":
+                    self._reply(200, {"views": service.list_views()})
+                else:
+                    self._reply(404, {"error": f"unknown path {self.path}"})
+            except Exception as e:  # noqa: BLE001
+                metrics.inc("server.errors")
+                self._reply(500, {"error": str(e)})
+
+        def do_DELETE(self):
+            try:
+                if self.path.startswith("/v1/views/"):
+                    name = self.path[len("/v1/views/"):]
+                    if service.drop_view(name):
+                        self._reply(200, {"deleted": name})
+                    else:
+                        self._reply(404, {"error": f"unknown view {name!r}"})
                 else:
                     self._reply(404, {"error": f"unknown path {self.path}"})
             except Exception as e:  # noqa: BLE001
@@ -380,6 +566,14 @@ def make_handler(service: SearchService):
                 # parsed from body garbage).
                 n = int(self.headers.get("Content-Length", 0))
                 raw = self.rfile.read(n)
+                if self.path == "/v1/views":
+                    req = json.loads(raw or b"{}")
+                    self._reply(200, service.create_view(
+                        req.get("name"),
+                        allow_ids=req.get("allow_ids"),
+                        deny_ids=req.get("deny_ids"),
+                    ))
+                    return
                 if self.path != "/v1/search":
                     self._reply(404, {"error": f"unknown path {self.path}"})
                     return
@@ -389,15 +583,16 @@ def make_handler(service: SearchService):
                     self._reply(400, {"error": "k must be positive"})
                     return
                 deny = req.get("deny_ids", ())
+                view = req.get("view")
                 if "texts" in req:
                     if not req["texts"]:
                         self._reply(400, {"error": "texts must be non-empty"})
                         return
                     self._reply(200, {"results": service.search_texts(
-                        req["texts"], k, deny_ids=deny)})
+                        req["texts"], k, deny_ids=deny, view=view)})
                 elif "vectors" in req:
                     self._reply(200, service.search_vectors(
-                        req["vectors"], k, deny_ids=deny))
+                        req["vectors"], k, deny_ids=deny, view=view))
                 else:
                     self._reply(400, {"error": "provide 'texts' or 'vectors'"})
             except (ValueError, KeyError, json.JSONDecodeError) as e:

@@ -56,6 +56,14 @@ def main():
                         "exact re-rank ON HOST (ivf_pq.search("
                         "host_rerank=True)) — the production serving path: "
                         "only candidate ids cross D2H, no row upload")
+    p.add_argument("--memmap-store", type=str, default="",
+                   help="with --refine-external: path for a DISK-backed "
+                        "bf16 row store (rag/host_store.MemmapStore), "
+                        "materialized chunk-streamed from the CPU-backend "
+                        "RNG (peak RAM = one chunk; capacity bounded by "
+                        "disk, not host RAM — VERDICT r3 #2). fetch_rows "
+                        "reads only the touched pages; re-rank on host. "
+                        "An existing matching store at the path is reused")
     p.add_argument("--opq", action="store_true",
                    help="train an OPQ rotation (concentrates low-rank "
                         "signal into codable subspaces)")
@@ -170,7 +178,45 @@ def main():
 
     fetch_rows = None
     host_rerank = False
-    if args.refine_external and args.host_store:
+    if args.refine_external and args.memmap_store:
+        # DISK-backed store: stream CPU-regenerated chunks straight into a
+        # np.memmap file — peak RAM is one chunk, capacity is disk-bound
+        # (92 GB at 60M x 768 bf16). The OS page cache serves hot rows;
+        # each refine fetch touches k*refine_ratio rows (~300 KB/query).
+        import os
+
+        from cuvs_rag_tpu.rag.host_store import (
+            MemmapStore,
+            materialize_from_chunks,
+        )
+
+        store = None
+        if os.path.exists(MemmapStore._sidecar(args.memmap_store)):
+            try:
+                st = MemmapStore.open(args.memmap_store)
+                if st.shape == (n, d):
+                    store = st
+                    print(f"reusing memmap store {args.memmap_store} "
+                          f"({st._mm.nbytes/1e9:.1f} GB)", flush=True)
+            except ValueError:
+                pass
+        if store is None:
+            cpu = jax.devices("cpu")[0]
+            t0 = time.time()
+            with jax.default_device(cpu):
+                _, cpu_chunk = build_generator()
+                store = materialize_from_chunks(
+                    args.memmap_store,
+                    lambda i: np.asarray(cpu_chunk(jnp.int32(i))),
+                    n, d, n_chunks, dtype="bfloat16", log=20,
+                )
+            print(f"memmap store materialized "
+                  f"{store._mm.nbytes/1e9:.1f} GB in {time.time()-t0:.0f}s",
+                  flush=True)
+        host_rerank = True
+        fetch_rows = store.fetch_rows
+
+    elif args.refine_external and args.host_store:
         # Materialize the corpus ONCE in host RAM (bf16: n*d*2 bytes, e.g.
         # 46 GB at 30M x 768 — fits a 128 GB host) by regenerating the
         # same RNG stream on the CPU backend. The test tunnel cannot D2H

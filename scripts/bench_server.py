@@ -26,8 +26,9 @@ import numpy as np
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 
-def run_clients(addr, vectors, n_requests, n_clients, k=10):
-    """n_clients threads round-robin single-query POSTs; returns (wall_s, lat)."""
+def run_clients(addr, vectors, n_requests, n_clients, k=10, extra=None):
+    """n_clients threads round-robin single-query POSTs; returns (wall_s, lat).
+    `extra`: dict merged into every request body (view / deny_ids modes)."""
     latencies = []
     lat_lock = threading.Lock()
     errors = []
@@ -43,7 +44,8 @@ def run_clients(addr, vectors, n_requests, n_clients, k=10):
                     return
                 counter["i"] += 1
             body = json.dumps(
-                {"vectors": [vectors[i % len(vectors)].tolist()], "k": k}
+                {"vectors": [vectors[i % len(vectors)].tolist()], "k": k,
+                 **(extra or {})}
             )
             t0 = time.time()
             try:
@@ -117,18 +119,39 @@ def main():
     t0 = time.time()
     b = 1
     while b <= 256:
-        warm_svc._run_vectors([(queries[: min(b, len(queries))], args.k)])
+        warm_svc._run_vectors(
+            [(queries[: min(b, len(queries))], args.k, frozenset(), None)]
+        )
         b *= 2
     print(f"prewarm (all bucket shapes): {time.time() - t0:.1f}s")
 
+    # persistent-filter comparison (VERDICT r3 #5): a baked named VIEW at
+    # 50% selectivity vs the per-request deny path's k+|deny| over-fetch
+    rng2 = np.random.default_rng(7)
+    allow_mask = rng2.random(n) < 0.5
+    deny_sample = [int(x) for x in rng2.choice(n, 1024, replace=False)]
     results = {}
-    for mode, micro in (("micro_batch", True), ("per_request", False)):
+    modes = (
+        ("micro_batch", True, None),
+        ("per_request", False, None),
+        ("view_50pct", True, {"view": "bench-view"}),
+        ("deny_1024", True, {"deny_ids": deny_sample}),
+    )
+    for mode, micro, extra in modes:
         srv = server_mod.serve(retriever, host="127.0.0.1", port=0,
                                micro_batch=micro)
         threading.Thread(target=srv.serve_forever, daemon=True).start()
+        if extra and "view" in extra:
+            t0 = time.time()
+            srv.service._views["bench-view"] = dict(
+                srv.service._bake_view(allow_mask), allowed=int(
+                    allow_mask.sum()), build_ms=0.0,
+            )
+            print(f"view bake: {time.time() - t0:.3f}s")
         addr = srv.server_address
-        run_clients(addr, queries, 64, 16, k=args.k)  # HTTP-path warmup
-        wall, lat = run_clients(addr, queries, args.n, args.clients, k=args.k)
+        run_clients(addr, queries, 64, 16, k=args.k, extra=extra)  # warmup
+        wall, lat = run_clients(addr, queries, args.n, args.clients,
+                                k=args.k, extra=extra)
         qps = args.n / wall
         results[mode] = {
             "qps": round(qps, 1),
@@ -141,8 +164,15 @@ def main():
         srv.service.close()
 
     speedup = results["micro_batch"]["qps"] / results["per_request"]["qps"]
-    print(json.dumps({"server_bench": results,
-                      "microbatch_speedup": round(speedup, 2)}))
+    view_overhead = (results["micro_batch"]["qps"]
+                     / results["view_50pct"]["qps"] - 1.0)
+    print(json.dumps({
+        "server_bench": results,
+        "microbatch_speedup": round(speedup, 2),
+        "view_overhead_pct": round(view_overhead * 100.0, 1),
+        "note": "view_50pct = named persistent filter (baked once); "
+                "deny_1024 = per-request deny path (k+1024 over-fetch)",
+    }))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,137 @@
+"""Sharded-IVF quality at partial probe, measured ON CHIP at bench scale
+(VERDICT r3 #6).
+
+One real chip cannot host an 8-device mesh, but sharded-search QUALITY is
+mesh-independent: it is a function of (per-shard k-means on 1/S of the
+corpus) + (k x over_fetch per-shard candidates) + (global merge) — exactly
+reproducible by building S per-shard indexes on one chip, searching each
+at nprobe_s, offsetting ids and merging on host. This script measures the
+recall-parity curve of that semantics vs a single-device build of the
+same 2M x 768 clustered corpus at EQUAL TOTAL PROBE BUDGET, plus the
+over_fetch ablation that sets the default (the reference hard-coded k*2,
+improved_multi_gpu_rag.py:247, and never measured it).
+
+The virtual-mesh regression test (tests/test_sharded_quality.py) gates the
+same properties at CI scale through the REAL shard_map path.
+"""
+
+# runnable from any cwd: put the repo root on sys.path
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=2_000_000)
+    p.add_argument("--dim", type=int, default=768)
+    p.add_argument("--shards", type=int, default=8)
+    p.add_argument("--n-lists", type=int, default=2000, help="TOTAL lists")
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--batch", type=int, default=100)
+    p.add_argument("--probes", type=int, nargs="+", default=[1, 4, 10],
+                   help="PER-SHARD probe counts")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from cuvs_rag_tpu.index import flat, ivf_flat
+    from cuvs_rag_tpu.utils.config import (
+        FlatParams, IVFFlatParams, IVFFlatSearchParams,
+    )
+
+    n, d, s = args.n, args.dim, args.shards
+    per = n // s
+    key = jax.random.PRNGKey(42)
+    kc = jax.random.fold_in(key, 999)
+    centers = jax.random.normal(kc, (2000, d), jnp.float32)
+    mk = jax.jit(lambda k: (
+        centers[jax.random.randint(k, (per,), 0, 2000)]
+        + 0.3 * jax.random.normal(k, (per, d))
+    ).astype(jnp.bfloat16))
+    shards = [mk(jax.random.fold_in(key, 50 + i)) for i in range(s)]
+    _ = [jax.block_until_ready(c) for c in shards]
+    qk = jax.random.fold_in(key, 777)
+    queries = (
+        centers[jax.random.randint(qk, (args.batch,), 0, 2000)]
+        + 0.3 * jax.random.normal(qk, (args.batch, d))
+    ).astype(jnp.float32)
+
+    corpus = jnp.concatenate(shards)
+    fx = flat.build(FlatParams(dtype="bfloat16", tile_n=8192), corpus)
+    _, gt = flat.search(None, fx, queries, args.k)
+    gt = np.asarray(gt)
+    del fx
+
+    def recall(ids):
+        return float(np.mean([
+            len(set(ids[r]) & set(gt[r])) / args.k
+            for r in range(args.batch)
+        ]))
+
+    t0 = time.time()
+    single = ivf_flat.build(
+        IVFFlatParams(n_lists=args.n_lists, dtype="bfloat16"), corpus
+    )
+    jax.block_until_ready(single.list_counts)
+    del corpus
+    print(f"single-device build ({args.n_lists} lists): "
+          f"{time.time()-t0:.0f}s", flush=True)
+    t0 = time.time()
+    shard_ix = []
+    for c in shards:
+        ix = ivf_flat.build(
+            IVFFlatParams(n_lists=args.n_lists // s, dtype="bfloat16"), c
+        )
+        jax.block_until_ready(ix.list_counts)
+        shard_ix.append(ix)
+    print(f"{s} per-shard builds ({args.n_lists // s} lists each): "
+          f"{time.time()-t0:.0f}s", flush=True)
+    del shards
+
+    def sharded_search(p_s, of):
+        """Exact reproduction of parallel/search.py's merge semantics:
+        k_local = ceil(k*of) per shard, global-offset ids, top-k merge."""
+        k_local = max(args.k, int(-(-args.k * of // 1)))
+        sp = IVFFlatSearchParams(n_probes=p_s)
+        all_d, all_i = [], []
+        for si, ix in enumerate(shard_ix):
+            dd, ii = ivf_flat.search(sp, ix, queries, k_local)
+            all_d.append(np.asarray(dd))
+            all_i.append(np.where(np.asarray(ii) >= 0,
+                                  np.asarray(ii) + si * per, -1))
+        dd = np.concatenate(all_d, axis=1)
+        ii = np.concatenate(all_i, axis=1)
+        dd = np.where(ii >= 0, dd, np.inf)
+        order = np.argsort(dd, axis=1)[:, :args.k]
+        return np.take_along_axis(ii, order, axis=1)
+
+    print(f"\n{'p/shard':>8} {'budget':>7} {'sharded':>8} {'single':>7} "
+          f"{'delta':>7}")
+    curve = []
+    for p_s in args.probes:
+        r_sh = recall(sharded_search(p_s, 2.0))
+        _, i_sd = ivf_flat.search(
+            IVFFlatSearchParams(n_probes=min(s * p_s, args.n_lists)),
+            single, queries, args.k,
+        )
+        r_sd = recall(np.asarray(i_sd))
+        curve.append((p_s, r_sh, r_sd))
+        print(f"{p_s:>8} {s * p_s:>7} {r_sh:>8.3f} {r_sd:>7.3f} "
+              f"{r_sh - r_sd:>+7.3f}", flush=True)
+
+    print("\nover_fetch ablation at nprobe/shard=4:")
+    for of in (1.0, 1.5, 2.0, 4.0):
+        print(f"  over_fetch={of}: recall {recall(sharded_search(4, of)):.4f}",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

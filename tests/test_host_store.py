@@ -1,0 +1,154 @@
+"""Disk-backed host embedding store (rag/host_store.py) — the beyond-RAM
+refine tier (VERDICT r3 #2: the RAM-ndarray store was the capacity
+ceiling; the memmap store bounds resident memory by the page cache)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cuvs_rag_tpu.index import ivf_pq
+from cuvs_rag_tpu.rag.host_store import MemmapStore, materialize_from_chunks
+from cuvs_rag_tpu.utils.config import IVFPQParams, IVFPQSearchParams
+
+
+@pytest.fixture()
+def store_path(tmp_path):
+    return str(tmp_path / "emb.bin")
+
+
+def test_round_trip_bf16(store_path, rng):
+    data = rng.standard_normal((100, 16)).astype(np.float32)
+    st = MemmapStore.create(store_path, 100, 16, "bfloat16")
+    st.append_chunk(data[:60])
+    st.append_chunk(data[60:])
+    st.finalize()
+    st2 = MemmapStore.open(store_path)
+    assert st2.shape == (100, 16) and len(st2) == 100
+    got = st2.fetch_rows(np.array([3, 99, 0]))
+    assert got.dtype == np.float32
+    # bf16 quantization: ~3 decimal digits
+    np.testing.assert_allclose(got, data[[3, 99, 0]], rtol=1e-2, atol=1e-2)
+    # chunk() feed matches rows
+    np.testing.assert_allclose(
+        st2.chunk(1, 30), data[30:60], rtol=1e-2, atol=1e-2
+    )
+
+
+def test_write_protocol_errors(store_path, rng):
+    data = rng.standard_normal((10, 8)).astype(np.float32)
+    st = MemmapStore.create(store_path, 10, 8)
+    with pytest.raises(ValueError, match="chunk must be"):
+        st.append_chunk(data[:, :4])
+    st.append_chunk(data[:6])
+    with pytest.raises(ValueError, match="overflow"):
+        st.append_chunk(data)
+    with pytest.raises(ValueError, match="incomplete"):
+        st.finalize()
+    st.append_chunk(data[6:])
+    st.finalize()
+    with pytest.raises(ValueError, match="read-only"):
+        st.append_chunk(data)
+    # sidecar/file mismatch is loud
+    with open(store_path, "ab") as f:
+        f.write(b"xx")
+    with pytest.raises(ValueError, match="truncated or mismatched"):
+        MemmapStore.open(store_path)
+
+
+def test_materialize_streaming(store_path, rng):
+    chunks = [rng.standard_normal((25, 8)).astype(np.float32)
+              for _ in range(4)]
+    st = materialize_from_chunks(
+        store_path, lambda i: chunks[i], 100, 8, 4
+    )
+    np.testing.assert_allclose(
+        st.fetch_rows(np.arange(25, 50)), chunks[1], rtol=1e-2, atol=1e-2
+    )
+
+
+def test_out_of_core_refine_through_memmap(store_path, rng):
+    """Codes-only PQ index + memmap raw store: refine through
+    store.fetch_rows lifts recall above ADC-only, identically to an
+    in-RAM store."""
+    from cuvs_rag_tpu.eval import recall as recall_lib
+    from cuvs_rag_tpu.utils.config import Metric
+
+    n, d, k = 2000, 32, 5
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((16, d)).astype(np.float32)
+    ix = ivf_pq.build(
+        IVFPQParams(n_lists=8, pq_dim=8, store_raw=False),
+        jnp.asarray(corpus),
+    )
+    st = materialize_from_chunks(
+        store_path, lambda i: corpus[i * 500:(i + 1) * 500], n, d, 4
+    )
+    gt = recall_lib.exact_ground_truth(corpus, queries, k, Metric.SQEUCLIDEAN)
+
+    def rec(ids):
+        return np.mean([
+            len(set(ids[r]) & set(gt[r])) / k for r in range(len(queries))
+        ])
+
+    sp0 = IVFPQSearchParams(n_probes=8, refine_ratio=0)
+    _, i0 = ivf_pq.search(sp0, ix, jnp.asarray(queries), k)
+    sp = IVFPQSearchParams(n_probes=8, refine_ratio=8)
+    _, i_mm = ivf_pq.search(sp, ix, jnp.asarray(queries), k,
+                            fetch_rows=st.fetch_rows, host_rerank=True)
+    _, i_ram = ivf_pq.search(sp, ix, jnp.asarray(queries), k,
+                             fetch_rows=lambda ids: corpus[ids],
+                             host_rerank=True)
+    r_mm = rec(np.asarray(i_mm))
+    assert r_mm >= rec(np.asarray(i0)), "refine must not hurt recall"
+    assert r_mm >= 0.9
+    # bf16 store rounding can flip near-ties vs the fp32 RAM store; the
+    # candidate pool is identical so results agree to near-ties
+    agree = np.mean(np.asarray(i_mm) == np.asarray(i_ram))
+    assert agree >= 0.9, agree
+
+
+def test_build_from_chunks_over_store(store_path, rng):
+    n, d = 1600, 16
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    st = materialize_from_chunks(
+        store_path, lambda i: corpus[i * 400:(i + 1) * 400], n, d, 4
+    )
+    ix = ivf_pq.build_from_chunks(
+        IVFPQParams(n_lists=4, pq_dim=4, store_raw=False),
+        lambda i: jnp.asarray(st.chunk(i, 400)), n, d, n_chunks=4,
+    )
+    assert int(ix.n_valid) == n
+    _, i = ivf_pq.search(
+        IVFPQSearchParams(n_probes=4, refine_ratio=0), ix,
+        jnp.asarray(corpus[:4]), 1,
+    )
+    # bf16 codes of a bf16-sourced build: self-retrieval at k=1 is solid
+    assert (np.asarray(i)[:, 0] == np.arange(4)).mean() >= 0.75
+
+
+def test_retriever_out_of_core_refine_uses_store(store_path, rng):
+    """Corpus.embeddings = MemmapStore routes the Retriever's refine
+    through fetch_rows/host_rerank (no full materialization)."""
+    from cuvs_rag_tpu.models.encoder import HashingEncoder
+    from cuvs_rag_tpu.rag.corpus import Corpus
+    from cuvs_rag_tpu.rag.pipeline import Retriever
+
+    n, d = 1000, 64
+    enc = HashingEncoder(dim=d)
+    passages = [f"passage {i} topic {i % 7}" for i in range(n)]
+    emb = np.asarray(enc.encode(passages), np.float32)
+    st = materialize_from_chunks(
+        store_path, lambda i: emb[i * 250:(i + 1) * 250], n, d, 4,
+        dtype="float32",
+    )
+    ix = ivf_pq.build(
+        IVFPQParams(n_lists=8, pq_dim=8, store_raw=False), jnp.asarray(emb)
+    )
+    r = Retriever(
+        encoder=enc, index=ix, corpus=Corpus(passages=passages,
+                                             embeddings=st),
+        family="ivf_pq",
+        search_params=IVFPQSearchParams(n_probes=8, refine_ratio=8),
+    )
+    res = r.retrieve(passages[123], k=3)
+    assert res.passages and res.passages[0].index == 123

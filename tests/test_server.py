@@ -304,12 +304,134 @@ def test_mixed_k_vector_batch_slicing():
     svc = server_mod.SearchService(r, micro_batch=False)
     enc = HashingEncoder(dim=128)
     items = [
-        (np.asarray(enc.encode([PASSAGES[0]]), np.float32), 1, frozenset()),
+        (np.asarray(enc.encode([PASSAGES[0]]), np.float32), 1, frozenset(),
+         None),
         (np.asarray(enc.encode([PASSAGES[1], PASSAGES[3]]), np.float32), 3,
-         frozenset()),
+         frozenset(), None),
     ]
     out = svc._run_vectors(items)
     assert len(out[0]["indices"]) == 1 and len(out[0]["indices"][0]) == 1
     assert out[0]["indices"][0][0] == 0
     assert len(out[1]["indices"]) == 2 and len(out[1]["indices"][0]) == 3
     assert out[1]["indices"][0][0] == 1 and out[1]["indices"][1][0] == 3
+
+
+# --- named persistent filter views (VERDICT r3 #5) ------------------------
+
+def test_views_lifecycle_and_filtering(live_server):
+    enc = HashingEncoder(dim=128)
+    # bake an allow-view over passages {0, 2}
+    code, body = _req(live_server, "POST", "/v1/views",
+                      {"name": "tenant-a", "allow_ids": [0, 2]})
+    assert code == 200 and body["allowed"] == 2
+    code, body = _req(live_server, "GET", "/v1/views")
+    assert code == 200 and "tenant-a" in body["views"]
+
+    # vector search against the view never returns ids outside the allow set
+    v = enc.encode([PASSAGES[1]])  # nearest unfiltered hit would be 1
+    code, body = _req(live_server, "POST", "/v1/search",
+                      {"vectors": v.tolist(), "k": 2, "view": "tenant-a"})
+    assert code == 200
+    got = [i for i in body["indices"][0] if i >= 0]
+    assert got and set(got) <= {0, 2}, got
+
+    # text search against the view
+    code, body = _req(live_server, "POST", "/v1/search",
+                      {"texts": ["machine learning tpus"], "k": 2,
+                       "view": "tenant-a"})
+    assert code == 200
+    idxs = [p["index"] for p in body["results"][0]["passages"]]
+    assert idxs and set(idxs) <= {0, 2}, idxs
+
+    # view + per-request deny compose
+    code, body = _req(live_server, "POST", "/v1/search",
+                      {"vectors": v.tolist(), "k": 1, "view": "tenant-a",
+                       "deny_ids": [2]})
+    assert code == 200
+    got = [i for i in body["indices"][0] if i >= 0]
+    assert got == [0], got
+
+    # stats reports the view; delete removes it
+    code, body = _req(live_server, "GET", "/stats")
+    assert body["views"] >= 1
+    code, body = _req(live_server, "DELETE", "/v1/views/tenant-a")
+    assert code == 200 and body["deleted"] == "tenant-a"
+    code, body = _req(live_server, "DELETE", "/v1/views/tenant-a")
+    assert code == 404
+    code, body = _req(live_server, "POST", "/v1/search",
+                      {"vectors": v.tolist(), "k": 1, "view": "tenant-a"})
+    assert code == 400 and "unknown view" in body["error"]
+
+
+def test_views_deny_variant_and_validation(live_server):
+    code, body = _req(live_server, "POST", "/v1/views",
+                      {"name": "no-romans", "deny_ids": [3]})
+    assert code == 200 and body["allowed"] == 3
+    enc = HashingEncoder(dim=128)
+    v = enc.encode([PASSAGES[3]])
+    code, body = _req(live_server, "POST", "/v1/search",
+                      {"vectors": v.tolist(), "k": 4, "view": "no-romans"})
+    got = [i for i in body["indices"][0] if i >= 0]
+    assert 3 not in got and got
+    _req(live_server, "DELETE", "/v1/views/no-romans")
+
+    # bad requests are 400s, not silent no-ops
+    for req in (
+        {"name": "x", "allow_ids": [0], "deny_ids": [1]},  # both
+        {"name": "x"},                                     # neither
+        {"name": "x", "allow_ids": []},                    # empty
+        {"name": "x", "allow_ids": [99]},                  # out of range
+        {"name": "x", "allow_ids": [1.5]},                 # non-integral
+        {"name": "bad name!", "allow_ids": [0]},           # bad chars
+        {"name": "", "allow_ids": [0]},                    # empty name
+    ):
+        code, body = _req(live_server, "POST", "/v1/views", req)
+        assert code == 400, (req, body)
+
+
+def test_view_per_request_overhead_is_one_dispatch():
+    """The baked view routes through the SAME batched dispatch as the base
+    index — no per-request mask work. Pin by counting retrieve_batch calls
+    for a mixed batch (one view + viewless): exactly 2 dispatches."""
+    r = Retriever.build(
+        Corpus(passages=list(PASSAGES)), HashingEncoder(dim=128),
+        family="flat", params=FlatParams(metric=Metric.COSINE, tile_n=8),
+    )
+    svc = server_mod.SearchService(r, micro_batch=False)
+    svc.create_view("t", allow_ids=[0, 2])
+    calls = []
+    orig = r.retrieve_batch
+
+    def counting(*a, **kw):
+        calls.append(kw.keys())
+        return orig(*a, **kw)
+
+    r.retrieve_batch = counting
+    entry = svc._resolve_view("t")
+    out = svc._run_texts([
+        (["machine learning"], 2, frozenset(), None),
+        (["machine learning"], 2, frozenset(), entry),
+        (["ocean climate"], 1, frozenset(), entry),
+    ])
+    assert len(calls) == 2, "one dispatch per distinct view"
+    assert any("index" in k for k in calls), "view rides index=, not allow="
+    idxs = [p["index"] for p in out[1][0]["passages"]]
+    assert set(idxs) <= {0, 2}
+    assert out[0][0]["passages"][0]["index"] == 1  # viewless unaffected
+
+
+def test_view_deny_ids_uncapped_via_views():
+    """Persistent filters are NOT subject to the per-request 1024 cap."""
+    n = 2000
+    passages = [f"passage number {i}" for i in range(n)]
+    r = Retriever.build(
+        Corpus(passages=passages), HashingEncoder(dim=64),
+        family="flat", params=FlatParams(metric=Metric.COSINE, tile_n=128),
+    )
+    svc = server_mod.SearchService(r, micro_batch=False)
+    out = svc.create_view("big", deny_ids=list(range(1500)))
+    assert out["allowed"] == 500
+    enc = HashingEncoder(dim=64)
+    res = svc.search_vectors(enc.encode([passages[10]]), 3, view="big")
+    got = [i for i in res["indices"][0] if i >= 0]
+    assert got and all(i >= 1500 for i in got)

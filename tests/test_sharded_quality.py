@@ -1,0 +1,104 @@
+"""Sharded-IVF search QUALITY at partial probe (VERDICT r3 #6).
+
+The distributed tests elsewhere assert exactness (flat) or full-probe
+equality (IVF); this file gates what a multi-chip deployment actually
+gets: recall of per-shard k-means + k x over_fetch merge at realistic
+partial nprobe, against a single-device build of the SAME corpus at an
+EQUAL TOTAL PROBE BUDGET (S shards x nprobe_s lists of the same average
+size == single device probing S*nprobe_s of its lists).
+
+Reference analogue: the k*2 per-shard over-fetch
+(improved_multi_gpu_rag.py:247) was never quality-measured (the recall
+harness scored ~0 on broken ground truth, SURVEY.md §6).
+"""
+
+import numpy as np
+import pytest
+
+from cuvs_rag_tpu.eval import recall as recall_lib
+from cuvs_rag_tpu.index import ivf_flat
+from cuvs_rag_tpu.parallel import search as psearch
+from cuvs_rag_tpu.parallel.mesh import DeviceMesh
+from cuvs_rag_tpu.utils.config import (
+    IVFFlatParams,
+    IVFFlatSearchParams,
+    Metric,
+)
+
+N, D, K, C = 16384, 64, 10, 64  # C clusters; S shards from the mesh
+
+
+@pytest.fixture(scope="module")
+def dmesh():
+    return DeviceMesh()
+
+
+@pytest.fixture(scope="module")
+def setup(dmesh):
+    rng = np.random.default_rng(13)
+    centers = rng.standard_normal((C, D)).astype(np.float32)
+    assign = rng.integers(0, C, N)
+    corpus = (centers[assign]
+              + 0.25 * rng.standard_normal((N, D))).astype(np.float32)
+    qa = rng.integers(0, C, 64)
+    queries = (centers[qa]
+               + 0.25 * rng.standard_normal((64, D))).astype(np.float32)
+    gt = recall_lib.exact_ground_truth(corpus, queries, K, Metric.SQEUCLIDEAN)
+    s = dmesh.num_devices
+    single = ivf_flat.build(IVFFlatParams(n_lists=C), corpus)
+    sharded = psearch.build_sharded(
+        "ivf_flat", IVFFlatParams(n_lists=C // s), corpus, dmesh
+    )
+    return corpus, queries, gt, single, sharded
+
+
+def _recall(ids, gt):
+    ids = np.asarray(ids)
+    return float(np.mean(
+        [len(set(ids[r]) & set(gt[r])) / K for r in range(len(gt))]
+    ))
+
+
+def test_partial_probe_recall_parity(setup, dmesh):
+    """At equal total probe budget, the sharded index's recall tracks the
+    single-device build within tolerance at every operating point."""
+    corpus, queries, gt, single, sharded = setup
+    s = dmesh.num_devices
+    curve = {}
+    for p_s in (1, 4, 10):
+        _, i_sh = psearch.search_sharded(
+            IVFFlatSearchParams(n_probes=p_s), sharded, queries, K, dmesh
+        )
+        _, i_sd = ivf_flat.search(
+            IVFFlatSearchParams(n_probes=min(s * p_s, C)), single,
+            queries, K,
+        )
+        r_sh, r_sd = _recall(i_sh, gt), _recall(i_sd, gt)
+        curve[p_s] = (r_sh, r_sd)
+        # tolerance: per-shard k-means sees 1/S of the data, so its lists
+        # are coarser; 0.05 absolute is the measured envelope (see
+        # PERF.md sharded-quality section)
+        assert r_sh >= r_sd - 0.05, (p_s, r_sh, r_sd)
+    # sanity: the curve is increasing and ends high
+    rs = [curve[p][0] for p in (1, 4, 10)]
+    assert rs[0] <= rs[1] + 0.02 <= rs[2] + 0.04
+    assert rs[-1] >= 0.9, rs
+
+
+def test_over_fetch_necessity_and_sufficiency(setup, dmesh):
+    """k x 2 per-shard over-fetch (the reference's constant) vs exact-k
+    fetch: over-fetch must never hurt, and at partial probe the default
+    2.0 must recover whatever 1.0 loses (measured: the gap is small
+    because global top-k members are spread across shards, but nonzero
+    on clustered corpora where one shard can own >k of the true top-k)."""
+    corpus, queries, gt, single, sharded = setup
+    rs = {}
+    for of in (1.0, 2.0, 4.0):
+        _, ids = psearch.search_sharded(
+            IVFFlatSearchParams(n_probes=4), sharded, queries, K, dmesh,
+            over_fetch=of,
+        )
+        rs[of] = _recall(ids, gt)
+    assert rs[2.0] >= rs[1.0] - 1e-9, rs
+    # sufficiency: doubling again buys (almost) nothing — 2.0 is the knee
+    assert rs[4.0] - rs[2.0] <= 0.01, rs
