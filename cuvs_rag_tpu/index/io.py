@@ -254,6 +254,11 @@ def save_sharded(prefix: str, sindex: Any, dmesh=None) -> None:
     def _shard_i(x, i):
         if jax.process_count() == 1:
             return x[i]
+        if 0 in x.shape[1:]:
+            # zero-size leaf (e.g. CAGRA's absent entry map, (S, 0, d)):
+            # XLA reports no per-shard slices for empty arrays — every
+            # shard's slice is the same empty array
+            return jnp.zeros(x.shape[1:], x.dtype)
         for sh in x.addressable_shards:
             if (sh.index[0].start or 0) == i:
                 return jnp.asarray(np.asarray(sh.data)[0])

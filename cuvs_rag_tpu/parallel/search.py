@@ -199,6 +199,60 @@ def delete_replicated(rindex: ReplicatedIndex, ids) -> ReplicatedIndex:
     return dataclasses.replace(rindex, index=mod.delete(rindex.index, ids))
 
 
+def extend_sharded(
+    sindex: ShardedIndex,
+    new_vectors,
+    dmesh: DeviceMesh,
+    params,
+) -> ShardedIndex:
+    """Append rows to a sharded index: new rows get global ids
+    total..total+B-1, existing ids stay stable, deletions survive.
+
+    Distributed extend is a RE-SHARD: every shard's rows are recovered to
+    the host in global order, concatenated with the new batch, re-sharded
+    evenly and rebuilt in one SPMD program — the reference's redistribute
+    flow (embedding_distribution_manager.py:274-305: collect to CPU,
+    re-chunk to the devices). Contiguous-range global ids make in-place
+    per-shard appends impossible without colliding id blocks, so the
+    re-shard IS the correct distributed semantics, not a shortcut; it also
+    keeps shards balanced, which in-place appends would not. Amortize by
+    batching appends (cost is O(total + B) per call, like the reference's
+    redistribute). `params` are the family build params for the rebuilt
+    index (indexes do not retain their build params).
+
+    For compressed/graph families the recovered rows are reconstructions
+    (PQ decode / stored-dtype rows), so quantizers retrain on the
+    reconstruction — same caveat as any recover-based rebuild
+    (index/io.recover_rows).
+    """
+    from cuvs_rag_tpu.index import io as io_lib
+
+    _load_families()
+    new = np.asarray(new_vectors)
+    dim = _index_dim(sindex)
+    if new.ndim != 2 or new.shape[1] != dim:
+        raise ValueError(f"new vectors must be (B, {dim}), got {new.shape}")
+    offs = np.asarray(sindex.offsets, dtype=np.int64)
+    sizes = np.clip(np.minimum(np.append(offs[1:], sindex.total),
+                               sindex.total) - offs, 0, None)
+    rows = []
+    deleted = []
+    for s in range(len(offs)):
+        if sizes[s] == 0:
+            continue
+        local_s = jax.tree_util.tree_map(lambda x, s=s: x[s], sindex.local)
+        rows.append(np.asarray(io_lib.recover_rows(local_s)))
+        deleted.append(offs[s] + io_lib.deleted_row_ids(local_s))
+    full = np.concatenate(rows + [new.astype(rows[0].dtype)]) if rows \
+        else new
+    assert full.shape[0] == sindex.total + new.shape[0], full.shape
+    out = build_sharded(sindex.family, params, jnp.asarray(full), dmesh)
+    gone = np.concatenate(deleted) if deleted else np.zeros(0, np.int64)
+    if gone.size:
+        out = delete_sharded(out, gone)
+    return out
+
+
 def filtered_view_sharded(sindex: ShardedIndex, allow) -> ShardedIndex:
     """Sharded counterpart of `index.filters.filtered_view`: restrict a
     sharded index to a GLOBAL (total,) bool allow mask. The mask is split

@@ -56,15 +56,20 @@ def main():
         centers[jax.random.randint(k, (per,), 0, 2000)]
         + 0.3 * jax.random.normal(k, (per, d))
     ).astype(jnp.bfloat16))
-    shards = [mk(jax.random.fold_in(key, 50 + i)) for i in range(s)]
-    _ = [jax.block_until_ready(c) for c in shards]
+    # HBM discipline: the corpus, flat oracle, single IVF and 8 shard IVFs
+    # are ~3 GB each — never hold more than three. Shard chunks REGENERATE
+    # from the deterministic RNG stream after the corpus is freed.
+    def shard_chunk(i):
+        return mk(jax.random.fold_in(key, 50 + i))
+
+    corpus = jnp.concatenate([shard_chunk(i) for i in range(s)])
+    jax.block_until_ready(corpus)
     qk = jax.random.fold_in(key, 777)
     queries = (
         centers[jax.random.randint(qk, (args.batch,), 0, 2000)]
         + 0.3 * jax.random.normal(qk, (args.batch, d))
     ).astype(jnp.float32)
 
-    corpus = jnp.concatenate(shards)
     fx = flat.build(FlatParams(dtype="bfloat16", tile_n=8192), corpus)
     _, gt = flat.search(None, fx, queries, args.k)
     gt = np.asarray(gt)
@@ -86,15 +91,16 @@ def main():
           f"{time.time()-t0:.0f}s", flush=True)
     t0 = time.time()
     shard_ix = []
-    for c in shards:
+    for i in range(s):
+        c = shard_chunk(i)
         ix = ivf_flat.build(
             IVFFlatParams(n_lists=args.n_lists // s, dtype="bfloat16"), c
         )
         jax.block_until_ready(ix.list_counts)
         shard_ix.append(ix)
+        del c
     print(f"{s} per-shard builds ({args.n_lists // s} lists each): "
           f"{time.time()-t0:.0f}s", flush=True)
-    del shards
 
     def sharded_search(p_s, of):
         """Exact reproduction of parallel/search.py's merge semantics:

@@ -120,3 +120,50 @@ def test_sharded_int8_families(rng, dmesh):
         for r in range(q)
     ])
     assert agree >= 0.8, agree
+
+
+def test_extend_sharded_ids_and_deletions(rng, dmesh):
+    """extend_sharded: new rows get ids total..total+B-1, old ids stay
+    stable, tombstones survive the re-shard (the reference's redistribute
+    flow, embedding_distribution_manager.py:274-305)."""
+    d = 32
+    corpus = rng.standard_normal((1000, d)).astype(np.float32)
+    extra = rng.standard_normal((64, d)).astype(np.float32)
+    six = psearch.build_sharded("flat", FlatParams(tile_n=8), corpus, dmesh)
+    six = psearch.delete_sharded(six, np.array([5]))
+    grown = psearch.extend_sharded(six, extra, dmesh, FlatParams(tile_n=8))
+    assert grown.total == 1064
+    # old rows keep their ids; new rows are addressed past the old total
+    q = np.vstack([corpus[123], extra[0], extra[63]])
+    _, ids = psearch.search_sharded(None, grown, jnp.asarray(q), 1, dmesh)
+    assert np.asarray(ids)[:, 0].tolist() == [123, 1000, 1063]
+    # the deletion survives
+    _, i5 = psearch.search_sharded(
+        None, grown, jnp.asarray(corpus[5:6]), 1, dmesh
+    )
+    assert int(np.asarray(i5)[0, 0]) != 5
+
+
+def test_extend_sharded_ivf(rng, dmesh):
+    from cuvs_rag_tpu.utils.config import IVFFlatParams, IVFFlatSearchParams
+
+    d = 32
+    corpus = rng.standard_normal((1000, d)).astype(np.float32)
+    extra = rng.standard_normal((40, d)).astype(np.float32)
+    params = IVFFlatParams(n_lists=4)
+    six = psearch.build_sharded("ivf_flat", params, corpus, dmesh)
+    grown = psearch.extend_sharded(six, extra, dmesh, params)
+    assert grown.total == 1040
+    _, ids = psearch.search_sharded(
+        IVFFlatSearchParams(n_probes=4), grown,
+        jnp.asarray(np.vstack([corpus[7], extra[39]])), 1, dmesh,
+    )
+    assert np.asarray(ids)[:, 0].tolist() == [7, 1039]
+
+
+def test_extend_sharded_validates(rng, dmesh):
+    corpus = rng.standard_normal((256, 16)).astype(np.float32)
+    six = psearch.build_sharded("flat", FlatParams(tile_n=8), corpus, dmesh)
+    with pytest.raises(ValueError, match="new vectors"):
+        psearch.extend_sharded(six, np.zeros((3, 8)), dmesh,
+                               FlatParams(tile_n=8))
