@@ -435,3 +435,27 @@ def test_view_deny_ids_uncapped_via_views():
     res = svc.search_vectors(enc.encode([passages[10]]), 3, view="big")
     got = [i for i in res["indices"][0] if i >= 0]
     assert got and all(i >= 1500 for i in got)
+
+
+def test_views_on_sharded_placement():
+    """Named views bake through filtered_view_sharded when the retriever
+    is mesh-sharded (the multi-chip serving configuration)."""
+    n = 64
+    passages = [f"shard passage {i} topic {i % 5}" for i in range(n)]
+    r = Retriever.build(
+        Corpus(passages=passages), HashingEncoder(dim=64),
+        family="flat", params=FlatParams(metric=Metric.COSINE, tile_n=8),
+        placement="shard",
+    )
+    svc = server_mod.SearchService(r, micro_batch=False)
+    allow = list(range(0, n, 2))  # even ids only
+    out = svc.create_view("evens", allow_ids=allow)
+    assert out["allowed"] == n // 2
+    enc = HashingEncoder(dim=64)
+    res = svc.search_vectors(enc.encode([passages[31]]), 3, view="evens")
+    got = [i for i in res["indices"][0] if i >= 0]
+    assert got and all(i % 2 == 0 for i in got), got
+    # text path through retrieve_batch(index=...) on the sharded view
+    out_t = svc.search_texts([passages[30]], 2, view="evens")
+    idxs = [p["index"] for p in out_t[0]["passages"]]
+    assert idxs and all(i % 2 == 0 for i in idxs), idxs

@@ -158,3 +158,15 @@ def test_tune_build_unreachable_target(clustered):
     assert not res.met
     assert res.candidate is None and res.search_params is None
     assert len(res.trials) >= 1
+
+
+def test_candidate_ladder_flat_and_unknown_families():
+    """Advisor r3: 'flat' silently produced zero trials; unknown names
+    must raise instead of returning met=False with no diagnostic."""
+    from cuvs_rag_tpu.eval.tune import candidate_ladder
+
+    cands = candidate_ladder(64, 100_000, 10**12, families=["flat"])
+    assert cands and all(c.family == "flat" for c in cands)
+    assert any("flat[" in c.label() for c in cands)
+    with pytest.raises(ValueError, match="unknown families"):
+        candidate_ladder(64, 1000, 10**9, families=["hnsw"])
