@@ -896,18 +896,25 @@ def _pallas_large_cfg(index: IVFFlatIndex, k: int):
             return None
     except Exception:
         return None
+    return _pallas_large_cfg_dims(
+        index.dim, index.max_list_size, index.size,
+        index.vectors.dtype.itemsize, k,
+    )
+
+
+def _pallas_large_cfg_dims(dim, max_list_size, size, itemsize, k):
+    """Shape-level eligibility for the large-k scan (also callable on a
+    shard-stacked index's per-shard dims — parallel/search)."""
     from cuvs_rag_tpu.ops import pallas_ivf
 
     if not (
         pallas_ivf.MAX_PALLAS_K < k <= 8192
-        and index.dim % 128 == 0
-        and index.max_list_size % 128 == 0
-        and index.size % 128 == 0
+        and dim % 128 == 0
+        and max_list_size % 128 == 0
+        and size % 128 == 0
     ):
         return None
-    return pallas_ivf.large_k_config(
-        index.max_list_size, index.dim, index.vectors.dtype.itemsize, k
-    )
+    return pallas_ivf.large_k_config(max_list_size, dim, itemsize, k)
 
 
 def search_scores(
@@ -984,10 +991,11 @@ def _search_core(search_params, index, queries, k, use_pallas):
     ), idx
 
 
-@functools.partial(
-    jax.jit, static_argnames=("search_params", "k", "n_sub", "r_planes")
-)
-def _search_large_jit(search_params, index, queries, k, n_sub, r_planes):
+def search_scores_large(search_params, index, queries, k, n_sub, r_planes):
+    """Traced certified large-k probed scan: (scores desc, original ids,
+    (Q,) certified). Also the per-shard program of the DISTRIBUTED large-k
+    path (parallel/search._distributed_search gathers the certificates
+    over ICI along with the candidates)."""
     from cuvs_rag_tpu.ops import pallas_ivf
 
     sp = search_params or default_search_params()
@@ -1013,10 +1021,20 @@ def _search_large_jit(search_params, index, queries, k, n_sub, r_planes):
         n_sub=n_sub, r_planes=r_planes,
     )
     ids = jnp.where(pos >= 0, index.row_ids[jnp.maximum(pos, 0)], -1)
+    return scores, ids, cert
+
+
+@functools.partial(
+    jax.jit, static_argnames=("search_params", "k", "n_sub", "r_planes")
+)
+def _search_large_jit(search_params, index, queries, k, n_sub, r_planes):
+    scores, ids, cert = search_scores_large(
+        search_params, index, queries, k, n_sub, r_planes
+    )
     qn = dist_ops.l2_normalize(queries) \
         if index.metric == Metric.COSINE else queries
     dists = dist_ops.scores_to_distances(
-        scores, dist_ops.sqnorms(qn), index.metric
+        scores, dist_ops.sqnorms(qn.astype(jnp.float32)), index.metric
     )
     return dists, ids, cert
 
@@ -1050,7 +1068,11 @@ def search(
     (Poisson-rare) re-run the XLA scan, so results always equal the exact
     top-k of the probed lists."""
     queries = base.validate_queries(queries, index.dim)
-    cfg = _pallas_large_cfg(index, k)
+    # the certificate check is a host fetch — under an outer jit (e.g.
+    # search_replicated's per-device program) route large k through the
+    # XLA scan instead of concretizing a tracer
+    tracing = isinstance(queries, jax.core.Tracer)
+    cfg = None if tracing else _pallas_large_cfg(index, k)
     if cfg is not None:
         out = base.run_with_pallas_fallback(
             lambda: _search_large(search_params, index, queries, k, cfg),

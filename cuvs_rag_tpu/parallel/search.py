@@ -359,6 +359,33 @@ def _postfilter_merged(scores, idx, mask, k):
     return top_s, jnp.where(top_s > -jnp.inf, top_i, -1)
 
 
+def _sharded_large_cfg(sindex: ShardedIndex, k_local: int):
+    """(n_sub, r_planes) for the per-shard certified large-k IVF scan, or
+    None (non-IVF family, small k, CPU backend, or no VMEM-fitting split).
+    Uses the stacked-local shapes: every shard shares max_list_size/dim,
+    so one config serves the whole mesh."""
+    if sindex.family != "ivf_flat":
+        return None
+    from cuvs_rag_tpu.index import ivf_flat as ivf_mod
+
+    if ivf_mod._PALLAS_BROKEN:
+        return None
+    import os
+
+    if os.environ.get("CUVS_RAG_TPU_DISABLE_PALLAS") == "1":
+        return None
+    try:
+        if jax.default_backend() in ("cpu",):
+            return None
+    except Exception:
+        return None
+    loc = sindex.local
+    return ivf_mod._pallas_large_cfg_dims(
+        loc.dim, loc.max_list_size, loc.vectors.shape[-2],
+        loc.vectors.dtype.itemsize, k_local,
+    )
+
+
 def _shard_k(family: str, k: int, over_fetch: float) -> int:
     """Per-shard candidate count. Exact families need exactly k; approximate
     families over-fetch (reference fetches k*2 per shard,
@@ -370,7 +397,8 @@ def _shard_k(family: str, k: int, over_fetch: float) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "k", "family", "axis_name", "k_local", "search_params"),
+    static_argnames=("mesh", "k", "family", "axis_name", "k_local",
+                     "search_params", "large_cfg"),
 )
 def _distributed_search(
     local,
@@ -383,12 +411,26 @@ def _distributed_search(
     family: str,
     axis_name: str,
     search_params,
+    large_cfg=None,
 ):
+    """One SPMD fan-out/merge program. large_cfg=(n_sub, r_planes) routes
+    the per-shard scan through the certified large-k IVF kernel; the
+    per-shard certificates ride the same all_gather and come back AND-ed
+    per query (a False row means the caller must re-run via the XLA scan
+    — parallel of the single-device fallback, lifted to the mesh)."""
     mod = FAMILIES[family]
 
     def _go(local_stacked, offset_blk, qs):
         local_ix = jax.tree_util.tree_map(lambda x: x[0], local_stacked)
-        scores, lidx = mod.search_scores(search_params, local_ix, qs, k_local)
+        if large_cfg is not None:
+            scores, lidx, cert = mod.search_scores_large(
+                search_params, local_ix, qs, k_local, *large_cfg
+            )
+        else:
+            scores, lidx = mod.search_scores(
+                search_params, local_ix, qs, k_local
+            )
+            cert = jnp.ones((qs.shape[0],), jnp.bool_)
         gidx = jnp.where(lidx >= 0, lidx + offset_blk[0], -1)
         # candidate exchange over ICI: (S, Q, k_local) scores + ids
         all_s = jax.lax.all_gather(scores, axis_name)
@@ -396,15 +438,18 @@ def _distributed_search(
         q = qs.shape[0]
         cand_s = jnp.moveaxis(all_s, 0, 1).reshape(q, -1)
         cand_i = jnp.moveaxis(all_i, 0, 1).reshape(q, -1)
-        return topk_ops.merge_topk(cand_s, cand_i, k)
+        ms, mi = topk_ops.merge_topk(cand_s, cand_i, k)
+        cert_all = jnp.all(jax.lax.all_gather(cert, axis_name), axis=0)
+        return ms, mi, cert_all
 
-    return jax.shard_map(
+    ms, mi, cert = jax.shard_map(
         _go,
         mesh=mesh,
         in_specs=(P(axis_name), P(axis_name), P()),
-        out_specs=(P(), P()),
+        out_specs=(P(), P(), P()),
         check_vma=False,  # outputs are replicated by the all_gather+merge
     )(local, offsets, queries)
+    return (ms, mi, cert) if large_cfg is not None else (ms, mi)
 
 
 def search_sharded(
@@ -455,7 +500,8 @@ def search_sharded(
     k_local = _shard_k(sindex.family, kk, over_fetch)
     if mask is not None:
         k_local = min(k_local, search_params.itopk_size)
-    scores, idx = _distributed_search(
+    large_cfg = _sharded_large_cfg(sindex, k_local)
+    out = _distributed_search(
         sindex.local,
         sindex.offsets,
         queries,
@@ -465,7 +511,22 @@ def search_sharded(
         family=sindex.family,
         axis_name=sindex.axis_name,
         search_params=search_params,
+        large_cfg=large_cfg,
     )
+    if large_cfg is not None:
+        scores, idx, cert = out
+        if not bool(np.asarray(jnp.all(cert))):
+            # Poisson-rare per-shard certificate violation: re-run the
+            # whole batch through the XLA scan (same fallback contract as
+            # the single-device large-k path)
+            scores, idx = _distributed_search(
+                sindex.local, sindex.offsets, queries,
+                mesh=dmesh.mesh, k=kk, k_local=k_local,
+                family=sindex.family, axis_name=sindex.axis_name,
+                search_params=search_params,
+            )
+    else:
+        scores, idx = out
     if mask is not None:
         scores, idx = _postfilter_merged(scores, idx, mask, k)
     qn = dist_ops.l2_normalize(queries) if metric == Metric.COSINE else queries

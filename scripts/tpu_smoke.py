@@ -206,6 +206,38 @@ def main():
         _check(f"pallas_ivf LARGE-k={k_big} certified vs XLA", i_big,
                np.asarray(i_big_xla), 0.99)
 
+        # sharded large-k: the SAME shard_map + certificate-all_gather
+        # program multi-chip meshes run, gated here on a 1-device mesh
+        from cuvs_rag_tpu.parallel import search as psearch
+        from cuvs_rag_tpu.parallel.mesh import DeviceMesh
+
+        dm1 = DeviceMesh(devices=jax.devices()[:1])
+        six = psearch.build_sharded(
+            "ivf_flat",
+            IVFFlatParams(n_lists=4, dtype="float32", kmeans_iters=5),
+            c32, dm1,
+        )
+        spl = IVFFlatSearchParams(n_probes=4)
+        k_loc = psearch._shard_k("ivf_flat", k_big, 2.0)
+        cfg_s = psearch._sharded_large_cfg(six, k_loc)
+        assert cfg_s is not None, "sharded large-k config must be eligible"
+        s_a, i_a, cert_s = psearch._distributed_search(
+            six.local, six.offsets, q32, mesh=dm1.mesh, k=k_big,
+            k_local=k_loc, family="ivf_flat", axis_name=six.axis_name,
+            search_params=spl, large_cfg=cfg_s,
+        )
+        if not bool(np.asarray(jnp.all(cert_s))):
+            raise SystemExit(
+                "TPU_SMOKE FAILED: sharded large-k certificate violated"
+            )
+        s_b, i_b = psearch._distributed_search(
+            six.local, six.offsets, q32, mesh=dm1.mesh, k=k_big,
+            k_local=k_loc, family="ivf_flat", axis_name=six.axis_name,
+            search_params=spl,
+        )
+        _check("sharded LARGE-k certified vs XLA shard program",
+               np.asarray(i_a), np.asarray(i_b), 0.99)
+
     # --- certified large-k selection (per-class top-R + certificate) -----
     k_large = 200
     s_l, i_l, cert = pallas_flat.flat_topk_large(
