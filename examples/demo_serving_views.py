@@ -1,0 +1,109 @@
+"""Multi-tenant serving demo: named persistent filter views + a
+disk-backed embedding store (round-4 features).
+
+Flow: build a corpus with two "tenants", persist its embeddings to a
+MemmapStore (the beyond-RAM refine tier), serve it, bake one named view
+per tenant, and show that (a) each tenant's searches never leak the other
+tenant's passages, (b) view searches run at unfiltered speed (no
+per-request over-fetch), (c) ad-hoc per-request deny_ids compose on top.
+
+    python examples/demo_serving_views.py
+"""
+
+import json
+import sys
+import tempfile
+import threading
+from http.client import HTTPConnection
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+from cuvs_rag_tpu.models.encoder import HashingEncoder
+from cuvs_rag_tpu.rag import server as server_mod
+from cuvs_rag_tpu.rag.corpus import Corpus
+from cuvs_rag_tpu.rag.host_store import materialize_from_chunks
+from cuvs_rag_tpu.rag.pipeline import Retriever
+from cuvs_rag_tpu.utils.config import FlatParams, Metric
+
+
+def req(addr, method, path, body=None):
+    c = HTTPConnection(*addr, timeout=600)  # first search pays XLA compile
+    c.request(method, path, body=json.dumps(body) if body else None,
+              headers={"Content-Type": "application/json"})
+    r = c.getresponse()
+    return r.status, json.loads(r.read())
+
+
+def main():
+    n_per = 50
+    passages = [f"[tenant-a] contract clause {i}: payment terms net {i}"
+                for i in range(n_per)]
+    passages += [f"[tenant-b] support ticket {i}: printer jam level {i}"
+                 for i in range(n_per)]
+    tenant_a = list(range(n_per))
+    tenant_b = list(range(n_per, 2 * n_per))
+
+    enc = HashingEncoder(dim=128)
+    emb = np.asarray(enc.encode(passages), np.float32)
+    # persist embeddings to a disk-backed store (np.memmap + sidecar):
+    # on a beyond-HBM deployment this is the refine source fetch_rows
+    # reads from — here it just shows the API end to end
+    tmp = tempfile.mkdtemp()
+    store = materialize_from_chunks(
+        f"{tmp}/emb.bin", lambda i: emb[i * 25:(i + 1) * 25],
+        len(passages), 128, len(passages) // 25, dtype="float32",
+    )
+    print(f"embedding store on disk: {store.path} "
+          f"({store._mm.nbytes / 1e3:.0f} KB, {store.shape})")
+
+    corpus = Corpus(passages=passages, embeddings=store)
+    r = Retriever.build(
+        corpus, enc, family="flat",
+        params=FlatParams(metric=Metric.COSINE, tile_n=32),
+    )
+    srv = server_mod.serve(r, host="127.0.0.1", port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    addr = srv.server_address
+    print(f"serving on {addr}")
+
+    # one persistent view per tenant — baked once, searched at full speed
+    for name, ids in (("tenant-a", tenant_a), ("tenant-b", tenant_b)):
+        code, body = req(addr, "POST", "/v1/views",
+                         {"name": name, "allow_ids": ids})
+        assert code == 200, body
+        print(f"baked view {name}: {body}")
+
+    q = "payment terms of the contract"
+    for view in ("tenant-a", "tenant-b"):
+        code, body = req(addr, "POST", "/v1/search",
+                         {"texts": [q], "k": 3, "view": view})
+        assert code == 200, body
+        hits = body["results"][0]["passages"]
+        print(f"\n[{view}] query: {q!r}")
+        for h in hits:
+            print(f"  #{h['index']:3d} d={h['distance']:.3f} {h['text']}")
+        lo, hi = (0, n_per) if view == "tenant-a" else (n_per, 2 * n_per)
+        assert all(lo <= h["index"] < hi for h in hits), "tenant leak!"
+
+    # ad-hoc exclusion composes on top of the persistent view
+    top = req(addr, "POST", "/v1/search",
+              {"texts": [q], "k": 1, "view": "tenant-a"})[1]
+    top_id = top["results"][0]["passages"][0]["index"]
+    code, body = req(addr, "POST", "/v1/search",
+                     {"texts": [q], "k": 1, "view": "tenant-a",
+                      "deny_ids": [top_id]})
+    nxt = body["results"][0]["passages"][0]["index"]
+    print(f"\ndeny top hit {top_id} within tenant-a -> next: {nxt}")
+    assert nxt != top_id and nxt < n_per
+
+    code, body = req(addr, "GET", "/v1/views")
+    print(f"\nviews: {body['views']}")
+    srv.shutdown()
+    srv.service.close()
+    print("OK")
+
+
+if __name__ == "__main__":
+    main()
