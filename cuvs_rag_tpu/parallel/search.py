@@ -199,6 +199,20 @@ def delete_replicated(rindex: ReplicatedIndex, ids) -> ReplicatedIndex:
     return dataclasses.replace(rindex, index=mod.delete(rindex.index, ids))
 
 
+def extend_replicated(
+    rindex: ReplicatedIndex, new_vectors, dmesh: DeviceMesh
+) -> ReplicatedIndex:
+    """Append rows to a replicated index: the family `extend` runs once and
+    the grown index is re-broadcast to every device (ids are global ==
+    local, so new rows get ids total..total+B-1 on every replica — the
+    FAISS add-flow on a `co.shard=False` clone, faiss-main.ipynb#cell11)."""
+    _load_families()
+    mod = FAMILIES[rindex.family]
+    grown = mod.extend(rindex.index, jnp.asarray(new_vectors))
+    grown = jax.device_put(grown, dmesh.replicated())
+    return dataclasses.replace(rindex, index=grown)
+
+
 def extend_sharded(
     sindex: ShardedIndex,
     new_vectors,

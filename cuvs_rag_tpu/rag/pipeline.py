@@ -51,6 +51,7 @@ class Retriever:
         family: str,
         dmesh: Optional[DeviceMesh] = None,
         search_params: Any = None,
+        params: Any = None,
     ):
         self.encoder = encoder
         self.index = index
@@ -58,6 +59,9 @@ class Retriever:
         self.family = family
         self.dmesh = dmesh
         self.search_params = search_params
+        # build params are retained for operations that rebuild (sharded
+        # extend re-shards; indexes do not carry their build params)
+        self.params = params
 
     # -- construction ----------------------------------------------------
 
@@ -97,6 +101,7 @@ class Retriever:
         return cls(
             encoder, index, corpus,
             family=family, dmesh=dmesh, search_params=search_params,
+            params=params,
         )
 
     # -- retrieval -------------------------------------------------------
@@ -195,6 +200,89 @@ class Retriever:
             ]
             results.append(RetrievalResult(passages=passages, query_time_s=per_query))
         return results
+
+    def extend(
+        self,
+        texts: Optional[Sequence[str]] = None,
+        *,
+        vectors=None,
+        titles: Optional[Sequence[str]] = None,
+    ) -> range:
+        """Append passages to the live retriever (FAISS add-flow parity at
+        the pipeline layer). New passages get ids total..total+B-1;
+        existing ids stay stable; prior deletions survive. Returns the new
+        ids as a range.
+
+        Provide `texts` (encoded with the retriever's encoder), or
+        `vectors` (raw rows for vector-only serving; `texts` then optionally
+        supplies the aligned passage strings, else they default to "").
+        Placement-aware: single-device and replicated indexes extend in
+        place (amortized O(B)); sharded indexes re-shard (O(total + B) —
+        batch appends; see parallel.search.extend_sharded).
+        """
+        if texts is None and vectors is None:
+            raise ValueError("provide texts and/or vectors")
+        if texts is not None:
+            texts = list(texts)
+            if not texts or not all(isinstance(t, str) for t in texts):
+                raise ValueError("texts must be a non-empty list of strings")
+        if vectors is None:
+            vectors = np.asarray(self.encoder.encode(texts), np.float32)
+        else:
+            vectors = np.asarray(vectors, np.float32)
+        if vectors.ndim != 2 or vectors.shape[0] == 0:
+            raise ValueError(f"vectors must be (B, dim), got {vectors.shape}")
+        if texts is None:
+            texts = [""] * len(vectors)
+        if len(texts) != len(vectors):
+            raise ValueError(
+                f"texts ({len(texts)}) and vectors ({len(vectors)}) must be "
+                "row-aligned"
+            )
+        if titles is not None and len(titles) != len(texts):
+            raise ValueError("titles must align with texts")
+        emb = self.corpus.embeddings
+        if emb is not None and not isinstance(emb, np.ndarray):
+            if hasattr(emb, "fetch_rows"):  # read-only disk/memmap store
+                raise ValueError(
+                    "corpus embeddings live in a read-only host store "
+                    f"({type(emb).__name__}) — rebuild the store with the "
+                    "new rows (MemmapStore.create/append_chunk), then "
+                    "rebuild the retriever"
+                )
+            emb = np.asarray(emb)
+
+        # extend the index FIRST: if the family/placement rejects the rows,
+        # the corpus must not have grown
+        if isinstance(self.index, psearch.ShardedIndex):
+            params = self.params or _default_params(self.family)
+            self.index = psearch.extend_sharded(
+                self.index, vectors, self.dmesh, params
+            )
+        elif isinstance(self.index, psearch.ReplicatedIndex):
+            self.index = psearch.extend_replicated(
+                self.index, vectors, self.dmesh
+            )
+        else:
+            psearch._load_families()
+            self.index = psearch.FAMILIES[self.family].extend(
+                self.index, jnp.asarray(vectors)
+            )
+
+        start = len(self.corpus.passages)
+        self.corpus.passages.extend(texts)
+        if self.corpus.titles is not None:
+            self.corpus.titles.extend(
+                list(titles) if titles is not None else [""] * len(texts)
+            )
+        if emb is not None:
+            self.corpus.embeddings = np.concatenate(
+                [emb, vectors.astype(emb.dtype)], axis=0
+            )
+        from cuvs_rag_tpu.utils.metrics import default_registry as metrics
+
+        metrics.inc("retriever.extended_rows", len(texts))
+        return range(start, start + len(texts))
 
     def delete(self, ids) -> None:
         """Remove passages by corpus index (tombstone; see <family>.delete).

@@ -27,6 +27,15 @@ Endpoints:
                     1024-id deny cap does not apply. Multi-tenant: one
                     view per tenant, "view" per request.
   GET  /v1/views    list views; DELETE /v1/views/{name} drops one
+  POST /v1/extend   {"texts": [...]} and/or {"vectors": [[...], ...]}
+                    (+"titles") — append passages to the LIVE index without
+                    a restart (FAISS add-flow at the serving layer). New
+                    rows get ids corpus_size..corpus_size+B-1; named views
+                    re-bake (allow-views exclude rows added after the view
+                    was created; deny-views include them)
+  POST /v1/delete   {"ids": [...]} — tombstone passages live; deleted ids
+                    never return from any search or view, surviving ids
+                    stay stable
   GET  /healthz     liveness + device check
   GET  /stats       index/corpus/device info (+ view count)
   GET  /metrics     metrics registry snapshot (see utils/metrics.py)
@@ -38,6 +47,7 @@ from __future__ import annotations
 
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any
 
@@ -165,6 +175,10 @@ class SearchService:
         # items, so a concurrent DELETE can never fail an in-flight search.
         self._views: dict = {}
         self._views_lock = threading.Lock()
+        # serializes corpus mutations (extend/delete): the index swap is an
+        # atomic reference replace — in-flight batches keep searching the
+        # snapshot they resolved at submit time
+        self._update_lock = threading.Lock()
         self._text_batcher = None
         self._vec_batcher = None
         if micro_batch:
@@ -403,6 +417,10 @@ class SearchService:
         entry.update(
             allowed=int(mask.sum()),
             build_ms=round((_time.perf_counter() - t0) * 1e3, 1),
+            # retained so corpus mutations can re-bake: on extend the mask
+            # grows (allow-view: new rows excluded; deny-view: included)
+            mask=mask,
+            is_allow=allow_ids is not None,
         )
         with self._views_lock:
             self._views[name] = entry
@@ -493,6 +511,84 @@ class SearchService:
                 return self._vec_batcher.submit((q, k, deny, entry))
             return self._run_vectors([(q, k, deny, entry)])[0]
 
+    # -- live corpus mutation (no-restart extend/delete) --------------------
+    #
+    # The reference rebuilt its indexes every run (SURVEY.md §5 "no ANN-index
+    # serialization") and had no serving at all; FAISS serving deployments
+    # add/remove while live. Updates serialize on _update_lock; each one
+    # swaps self.retriever.index by plain reference assignment, so searches
+    # already dispatched keep their snapshot and new submissions see the new
+    # index — no read lock on the hot path. Named views are re-baked from
+    # their retained masks against the post-update index (a baked view
+    # shares the OLD index's bookkeeping, so without the re-bake a deleted
+    # row could resurface through a stale view).
+
+    def extend_corpus(self, texts=None, vectors=None, titles=None) -> dict:
+        """Append passages/vectors to the live index (POST /v1/extend)."""
+        if vectors is not None:
+            vectors = np.asarray(vectors, np.float32)
+            if vectors.ndim != 2 or vectors.shape[0] == 0:
+                raise ValueError(
+                    f"vectors must be a non-empty 2D array, got "
+                    f"{vectors.shape}"
+                )
+            if self.dim is not None and vectors.shape[1] != self.dim:
+                raise ValueError(
+                    f"vector dim {vectors.shape[1]} != index dim {self.dim}"
+                )
+        with self._update_lock:
+            t0 = time.perf_counter()
+            new_ids = self.retriever.extend(
+                texts, vectors=vectors, titles=titles
+            )
+            self._rebake_views()
+            metrics.inc("server.extended_rows", len(new_ids))
+            return {
+                "added": len(new_ids),
+                "ids": [new_ids.start, new_ids.stop],
+                "corpus_size": len(self.retriever.corpus),
+                "update_ms": round((time.perf_counter() - t0) * 1e3, 1),
+            }
+
+    def delete_ids(self, ids) -> dict:
+        """Tombstone passages by id on the live index (POST /v1/delete).
+        Ids never come back from any search (views included); surviving
+        ids stay stable."""
+        idx = self._validate_ids(ids, len(self.retriever.corpus))
+        with self._update_lock:
+            t0 = time.perf_counter()
+            self.retriever.delete(idx)
+            self._rebake_views()
+            metrics.inc("server.deleted_rows", len(idx))
+            return {
+                "deleted": len(set(idx.tolist())),
+                "update_ms": round((time.perf_counter() - t0) * 1e3, 1),
+            }
+
+    def _rebake_views(self):
+        """Re-bake every named view against the CURRENT index, growing
+        retained masks to the current corpus size (allow-views exclude
+        rows added later; deny-views include them). Called under
+        _update_lock; the per-name swap is atomic under _views_lock."""
+        with self._views_lock:
+            names = list(self._views.items())
+        n = len(self.retriever.corpus)
+        for name, old in names:
+            mask = old["mask"]
+            if len(mask) < n:
+                grown = np.full((n,), not old["is_allow"], bool)
+                grown[: len(mask)] = mask
+                mask = grown
+            entry = dict(self._bake_view(mask))
+            entry.update(
+                allowed=int(mask.sum()), build_ms=old["build_ms"],
+                mask=mask, is_allow=old["is_allow"],
+            )
+            with self._views_lock:
+                # a concurrent DELETE of this view wins: don't resurrect
+                if name in self._views:
+                    self._views[name] = entry
+
     def stats(self):
         import jax
 
@@ -573,6 +669,23 @@ def make_handler(service: SearchService):
                         allow_ids=req.get("allow_ids"),
                         deny_ids=req.get("deny_ids"),
                     ))
+                    return
+                if self.path == "/v1/extend":
+                    req = json.loads(raw or b"{}")
+                    if "texts" not in req and "vectors" not in req:
+                        self._reply(
+                            400, {"error": "provide 'texts' and/or 'vectors'"}
+                        )
+                        return
+                    self._reply(200, service.extend_corpus(
+                        texts=req.get("texts"),
+                        vectors=req.get("vectors"),
+                        titles=req.get("titles"),
+                    ))
+                    return
+                if self.path == "/v1/delete":
+                    req = json.loads(raw or b"{}")
+                    self._reply(200, service.delete_ids(req.get("ids")))
                     return
                 if self.path != "/v1/search":
                     self._reply(404, {"error": f"unknown path {self.path}"})

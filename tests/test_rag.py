@@ -163,3 +163,56 @@ def test_retriever_default_params_wire_out_of_core(monkeypatch):
     res = r.retrieve(PASSAGES[0], k=1)
     assert seen["fetch_rows"] is not None
     assert res.passages[0].index == 0
+
+
+@pytest.mark.parametrize("placement", ["single", "shard", "replicate"])
+def test_retriever_live_extend(placement):
+    """FAISS add-flow at the pipeline layer: new passages are retrievable,
+    old ids stay stable, prior deletions survive the extend."""
+    enc = HashingEncoder(dim=128)
+    r = Retriever.build(
+        Corpus(passages=list(PASSAGES)), enc,
+        family="flat",
+        params=FlatParams(metric=Metric.COSINE, tile_n=8),
+        placement=placement,
+    )
+    r.delete([2])  # Python passage gone before the extend
+    new_ids = r.extend(
+        ["Quantum entanglement links particle states across distance."]
+    )
+    assert new_ids == range(len(PASSAGES), len(PASSAGES) + 1)
+    assert len(r.corpus) == len(PASSAGES) + 1
+    assert np.asarray(r.corpus.embeddings).shape[0] == len(PASSAGES) + 1
+
+    res = r.retrieve("quantum entanglement particles", k=3)
+    assert res.passages[0].index == new_ids.start
+    assert "entanglement" in res.passages[0].text
+
+    # the pre-extend deletion survives
+    ids = [p.index for p in
+           r.retrieve("programming language data science", k=6).passages]
+    assert 2 not in ids
+
+    # old ids still retrieve their original text
+    res = r.retrieve("which mountain is the tallest on earth", k=3)
+    assert any("Everest" in p.text for p in res.passages)
+
+
+def test_retriever_extend_vectors_only_and_validation():
+    enc = HashingEncoder(dim=128)
+    r = Retriever.build(
+        Corpus(passages=list(PASSAGES)), enc,
+        family="flat", params=FlatParams(metric=Metric.COSINE, tile_n=8),
+    )
+    v = np.asarray(enc.encode(["vector-only passage about volcanoes"]))
+    new_ids = r.extend(vectors=v)
+    assert r.corpus.passages[new_ids.start] == ""
+
+    with pytest.raises(ValueError, match="texts and/or vectors"):
+        r.extend()
+    with pytest.raises(ValueError, match="row-aligned"):
+        r.extend(["one", "two"], vectors=v)
+    n_before = len(r.corpus)
+    with pytest.raises(ValueError):
+        r.extend(vectors=np.zeros((1, 3), np.float32))  # wrong dim
+    assert len(r.corpus) == n_before  # failed extend must not grow corpus

@@ -459,3 +459,100 @@ def test_views_on_sharded_placement():
     out_t = svc.search_texts([passages[30]], 2, view="evens")
     idxs = [p["index"] for p in out_t[0]["passages"]]
     assert idxs and all(i % 2 == 0 for i in idxs), idxs
+
+
+# -- live corpus mutation (POST /v1/extend, /v1/delete) ----------------------
+
+
+@pytest.fixture()
+def mutable_server():
+    """Fresh server per test — these tests mutate the corpus."""
+    r = Retriever.build(
+        Corpus(passages=list(PASSAGES)), HashingEncoder(dim=128),
+        family="flat", params=FlatParams(metric=Metric.COSINE, tile_n=8),
+    )
+    srv = server_mod.serve(r, host="127.0.0.1", port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv.server_address
+    srv.shutdown()
+    srv.service.close()
+
+
+def test_live_extend_then_search(mutable_server):
+    code, body = _req(mutable_server, "POST", "/v1/extend",
+                      {"texts": ["quantum entanglement links particles"]})
+    assert code == 200
+    assert body["added"] == 1 and body["ids"] == [4, 5]
+    assert body["corpus_size"] == 5
+
+    code, body = _req(mutable_server, "POST", "/v1/search",
+                      {"texts": ["quantum entanglement"], "k": 2})
+    assert code == 200
+    assert body["results"][0]["passages"][0]["index"] == 4
+
+    code, body = _req(mutable_server, "GET", "/stats")
+    assert body["corpus_size"] == 5
+
+
+def test_live_delete_then_search(mutable_server):
+    code, body = _req(mutable_server, "POST", "/v1/delete", {"ids": [1]})
+    assert code == 200 and body["deleted"] == 1
+    code, body = _req(mutable_server, "POST", "/v1/search",
+                      {"texts": ["machine learning tpus"], "k": 4})
+    idxs = [p["index"] for p in body["results"][0]["passages"]]
+    assert 1 not in idxs and idxs  # others still served
+
+
+def test_views_rebake_on_extend_and_delete(mutable_server):
+    addr = mutable_server
+    # allow-view over {0,1}: rows added AFTER view creation stay excluded
+    code, _ = _req(addr, "POST", "/v1/views", {"name": "t",
+                                               "allow_ids": [0, 1]})
+    assert code == 200
+    code, body = _req(addr, "POST", "/v1/extend",
+                      {"texts": ["machine learning tpus addendum"]})
+    assert code == 200
+    code, body = _req(addr, "POST", "/v1/search",
+                      {"texts": ["machine learning tpus"], "k": 5,
+                       "view": "t"})
+    idxs = {p["index"] for p in body["results"][0]["passages"]}
+    assert idxs and idxs <= {0, 1}, idxs
+
+    # deny-view: rows added later ARE searchable through it
+    code, _ = _req(addr, "POST", "/v1/views", {"name": "d",
+                                               "deny_ids": [0]})
+    assert code == 200
+    code, body = _req(addr, "POST", "/v1/extend",
+                      {"texts": ["second machine learning tpus addendum"]})
+    assert code == 200
+    code, body = _req(addr, "POST", "/v1/search",
+                      {"texts": ["machine learning tpus addendum"], "k": 6,
+                       "view": "d"})
+    idxs = {p["index"] for p in body["results"][0]["passages"]}
+    assert 5 in idxs and 0 not in idxs, idxs
+
+    # live delete: the id vanishes from existing views too (re-bake —
+    # a stale baked view would resurface it)
+    code, body = _req(addr, "POST", "/v1/delete", {"ids": [1]})
+    assert code == 200
+    code, body = _req(addr, "POST", "/v1/search",
+                      {"texts": ["machine learning tpus"], "k": 5,
+                       "view": "t"})
+    idxs = {p["index"] for p in body["results"][0]["passages"]}
+    assert 1 not in idxs and idxs <= {0}, idxs
+
+
+def test_extend_delete_validation(mutable_server):
+    code, body = _req(mutable_server, "POST", "/v1/extend", {})
+    assert code == 400
+    code, body = _req(mutable_server, "POST", "/v1/extend",
+                      {"vectors": [[1.0, 2.0]]})  # dim mismatch
+    assert code == 400
+    code, body = _req(mutable_server, "POST", "/v1/delete", {"ids": [99]})
+    assert code == 400
+    code, body = _req(mutable_server, "POST", "/v1/delete", {"ids": []})
+    assert code == 400
+    # nothing leaked into the corpus
+    code, body = _req(mutable_server, "GET", "/stats")
+    assert body["corpus_size"] == 4
