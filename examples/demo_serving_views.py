@@ -98,6 +98,26 @@ def main():
     print(f"\ndeny top hit {top_id} within tenant-a -> next: {nxt}")
     assert nxt != top_id and nxt < n_per
 
+    # live corpus mutation: tenant-b retracts a ticket — no restart, and
+    # the baked views re-bake so the id vanishes from the tenant's view too
+    gone = n_per  # "[tenant-b] support ticket 0"
+    code, body = req(addr, "POST", "/v1/delete", {"ids": [gone]})
+    assert code == 200, body
+    print(f"\nlive-deleted id {gone}: {body}")
+    code, body = req(addr, "POST", "/v1/search",
+                     {"texts": ["support ticket 0 printer jam"], "k": 5,
+                      "view": "tenant-b"})
+    hits = [h["index"] for h in body["results"][0]["passages"]]
+    assert gone not in hits, hits
+    print(f"tenant-b top-5 after retraction: {hits} (no {gone})")
+
+    # appending requires an appendable embedding source — the disk store
+    # is read-only, and the daemon says so instead of silently desyncing
+    code, body = req(addr, "POST", "/v1/extend",
+                     {"texts": ["[tenant-b] new ticket"]})
+    assert code == 400 and "read-only" in body["error"], (code, body)
+    print(f"extend against the read-only store -> 400: {body['error'][:64]}…")
+
     code, body = req(addr, "GET", "/v1/views")
     print(f"\nviews: {body['views']}")
     srv.shutdown()
