@@ -255,9 +255,16 @@ class Retriever:
         # extend the index FIRST: if the family/placement rejects the rows,
         # the corpus must not have grown
         if isinstance(self.index, psearch.ShardedIndex):
-            params = self.params or _default_params(self.family)
+            if self.params is None:
+                # sharded extend REBUILDS (re-shard); silently substituting
+                # family defaults could swap the user's build params
+                raise ValueError(
+                    "sharded extend rebuilds the index and needs its build "
+                    "params — construct via Retriever.build (which retains "
+                    "them) or set retriever.params first"
+                )
             self.index = psearch.extend_sharded(
-                self.index, vectors, self.dmesh, params
+                self.index, vectors, self.dmesh, self.params
             )
         elif isinstance(self.index, psearch.ReplicatedIndex):
             self.index = psearch.extend_replicated(

@@ -388,8 +388,6 @@ class SearchService:
         deny_ids. No size cap: the view is built ONCE (a (n,) bool mask +
         one bookkeeping leaf; vector storage is shared), so searches
         against it cost the same as the unfiltered index."""
-        import time as _time
-
         if not isinstance(name, str) or not name or len(name) > 64 or \
                 not all(c.isalnum() or c in "_.-" for c in name):
             raise ValueError(
@@ -397,33 +395,37 @@ class SearchService:
             )
         if (allow_ids is None) == (deny_ids is None):
             raise ValueError("provide exactly one of allow_ids / deny_ids")
-        n = len(self.retriever.corpus)
-        ids = allow_ids if allow_ids is not None else deny_ids
-        idx = self._validate_ids(ids, n)
-        mask = np.zeros((n,), bool) if allow_ids is not None \
-            else np.ones((n,), bool)
-        mask[idx] = allow_ids is not None
-        if not mask.any():
-            raise ValueError("view would allow zero passages")
-        with self._views_lock:
-            exists = name in self._views
-            if not exists and len(self._views) >= self.MAX_VIEWS:
-                raise ValueError(
-                    f"view limit {self.MAX_VIEWS} reached — DELETE unused "
-                    "views first"
-                )
-        t0 = _time.perf_counter()
-        entry = dict(self._bake_view(mask))
-        entry.update(
-            allowed=int(mask.sum()),
-            build_ms=round((_time.perf_counter() - t0) * 1e3, 1),
-            # retained so corpus mutations can re-bake: on extend the mask
-            # grows (allow-view: new rows excluded; deny-view: included)
-            mask=mask,
-            is_allow=allow_ids is not None,
-        )
-        with self._views_lock:
-            self._views[name] = entry
+        is_allow = allow_ids is not None
+        # serialize with extend/delete: the mask must be sized to — and the
+        # bake run against — one consistent corpus snapshot, or a racing
+        # index swap could persist a stale/short-mask bake that misses the
+        # mutation's re-bake snapshot
+        with self._update_lock:
+            n = len(self.retriever.corpus)
+            idx = self._validate_ids(allow_ids if is_allow else deny_ids, n)
+            mask = np.full((n,), not is_allow, bool)
+            mask[idx] = is_allow
+            if not mask.any():
+                raise ValueError("view would allow zero passages")
+            with self._views_lock:
+                exists = name in self._views
+                if not exists and len(self._views) >= self.MAX_VIEWS:
+                    raise ValueError(
+                        f"view limit {self.MAX_VIEWS} reached — DELETE "
+                        "unused views first"
+                    )
+            t0 = time.perf_counter()
+            entry = dict(self._bake_view(mask))
+            entry.update(
+                allowed=int(mask.sum()),
+                build_ms=round((time.perf_counter() - t0) * 1e3, 1),
+                # retained so corpus mutations can re-bake: on extend the
+                # mask grows (allow-view: new rows excluded; deny: included)
+                mask=mask,
+                is_allow=is_allow,
+            )
+            with self._views_lock:
+                self._views[name] = entry
         metrics.inc("server.views_created")
         return {"name": name, "allowed": entry["allowed"],
                 "build_ms": entry["build_ms"], "replaced": exists}
