@@ -423,7 +423,9 @@ def _clustered_rows(jax, jnp, key, qrs, rows, skipped):
         rows["cagra_itopk64_vs_baseline"] = round(BASELINE_MS / cg_ms, 2)
         rows["cagra_note"] = (
             "monotone-beam graph search, graph_degree=32 "
-            "(reference CAGRA A100 build 11.95 s, T4 search 6.52 ms/q)"
+            "(reference CAGRA A100 build 11.95 s, T4 search 6.52 ms/q); "
+            "build_s is COLD incl. one-time XLA compiles in this fresh "
+            "process — warm build is 9.4 s (PERF.md CAGRA §)"
         )
 
     _try_row("cagra_itopk64", row_cagra, skipped)
