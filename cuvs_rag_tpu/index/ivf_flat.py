@@ -830,15 +830,29 @@ _PALLAS_BROKEN = False
 
 
 _PALLAS_WIN_BYTES = 8 * 1024 * 1024  # double-buffered window VMEM budget
+# Sub-window granularity target (rows). Finer sub-windows let the kernel's
+# count-gated skipping (ops/pallas_ivf._kernel live()) drop the dead tail
+# of each probe window from the DMA stream — balanced lists average
+# ~50-60% fill of the cap-rounded max_list_size, so whole-window DMAs
+# stream nearly 2x the live bytes. 1024 rows measured best on chip
+# (scripts/bench_ivf_subwin.py sweep, PERF.md IVF sub-window §): at
+# nprobe=10 it is 1.31x the whole-window scan (13.77 vs 18.07 ms/batch)
+# while 512 LOSES to whole-window there (17.67) — counts cluster near
+# 1000 so half-window pieces already capture the dead tail; finer splits
+# pay per-step grid overhead. At nprobe=20, 512 edges 1024 (15.01 vs
+# 16.47) but 1024 is the better single default across operating points.
+_PALLAS_SUBWIN_TARGET = 1024
 
 
 def _pallas_n_sub(index: IVFFlatIndex, k: int) -> Optional[int]:
     """Pallas DMA-scan eligibility: TPU, small k, 128-aligned dim/window.
-    Returns the smallest sub-window split whose double buffer fits the
-    VMEM budget (1 = whole-window DMAs, the bf16/int8 case; fp32 at
-    window 2048 x 768 needs 2), or None when the XLA gather path must be
-    used. Measured 3.3x the XLA path at 2M for bf16 (and far more once
-    inside one jitted dispatch); id-identical results."""
+    Returns the sub-window split: the finest divisor split whose pieces
+    stay >= _PALLAS_SUBWIN_TARGET rows (count-gated dead-tail skipping),
+    at minimum the smallest split whose double buffer fits the VMEM
+    budget (fp32 at window 2048 x 768 needs >= 2); None when the XLA
+    gather path must be used. Measured 3.3x the XLA path at 2M for bf16
+    (and far more once inside one jitted dispatch); id-identical
+    results."""
     import os
 
     if _PALLAS_BROKEN:
@@ -865,15 +879,21 @@ def _pallas_n_sub(index: IVFFlatIndex, k: int) -> Optional[int]:
 
 
 def _fit_n_sub(window: int, dim: int, itemsize: int) -> Optional[int]:
-    """Smallest divisor split of `window` (keeping 128-row pieces) whose
-    double-buffered sub-window fits _PALLAS_WIN_BYTES; None if none does."""
+    """Divisor split of `window` (keeping 128-row pieces): the finest one
+    whose pieces stay >= _PALLAS_SUBWIN_TARGET rows, subject to the
+    double-buffered sub-window fitting _PALLAS_WIN_BYTES (falling back to
+    the smallest fitting split when the target piece is still too wide);
+    None if nothing fits."""
     blocks = window // 128
+    best = None
     for n_sub in range(1, blocks + 1):
         if blocks % n_sub:
             continue
-        if 2 * (window // n_sub) * dim * itemsize <= _PALLAS_WIN_BYTES:
-            return n_sub
-    return None
+        if 2 * (window // n_sub) * dim * itemsize > _PALLAS_WIN_BYTES:
+            continue  # double buffer too wide — need a finer split
+        if best is None or window // n_sub >= _PALLAS_SUBWIN_TARGET:
+            best = n_sub
+    return best
 
 
 def _use_pallas_ivf(index: IVFFlatIndex, k: int) -> bool:

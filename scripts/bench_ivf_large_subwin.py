@@ -1,0 +1,112 @@
+"""A/B the certified large-k IVF scan's sub-window size on the real TPU.
+
+The small-k sweep (scripts/bench_ivf_subwin.py) showed count-gated
+sub-window skipping is worth 1.31x at nprobe=10: balanced lists average
+~50% fill of the cap-rounded window, so whole-window DMAs stream ~2x the
+live bytes. The large-k kernel (ops/pallas_ivf._kernel_large) has the
+same live() count gate, but large_k_config historically returned the
+COARSEST fitting split (usually n_sub=1). Finer splits also shrink the
+per-step insertion chain net VPU work (r grows slower than subwin
+shrinks: r(2048)=10 vs r(1024)=12 at k=2000) and the post-kernel merge
+width (r*subwin). This sweep picks the large-k sub-window policy.
+2M x 768 bf16 clustered corpus, n_lists=2000, k=2000, nprobe in {10,20}.
+"""
+
+# runnable from any cwd: put the repo root on sys.path
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cuvs_rag_tpu.index import ivf_flat
+    from cuvs_rag_tpu.ops import pallas_ivf
+    from cuvs_rag_tpu.ops.pallas_flat import default_r_planes
+    from cuvs_rag_tpu.utils.config import IVFFlatParams, IVFFlatSearchParams
+
+    N, D, K, BATCH, REPS = 2_000_000, 768, 2000, 100, 5
+    key = jax.random.PRNGKey(42)
+    kc = jax.random.fold_in(key, 999)
+    centers = jax.random.normal(kc, (2000, D), jnp.float32)
+    mk = jax.jit(lambda k: (
+        centers[jax.random.randint(k, (N // 8,), 0, 2000)]
+        + 0.3 * jax.random.normal(k, (N // 8, D))
+    ).astype(jnp.bfloat16))
+    corpus = jnp.concatenate([mk(jax.random.fold_in(key, i)) for i in range(8)])
+    jax.block_until_ready(corpus)
+    qk = jax.random.fold_in(key, 777)
+    queries = (
+        centers[jax.random.randint(qk, (BATCH,), 0, 2000)]
+        + 0.3 * jax.random.normal(qk, (BATCH, D))
+    ).astype(jnp.float32)
+    qrs = [
+        queries + 0.01 * jax.random.normal(jax.random.fold_in(key, r), queries.shape)
+        for r in range(REPS)
+    ]
+
+    ix = ivf_flat.build(
+        IVFFlatParams(n_lists=2000, dtype="bfloat16", kmeans_sample=100_000),
+        corpus,
+    )
+    jax.block_until_ready(ix.vectors)
+    window = ix.max_list_size
+    cnts_h = np.asarray(ix.list_counts)
+    print(f"window {window}, counts mean {cnts_h.mean():.0f} "
+          f"p50 {np.percentile(cnts_h, 50):.0f} max {cnts_h.max()}",
+          flush=True)
+
+    def run(nprobe, n_sub, r, q):
+        return ivf_flat._search_large_jit(
+            IVFFlatSearchParams(n_probes=nprobe), ix, q, K,
+            n_sub=n_sub, r_planes=r,
+        )
+
+    blocks = window // 128
+    cfgs = []
+    for n_sub in (1, 2, 4):
+        if blocks % n_sub:
+            continue
+        subwin = window // n_sub
+        r = default_r_planes(K, subwin)
+        if K > r * subwin or r > 64:
+            continue
+        cfgs.append((n_sub, r))
+    chosen = pallas_ivf.large_k_config(window, D, 2, K)
+    print(f"large_k_config picks n_sub={chosen[0]} r={chosen[1]}", flush=True)
+
+    for nprobe in (10, 20):
+        base_ids = None
+        for n_sub, r in cfgs:
+            d, ids, cert = run(nprobe, n_sub, r, qrs[0])
+            ids = np.asarray(ids)
+            ncert = int(np.asarray(cert).sum())
+            if base_ids is None:
+                base_ids = ids
+            else:
+                # certified rows are the exact probed top-k: identical ids
+                same = (ids == base_ids).all(axis=1)
+                assert same.all(), f"n_sub={n_sub} changed certified rows"
+            best = 1e9
+            for _t in range(2):
+                t0 = time.perf_counter()
+                last = None
+                for q in qrs:
+                    last = run(nprobe, n_sub, r, q)
+                _ = np.asarray(last[0])
+                best = min(best, (time.perf_counter() - t0) / REPS)
+            print(f"nprobe={nprobe} n_sub={n_sub} r={r:2d} (subwin "
+                  f"{window // n_sub:4d}): {best*1e3:7.2f} ms/batch  "
+                  f"{best/BATCH*1e3:.4f} ms/q  cert {ncert}/{BATCH}",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -107,15 +107,24 @@ def test_pallas_ivf_subwindow_skip_with_empty_and_short_lists():
 
 
 def test_fit_n_sub_selection():
-    # fp32 at window 2048 x 768 exceeds the 8 MB double buffer at n_sub=1;
-    # the helper picks the smallest fitting divisor split
-    assert ivf_flat._fit_n_sub(2048, 768, 2) == 1  # bf16: whole window
-    assert ivf_flat._fit_n_sub(2048, 768, 4) == 2  # fp32: halves fit
-    assert ivf_flat._fit_n_sub(2048, 768, 1) == 1  # int8
+    # the helper picks the finest divisor split whose pieces stay >=
+    # _PALLAS_SUBWIN_TARGET (=1024, measured: scripts/bench_ivf_subwin.py)
+    # rows — count-gated dead-tail skipping — subject to the double buffer
+    # fitting the 8 MB VMEM budget
+    assert ivf_flat._PALLAS_SUBWIN_TARGET == 1024
+    assert ivf_flat._fit_n_sub(2048, 768, 2) == 2  # bf16: 1024-row pieces
+    assert ivf_flat._fit_n_sub(2048, 768, 4) == 2  # fp32: 1024-row pieces
+    assert ivf_flat._fit_n_sub(2048, 768, 1) == 2  # int8
+    assert ivf_flat._fit_n_sub(1024, 768, 2) == 1  # already at target
+    assert ivf_flat._fit_n_sub(512, 768, 2) == 1   # below target: whole
+    # fp32 so wide the target piece exceeds VMEM: smallest FITTING split
+    # (2 * 256 rows * 4096 * 4 B = exactly the 8 MB double-buffer budget)
+    assert ivf_flat._fit_n_sub(2048, 4096, 4) == 8
     # a window so wide nothing fits (even 128-row pieces) -> None
     assert ivf_flat._fit_n_sub(128, 64 * 1024, 4) is None
-    # non-power-of-two block counts still split evenly (blocks=6 -> 3x2)
-    assert ivf_flat._fit_n_sub(768, 768, 4) in (1, 2, 3, 6)
+    # non-power-of-two block counts still split evenly (blocks=6); 384-row
+    # pieces would be under target, so the whole 768-row window stays
+    assert ivf_flat._fit_n_sub(768, 768, 4) == 1
 
 
 @pytest.mark.slow

@@ -85,20 +85,23 @@ def test_partial_probe_recall_parity(setup, dmesh):
     assert rs[-1] >= 0.9, rs
 
 
-def test_over_fetch_necessity_and_sufficiency(setup, dmesh):
-    """k x 2 per-shard over-fetch (the reference's constant) vs exact-k
-    fetch: over-fetch must never hurt, and at partial probe the default
-    2.0 must recover whatever 1.0 loses (measured: the gap is small
-    because global top-k members are spread across shards, but nonzero
-    on clustered corpora where one shard can own >k of the true top-k)."""
+def test_over_fetch_is_a_no_op(setup, dmesh):
+    """Per-shard over-fetch provably cannot change the merged result: a
+    candidate outside shard s's local top-k has >= k better rows within
+    shard s alone, hence >= k better rows globally, so it can never enter
+    the global top-k (parallel/search._shard_k). The reference's k*2
+    (improved_multi_gpu_rag.py:247) bought nothing; the default is 1.0,
+    set from this invariant + the on-chip measurement (PERF.md
+    sharded-quality section). Gate: merged ids are IDENTICAL across
+    over_fetch settings, including the old default."""
     corpus, queries, gt, single, sharded = setup
-    rs = {}
+    ids = {}
     for of in (1.0, 2.0, 4.0):
-        _, ids = psearch.search_sharded(
+        _, i_of = psearch.search_sharded(
             IVFFlatSearchParams(n_probes=4), sharded, queries, K, dmesh,
             over_fetch=of,
         )
-        rs[of] = _recall(ids, gt)
-    assert rs[2.0] >= rs[1.0] - 1e-9, rs
-    # sufficiency: doubling again buys (almost) nothing — 2.0 is the knee
-    assert rs[4.0] - rs[2.0] <= 0.01, rs
+        ids[of] = np.asarray(i_of)
+    np.testing.assert_array_equal(ids[1.0], ids[2.0])
+    np.testing.assert_array_equal(ids[1.0], ids[4.0])
+    assert _recall(ids[1.0], gt) >= 0.9
