@@ -831,17 +831,16 @@ _PALLAS_BROKEN = False
 
 _PALLAS_WIN_BYTES = 8 * 1024 * 1024  # double-buffered window VMEM budget
 # Sub-window granularity target (rows). Finer sub-windows let the kernel's
-# count-gated skipping (ops/pallas_ivf._kernel live()) drop the dead tail
-# of each probe window from the DMA stream — balanced lists average
-# ~50-60% fill of the cap-rounded max_list_size, so whole-window DMAs
-# stream nearly 2x the live bytes. 1024 rows measured best on chip
-# (scripts/bench_ivf_subwin.py sweep, PERF.md IVF sub-window §): at
-# nprobe=10 it is 1.31x the whole-window scan (13.77 vs 18.07 ms/batch)
-# while 512 LOSES to whole-window there (17.67) — counts cluster near
-# 1000 so half-window pieces already capture the dead tail; finer splits
-# pay per-step grid overhead. At nprobe=20, 512 edges 1024 (15.01 vs
-# 16.47) but 1024 is the better single default across operating points.
-_PALLAS_SUBWIN_TARGET = 1024
+# count gate (ops/pallas_ivf._kernel live()) drop the dead tail of each
+# probe window from BOTH the DMA stream and the per-step compute —
+# balanced lists average ~50-60% fill of the cap-rounded max_list_size,
+# so whole-window scans waste nearly 2x the live work. With compute
+# gating in place, 512 rows measured best on chip (3-run sweep,
+# scripts/bench_ivf_subwin.py, PERF.md IVF sub-window §): at nprobe=20
+# it wins every run (15.0/14.6/13.2 ms/batch vs ~19-20 whole-window,
+# ~27%); at nprobe=10 all splits >= 512 sit within the +-15% tunnel
+# jitter. 256-row pieces pay more per-step grid overhead than they skip.
+_PALLAS_SUBWIN_TARGET = 512
 
 
 def _pallas_n_sub(index: IVFFlatIndex, k: int) -> Optional[int]:

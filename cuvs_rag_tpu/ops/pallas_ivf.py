@@ -166,31 +166,35 @@ def _kernel(
     def _():
         for c in dma(s % 2, s):
             c.wait()
+        # compute only on live steps: a dead sub-window's candidates are
+        # all NEG_INF and can never displace scratch state, so skipping
+        # the scoring matmul + masks entirely (not just the selection) is
+        # semantically identical and saves the MXU/VPU work the static
+        # grid would waste on the dead tail of each probe window
+        scores = _window_scores(
+            q_ref, win[s % 2], aux_win[s % 2], coarse_ref, flat_idx,
+            metric=metric, scaled=scaled,
+        )
+        cnt = cnts_ref[flat_idx] - sub * subwin  # rows in THIS sub-window
+        off = offs_ref[flat_idx] + sub * subwin
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
+        scores = jnp.where((col < cnt) & (row == qi), scores, NEG_INF)
 
-    scores = _window_scores(
-        q_ref, win[s % 2], aux_win[s % 2], coarse_ref, flat_idx,
-        metric=metric, scaled=scaled,
-    )
-    cnt = cnts_ref[flat_idx] - sub * subwin  # rows live in THIS sub-window
-    off = offs_ref[flat_idx] + sub * subwin
-    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
-    scores = jnp.where((col < cnt) & (row == qi), scores, NEG_INF)
+        # merge this window's candidates into the running top-k (row qi
+        # only changes; other rows merge -inf candidates, a no-op)
+        kth = s_scr[:, k - 1]
+        improved = jnp.any(jnp.max(scores, axis=1) > kth)
 
-    # merge this window's candidates into the running top-k (row qi only
-    # changes; other rows merge -inf candidates, a no-op)
-    kth = s_scr[:, k - 1]
-    improved = jnp.any(jnp.max(scores, axis=1) > kth)
-
-    @pl.when(improved)
-    def _():
-        tile_s, tile_arg = _select_topk_rounds(scores, k)
-        tile_pos = jnp.where(tile_s > NEG_INF, tile_arg + off, -1)
-        cand_s = jnp.concatenate([s_scr[:], tile_s], axis=1)
-        cand_i = jnp.concatenate([i_scr[:], tile_pos], axis=1)
-        new_s, new_i = _select_topk_rounds(cand_s, k, payload=cand_i)
-        s_scr[:] = new_s
-        i_scr[:] = jnp.where(new_s > NEG_INF, new_i, -1)
+        @pl.when(improved)
+        def _():
+            tile_s, tile_arg = _select_topk_rounds(scores, k)
+            tile_pos = jnp.where(tile_s > NEG_INF, tile_arg + off, -1)
+            cand_s = jnp.concatenate([s_scr[:], tile_s], axis=1)
+            cand_i = jnp.concatenate([i_scr[:], tile_pos], axis=1)
+            new_s, new_i = _select_topk_rounds(cand_s, k, payload=cand_i)
+            s_scr[:] = new_s
+            i_scr[:] = jnp.where(new_s > NEG_INF, new_i, -1)
 
     @pl.when(s == n_steps - 1)
     def _():
@@ -372,32 +376,39 @@ def _kernel_large(
     def _():
         for c in dma(s % 2, s):
             c.wait()
+        # compute only on live steps (mirrors the small-k kernel): a dead
+        # sub-window's candidates are all NEG_INF and never displace a
+        # plane, so skipping the scoring matmul AND the r-pass insertion
+        # chain is semantically identical — and here the chain runs
+        # unconditionally (no `improved` gate exists: every live window
+        # must enter the per-class planes), so the dead-step saving is
+        # the full per-step cost
+        scores = _window_scores(
+            q_ref, win[s % 2], aux_win[s % 2], coarse_ref, flat_idx,
+            metric=metric, scaled=scaled,
+        )
+        cnt = cnts_ref[flat_idx] - sub * subwin
+        off = offs_ref[flat_idx] + sub * subwin
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
+        scores = jnp.where((col < cnt) & (row == qi), scores, NEG_INF)
 
-    scores = _window_scores(
-        q_ref, win[s % 2], aux_win[s % 2], coarse_ref, flat_idx,
-        metric=metric, scaled=scaled,
-    )
-    cnt = cnts_ref[flat_idx] - sub * subwin
-    off = offs_ref[flat_idx] + sub * subwin
-    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
-    scores = jnp.where((col < cnt) & (row == qi), scores, NEG_INF)
-
-    # per-class insertion chain: each (query row, column) class keeps its
-    # R best (score, window base offset) pairs; the displaced value falls
-    # through and is max'd into the rejected-best tracker. NEG_INF
-    # candidates (masked rows/cols, dead windows) never displace anything.
-    cand = scores
-    cid = jnp.full(scores.shape, off, jnp.int32)  # payload: window base
-    for r in range(r_planes):
-        b = b_scr[r]
-        bi = bi_scr[r]
-        better = cand > b
-        b_scr[r] = jnp.where(better, cand, b)
-        bi_scr[r] = jnp.where(better, cid, bi)
-        cand = jnp.where(better, b, cand)
-        cid = jnp.where(better, bi, cid)
-    rej_scr[:] = jnp.maximum(rej_scr[:], cand)
+        # per-class insertion chain: each (query row, column) class keeps
+        # its R best (score, window base offset) pairs; the displaced
+        # value falls through and is max'd into the rejected-best
+        # tracker. NEG_INF candidates (masked rows/cols) never displace
+        # anything.
+        cand = scores
+        cid = jnp.full(scores.shape, off, jnp.int32)  # payload: win base
+        for r in range(r_planes):
+            b = b_scr[r]
+            bi = bi_scr[r]
+            better = cand > b
+            b_scr[r] = jnp.where(better, cand, b)
+            bi_scr[r] = jnp.where(better, cid, bi)
+            cand = jnp.where(better, b, cand)
+            cid = jnp.where(better, bi, cid)
+        rej_scr[:] = jnp.maximum(rej_scr[:], cand)
 
     @pl.when(s == n_steps - 1)
     def _():

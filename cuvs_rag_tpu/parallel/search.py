@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import threading
 from typing import Any, Optional, Tuple
 
 import jax
@@ -332,6 +333,10 @@ def _filtered_view_core(local, allow_stacked):
 # can never alias, and dead entries are purged on every lookup.
 _VIEW_CACHE: "dict[tuple, tuple]" = {}
 _VIEW_CACHE_MAX = 8
+# Servers search from multiple dispatcher threads; all cache mutation
+# happens under this lock (the expensive view BUILD stays outside — a
+# racing duplicate build is benign, last writer wins).
+_VIEW_CACHE_LOCK = threading.Lock()
 
 
 def _filtered_view_sharded_cached(sindex: ShardedIndex, allow) -> ShardedIndex:
@@ -344,19 +349,21 @@ def _filtered_view_sharded_cached(sindex: ShardedIndex, allow) -> ShardedIndex:
         sindex.total,
         hashlib.sha1(mask.tobytes()).hexdigest(),
     )
-    for kk in [k for k, v in _VIEW_CACHE.items() if v[0]() is None]:
-        del _VIEW_CACHE[kk]
-    hit = _VIEW_CACHE.get(key)
-    if hit is not None and hit[0]() is sindex.local:
-        return dataclasses.replace(sindex, local=hit[1])
+    with _VIEW_CACHE_LOCK:
+        for kk in [k for k, v in _VIEW_CACHE.items() if v[0]() is None]:
+            del _VIEW_CACHE[kk]
+        hit = _VIEW_CACHE.get(key)
+        if hit is not None and hit[0]() is sindex.local:
+            return dataclasses.replace(sindex, local=hit[1])
     view = filtered_view_sharded(sindex, mask)
     try:
         src_ref = weakref.ref(sindex.local)
     except TypeError:  # un-weakref-able local container: skip caching
         return view
-    if len(_VIEW_CACHE) >= _VIEW_CACHE_MAX:
-        _VIEW_CACHE.pop(next(iter(_VIEW_CACHE)))
-    _VIEW_CACHE[key] = (src_ref, view.local)
+    with _VIEW_CACHE_LOCK:
+        if len(_VIEW_CACHE) >= _VIEW_CACHE_MAX:
+            _VIEW_CACHE.pop(next(iter(_VIEW_CACHE)))
+        _VIEW_CACHE[key] = (src_ref, view.local)
     return view
 
 

@@ -252,8 +252,14 @@ class Retriever:
                 )
             emb = np.asarray(emb)
 
-        # extend the index FIRST: if the family/placement rejects the rows,
-        # the corpus must not have grown
+        # Build the new index into a LOCAL first: if the family/placement
+        # rejects the rows, the corpus must not have grown. The corpus
+        # arrays are then appended BEFORE self.index is swapped — the
+        # serving daemon's search hot path takes no read lock, and a
+        # reader holding the OLD index never looks up the new ids, while
+        # a reader that sees the NEW index must find passages/embeddings
+        # already long enough (index-swap-last makes the whole extend
+        # appear atomic to lock-free readers).
         if isinstance(self.index, psearch.ShardedIndex):
             if self.params is None:
                 # sharded extend REBUILDS (re-shard); silently substituting
@@ -263,20 +269,24 @@ class Retriever:
                     "params — construct via Retriever.build (which retains "
                     "them) or set retriever.params first"
                 )
-            self.index = psearch.extend_sharded(
+            new_index = psearch.extend_sharded(
                 self.index, vectors, self.dmesh, self.params
             )
         elif isinstance(self.index, psearch.ReplicatedIndex):
-            self.index = psearch.extend_replicated(
+            new_index = psearch.extend_replicated(
                 self.index, vectors, self.dmesh
             )
         else:
             psearch._load_families()
-            self.index = psearch.FAMILIES[self.family].extend(
+            new_index = psearch.FAMILIES[self.family].extend(
                 self.index, jnp.asarray(vectors)
             )
 
         start = len(self.corpus.passages)
+        if titles is not None and self.corpus.titles is None:
+            # promote an untitled corpus rather than silently dropping the
+            # caller's titles: existing rows get empty titles
+            self.corpus.titles = [""] * start
         self.corpus.passages.extend(texts)
         if self.corpus.titles is not None:
             self.corpus.titles.extend(
@@ -286,6 +296,7 @@ class Retriever:
             self.corpus.embeddings = np.concatenate(
                 [emb, vectors.astype(emb.dtype)], axis=0
             )
+        self.index = new_index
         from cuvs_rag_tpu.utils.metrics import default_registry as metrics
 
         metrics.inc("retriever.extended_rows", len(texts))

@@ -345,30 +345,48 @@ class SearchService:
     MAX_DENY = 1024
 
     def _check_deny(self, deny_ids) -> frozenset:
-        # Strict validation (a malformed filter silently no-op'ing is worse
-        # than a 400): integral values only — bool/float like 3.7 rejected,
-        # not truncated — and within the corpus id range.
-        n_corpus = len(self.retriever.corpus)
-        deny = set()
-        for x in (deny_ids or ()):
-            if isinstance(x, bool) or not isinstance(x, (int, float)):
-                raise ValueError(f"deny_ids must be integers, got {x!r}")
-            if isinstance(x, float) and not x.is_integer():
-                raise ValueError(f"deny_ids must be integral, got {x!r}")
-            xi = int(x)
-            if not 0 <= xi < n_corpus:
-                raise ValueError(
-                    f"deny_ids entry {xi} outside corpus [0, {n_corpus})"
-                )
-            deny.add(xi)
-        deny = frozenset(deny)
-        if len(deny) > self.MAX_DENY:
+        # Strict validation (a malformed filter silently no-op'ing is
+        # worse than a 400), delegated to _validate_ids — one policy for
+        # every id-list endpoint. The cap is checked FIRST on the raw
+        # length so a huge list is rejected before any per-element work.
+        ids = list(deny_ids or ())
+        if not ids:
+            return frozenset()
+        if len(ids) > self.MAX_DENY:
             raise ValueError(
                 f"deny_ids is capped at {self.MAX_DENY} per request; bake "
                 "larger/persistent filters into a filtered view "
                 "(index/filters.py)"
             )
-        return deny
+        return frozenset(
+            self._validate_ids(ids, len(self.retriever.corpus)).tolist()
+        )
+
+    def _check_k_budget(self, k: int, n_deny: int, entry) -> None:
+        """Reject, BEFORE submit(), any request whose over-fetched device
+        k would raise inside the batch runner (a bad item reaching the
+        runner fails every co-batched request — MicroBatcher contract).
+        Only cagra's mask-kind view path has a hard candidate cap: the
+        post-filter masks AFTER the beam, so the bucketed device k
+        (k + |deny| rounded to the batch bucket) must stay within
+        itopk_size (index/filters.py raises past it). Unfiltered cagra
+        has no cap — the beam widens to max(itopk, k)."""
+        if entry is None or entry.get("kind") != "mask":
+            return
+        sp = self.retriever.search_params
+        if sp is None:
+            from cuvs_rag_tpu.index import cagra as cagra_mod
+
+            sp = cagra_mod.default_search_params()
+        cap = sp.itopk_size
+        kmax = self._bucket(k + n_deny)
+        if kmax > cap:
+            raise ValueError(
+                f"cagra serves k + |deny_ids| bucketed to {kmax}, beyond "
+                f"itopk_size={cap} — lower k or deny_ids, raise "
+                "CagraSearchParams.itopk_size, or bake the filter into a "
+                "named view"
+            )
 
     # -- named persistent filter views (VERDICT r3 #5) ---------------------
 
@@ -491,6 +509,7 @@ class SearchService:
             raise ValueError("texts must all be strings")
         deny = self._check_deny(deny_ids)
         entry = self._resolve_view(view)
+        self._check_k_budget(k, len(deny), entry)
         with metrics.time_block("server.search_texts_seconds"):
             if self._text_batcher is not None:
                 return self._text_batcher.submit((texts, k, deny, entry))
@@ -508,6 +527,7 @@ class SearchService:
             )
         deny = self._check_deny(deny_ids)
         entry = self._resolve_view(view)
+        self._check_k_budget(k, len(deny), entry)
         with metrics.time_block("server.search_vectors_seconds"):
             if self._vec_batcher is not None:
                 return self._vec_batcher.submit((q, k, deny, entry))

@@ -83,17 +83,23 @@ def main():
     print(f"large_k_config picks n_sub={chosen[0]} r={chosen[1]}", flush=True)
 
     for nprobe in (10, 20):
-        base_ids = None
+        base_d = base_cert = None
         for n_sub, r in cfgs:
             d, ids, cert = run(nprobe, n_sub, r, qrs[0])
-            ids = np.asarray(ids)
-            ncert = int(np.asarray(cert).sum())
-            if base_ids is None:
-                base_ids = ids
+            d, certs = np.asarray(d), np.asarray(cert)
+            ncert = int(certs.sum())
+            if base_d is None:
+                base_d, base_cert = d, certs
             else:
-                # certified rows are the exact probed top-k: identical ids
-                same = (ids == base_ids).all(axis=1)
-                assert same.all(), f"n_sub={n_sub} changed certified rows"
+                # only rows certified in BOTH configs are guaranteed the
+                # exact probed top-k (an uncertified row's result may
+                # legitimately differ); ids are unique only up to bf16
+                # score ties at the rank-k boundary, so gate on the
+                # sorted score vectors
+                both = base_cert & certs
+                assert np.array_equal(base_d[both], d[both]), (
+                    f"n_sub={n_sub} changed certified scores"
+                )
             best = 1e9
             for _t in range(2):
                 t0 = time.perf_counter()

@@ -108,15 +108,15 @@ def test_pallas_ivf_subwindow_skip_with_empty_and_short_lists():
 
 def test_fit_n_sub_selection():
     # the helper picks the finest divisor split whose pieces stay >=
-    # _PALLAS_SUBWIN_TARGET (=1024, measured: scripts/bench_ivf_subwin.py)
+    # _PALLAS_SUBWIN_TARGET (=512, measured: scripts/bench_ivf_subwin.py)
     # rows — count-gated dead-tail skipping — subject to the double buffer
     # fitting the 8 MB VMEM budget
-    assert ivf_flat._PALLAS_SUBWIN_TARGET == 1024
-    assert ivf_flat._fit_n_sub(2048, 768, 2) == 2  # bf16: 1024-row pieces
-    assert ivf_flat._fit_n_sub(2048, 768, 4) == 2  # fp32: 1024-row pieces
-    assert ivf_flat._fit_n_sub(2048, 768, 1) == 2  # int8
-    assert ivf_flat._fit_n_sub(1024, 768, 2) == 1  # already at target
-    assert ivf_flat._fit_n_sub(512, 768, 2) == 1   # below target: whole
+    assert ivf_flat._PALLAS_SUBWIN_TARGET == 512
+    assert ivf_flat._fit_n_sub(2048, 768, 2) == 4  # bf16: 512-row pieces
+    assert ivf_flat._fit_n_sub(2048, 768, 4) == 4  # fp32: 512-row pieces
+    assert ivf_flat._fit_n_sub(2048, 768, 1) == 4  # int8
+    assert ivf_flat._fit_n_sub(512, 768, 2) == 1   # already at target
+    assert ivf_flat._fit_n_sub(256, 768, 2) == 1   # below target: whole
     # fp32 so wide the target piece exceeds VMEM: smallest FITTING split
     # (2 * 256 rows * 4096 * 4 B = exactly the 8 MB double-buffer budget)
     assert ivf_flat._fit_n_sub(2048, 4096, 4) == 8

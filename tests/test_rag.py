@@ -216,3 +216,20 @@ def test_retriever_extend_vectors_only_and_validation():
     with pytest.raises(ValueError):
         r.extend(vectors=np.zeros((1, 3), np.float32))  # wrong dim
     assert len(r.corpus) == n_before  # failed extend must not grow corpus
+
+
+def test_retriever_extend_promotes_untitled_corpus():
+    """Supplying titles to an untitled corpus must not silently drop them:
+    the corpus is promoted (existing rows get empty titles)."""
+    enc = HashingEncoder(dim=128)
+    r = Retriever.build(
+        Corpus(passages=list(PASSAGES)), enc,
+        family="flat", params=FlatParams(metric=Metric.COSINE, tile_n=8),
+    )
+    assert r.corpus.titles is None
+    n_old = len(r.corpus.passages)
+    ids = r.extend(["titled passage about geysers"], titles=["Geysers"])
+    assert r.corpus.titles is not None
+    assert len(r.corpus.titles) == len(r.corpus.passages)
+    assert r.corpus.titles[:n_old] == [""] * n_old
+    assert r.corpus.titles[ids.start] == "Geysers"

@@ -437,6 +437,41 @@ def test_view_deny_ids_uncapped_via_views():
     assert got and all(i >= 1500 for i in got)
 
 
+def test_cagra_mask_view_k_budget_rejected_before_submit():
+    """A cagra named view masks AFTER the beam, so the over-fetched device
+    k (k + |deny_ids| rounded to the batch bucket) must stay within
+    itopk_size. A request over that budget must be a clean ValueError at
+    validation — NOT an exception inside the batch runner, which would
+    fail every co-batched request (MicroBatcher contract)."""
+    from cuvs_rag_tpu.utils.config import CagraParams, CagraSearchParams
+
+    n = 64
+    passages = [f"graph passage {i} topic {i % 4}" for i in range(n)]
+    r = Retriever.build(
+        Corpus(passages=passages), HashingEncoder(dim=64),
+        family="cagra",
+        params=CagraParams(
+            metric=Metric.COSINE, intermediate_graph_degree=8,
+            graph_degree=4,
+        ),
+        search_params=CagraSearchParams(itopk_size=16),
+    )
+    svc = server_mod.SearchService(r, micro_batch=False)
+    svc.create_view("t", allow_ids=list(range(0, n, 2)))
+    # within budget: k + |deny| buckets to 16 = itopk
+    res = svc.search_texts(["graph passage 10"], 2, deny_ids=[1, 3],
+                           view="t")
+    assert all(p["index"] % 2 == 0 for p in res[0]["passages"])
+    # over budget: bucket(2 + 15) = 32 > itopk 16 — clean 400-class error
+    with pytest.raises(ValueError, match="itopk_size"):
+        svc.search_texts(["graph passage 10"], 2,
+                         deny_ids=list(range(1, 31, 2)), view="t")
+    # unfiltered cagra has NO cap: the beam widens to max(itopk, k)
+    res = svc.search_texts(["graph passage 10"], 2,
+                           deny_ids=list(range(1, 31, 2)))
+    assert res[0]["passages"]
+
+
 def test_views_on_sharded_placement():
     """Named views bake through filtered_view_sharded when the retriever
     is mesh-sharded (the multi-chip serving configuration)."""
