@@ -313,7 +313,13 @@ class FlaxSentenceEncoder:
         tok = AutoTokenizer.from_pretrained(name_or_path)
         return cls(cfg, params, tok, **kwargs)
 
-    def encode(self, texts, batch_size: int = 64) -> np.ndarray:
+    def encode_device(self, texts, batch_size: int = 64) -> jnp.ndarray:
+        """encode() without the device->host fetch: returns a (N, D) fp32
+        DEVICE array. The retrieval pipeline hands this straight to the
+        index search (rag/pipeline.encode_on_device), so query embeddings
+        never bounce through host memory between encoder and index —
+        through a remote-attached device that saves a full dispatch+fetch
+        round trip per batch."""
         outs = []
         for i in range(0, len(texts), batch_size):
             batch = list(texts[i : i + batch_size])
@@ -327,5 +333,8 @@ class FlaxSentenceEncoder:
                 jnp.asarray(enc["input_ids"]),
                 jnp.asarray(enc["attention_mask"]),
             )
-            outs.append(np.asarray(emb, np.float32))
-        return np.concatenate(outs, axis=0)
+            outs.append(emb.astype(jnp.float32))
+        return jnp.concatenate(outs, axis=0)
+
+    def encode(self, texts, batch_size: int = 64) -> np.ndarray:
+        return np.asarray(self.encode_device(texts, batch_size), np.float32)

@@ -331,7 +331,11 @@ class QwenEmbeddingEncoder:
                 s *= 2
         return min(s, self.max_length)
 
-    def encode(self, texts, batch_size: int = 16) -> np.ndarray:
+    def encode_device(self, texts, batch_size: int = 16) -> jnp.ndarray:
+        """encode() without the device->host fetch: (N, D) fp32 DEVICE
+        array, handed straight to index search by the pipeline
+        (rag/pipeline.encode_on_device) so query embeddings never bounce
+        through host memory between encoder and index."""
         out = []
         for i in range(0, len(texts), batch_size):
             batch = list(texts[i:i + batch_size])
@@ -346,9 +350,14 @@ class QwenEmbeddingEncoder:
                 pad = ((0, 0), (0, s - ids.shape[1]))
                 ids = np.pad(ids, pad)
                 mask = np.pad(mask, pad)
-            out.append(np.asarray(self._fwd(
+            out.append(self._fwd(
                 self._params,
                 jnp.asarray(ids, jnp.int32),
                 jnp.asarray(mask, jnp.int32),
-            )))
-        return np.concatenate(out) if out else np.zeros((0, 0), np.float32)
+            ))
+        if not out:
+            return jnp.zeros((0, 0), jnp.float32)
+        return jnp.concatenate(out)
+
+    def encode(self, texts, batch_size: int = 16) -> np.ndarray:
+        return np.asarray(self.encode_device(texts, batch_size), np.float32)

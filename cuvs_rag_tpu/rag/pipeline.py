@@ -21,6 +21,21 @@ from cuvs_rag_tpu.parallel.mesh import DeviceMesh
 from cuvs_rag_tpu.rag.corpus import Corpus
 
 
+def encode_on_device(encoder, texts: List[str]) -> jnp.ndarray:
+    """Query embeddings as a DEVICE array, with no host bounce when the
+    encoder supports it. Flax encoders expose `encode_device` (the same
+    forward passes, minus the device->host fetch); np-based encoders
+    (hashing, torch) fall back to encode() + one H2D upload. Keeping the
+    handoff on device removes a device->host->device round trip between
+    encoder and index per batch — through a remote-attached device that is
+    a full RPC round trip (PERF.md batch-1 §: ~35 ms wall per
+    dispatch+fetch on the test tunnel)."""
+    fn = getattr(encoder, "encode_device", None)
+    if fn is not None:
+        return fn(texts)
+    return jnp.asarray(encoder.encode(texts))
+
+
 @dataclasses.dataclass
 class RetrievedPassage:
     text: str
@@ -125,7 +140,7 @@ class Retriever:
         metrics.inc("retriever.queries", len(queries))
         t0 = time.time()
         base_index = self.index if index is None else index
-        q = jnp.asarray(self.encoder.encode(list(queries)))
+        q = encode_on_device(self.encoder, list(queries))
         if isinstance(base_index, psearch.ShardedIndex):
             dists, idx = psearch.search_sharded(
                 self.search_params, base_index, q, k, self.dmesh, allow=allow

@@ -1,0 +1,108 @@
+"""Text-in -> passages-out retrieval latency: device-resident encode handoff.
+
+Measures Retriever.retrieve_batch wall time (the serving daemon's text
+path, rag/server._run_texts) with the encoder's embeddings handed to the
+index search as a DEVICE array (models/flax_encoder.encode_device ->
+rag/pipeline.encode_on_device) vs the old host bounce (np fetch of the
+embeddings + re-upload before the search dispatch). Through the test
+tunnel a host bounce is a full dispatch+fetch RTT (~35 ms, PERF.md
+batch-1 §); on a locally-attached host it is a device sync + 2 copies.
+
+Reference analogue: every reference search path encodes on one GPU, moves
+through host numpy, then searches (faiss-main.ipynb#cell9 search_multi_gpu
+encodes then `index.search(np.array(q))`; its 127 ms/query headline
+includes that bounce).
+
+Run: python scripts/bench_e2e_text.py
+"""
+
+from __future__ import annotations
+
+import os as _os
+import sys as _sys
+import time
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from cuvs_rag_tpu.index import flat
+from cuvs_rag_tpu.models import flax_encoder as fe
+from cuvs_rag_tpu.rag.corpus import Corpus
+from cuvs_rag_tpu.rag.pipeline import Retriever
+from cuvs_rag_tpu.utils.config import FlatParams
+
+N, D, BATCH, K, REPS = 200_000, 384, 16, 5, 30
+
+
+class WordHashTok:
+    """Deterministic whitespace tokenizer (no checkpoint download in this
+    environment) — the compute profile equals a real WordPiece encode."""
+
+    def __call__(self, texts, **kw):
+        L = kw.get("max_length", 64)
+        ids = np.zeros((len(texts), L), np.int32)
+        mask = np.zeros((len(texts), L), np.int32)
+        for i, t in enumerate(texts):
+            toks = [hash(w) % 29_000 + 1 for w in t.split()][:L]
+            ids[i, : len(toks)] = toks
+            mask[i, : len(toks)] = 1
+        return {"input_ids": ids, "attention_mask": mask}
+
+
+def main():
+    rng = np.random.default_rng(0)
+    print("device:", jax.devices()[0])
+
+    cfg = fe.BertConfig(
+        vocab_size=30_000, hidden_size=D, num_layers=6, num_heads=6,
+        intermediate_size=4 * D, max_position=64,
+    )
+    params = fe.BertEncoderModel(cfg).init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 64), jnp.int32), jnp.ones((1, 64), jnp.int32),
+    )
+    enc = fe.FlaxSentenceEncoder(cfg, params, WordHashTok(), max_length=64)
+
+    corpus_emb = rng.standard_normal((N, D), np.float32)
+    corpus_emb /= np.linalg.norm(corpus_emb, axis=1, keepdims=True)
+    passages = [f"passage {i}" for i in range(N)]
+    corpus = Corpus(passages=passages, embeddings=corpus_emb)
+    index = flat.build(FlatParams(dtype="bfloat16"), jnp.asarray(corpus_emb))
+    r = Retriever(enc, index, corpus, family="flat")
+
+    queries = [f"question number {i} about topic {i % 7}" for i in range(BATCH)]
+
+    def run(label):
+        r.retrieve_batch(queries, K)  # warm compile
+        t0 = time.perf_counter()
+        for _ in range(REPS):
+            r.retrieve_batch(queries, K)
+        dt = (time.perf_counter() - t0) / REPS
+        print(f"  {label:26s} {dt * 1e3:8.2f} ms/batch "
+              f"({dt / BATCH * 1e3:6.2f} ms/query at batch {BATCH})")
+        return dt
+
+    print(f"flat bf16 {N}x{D}, k={K}, batch {BATCH}, {REPS} reps")
+    dev = run("device handoff")
+
+    class HostBounce:
+        """Same encoder, minus encode_device: the pipeline helper falls
+        back to encode() (np fetch) + one H2D re-upload — the old path."""
+
+        dim = D
+
+        def encode(self, texts, batch_size: int = 64):
+            return enc.encode(texts, batch_size)
+
+    r.encoder = HostBounce()
+    host = run("host bounce (old path)")
+    print(f"  saved {host - dev:.4f} s/batch = {(host / dev - 1) * 100:.0f}% "
+          f"slower via host")
+
+
+if __name__ == "__main__":
+    main()

@@ -101,6 +101,52 @@ def test_sentence_encoder_end_to_end(tiny_pair):
     assert not np.allclose(emb[0], emb[1])
 
 
+def test_encode_device_matches_encode(tiny_pair):
+    """encode_device is encode() minus the host fetch: a DEVICE array with
+    identical numerics (rag/pipeline.encode_on_device hands it straight to
+    the index search, skipping the device->host->device bounce)."""
+    import jax
+
+    _, cfg, params = tiny_pair
+
+    class FakeTok:
+        def __call__(self, texts, **kw):
+            n = len(texts)
+            L = kw.get("max_length", 16)
+            ids = np.zeros((n, L), np.int32)
+            mask = np.zeros((n, L), np.int32)
+            for i, t in enumerate(texts):
+                toks = [hash(w) % 90 + 1 for w in t.split()][: L]
+                ids[i, : len(toks)] = toks
+                mask[i, : len(toks)] = 1
+            return {"input_ids": ids, "attention_mask": mask}
+
+    enc = fe.FlaxSentenceEncoder(cfg, params, FakeTok(), max_length=16)
+    texts = ["hello world", "foo bar baz", "one two"]
+    dev = enc.encode_device(texts, batch_size=2)
+    assert isinstance(dev, jax.Array)
+    assert dev.dtype == np.float32
+    np.testing.assert_allclose(
+        np.asarray(dev), enc.encode(texts, batch_size=2), rtol=1e-6
+    )
+
+
+def test_pipeline_encode_on_device_fallback():
+    """np-based encoders (no encode_device) still work through the device
+    handoff helper: one H2D upload, same values."""
+    import jax
+
+    from cuvs_rag_tpu.models.encoder import HashingEncoder
+    from cuvs_rag_tpu.rag.pipeline import encode_on_device
+
+    enc = HashingEncoder(dim=64)
+    q = encode_on_device(enc, ["alpha beta", "gamma"])
+    assert isinstance(q, jax.Array)
+    np.testing.assert_allclose(
+        np.asarray(q), enc.encode(["alpha beta", "gamma"]), rtol=1e-6
+    )
+
+
 def test_st_pooling_mode_local_config(tmp_path):
     """from_pretrained must honor the checkpoint's own 1_Pooling config
     (nq-distilbert-base-v1 is CLS-pooled, not mean)."""
