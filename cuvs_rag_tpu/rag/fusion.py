@@ -175,6 +175,18 @@ class HybridRetriever:
         self.fetch_k = fetch_k
         self.rrf_c = rrf_c
 
+    # the serving daemon (rag/server.SearchService) duck-types its
+    # retriever: corpus/encoder make text search + /stats work; the
+    # single-engine surfaces (vector search, views, extend/delete) are
+    # rejected there with a 400 — a hybrid has no single `.index`.
+    @property
+    def corpus(self):
+        return self.retrievers[0].corpus
+
+    @property
+    def encoder(self):
+        return self.retrievers[0].encoder
+
     def retrieve(self, query: str, k: int = 5) -> RetrievalResult:
         return self.retrieve_batch([query], k)[0]
 

@@ -406,6 +406,7 @@ class SearchService:
         deny_ids. No size cap: the view is built ONCE (a (n,) bool mask +
         one bookkeeping leaf; vector storage is shared), so searches
         against it cost the same as the unfiltered index."""
+        self._require_single_engine("views")
         if not isinstance(name, str) or not name or len(name) > 64 or \
                 not all(c.isalnum() or c in "_.-" for c in name):
             raise ValueError(
@@ -515,7 +516,19 @@ class SearchService:
                 return self._text_batcher.submit((texts, k, deny, entry))
             return self._run_texts([(texts, k, deny, entry)])[0]
 
+    def _require_single_engine(self, op: str) -> None:
+        """Multi-engine (hybrid, rag/fusion.py) retrievers serve TEXT
+        search only: there is no single `.index` to vector-search, bake a
+        view over, or mutate. Reject with a 400 instead of an opaque
+        AttributeError deep in a batch runner."""
+        if not hasattr(self.retriever, "index"):
+            raise ValueError(
+                f"{op} requires a single-engine retriever; this service "
+                "wraps a multi-engine (hybrid) retriever — text search only"
+            )
+
     def search_vectors(self, vectors, k: int, deny_ids=(), view=None):
+        self._require_single_engine("vector search")
         q = np.asarray(vectors, np.float32)
         if q.ndim != 2 or q.shape[0] == 0:
             raise ValueError(
@@ -547,6 +560,7 @@ class SearchService:
 
     def extend_corpus(self, texts=None, vectors=None, titles=None) -> dict:
         """Append passages/vectors to the live index (POST /v1/extend)."""
+        self._require_single_engine("extend")
         if vectors is not None:
             vectors = np.asarray(vectors, np.float32)
             if vectors.ndim != 2 or vectors.shape[0] == 0:
@@ -576,6 +590,7 @@ class SearchService:
         """Tombstone passages by id on the live index (POST /v1/delete).
         Ids never come back from any search (views included); surviving
         ids stay stable."""
+        self._require_single_engine("delete")
         idx = self._validate_ids(ids, len(self.retriever.corpus))
         with self._update_lock:
             t0 = time.perf_counter()

@@ -1,0 +1,83 @@
+"""Hybrid retrieval demo: fuse a lexical and a second engine's rankings.
+
+Runs on the reference's shipped 100 REAL medical QA pairs (same fixture
+as examples/medical_qa_demo.py): doctor answers are the corpus, real
+patient questions the queries, ground truth the known 1:1 pairing. Two
+engines retrieve independently — hashed TF-IDF (lexical) and character
+n-gram hashing (the dependency-free stand-in for a semantic encoder; set
+CUVS_RAG_TPU_ENCODER to a cached HF checkpoint to use a real one) — and
+`rag/fusion.HybridRetriever` fuses their rankings per query.
+
+Both engines are built with metric='inner_product': hashed sparse
+encoders can emit zero-norm rows, which under L2 sit at distance ||q||^2
+— above every real match (see rag/fusion.py module docstring).
+
+Usage:  python examples/demo_hybrid.py [k]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def hit_rate(results, k):
+    return float(np.mean([
+        int(any(p.index == qi for p in res.passages[:k]))
+        for qi, res in enumerate(results)
+    ]))
+
+
+def main():
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+
+    from cuvs_rag_tpu.models.encoder import (
+        HashingEncoder, TfidfHashingEncoder, make_encoder,
+    )
+    from cuvs_rag_tpu.rag import datasets
+    from cuvs_rag_tpu.rag.corpus import Corpus
+    from cuvs_rag_tpu.rag.fusion import HybridRetriever
+    from cuvs_rag_tpu.rag.pipeline import Retriever
+    from cuvs_rag_tpu.utils.config import FlatParams
+
+    records = datasets.load_reference_medical_qa()
+    answers = [r.output for r in records]
+    questions = [r.input for r in records]
+    print(f"corpus: {len(answers)} real doctor answers; "
+          f"queries: {len(questions)} real patient questions")
+
+    name = os.environ.get("CUVS_RAG_TPU_ENCODER", "")
+    dense_enc = make_encoder(name) if name else HashingEncoder()
+    dense_label = name or "char n-gram hashing (stand-in)"
+
+    params = FlatParams(dtype="float32", metric="inner_product")
+    r_lex = Retriever.build(
+        Corpus(passages=answers), TfidfHashingEncoder().fit(answers),
+        family="flat", params=params,
+    )
+    r_dense = Retriever.build(
+        Corpus(passages=answers), dense_enc, family="flat", params=params,
+    )
+
+    lex = hit_rate(r_lex.retrieve_batch(questions, k), k)
+    dense = hit_rate(r_dense.retrieve_batch(questions, k), k)
+    print(f"hashed TF-IDF alone:        hit@{k} = {lex:.2f}")
+    print(f"{dense_label} alone: hit@{k} = {dense:.2f}")
+
+    for method in ("zscore", "rrf"):
+        h = HybridRetriever([r_lex, r_dense], method=method, fetch_k=50)
+        fused = hit_rate(h.retrieve_batch(questions, k), k)
+        print(f"hybrid ({method}):            hit@{k} = {fused:.2f}")
+
+    h = HybridRetriever([r_lex, r_dense], fetch_k=50)
+    res = h.retrieve(questions[0], k)
+    print("\nsample fused retrieval (real text):")
+    print("QUESTION:", questions[0][:140], "...")
+    for p in res.passages[:2]:
+        print(f"  [{p.index}] rank={int(p.distance)}  {p.text[:90]}...")
+
+
+if __name__ == "__main__":
+    main()

@@ -591,3 +591,53 @@ def test_extend_delete_validation(mutable_server):
     # nothing leaked into the corpus
     code, body = _req(mutable_server, "GET", "/stats")
     assert body["corpus_size"] == 4
+
+
+def test_hybrid_retriever_serving_text_only():
+    """A multi-engine HybridRetriever (rag/fusion.py) serves text search
+    through the daemon; the single-engine surfaces (vector search, views,
+    extend/delete) reject with a 400 instead of an AttributeError inside
+    a batch runner."""
+    from cuvs_rag_tpu.models.encoder import TfidfHashingEncoder
+    from cuvs_rag_tpu.rag.fusion import HybridRetriever
+
+    ip = FlatParams(metric=Metric.INNER_PRODUCT, tile_n=8)
+    r1 = Retriever.build(
+        Corpus(passages=list(PASSAGES)),
+        TfidfHashingEncoder(dim=128).fit(PASSAGES),
+        family="flat", params=ip,
+    )
+    r2 = Retriever.build(
+        Corpus(passages=list(PASSAGES)), HashingEncoder(dim=128),
+        family="flat", params=ip,
+    )
+    hybrid = HybridRetriever([r1, r2])
+    srv = server_mod.serve(hybrid, host="127.0.0.1", port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    addr = srv.server_address
+    try:
+        code, body = _req(addr, "POST", "/v1/search",
+                          {"texts": ["machine learning on tpus"], "k": 2})
+        assert code == 200, body
+        assert body["results"][0]["passages"][0]["index"] == 1, body
+
+        # deny_ids post-filtering still applies on the text path
+        code, body = _req(addr, "POST", "/v1/search",
+                          {"texts": ["machine learning on tpus"], "k": 2,
+                           "deny_ids": [1]})
+        assert code == 200
+        assert all(p["index"] != 1
+                   for p in body["results"][0]["passages"])
+
+        for path, payload in [
+            ("/v1/search", {"vectors": [[0.0] * 128], "k": 2}),
+            ("/v1/views", {"name": "v", "allow_ids": [0]}),
+            ("/v1/extend", {"texts": ["new passage"]}),
+            ("/v1/delete", {"ids": [0]}),
+        ]:
+            code, body = _req(addr, "POST", path, payload)
+            assert code == 400, (path, body)
+            assert "single-engine" in body["error"], (path, body)
+    finally:
+        srv.shutdown()
