@@ -155,7 +155,46 @@ def _recall(ids: np.ndarray, gt: np.ndarray, k: int) -> float:
     ))
 
 
+# Whole-run watchdog: the probe can succeed on a flapping tunnel that then
+# wedges MID-RUN (observed 2026-08-20: probes 1-2 timed out, probe 3
+# answered, the corpus build then hung until the driver's external timeout
+# — no JSON, no rc=2, indistinguishable from a crash). The flow runs in a
+# daemon worker; if it exceeds WATCHDOG_S the main thread emits whatever
+# completed (headline + finished extra rows) as the one JSON line, or
+# aborts rc=3 if even the headline never finished.
+WATCHDOG_S = 1800.0
+
+
 def main():
+    import os
+    import sys
+    import threading
+
+    # single-winner emit token: worker and watchdog can race at the
+    # boundary; Semaphore.acquire(blocking=False) is an atomic test-and-set
+    state = {"headline": None, "emitted": threading.Semaphore(1)}
+    worker = threading.Thread(target=_main_flow, args=(state,), daemon=True)
+    worker.start()
+    worker.join(WATCHDOG_S)
+    if not worker.is_alive():
+        return
+    hl = state.get("headline")
+    if hl is not None:
+        state["skipped"].append("watchdog:device_hang_midrun")
+        _emit(*hl, state["rows"], state["skipped"], state["device_str"],
+              emitted=state["emitted"])
+        sys.stdout.flush()
+        os._exit(0)
+        return  # unreachable; keeps injected _exit fakes from falling through
+    print(
+        f"bench.py: run exceeded the {WATCHDOG_S:.0f}s watchdog before the "
+        "headline metric completed (device answered the probe, then hung) "
+        "— aborting.", file=sys.stderr, flush=True,
+    )
+    os._exit(3)
+
+
+def _main_flow(state):
     import jax
     import jax.numpy as jnp
 
@@ -163,9 +202,11 @@ def main():
     from cuvs_rag_tpu.utils.config import FlatParams
 
     _probe_device_or_die(jax, jnp)
+    state["device_str"] = str(jax.devices()[0])
     key = jax.random.PRNGKey(42)
     rows = {}
     skipped = []
+    state["rows"], state["skipped"] = rows, skipped
 
     t0 = time.time()
     mk = jax.jit(lambda k: jax.random.normal(k, (N // 8, D), jnp.bfloat16))
@@ -189,6 +230,8 @@ def main():
     dt = _queue_drain(lambda q: flat.search(None, index, q, K), qrs)
     ms_per_query = dt / BATCH * 1e3
     qps = BATCH / dt
+    # headline is in the bag: from here the watchdog can emit a valid line
+    state["headline"] = (ms_per_query, qps, build_s, dt)
 
     # --- certified large-k: exact k=2000 on the same index (the
     # reference's default top_k; ops/pallas_flat.flat_topk_large) --------
@@ -239,7 +282,80 @@ def main():
         skipped,
     )
 
-    _emit(ms_per_query, qps, build_s, dt, rows, skipped, jax)
+    # --- end-to-end text retrieval (encode + search in one pipeline) ----
+    _try_row("e2e_text", lambda: _e2e_text_row(jax, jnp, key, rows), skipped)
+
+    _emit(ms_per_query, qps, build_s, dt, rows, skipped,
+          state["device_str"], emitted=state["emitted"])
+
+
+def _e2e_text_row(jax, jnp, key, rows):
+    """Text-in -> passages-out wall latency through Retriever (the serving
+    daemon's text path): flax BERT encode with the device-resident
+    encode->search handoff (rag/pipeline.encode_on_device) vs the old
+    host-bounce. 6-layer 384-d encoder, flat bf16 200k x 384 corpus,
+    batch 16 (scripts/bench_e2e_text.py is the standalone version)."""
+    from cuvs_rag_tpu.index import flat
+    from cuvs_rag_tpu.models import flax_encoder as fe
+    from cuvs_rag_tpu.rag.corpus import Corpus
+    from cuvs_rag_tpu.rag.pipeline import Retriever
+    from cuvs_rag_tpu.utils.config import FlatParams
+
+    n_small, d_small, batch, reps_t = 200_000, 384, 16, 20
+    cfg = fe.BertConfig(
+        vocab_size=30_000, hidden_size=d_small, num_layers=6, num_heads=6,
+        intermediate_size=4 * d_small, max_position=64,
+    )
+    params = fe.BertEncoderModel(cfg).init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 64), jnp.int32), jnp.ones((1, 64), jnp.int32),
+    )
+
+    class _Tok:
+        def __call__(self, texts, **kw):
+            L = kw.get("max_length", 64)
+            ids = np.zeros((len(texts), L), np.int32)
+            mask = np.zeros((len(texts), L), np.int32)
+            for i, t in enumerate(texts):
+                toks = [hash(w) % 29_000 + 1 for w in t.split()][:L]
+                ids[i, : len(toks)] = toks
+                mask[i, : len(toks)] = 1
+            return {"input_ids": ids, "attention_mask": mask}
+
+    enc = fe.FlaxSentenceEncoder(cfg, params, _Tok(), max_length=64)
+    corpus_dev = jax.random.normal(
+        jax.random.fold_in(key, 4242), (n_small, d_small), jnp.bfloat16
+    )
+    index = flat.build(FlatParams(dtype="bfloat16"), corpus_dev)
+    del corpus_dev
+    corpus = Corpus(passages=["p%d" % i for i in range(n_small)])
+    r = Retriever(enc, index, corpus, family="flat")
+    queries = ["question %d topic %d" % (i, i % 7) for i in range(batch)]
+
+    def timed():
+        r.retrieve_batch(queries, K)  # warm/compile
+        t0 = time.perf_counter()
+        for _ in range(reps_t):
+            r.retrieve_batch(queries, K)
+        return (time.perf_counter() - t0) / reps_t * 1e3
+
+    ms_dev = timed()
+
+    class _HostBounce:
+        dim = d_small
+
+        def encode(self, texts, batch_size: int = 64):
+            return enc.encode(texts, batch_size)
+
+    r.encoder = _HostBounce()
+    ms_host = timed()
+    rows["e2e_text_ms_per_batch16"] = round(ms_dev, 2)
+    rows["e2e_text_hostbounce_ms_per_batch16"] = round(ms_host, 2)
+    rows["e2e_text_note"] = (
+        "text->passages wall: flax encode + flat search 200k x 384; "
+        "device-resident embedding handoff vs host bounce (reference "
+        "FAISS 4xL4 headline incl. encode was 127 ms/query)"
+    )
 
 
 def _clustered_rows(jax, jnp, key, qrs, rows, skipped):
@@ -431,7 +547,8 @@ def _clustered_rows(jax, jnp, key, qrs, rows, skipped):
     _try_row("cagra_itopk64", row_cagra, skipped)
 
 
-def _emit(ms_per_query, qps, build_s, dt, rows, skipped, jax):
+def _emit(ms_per_query, qps, build_s, dt, rows, skipped, device_str,
+          emitted=None):
     extra = {
         "qps": round(qps, 1),
         "build_s": round(build_s, 2),
@@ -440,7 +557,7 @@ def _emit(ms_per_query, qps, build_s, dt, rows, skipped, jax):
         "baseline": "A100 cuVS IVF-Flat 2M approx search = 2.01 ms/query",
         "note": "ours is exact brute-force (fused Pallas kernel), "
                 "reference is approximate",
-        "device": str(jax.devices()[0]),
+        "device": device_str,
     }
     extra.update(rows)
     if skipped:
@@ -449,13 +566,15 @@ def _emit(ms_per_query, qps, build_s, dt, rows, skipped, jax):
             "(cold compile cache); headline metric is complete"
             % (",".join(skipped), time.time() - _T_START, EXTRAS_BUDGET_S)
         )
+    if emitted is not None and not emitted.acquire(blocking=False):
+        return  # the other thread already emitted — never two lines
     print(json.dumps({
         "metric": f"exact_search_ms_per_query_{N}x{D}_k{K}_batch{BATCH}",
         "value": round(ms_per_query, 4),
         "unit": "ms/query",
         "vs_baseline": round(BASELINE_MS / ms_per_query, 2),
         "extra": extra,
-    }))
+    }), flush=True)
 
 
 if __name__ == "__main__":

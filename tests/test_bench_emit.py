@@ -20,8 +20,8 @@ sys.path.insert(0, ".")
 import bench  # noqa: E402
 
 
-def _emit_and_parse(capsys, *args):
-    bench._emit(*args, jax)
+def _emit_and_parse(capsys, *args, emitted=None):
+    bench._emit(*args, "TPU v5 lite0 (test)", emitted=emitted)
     out = capsys.readouterr().out.strip().splitlines()
     assert len(out) == 1, "driver contract: exactly one stdout line"
     return json.loads(out[0])
@@ -69,6 +69,66 @@ def test_emit_partial_rows(capsys):
     assert rec["extra"]["sketch_int8_ms_per_query"] == 0.035
     assert "ivf_bf16_ms_per_query" not in rec["extra"]
     assert "cagra_itopk64" in rec["extra"]["extras_skipped"]
+
+
+def test_emit_is_single_winner(capsys):
+    """Worker and watchdog can race to emit on a flapping tunnel; the
+    semaphore token makes exactly one line win (2026-08-20 hang: probe
+    succeeded, run wedged mid-extras, driver saw NO line at all)."""
+    import threading
+
+    tok = threading.Semaphore(1)
+    rec = _emit_and_parse(capsys, 0.06, 16666.0, 0.4, 0.006, {}, [],
+                          emitted=tok)
+    assert rec["value"] == 0.06
+    # second emit with the same token is silently dropped
+    bench._emit(0.06, 16666.0, 0.4, 0.006, {}, [], "dev", emitted=tok)
+    assert capsys.readouterr().out.strip() == ""
+
+
+def test_watchdog_emits_headline_when_flow_hangs(capsys, monkeypatch):
+    """If the flow wedges after the headline completed, main() must still
+    print the one JSON line (with a watchdog marker) and exit 0."""
+    import threading
+
+    def hang_flow(state):
+        state["device_str"] = "dev"
+        state["rows"], state["skipped"] = {"sketch_int8_ms_per_query": 0.04}, []
+        state["headline"] = (0.06, 16666.0, 0.4, 0.006)
+        threading.Event().wait(60.0)  # wedge, as a hung dispatch would
+
+    import os as _os
+
+    exited = []
+    monkeypatch.setattr(bench, "_main_flow", hang_flow)
+    monkeypatch.setattr(bench, "WATCHDOG_S", 0.3)
+    monkeypatch.setattr(_os, "_exit", exited.append)
+    bench.main()
+    assert exited == [0]
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1
+    rec = json.loads(out[0])
+    assert rec["value"] == 0.06
+    assert rec["extra"]["sketch_int8_ms_per_query"] == 0.04
+    assert "watchdog:device_hang_midrun" in rec["extra"]["extras_skipped"]
+
+
+def test_watchdog_aborts_rc3_before_headline(capsys, monkeypatch):
+    """If even the headline never completes, main() exits 3 with a
+    diagnostic instead of hanging to the driver's external timeout."""
+    import os as _os
+    import threading
+
+    def hang_early(state):
+        threading.Event().wait(60.0)
+
+    exited = []
+    monkeypatch.setattr(bench, "_main_flow", hang_early)
+    monkeypatch.setattr(bench, "WATCHDOG_S", 0.3)
+    monkeypatch.setattr(_os, "_exit", exited.append)
+    bench.main()
+    assert exited == [3]
+    assert capsys.readouterr().out.strip() == ""
 
 
 def test_probe_device_passes_on_live_backend():
