@@ -338,3 +338,43 @@ class FlaxSentenceEncoder:
 
     def encode(self, texts, batch_size: int = 64) -> np.ndarray:
         return np.asarray(self.encode_device(texts, batch_size), np.float32)
+
+    def encode_sharded(self, texts, dmesh, batch_size: int = 256) -> np.ndarray:
+        """Data-parallel encode over a DeviceMesh: the token batch is
+        sharded across the mesh's devices, parameters are replicated, and
+        the SAME jitted forward compiles to one SPMD program (jit follows
+        input shardings — no pmap, no code fork). This is how a multi-chip
+        corpus build encodes (the reference spread encoding over GPUs by
+        hand, generate_embeddings.py); per-chip throughput matches
+        encode(), total scales with the mesh. Returns host fp32 (corpus
+        embeddings feed host stores / persistence, not the device path —
+        use encode_device for query-time work)."""
+        n_dev = dmesh.num_devices
+        cached = getattr(self, "_replicated_params", None)
+        if cached is None or cached[0] is not dmesh.mesh:
+            self._replicated_params = (
+                dmesh.mesh, jax.device_put(self.params, dmesh.replicated())
+            )
+        params = self._replicated_params[1]
+        shard = dmesh.row_sharded(2)
+        # per-step batch is a multiple of n_dev so rows split evenly
+        step = max(n_dev, (batch_size // n_dev) * n_dev)
+        outs = []
+        for i in range(0, len(texts), step):
+            batch = list(texts[i : i + step])
+            n_real = len(batch)
+            pad = (-n_real) % n_dev
+            batch.extend([batch[-1]] * pad)
+            enc = self.tokenizer(
+                batch, padding="max_length", truncation=True,
+                max_length=self.max_length, return_tensors="np",
+            )
+            emb = self._fwd(
+                params,
+                jax.device_put(jnp.asarray(enc["input_ids"]), shard),
+                jax.device_put(jnp.asarray(enc["attention_mask"]), shard),
+            )
+            outs.append(np.asarray(emb, np.float32)[:n_real])
+        return np.concatenate(outs, axis=0) if outs else np.zeros(
+            (0, self.dim), np.float32
+        )

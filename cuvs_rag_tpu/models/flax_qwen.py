@@ -361,3 +361,44 @@ class QwenEmbeddingEncoder:
 
     def encode(self, texts, batch_size: int = 16) -> np.ndarray:
         return np.asarray(self.encode_device(texts, batch_size), np.float32)
+
+    def encode_sharded(self, texts, dmesh, batch_size: int = 64) -> np.ndarray:
+        """Data-parallel encode over a DeviceMesh (same contract as
+        models/flax_encoder.encode_sharded): token batch sharded across
+        devices, params replicated, the SAME jitted forward compiles one
+        SPMD program per (batch bucket, length bucket). Length bucketing
+        is per sub-batch, exactly as in encode()."""
+        n_dev = dmesh.num_devices
+        cached = getattr(self, "_replicated_params", None)
+        if cached is None or cached[0] is not dmesh.mesh:
+            self._replicated_params = (
+                dmesh.mesh, jax.device_put(self._params, dmesh.replicated())
+            )
+        params = self._replicated_params[1]
+        shard = dmesh.row_sharded(2)
+        step = max(n_dev, (batch_size // n_dev) * n_dev)
+        out = []
+        for i in range(0, len(texts), step):
+            batch = list(texts[i:i + step])
+            n_real = len(batch)
+            batch.extend([batch[-1]] * ((-n_real) % n_dev))
+            enc = self.tokenizer(
+                batch, padding="longest", truncation=True,
+                max_length=self.max_length, return_tensors="np",
+            )
+            ids = np.asarray(enc["input_ids"])
+            mask = np.asarray(enc["attention_mask"])
+            s = self._bucket_len(ids.shape[1])
+            if s > ids.shape[1]:
+                pad = ((0, 0), (0, s - ids.shape[1]))
+                ids = np.pad(ids, pad)
+                mask = np.pad(mask, pad)
+            emb = self._fwd(
+                params,
+                jax.device_put(jnp.asarray(ids, jnp.int32), shard),
+                jax.device_put(jnp.asarray(mask, jnp.int32), shard),
+            )
+            out.append(np.asarray(emb, np.float32)[:n_real])
+        if not out:
+            return np.zeros((0, self.cfg.hidden_size), np.float32)
+        return np.concatenate(out)

@@ -94,9 +94,22 @@ class Retriever:
         encode_batch_size: int = 64,
     ) -> "Retriever":
         if corpus.embeddings is None:
-            corpus.embeddings = encoder.encode(
-                corpus.passages, batch_size=encode_batch_size
-            )
+            if (
+                placement in ("shard", "replicate")
+                and hasattr(encoder, "encode_sharded")
+            ):
+                # multi-device build: data-parallel the corpus encode over
+                # the same mesh the index will live on (flax encoders;
+                # models/flax_encoder.encode_sharded)
+                dmesh = dmesh or DeviceMesh()
+                corpus.embeddings = encoder.encode_sharded(
+                    corpus.passages, dmesh,
+                    batch_size=max(encode_batch_size, 1),
+                )
+            else:
+                corpus.embeddings = encoder.encode(
+                    corpus.passages, batch_size=encode_batch_size
+                )
         emb = np.asarray(corpus.embeddings, dtype=np.float32)
         psearch._load_families()
         mod = psearch.FAMILIES[family]

@@ -131,6 +131,76 @@ def test_encode_device_matches_encode(tiny_pair):
     )
 
 
+def test_encode_sharded_matches_encode(tiny_pair):
+    """Data-parallel encode over the 8-device virtual mesh: identical
+    numerics to the single-device path, including uneven batches that pad
+    to a multiple of the device count, and a sub-batch step smaller than
+    the text count."""
+    from cuvs_rag_tpu.parallel.mesh import DeviceMesh
+
+    _, cfg, params = tiny_pair
+
+    class FakeTok:
+        def __call__(self, texts, **kw):
+            n = len(texts)
+            L = kw.get("max_length", 16)
+            ids = np.zeros((n, L), np.int32)
+            mask = np.zeros((n, L), np.int32)
+            for i, t in enumerate(texts):
+                toks = [hash(w) % 90 + 1 for w in t.split()][: L]
+                ids[i, : len(toks)] = toks
+                mask[i, : len(toks)] = 1
+            return {"input_ids": ids, "attention_mask": mask}
+
+    enc = fe.FlaxSentenceEncoder(cfg, params, FakeTok(), max_length=16)
+    dmesh = DeviceMesh()
+    texts = [f"text number {i} with words {i % 5}" for i in range(13)]
+    ref = enc.encode(texts)
+    out = enc.encode_sharded(texts, dmesh, batch_size=8)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-6)
+    # empty input contract
+    empty = enc.encode_sharded([], dmesh)
+    assert empty.shape == (0, cfg.hidden_size)
+
+
+def test_retriever_build_sharded_uses_encode_sharded(tiny_pair):
+    """Retriever.build(placement='shard') routes corpus encoding through
+    encode_sharded when the encoder supports it."""
+    from cuvs_rag_tpu.parallel.mesh import DeviceMesh
+    from cuvs_rag_tpu.rag.corpus import Corpus
+    from cuvs_rag_tpu.rag.pipeline import Retriever
+
+    _, cfg, params = tiny_pair
+
+    class FakeTok:
+        def __call__(self, texts, **kw):
+            n = len(texts)
+            L = kw.get("max_length", 16)
+            ids = np.zeros((n, L), np.int32)
+            mask = np.zeros((n, L), np.int32)
+            for i, t in enumerate(texts):
+                toks = [hash(w) % 90 + 1 for w in t.split()][: L]
+                ids[i, : len(toks)] = toks
+                mask[i, : len(toks)] = 1
+            return {"input_ids": ids, "attention_mask": mask}
+
+    enc = fe.FlaxSentenceEncoder(cfg, params, FakeTok(), max_length=16)
+    calls = []
+    orig = enc.encode_sharded
+    enc.encode_sharded = lambda texts, dmesh, batch_size=256: (
+        calls.append(len(texts)) or orig(texts, dmesh, batch_size=batch_size)
+    )
+    passages = [f"passage {i} about {i % 3}" for i in range(17)]
+    r = Retriever.build(
+        Corpus(passages=passages), enc,
+        family="flat", placement="shard", dmesh=DeviceMesh(),
+    )
+    assert calls == [17]
+    res = r.retrieve(passages[4], 3)
+    assert res.passages[0].index == 4  # self-retrieval through the mesh
+
+
 def test_pipeline_encode_on_device_fallback():
     """np-based encoders (no encode_device) still work through the device
     handoff helper: one H2D upload, same values."""

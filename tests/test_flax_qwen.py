@@ -101,6 +101,22 @@ def test_encoder_end_to_end_normalized():
     assert e.shape == (1, 64)
 
 
+def test_encode_sharded_matches_encode():
+    """Data-parallel Qwen encode over the 8-device virtual mesh: same
+    numerics as the single-device path, uneven batch included."""
+    from cuvs_rag_tpu.parallel.mesh import DeviceMesh
+
+    _, cfg, params = _tiny_pair()
+    enc = flax_qwen.QwenEmbeddingEncoder(
+        cfg, params, _StubTok(), max_length=16, dtype=jnp.float32
+    )
+    texts = [f"text {i} about topic {i % 4}" for i in range(11)]
+    ref = enc.encode(texts, batch_size=8)
+    out = enc.encode_sharded(texts, DeviceMesh(), batch_size=8)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-6)
+
+
 @pytest.mark.slow
 def test_flash_attention_path_lowers_for_tpu():
     """The use_flash=True Qwen block (Pallas TPU flash attention with
