@@ -21,6 +21,25 @@ from cuvs_rag_tpu.parallel.mesh import DeviceMesh
 from cuvs_rag_tpu.rag.corpus import Corpus
 
 
+def _params_to_meta(p):
+    """Typed param dataclasses <-> JSON (Retriever.save/load). Stored as
+    {cls, fields}; classes resolve from utils.config by name."""
+    if p is None:
+        return None
+    return {"cls": type(p).__name__, "fields": dataclasses.asdict(p)}
+
+
+def _params_from_meta(meta):
+    if meta is None:
+        return None
+    from cuvs_rag_tpu.utils import config as config_mod
+
+    klass = getattr(config_mod, meta["cls"], None)
+    if klass is None:
+        raise ValueError(f"unknown params class {meta['cls']!r}")
+    return klass(**meta["fields"])
+
+
 def encode_on_device(encoder, texts: List[str]) -> jnp.ndarray:
     """Query embeddings as a DEVICE array, with no host bounce when the
     encoder supports it. Flax encoders expose `encode_device` (the same
@@ -228,6 +247,123 @@ class Retriever:
             ]
             results.append(RetrievalResult(passages=passages, query_time_s=per_query))
         return results
+
+    # -- persistence (warm restart) --------------------------------------
+
+    def save(self, directory: str) -> None:
+        """One-call persistence: index (any family, any placement) +
+        corpus text/titles + embeddings + build/search params, restorable
+        with `Retriever.load(directory, encoder)`. The reference rebuilt
+        its indexes every run (SURVEY.md §5); a serving deployment wants
+        warm restarts. Disk-backed embedding stores (MemmapStore) are
+        recorded by path, not copied."""
+        import json
+        import os
+
+        from cuvs_rag_tpu.index import io as index_io
+        from cuvs_rag_tpu.rag import corpus as corpus_mod
+
+        os.makedirs(directory, exist_ok=True)
+        with open(os.path.join(directory, "corpus.jsonl"), "w") as f:
+            for i, p in enumerate(self.corpus.passages):
+                rec = {"text": p}
+                if self.corpus.titles:
+                    rec["title"] = self.corpus.titles[i]
+                f.write(json.dumps(rec) + "\n")
+        emb, emb_meta = self.corpus.embeddings, None
+        if emb is not None:
+            if hasattr(emb, "fetch_rows") and hasattr(emb, "path"):
+                emb_meta = {"kind": "memmap", "path": os.path.abspath(emb.path)}
+            else:
+                corpus_mod.save_embeddings(
+                    os.path.join(directory, "embeddings"), np.asarray(emb)
+                )
+                emb_meta = {"kind": "npy"}
+        if isinstance(self.index, psearch.ShardedIndex):
+            placement = "shard"
+            index_io.save_sharded(
+                os.path.join(directory, "index"), self.index, self.dmesh
+            )
+        elif isinstance(self.index, psearch.ReplicatedIndex):
+            placement = "replicate"
+            index_io.save_index(
+                os.path.join(directory, "index.npz"), self.index.index
+            )
+        else:
+            placement = "single"
+            index_io.save_index(
+                os.path.join(directory, "index.npz"), self.index
+            )
+        with open(os.path.join(directory, "retriever.json"), "w") as f:
+            json.dump({
+                "format": 1,
+                "family": self.family,
+                "placement": placement,
+                "params": _params_to_meta(self.params),
+                "search_params": _params_to_meta(self.search_params),
+                "embeddings": emb_meta,
+            }, f)
+
+    @classmethod
+    def load(
+        cls, directory: str, encoder, dmesh: Optional[DeviceMesh] = None
+    ) -> "Retriever":
+        """Restore a `save()`d retriever with a caller-supplied encoder
+        (encoders are code + checkpoints, not index state). Sharded
+        indexes restore exactly on a same-size mesh and REBUILD from the
+        saved rows on a different-size mesh (index/io.load_sharded)."""
+        import json
+        import os
+
+        from cuvs_rag_tpu.index import io as index_io
+        from cuvs_rag_tpu.rag import corpus as corpus_mod
+
+        with open(os.path.join(directory, "retriever.json")) as f:
+            meta = json.load(f)
+        passages, titles = [], []
+        with open(os.path.join(directory, "corpus.jsonl")) as f:
+            for line in f:
+                rec = json.loads(line)
+                passages.append(rec["text"])
+                titles.append(rec.get("title", ""))
+        if not any(titles):
+            titles = None
+        emb = None
+        emb_meta = meta.get("embeddings")
+        if emb_meta is not None:
+            if emb_meta["kind"] == "memmap":
+                from cuvs_rag_tpu.rag.host_store import MemmapStore
+
+                emb = MemmapStore.open(emb_meta["path"])
+            else:
+                emb = corpus_mod.load_embeddings(
+                    os.path.join(directory, "embeddings")
+                )
+        params = _params_from_meta(meta["params"])
+        search_params = _params_from_meta(meta["search_params"])
+        placement = meta["placement"]
+        if placement == "shard":
+            dmesh = dmesh or DeviceMesh()
+            index = index_io.load_sharded(
+                os.path.join(directory, "index"), dmesh, params
+            )
+        elif placement == "replicate":
+            import jax
+
+            dmesh = dmesh or DeviceMesh()
+            ix = index_io.load_index(os.path.join(directory, "index.npz"))
+            index = psearch.ReplicatedIndex(
+                index=jax.device_put(ix, dmesh.replicated()),
+                family=meta["family"], axis_name=dmesh.axis_name,
+            )
+        else:
+            index = index_io.load_index(os.path.join(directory, "index.npz"))
+        return cls(
+            encoder, index,
+            Corpus(passages=passages, embeddings=emb, titles=titles),
+            family=meta["family"], dmesh=dmesh,
+            search_params=search_params, params=params,
+        )
 
     def extend(
         self,

@@ -1,0 +1,91 @@
+"""Retriever.save/load — one-call warm-restart persistence across
+placements (index + corpus + params; encoder supplied at load)."""
+
+import numpy as np
+import pytest
+
+from cuvs_rag_tpu.models.encoder import HashingEncoder
+from cuvs_rag_tpu.rag.corpus import Corpus
+from cuvs_rag_tpu.rag.pipeline import Retriever
+from cuvs_rag_tpu.utils.config import (
+    FlatParams, IVFFlatParams, IVFFlatSearchParams, Metric,
+)
+
+PASSAGES = [f"passage number {i} about subject {i % 7}" for i in range(64)]
+TITLES = [f"title {i}" for i in range(64)]
+
+
+def _ids(results):
+    return [[p.index for p in r.passages] for r in results]
+
+
+@pytest.mark.parametrize("placement", ["single", "shard", "replicate"])
+def test_save_load_round_trip(tmp_path, placement):
+    enc = HashingEncoder(dim=64)
+    r = Retriever.build(
+        Corpus(passages=list(PASSAGES), titles=list(TITLES)), enc,
+        family="flat", params=FlatParams(metric=Metric.COSINE, tile_n=16),
+        placement=placement,
+    )
+    queries = [PASSAGES[3], PASSAGES[40]]
+    before = _ids(r.retrieve_batch(queries, 5))
+
+    d = str(tmp_path / "rt")
+    r.save(d)
+    r2 = Retriever.load(d, enc)
+    after = _ids(r2.retrieve_batch(queries, 5))
+    assert before == after
+    assert r2.family == "flat"
+    assert r2.params == r.params
+    assert r2.corpus.titles == TITLES
+    np.testing.assert_allclose(
+        np.asarray(r2.corpus.embeddings), np.asarray(r.corpus.embeddings),
+        rtol=1e-6,
+    )
+    # the restored retriever is live: retrieval includes titles
+    res = r2.retrieve(PASSAGES[3], 1)
+    assert res.passages[0].index == 3
+    assert res.passages[0].title == TITLES[3]
+
+
+def test_save_load_sharded_ivf_with_search_params(tmp_path):
+    enc = HashingEncoder(dim=64)
+    r = Retriever.build(
+        Corpus(passages=list(PASSAGES)), enc,
+        family="ivf_flat", params=IVFFlatParams(n_lists=4),
+        search_params=IVFFlatSearchParams(n_probes=4),
+        placement="shard",
+    )
+    queries = [PASSAGES[9]]
+    before = _ids(r.retrieve_batch(queries, 5))
+    d = str(tmp_path / "rt")
+    r.save(d)
+    r2 = Retriever.load(d, enc)
+    assert _ids(r2.retrieve_batch(queries, 5)) == before
+    assert r2.search_params == r.search_params
+    assert r2.params == r.params
+    # extend works after restore (build params were persisted)
+    new_ids = r2.extend([f"new passage {i}" for i in range(4)])
+    assert len(new_ids) == 4
+    res = r2.retrieve("new passage 2", 3)
+    assert res.passages[0].index in new_ids
+
+
+def test_load_unknown_params_class_raises(tmp_path):
+    import json
+    import os
+
+    enc = HashingEncoder(dim=64)
+    r = Retriever.build(
+        Corpus(passages=list(PASSAGES)), enc, family="flat",
+    )
+    d = str(tmp_path / "rt")
+    r.save(d)
+    meta_path = os.path.join(d, "retriever.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    meta["params"] = {"cls": "EvilParams", "fields": {}}
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="unknown params class"):
+        Retriever.load(d, enc)
