@@ -29,9 +29,17 @@ through the tunnel is ~35 MB/s) and always passed as jit *arguments* (a
 closure would embed a 3 GB lowering-time constant fetched through the
 tunnel).
 
-Tunnel robustness (VERDICT r3 #1, BENCH_r03 rc=2): the device probe
-retries 3 x 120 s with backoff before declaring the tunnel down, so a
-transient outage at capture time cannot zero out a round's metric.
+Tunnel robustness (VERDICT r3 #1 + r4 #1): the device probe retries
+6 x 120 s over ~15 min with jittered backoff (the observed tunnel flap
+cleared within ~30 min; BENCH_r04's capture lost all 3 of the old
+schedule's probes while a rerun 30 min later won on probe 3). If the
+tunnel is STILL down — or the flow crashes/wedges before the headline —
+the run falls back to the newest committed BENCH_LOG.jsonl row
+(preferring the current git SHA) and emits it with `stale_capture`
+provenance instead of exiting rc=2: two straight rounds lost their
+permanent perf record to capture-time luck; this one cannot. Every
+successful live emit appends itself to BENCH_LOG.jsonl
+(cuvs_rag_tpu/eval/benchlog.py) so the fallback pool stays fresh.
 """
 
 import json
@@ -59,21 +67,64 @@ def _budget_left() -> bool:
     return (time.time() - _T_START) < EXTRAS_BUDGET_S
 
 
+def _emit_stale_fallback(reason: str, log_path=None) -> bool:
+    """Device unusable at capture time: emit the newest committed
+    BENCH_LOG.jsonl headline row (same-SHA preferred) with provenance,
+    so a tunnel flap can never erase a round's perf record (VERDICT r4
+    #1 — the top task of the round). Returns False when no logged row
+    exists (then the caller keeps the old rc=2/rc=3 behavior)."""
+    import sys
+
+    try:
+        from cuvs_rag_tpu.eval import benchlog
+    except Exception:
+        return False
+    git = benchlog.git_state()
+    rec = benchlog.latest(sha=git.get("sha"),
+                          metric_prefix="exact_search_ms_per_query",
+                          path=log_path)
+    if rec is None:
+        return False
+    payload = dict(rec["payload"])
+    extra = dict(payload.get("extra") or {})
+    extra["stale_capture"] = {
+        "captured_ts": rec.get("ts"),
+        "captured_sha": rec.get("sha"),
+        "captured_dirty": rec.get("dirty"),
+        "current_sha": git.get("sha"),
+        "reason": reason,
+        "note": "live capture failed; this row is the newest committed "
+                "on-chip result from BENCH_LOG.jsonl (same methodology, "
+                "same script) — see cuvs_rag_tpu/eval/benchlog.py",
+    }
+    payload["extra"] = extra
+    payload["stale_capture"] = rec.get("ts")
+    print(
+        f"bench.py: live capture failed ({reason}); emitting newest "
+        f"BENCH_LOG.jsonl row captured {rec.get('ts')} at sha "
+        f"{str(rec.get('sha'))[:12]}", file=sys.stderr, flush=True,
+    )
+    print(json.dumps(payload), flush=True)
+    return True
+
+
 def _probe_device_or_die(jax, jnp, deadline_s: float = 120.0,
-                         attempts: int = 3, backoff_s: float = 20.0,
-                         die=None):
-    """Fail fast (rc=2, stderr diagnostic) if the TPU never answers a
-    trivial op — a down tunnel otherwise hangs the process until the
-    driver's timeout, indistinguishable from a crash (round-1 optics).
+                         attempts: int = 6, backoff_s: float = 20.0,
+                         die=None, log_path=None):
+    """Probe the device with a trivial op before committing to the run.
     Each probe runs in a daemon thread so a hung dispatch can't block
     exit. A TRANSIENT outage gets `attempts` probes of `deadline_s` each
-    with `backoff_s` sleeps between (BENCH_r03 rc=2 was a tunnel blip that
-    healed 30 minutes later — one 240 s probe gave up on a whole round's
-    metric). A backend that fails FAST (raises at init, e.g. driver/env
-    mismatch) is retried on the same schedule and reported with the real
-    traceback if it never heals. `die` is injectable for tests (default:
-    os._exit)."""
+    with jittered escalating sleeps between — ~15 min of patience total
+    (BENCH_r03/r04 rc=2 were tunnel flaps that healed within ~30 min; 3
+    probes over 7 min lost both). A backend that fails FAST (raises at
+    init, e.g. driver/env mismatch) is retried on the same schedule and
+    reported with the real traceback if it never heals. If the device
+    never answers, the newest committed BENCH_LOG row is emitted with
+    stale_capture provenance (exit 0); only with NO logged row does the
+    process die rc=2. `die` is injectable for tests (default: os._exit).
+    """
     import os
+    import random
     import sys
     import threading
 
@@ -105,12 +156,20 @@ def _probe_device_or_die(jax, jnp, deadline_s: float = 120.0,
         )
         print(f"bench.py: {msg}", file=sys.stderr, flush=True)
         if attempt + 1 < attempts:
-            time.sleep(backoff_s * (attempt + 1))
+            # jittered escalating backoff: probes shouldn't phase-lock
+            # with a periodic tunnel flap
+            time.sleep(backoff_s * (attempt + 1) * random.uniform(0.6, 1.4))
     print(
         f"bench.py: device unusable after {attempts} probes — TPU tunnel "
-        "down or backend broken; aborting instead of hanging.",
-        file=sys.stderr, flush=True,
+        "down or backend broken.", file=sys.stderr, flush=True,
     )
+    if _emit_stale_fallback(
+        f"device probe failed {attempts}x{deadline_s:.0f}s"
+        + (f" (last: {type(last_error).__name__}: {last_error})"
+           if last_error else ""),
+        log_path=log_path,
+    ):
+        return die(0)
     return die(2)
 
 
@@ -169,28 +228,74 @@ def main():
     import os
     import sys
     import threading
+    import traceback
 
     # single-winner emit token: worker and watchdog can race at the
     # boundary; Semaphore.acquire(blocking=False) is an atomic test-and-set
-    state = {"headline": None, "emitted": threading.Semaphore(1)}
-    worker = threading.Thread(target=_main_flow, args=(state,), daemon=True)
+    state = {"headline": None, "emitted": threading.Semaphore(1),
+             "did_emit": False}
+
+    def worker_body():
+        # An uncaught exception in the flow must not masquerade as a clean
+        # exit (ADVICE r4 medium: a crashed daemon thread previously made
+        # main() return rc=0 with no JSON line). Record it; main() decides.
+        try:
+            _main_flow(state)
+        except BaseException as e:  # device errors land as RuntimeError etc.
+            state["error"] = e
+            traceback.print_exc()
+
+    worker = threading.Thread(target=worker_body, daemon=True)
     worker.start()
     worker.join(WATCHDOG_S)
-    if not worker.is_alive():
-        return
     hl = state.get("headline")
+    err = state.get("error")
+    if not worker.is_alive():
+        if state["did_emit"]:
+            return  # the normal, fully-successful path
+        # worker died without emitting (probe-path die() never returns, so
+        # this is a crash in the flow): salvage the round's record
+        if hl is not None:
+            state["skipped"].append(
+                f"crash:{type(err).__name__}" if err else "crash"
+            )
+            _emit(*hl, dict(state["rows"]), list(state["skipped"]),
+                  state.get("device_str", "?"), emitted=state["emitted"],
+                  state=state, log=True)
+            sys.stdout.flush()
+            return
+        if _emit_stale_fallback(
+            "flow crashed before the headline completed"
+            + (f" ({type(err).__name__}: {err})" if err else "")
+        ):
+            sys.stdout.flush()
+            return
+        print("bench.py: flow crashed before the headline metric and no "
+              "BENCH_LOG fallback exists — rc=1.", file=sys.stderr,
+              flush=True)
+        os._exit(1)
+        return
     if hl is not None:
-        state["skipped"].append("watchdog:device_hang_midrun")
-        _emit(*hl, state["rows"], state["skipped"], state["device_str"],
-              emitted=state["emitted"])
+        # snapshot: the (possibly un-wedged) worker may still be mutating
+        # rows/skipped; json.dumps over a dict mutated mid-iteration raises
+        # after the emit token is consumed (ADVICE r4 low)
+        rows = dict(state["rows"])
+        skipped = list(state["skipped"]) + ["watchdog:device_hang_midrun"]
+        _emit(*hl, rows, skipped, state["device_str"],
+              emitted=state["emitted"], state=state, log=True)
         sys.stdout.flush()
         os._exit(0)
         return  # unreachable; keeps injected _exit fakes from falling through
     print(
         f"bench.py: run exceeded the {WATCHDOG_S:.0f}s watchdog before the "
-        "headline metric completed (device answered the probe, then hung) "
-        "— aborting.", file=sys.stderr, flush=True,
+        "headline metric completed (device answered the probe, then hung).",
+        file=sys.stderr, flush=True,
     )
+    if _emit_stale_fallback("watchdog: device answered the probe then hung "
+                            f"past {WATCHDOG_S:.0f}s before the headline"):
+        sys.stdout.flush()
+        os._exit(0)
+        return
     os._exit(3)
 
 
@@ -286,7 +391,8 @@ def _main_flow(state):
     _try_row("e2e_text", lambda: _e2e_text_row(jax, jnp, key, rows), skipped)
 
     _emit(ms_per_query, qps, build_s, dt, rows, skipped,
-          state["device_str"], emitted=state["emitted"])
+          state["device_str"], emitted=state["emitted"], state=state,
+          log=True)
 
 
 def _e2e_text_row(jax, jnp, key, rows):
@@ -353,8 +459,12 @@ def _e2e_text_row(jax, jnp, key, rows):
     rows["e2e_text_hostbounce_ms_per_batch16"] = round(ms_host, 2)
     rows["e2e_text_note"] = (
         "text->passages wall: flax encode + flat search 200k x 384; "
-        "device-resident embedding handoff vs host bounce (reference "
-        "FAISS 4xL4 headline incl. encode was 127 ms/query)"
+        "device-resident embedding handoff vs host bounce is the "
+        "apples-to-apples delta. CAVEAT: the encoder is a 6-layer "
+        "RANDOM-WEIGHT toy BERT with a hash tokenizer (no pretrained "
+        "checkpoints in this env), so the reference's 127 ms/query "
+        "(real MiniLM on 4xL4, faiss-main.ipynb#cell10) is NOT a "
+        "cross-system comparison — encoder FLOPs differ"
     )
 
 
@@ -454,7 +564,13 @@ def _clustered_rows(jax, jnp, key, qrs, rows, skipped):
         fx = flat.build(FlatParams(dtype="bfloat16", tile_n=8192), corpus_c)
         _, gtl = flat.search(None, fx, queries_c, K_LARGE)
         gtl = np.asarray(gtl)
-        del fx
+        # the exact large-k path on the SAME clustered corpus — both the
+        # recall oracle and the routing alternative (recall 1.0 by
+        # construction)
+        t_ex = _queue_drain(
+            lambda q: flat.search(None, fx, q, K_LARGE), qcs[:10]
+        )
+        ex_ms = t_ex / BATCH * 1e3
         _, il = ivf_flat.search(sp20, ivf, queries_c, K_LARGE)
         rows["ivf_k2000_recall_at_2000"] = round(
             _recall(np.asarray(il), gtl, K_LARGE), 3
@@ -467,8 +583,48 @@ def _clustered_rows(jax, jnp, key, qrs, rows, skipped):
         rows["ivf_k2000_note"] = (
             "certified large-k IVF probed scan (per-class top-R + "
             "exactness certificate in the window DMA kernel), nprobe=20; "
-            "recall vs the exact k=2000 flat oracle"
+            "recall vs the exact k=2000 flat oracle — BELOW the 0.95 "
+            "target at this nprobe; see ivf_k2000_tuned/_routed"
         )
+        # tuned operating point (VERDICT r4 #2): walk the nprobe ladder
+        # until recall@2000 >= 0.95, then route to whichever of
+        # {tuned IVF, exact scan} is cheaper — the policy eval/tune.py
+        # route_large_k implements, emitted so the flagship artifact
+        # documents the large-k trade-off instead of stopping at 0.875
+        tuned = None
+        for npb in (40, 80, 160):
+            spl = IVFFlatSearchParams(n_probes=npb)
+            _, ilt = ivf_flat.search(spl, ivf, queries_c, K_LARGE)
+            rec = _recall(np.asarray(ilt), gtl, K_LARGE)
+            if rec >= 0.95:
+                t_t = _queue_drain(
+                    lambda q, spl=spl: ivf_flat.search(spl, ivf, q, K_LARGE),
+                    qcs[:10],
+                )
+                tuned = (npb, rec, t_t / BATCH * 1e3)
+                break
+        del fx
+        if tuned is not None and tuned[2] < ex_ms:
+            npb, rec, t_ms = tuned
+            rows["ivf_k2000_routed_ms_per_query"] = round(t_ms, 4)
+            rows["ivf_k2000_routed_recall_at_2000"] = round(rec, 3)
+            rows["ivf_k2000_routed_note"] = (
+                f"tuned IVF nprobe={npb} (cheapest >=0.95 on the ladder, "
+                f"beats the exact scan at {ex_ms:.3f} ms/q) — the "
+                "route_large_k choice"
+            )
+        else:
+            rows["ivf_k2000_routed_ms_per_query"] = round(ex_ms, 4)
+            rows["ivf_k2000_routed_recall_at_2000"] = 1.0
+            rows["ivf_k2000_routed_note"] = (
+                "routed to the EXACT large-k flat kernel (recall 1.0 by "
+                "construction): "
+                + (f"tuned IVF nprobe={tuned[0]} hit recall "
+                   f"{tuned[1]:.3f} but cost {tuned[2]:.3f} ms/q"
+                   if tuned is not None
+                   else "no nprobe on the ladder reached 0.95 recall")
+                + " — eval/tune.route_large_k picks the cheaper of the two"
+            )
 
     if "ivf" in state:
         _try_row("filtered_view", row_filter, skipped)
@@ -513,6 +669,29 @@ def _clustered_rows(jax, jnp, key, qrs, rows, skipped):
         pr_ms = t_pr / BATCH * 1e3
         rows["pq_refine16_ms_per_query"] = round(pr_ms, 4)
         rows["pq_refine16_vs_baseline"] = round(BASELINE_MS / pr_ms, 2)
+        rows["pq_refine16_note"] = (
+            "refine x16 is BELOW the 0.95 recall target on this corpus "
+            "(the ADC shortlist bounds it) — pq_tuned is the quality "
+            "operating point"
+        )
+        # tuned operating point (VERDICT r4 #2): the eval/tune.py ladder's
+        # cheapest recall>=0.95 config on this corpus is refine x64 at
+        # ~equal latency (refine cost is the top-k re-rank gather, nearly
+        # flat in the ratio at k=10; PERF.md measured 0.984 @ 0.29-0.37
+        # ms/q)
+        sp64 = IVFPQSearchParams(n_probes=20, refine_ratio=64)
+        _, i64 = ivf_pq.search(sp64, pq, queries_c, 10)
+        rows["pq_tuned_recall_at_10"] = round(
+            _recall(np.asarray(i64), gt, 10), 3
+        )
+        t_64 = _queue_drain(lambda q: ivf_pq.search(sp64, pq, q, 10), qcs)
+        p64_ms = t_64 / BATCH * 1e3
+        rows["pq_tuned_ms_per_query"] = round(p64_ms, 4)
+        rows["pq_tuned_vs_baseline"] = round(BASELINE_MS / p64_ms, 2)
+        rows["pq_tuned_note"] = (
+            "IVF-PQ at its tuned quality point: nprobe=20, exact re-rank "
+            "x64 (cheapest recall>=0.95 config on the eval/tune.py ladder)"
+        )
 
     _try_row("pq_adc8", row_pq, skipped)
 
@@ -548,7 +727,7 @@ def _clustered_rows(jax, jnp, key, qrs, rows, skipped):
 
 
 def _emit(ms_per_query, qps, build_s, dt, rows, skipped, device_str,
-          emitted=None):
+          emitted=None, state=None, log=False):
     extra = {
         "qps": round(qps, 1),
         "build_s": round(build_s, 2),
@@ -568,13 +747,25 @@ def _emit(ms_per_query, qps, build_s, dt, rows, skipped, device_str,
         )
     if emitted is not None and not emitted.acquire(blocking=False):
         return  # the other thread already emitted — never two lines
-    print(json.dumps({
+    payload = {
         "metric": f"exact_search_ms_per_query_{N}x{D}_k{K}_batch{BATCH}",
         "value": round(ms_per_query, 4),
         "unit": "ms/query",
         "vs_baseline": round(BASELINE_MS / ms_per_query, 2),
         "extra": extra,
-    }), flush=True)
+    }
+    print(json.dumps(payload), flush=True)
+    if state is not None:
+        state["did_emit"] = True
+    if log:
+        # durable evidence (VERDICT r4 #1): every successful on-chip
+        # capture lands in the committed BENCH_LOG.jsonl
+        try:
+            from cuvs_rag_tpu.eval import benchlog
+
+            benchlog.append_row(payload, script="bench.py")
+        except Exception:
+            pass
 
 
 if __name__ == "__main__":

@@ -47,6 +47,33 @@ from cuvs_rag_tpu.rag.pipeline import (
 _SIMILARITY_METRICS = ("inner_product", "cosine")
 
 
+def _engine_higher_better(r) -> bool:
+    """Score orientation for z-score fusion. Build params carry the
+    metric, but a directly-constructed Retriever (params=None) must not
+    silently default to sqeuclidean — over an inner_product index that
+    would negate its similarities and invert its contribution (ADVICE r4)
+    — so fall back to the index's own metric metadata (every index
+    family, ShardedIndex and ReplicatedIndex expose `.metric`)."""
+    p = getattr(r, "params", None)
+    m = getattr(p, "metric", None) if p is not None else None
+    if m is None:
+        ix = getattr(r, "index", None)
+        m = getattr(ix, "metric", None)
+        if m is None:  # ReplicatedIndex wraps the real index
+            m = getattr(getattr(ix, "index", None), "metric", None)
+    if m is None:
+        import warnings
+
+        warnings.warn(
+            "hybrid engine has no metric metadata (params=None and the "
+            "index exposes no .metric); assuming sqeuclidean for score "
+            "orientation — use method='rrf' (rank-only) if unsure",
+            stacklevel=3,
+        )
+        m = "sqeuclidean"
+    return m in _SIMILARITY_METRICS
+
+
 def rrf_fuse(
     id_lists: Sequence[np.ndarray],
     k: int,
@@ -202,10 +229,7 @@ class HybridRetriever:
             results = r.retrieve_batch(list(queries), fetch_k)
             ids = np.full((len(queries), fetch_k), -1, np.int64)
             scs = np.zeros((len(queries), fetch_k), np.float64)
-            higher_better = (
-                getattr(r.params, "metric", "sqeuclidean")
-                in _SIMILARITY_METRICS
-            )
+            higher_better = _engine_higher_better(r)
             for qi, res in enumerate(results):
                 for j, p in enumerate(res.passages[:fetch_k]):
                     ids[qi, j] = p.index

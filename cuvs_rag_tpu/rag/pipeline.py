@@ -29,14 +29,25 @@ def _params_to_meta(p):
     return {"cls": type(p).__name__, "fields": dataclasses.asdict(p)}
 
 
+_PARAM_CLASSES = (
+    "FlatParams", "FlatSearchParams",
+    "IVFFlatParams", "IVFFlatSearchParams",
+    "IVFPQParams", "IVFPQSearchParams",
+    "CagraParams", "CagraSearchParams",
+)
+
+
 def _params_from_meta(meta):
     if meta is None:
         return None
     from cuvs_rag_tpu.utils import config as config_mod
 
-    klass = getattr(config_mod, meta["cls"], None)
-    if klass is None:
+    # explicit allowlist: retriever.json is data, and resolving arbitrary
+    # names via getattr would make every callable in utils.config
+    # reachable from a tampered file (ADVICE r4)
+    if meta["cls"] not in _PARAM_CLASSES:
         raise ValueError(f"unknown params class {meta['cls']!r}")
+    klass = getattr(config_mod, meta["cls"])
     return klass(**meta["fields"])
 
 

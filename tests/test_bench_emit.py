@@ -99,10 +99,13 @@ def test_watchdog_emits_headline_when_flow_hangs(capsys, monkeypatch):
 
     import os as _os
 
+    from cuvs_rag_tpu.eval import benchlog
+
     exited = []
     monkeypatch.setattr(bench, "_main_flow", hang_flow)
     monkeypatch.setattr(bench, "WATCHDOG_S", 0.3)
     monkeypatch.setattr(_os, "_exit", exited.append)
+    monkeypatch.setattr(benchlog, "append_row", lambda *a, **k: None)
     bench.main()
     assert exited == [0]
     out = capsys.readouterr().out.strip().splitlines()
@@ -126,6 +129,9 @@ def test_watchdog_aborts_rc3_before_headline(capsys, monkeypatch):
     monkeypatch.setattr(bench, "_main_flow", hang_early)
     monkeypatch.setattr(bench, "WATCHDOG_S", 0.3)
     monkeypatch.setattr(_os, "_exit", exited.append)
+    # the repo's committed BENCH_LOG would satisfy the fallback; this test
+    # pins the no-fallback-available behavior
+    monkeypatch.setattr(bench, "_emit_stale_fallback", lambda *a, **k: False)
     bench.main()
     assert exited == [3]
     assert capsys.readouterr().out.strip() == ""
@@ -162,13 +168,142 @@ def test_probe_device_dies_after_retries_on_raising_backend(capsys):
     t0 = time.time()
     bench._probe_device_or_die(jax, _BoomJnp, deadline_s=60.0,
                                attempts=3, backoff_s=0.05,
-                               die=died.append)
+                               die=died.append,
+                               log_path="/nonexistent/BENCH_LOG.jsonl")
     assert died == [2]
     assert len(calls) == 3, "must probe `attempts` times"
     assert time.time() - t0 < 30.0, "fast-raising probes must not burn " \
                                     "the full deadline"
     err = capsys.readouterr().err
     assert "libtpu version mismatch" in err
+
+
+def _write_log_row(path, value=0.0565, ts="2026-08-20T22:38:00Z",
+                   sha="deadbeef", unix=1.0):
+    rec = {
+        "ts": ts, "unix": unix, "sha": sha, "dirty": False,
+        "script": "bench.py",
+        "payload": {
+            "metric": "exact_search_ms_per_query_2000000x768_k5_batch100",
+            "value": value, "unit": "ms/query", "vs_baseline": 35.6,
+            "extra": {"qps": 1.0},
+        },
+    }
+    with open(path, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+def test_probe_failure_falls_back_to_bench_log(tmp_path, capsys):
+    """VERDICT r4 #1: a down tunnel at capture time must emit the newest
+    committed BENCH_LOG row with stale_capture provenance and exit 0 —
+    never again rc=2 with an empty round record."""
+    log = tmp_path / "BENCH_LOG.jsonl"
+    _write_log_row(log, value=0.9, ts="2026-08-01T00:00:00Z", unix=1.0)
+    _write_log_row(log, value=0.0565, ts="2026-08-20T22:38:00Z", unix=2.0)
+
+    class _BoomJnp:
+        @staticmethod
+        def ones(shape):
+            raise RuntimeError("tunnel down (simulated)")
+
+    died = []
+    bench._probe_device_or_die(jax, _BoomJnp, deadline_s=60.0,
+                               attempts=2, backoff_s=0.01,
+                               die=died.append, log_path=str(log))
+    assert died == [0]
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1
+    rec = json.loads(out[0])
+    assert rec["value"] == 0.0565, "newest logged row wins"
+    assert rec["stale_capture"] == "2026-08-20T22:38:00Z"
+    prov = rec["extra"]["stale_capture"]
+    assert prov["captured_sha"] == "deadbeef"
+    assert "probe failed" in prov["reason"]
+
+
+def test_stale_fallback_prefers_same_sha(tmp_path, capsys, monkeypatch):
+    """A newer capture from OLDER code loses to the newest capture from
+    the code actually under test."""
+    from cuvs_rag_tpu.eval import benchlog
+
+    log = tmp_path / "BENCH_LOG.jsonl"
+    _write_log_row(log, value=0.5, sha="current000", unix=1.0)
+    _write_log_row(log, value=0.9, sha="other111", unix=2.0)
+    monkeypatch.setattr(
+        benchlog, "git_state",
+        lambda: {"sha": "current000", "dirty": False},
+    )
+    assert bench._emit_stale_fallback("test", log_path=str(log))
+    rec = json.loads(capsys.readouterr().out.strip())
+    assert rec["value"] == 0.5
+    assert rec["extra"]["stale_capture"]["captured_sha"] == "current000"
+
+
+def test_stale_fallback_returns_false_without_log(tmp_path, capsys):
+    assert not bench._emit_stale_fallback(
+        "test", log_path=str(tmp_path / "missing.jsonl")
+    )
+    assert capsys.readouterr().out.strip() == ""
+
+
+def test_worker_crash_after_headline_still_emits(capsys, monkeypatch):
+    """ADVICE r4 medium: an uncaught exception in the flow used to kill
+    only the daemon thread — process exited rc=0 with NO json line. Now a
+    crash after the headline emits what completed."""
+    import os as _os
+
+    def crash_flow(state):
+        state["device_str"] = "dev"
+        state["rows"], state["skipped"] = {}, []
+        state["headline"] = (0.06, 16666.0, 0.4, 0.006)
+        raise RuntimeError("device fell over mid-extras (simulated)")
+
+    from cuvs_rag_tpu.eval import benchlog
+
+    exited = []
+    monkeypatch.setattr(bench, "_main_flow", crash_flow)
+    monkeypatch.setattr(bench, "WATCHDOG_S", 5.0)
+    monkeypatch.setattr(_os, "_exit", exited.append)
+    monkeypatch.setattr(benchlog, "append_row", lambda *a, **k: None)
+    bench.main()
+    assert exited == [], "crash after headline is a salvaged rc=0 emit"
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1
+    rec = json.loads(out[0])
+    assert rec["value"] == 0.06
+    assert "crash:RuntimeError" in rec["extra"]["extras_skipped"]
+
+
+def test_worker_crash_before_headline_exits_rc1(capsys, monkeypatch):
+    """No headline, no BENCH_LOG fallback -> rc=1 (a crashed run must not
+    look like a clean exit to the driver)."""
+    import os as _os
+
+    def crash_early(state):
+        raise RuntimeError("boom before anything (simulated)")
+
+    exited = []
+    monkeypatch.setattr(bench, "_main_flow", crash_early)
+    monkeypatch.setattr(bench, "WATCHDOG_S", 5.0)
+    monkeypatch.setattr(_os, "_exit", exited.append)
+    monkeypatch.setattr(bench, "_emit_stale_fallback", lambda *a, **k: False)
+    bench.main()
+    assert exited == [1]
+    assert capsys.readouterr().out.strip() == ""
+
+
+def test_emit_notes_are_honest():
+    """VERDICT r4 #8: emitted notes self-describe their caveats. Pin the
+    load-bearing phrases so a refactor can't silently drop them."""
+    import inspect
+
+    src = inspect.getsource(bench)
+    # e2e row must disclose the toy encoder before citing the reference
+    assert "RANDOM-WEIGHT toy BERT" in src
+    assert "cross-system comparison" in src
+    # below-target recalls must say so and point at the tuned row
+    assert src.count("BELOW the 0.95") >= 2  # ivf_k2000 + pq_refine16
+    assert "pq_tuned_note" in src and "ivf_k2000_routed_note" in src
 
 
 def test_probe_device_heals_on_second_attempt(capsys):
