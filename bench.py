@@ -218,10 +218,14 @@ def _recall(ids: np.ndarray, gt: np.ndarray, k: int) -> float:
 # wedges MID-RUN (observed 2026-08-20: probes 1-2 timed out, probe 3
 # answered, the corpus build then hung until the driver's external timeout
 # — no JSON, no rc=2, indistinguishable from a crash). The flow runs in a
-# daemon worker; if it exceeds WATCHDOG_S the main thread emits whatever
-# completed (headline + finished extra rows) as the one JSON line, or
-# aborts rc=3 if even the headline never finished.
+# daemon worker; if it exceeds WATCHDOG_S *measured from when the probe
+# answered* (the ~15-min probe schedule must not eat the flow's budget),
+# the main thread emits whatever completed (headline + finished extra
+# rows) as the one JSON line, falls back to BENCH_LOG, or aborts rc=3.
+# PROBE_BUDGET_S bounds the pre-flow phase (probe attempts + backoffs are
+# finite by construction; this is belt-and-braces against an import hang).
 WATCHDOG_S = 1800.0
+PROBE_BUDGET_S = 1600.0
 
 
 def main():
@@ -247,7 +251,18 @@ def main():
 
     worker = threading.Thread(target=worker_body, daemon=True)
     worker.start()
-    worker.join(WATCHDOG_S)
+    t0 = time.time()
+    slice_s = min(5.0, max(0.05, WATCHDOG_S / 3))
+    while worker.is_alive():
+        worker.join(slice_s)
+        if not worker.is_alive():
+            break
+        flow_t0 = state.get("flow_t0")  # set when the probe answered
+        if flow_t0 is None:
+            if time.time() - t0 > PROBE_BUDGET_S + WATCHDOG_S:
+                break
+        elif time.time() - flow_t0 > WATCHDOG_S:
+            break
     hl = state.get("headline")
     err = state.get("error")
     if not worker.is_alive():
@@ -307,6 +322,7 @@ def _main_flow(state):
     from cuvs_rag_tpu.utils.config import FlatParams
 
     _probe_device_or_die(jax, jnp)
+    state["flow_t0"] = time.time()  # watchdog budget starts post-probe
     state["device_str"] = str(jax.devices()[0])
     key = jax.random.PRNGKey(42)
     rows = {}

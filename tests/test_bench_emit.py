@@ -104,6 +104,7 @@ def test_watchdog_emits_headline_when_flow_hangs(capsys, monkeypatch):
     exited = []
     monkeypatch.setattr(bench, "_main_flow", hang_flow)
     monkeypatch.setattr(bench, "WATCHDOG_S", 0.3)
+    monkeypatch.setattr(bench, "PROBE_BUDGET_S", 0.0)
     monkeypatch.setattr(_os, "_exit", exited.append)
     monkeypatch.setattr(benchlog, "append_row", lambda *a, **k: None)
     bench.main()
@@ -128,6 +129,7 @@ def test_watchdog_aborts_rc3_before_headline(capsys, monkeypatch):
     exited = []
     monkeypatch.setattr(bench, "_main_flow", hang_early)
     monkeypatch.setattr(bench, "WATCHDOG_S", 0.3)
+    monkeypatch.setattr(bench, "PROBE_BUDGET_S", 0.0)
     monkeypatch.setattr(_os, "_exit", exited.append)
     # the repo's committed BENCH_LOG would satisfy the fallback; this test
     # pins the no-fallback-available behavior
