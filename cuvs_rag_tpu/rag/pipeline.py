@@ -51,6 +51,54 @@ def _params_from_meta(meta):
     return klass(**meta["fields"])
 
 
+def encode_sharded(
+    encoder,
+    texts: Sequence[str],
+    dmesh: Optional[DeviceMesh] = None,
+    *,
+    batch_size: int = 256,
+    workers: Optional[int] = None,
+) -> np.ndarray:
+    """Data-parallel corpus encode for ANY encoder (VERDICT r4 #5 — the
+    seam was flax-only; hashing/torch encoders silently fell back to
+    serial host encoding).
+
+    Device-hosted encoders (flax: FlaxSentenceEncoder, QwenEmbeddingEncoder)
+    delegate to their own `encode_sharded` — the token batch shards across
+    the mesh, parameters replicate, one SPMD program. Host encoders get
+    batch-level THREAD parallelism instead: torch releases the GIL inside
+    its kernels and the hashing encoders are numpy/hashlib-bound, so
+    `workers` (default: the mesh size) threads each encode a contiguous
+    slice and results concatenate in order. This mirrors the reference's
+    one-thread-per-GPU corpus encode (generate_embeddings.py batched
+    ds.map) without pretending host compute shards over TPU chips.
+    """
+    texts = list(texts)
+    own = getattr(encoder, "encode_sharded", None)
+    if own is not None:
+        return np.asarray(
+            own(texts, dmesh or DeviceMesh(), batch_size=batch_size),
+            np.float32,
+        )
+    n_workers = workers or (dmesh.num_devices if dmesh is not None else 4)
+    if n_workers <= 1 or len(texts) <= batch_size:
+        return np.asarray(
+            encoder.encode(texts, batch_size=batch_size), np.float32
+        )
+    from concurrent.futures import ThreadPoolExecutor
+
+    chunk = -(-len(texts) // n_workers)
+    slices = [texts[i: i + chunk] for i in range(0, len(texts), chunk)]
+    with ThreadPoolExecutor(max_workers=n_workers) as ex:
+        parts = list(ex.map(
+            lambda s: np.asarray(
+                encoder.encode(s, batch_size=batch_size), np.float32
+            ),
+            slices,
+        ))
+    return np.concatenate(parts, axis=0)
+
+
 def encode_on_device(encoder, texts: List[str]) -> jnp.ndarray:
     """Query embeddings as a DEVICE array, with no host bounce when the
     encoder supports it. Flax encoders expose `encode_device` (the same
@@ -124,16 +172,14 @@ class Retriever:
         encode_batch_size: int = 64,
     ) -> "Retriever":
         if corpus.embeddings is None:
-            if (
-                placement in ("shard", "replicate")
-                and hasattr(encoder, "encode_sharded")
-            ):
+            if placement in ("shard", "replicate"):
                 # multi-device build: data-parallel the corpus encode over
-                # the same mesh the index will live on (flax encoders;
-                # models/flax_encoder.encode_sharded)
+                # the same mesh the index will live on — SPMD for
+                # device-hosted encoders, threaded for host encoders
+                # (module-level encode_sharded handles both)
                 dmesh = dmesh or DeviceMesh()
-                corpus.embeddings = encoder.encode_sharded(
-                    corpus.passages, dmesh,
+                corpus.embeddings = encode_sharded(
+                    encoder, corpus.passages, dmesh,
                     batch_size=max(encode_batch_size, 1),
                 )
             else:

@@ -1,0 +1,71 @@
+"""Generalized data-parallel encode seam (rag/pipeline.encode_sharded,
+VERDICT r4 #5): device-hosted encoders go SPMD over the mesh; host
+encoders get ordered threaded batch parallelism. Parity with serial
+encode() is exact in both cases."""
+
+import numpy as np
+
+from cuvs_rag_tpu.models.encoder import HashingEncoder, TfidfHashingEncoder
+from cuvs_rag_tpu.parallel.mesh import DeviceMesh
+from cuvs_rag_tpu.rag import pipeline as pl
+
+TEXTS = ["doc %d about %s" % (i, "abcdef"[i % 6]) for i in range(37)]
+
+
+def test_host_encoder_threaded_parity():
+    enc = HashingEncoder(dim=64)
+    ref = enc.encode(TEXTS)
+    got = pl.encode_sharded(enc, TEXTS, DeviceMesh(), batch_size=4)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_host_encoder_explicit_workers():
+    enc = TfidfHashingEncoder(dim=128).fit(TEXTS)
+    ref = np.asarray(enc.encode(TEXTS), np.float32)
+    got = pl.encode_sharded(enc, TEXTS, None, batch_size=4, workers=3)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_small_input_stays_serial():
+    enc = HashingEncoder(dim=32)
+    got = pl.encode_sharded(enc, TEXTS[:3], DeviceMesh(), batch_size=256)
+    np.testing.assert_array_equal(got, enc.encode(TEXTS[:3]))
+
+
+def test_device_encoder_delegates_to_own_spmd():
+    calls = {}
+
+    class _Spmd:
+        dim = 8
+
+        def encode_sharded(self, texts, dmesh, batch_size):
+            calls["args"] = (len(texts), dmesh, batch_size)
+            return np.ones((len(texts), 8), np.float32)
+
+        def encode(self, texts, batch_size=0):  # must NOT be used
+            raise AssertionError("delegation skipped")
+
+    dm = DeviceMesh()
+    out = pl.encode_sharded(_Spmd(), TEXTS, dm, batch_size=16)
+    assert out.shape == (len(TEXTS), 8)
+    assert calls["args"] == (len(TEXTS), dm, 16)
+
+
+def test_retriever_build_shard_uses_threaded_host_encode():
+    """Retriever.build(placement='shard') must produce identical
+    embeddings to a serial host encode (order preserved across chunks)."""
+    from cuvs_rag_tpu.rag.corpus import Corpus
+    from cuvs_rag_tpu.rag.pipeline import Retriever
+    from cuvs_rag_tpu.utils.config import FlatParams
+
+    enc = HashingEncoder(dim=64)
+    dm = DeviceMesh()
+    r = Retriever.build(
+        Corpus(passages=list(TEXTS)), enc, family="flat",
+        params=FlatParams(tile_n=8), placement="shard", dmesh=dm,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r.corpus.embeddings), enc.encode(TEXTS)
+    )
+    got = r.retrieve(TEXTS[9], k=1)
+    assert got.passages[0].index == 9
