@@ -406,6 +406,10 @@ def _main_flow(state):
     # --- end-to-end text retrieval (encode + search in one pipeline) ----
     _try_row("e2e_text", lambda: _e2e_text_row(jax, jnp, key, rows), skipped)
 
+    # --- serving daemon under concurrent mixed load (VERDICT r4 #7) -----
+    _try_row("server_load", lambda: _server_row(jax, jnp, key, rows),
+             skipped)
+
     _emit(ms_per_query, qps, build_s, dt, rows, skipped,
           state["device_str"], emitted=state["emitted"], state=state,
           log=True)
@@ -481,6 +485,119 @@ def _e2e_text_row(jax, jnp, key, rows):
         "checkpoints in this env), so the reference's 127 ms/query "
         "(real MiniLM on 4xL4, faiss-main.ipynb#cell10) is NOT a "
         "cross-system comparison — encoder FLOPs differ"
+    )
+
+
+def _server_row(jax, jnp, key, rows):
+    """Serving daemon percentiles under concurrent mixed traffic: 16
+    client threads x 384 single-query HTTP requests, a 25/25/25/25 blend
+    of plain-vector / view-scoped / deny-list / text searches against a
+    200k x 384 flat bf16 index (the rag/server.py micro-batched daemon).
+    Reference framing: the FAISS 4xL4 pipeline measured 7.86 QPS incl.
+    encode at batch 50 (faiss-main.ipynb#cell10) with no serving layer
+    at all."""
+    import json as json_mod
+    import threading
+    from http.client import HTTPConnection
+
+    from cuvs_rag_tpu.index import flat
+    from cuvs_rag_tpu.models.encoder import HashingEncoder
+    from cuvs_rag_tpu.rag import server as server_mod
+    from cuvs_rag_tpu.rag.corpus import Corpus
+    from cuvs_rag_tpu.rag.pipeline import Retriever
+    from cuvs_rag_tpu.utils.config import FlatParams
+
+    n_s, d_s, n_req, n_cli, k = 200_000, 384, 384, 16, 10
+    corpus_dev = jax.random.normal(
+        jax.random.fold_in(key, 777_001), (n_s, d_s), jnp.bfloat16
+    )
+    index = flat.build(FlatParams(dtype="bfloat16"), corpus_dev)
+    del corpus_dev
+    retriever = Retriever(
+        encoder=HashingEncoder(dim=d_s), index=index,
+        corpus=Corpus(passages=["p%d" % i for i in range(n_s)]),
+        family="flat",
+    )
+    srv = server_mod.serve(retriever, host="127.0.0.1", port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    rng = np.random.default_rng(3)
+    srv.service.create_view(
+        "half", allow_ids=[int(x) for x in range(0, n_s, 2)]
+    )
+    deny = [int(x) for x in rng.choice(n_s, 64, replace=False)]
+    qvecs = rng.standard_normal((64, d_s)).astype(np.float32)
+
+    def body(i):
+        v = qvecs[i % len(qvecs)].tolist()
+        m = i % 4
+        if m == 0:
+            return {"vectors": [v], "k": k}
+        if m == 1:
+            return {"vectors": [v], "k": k, "view": "half"}
+        if m == 2:
+            return {"vectors": [v], "k": k, "deny_ids": deny}
+        return {"texts": ["query %d words" % i], "k": k}
+
+    addr = srv.server_address
+    lock = threading.Lock()
+    lat, errors = [], []
+
+    def run(n_total, warm):
+        counter = {"i": 0}
+
+        def worker():
+            conn = HTTPConnection(*addr, timeout=120)
+            while True:
+                with lock:
+                    i = counter["i"]
+                    if i >= n_total:
+                        return
+                    counter["i"] += 1
+                t0 = time.perf_counter()
+                try:
+                    conn.request(
+                        "POST", "/v1/search",
+                        body=json_mod.dumps(body(i)),
+                        headers={"Content-Type": "application/json"},
+                    )
+                    resp = conn.getresponse()
+                    resp.read()
+                    assert resp.status == 200, resp.status
+                except Exception as e:  # noqa: BLE001
+                    with lock:
+                        errors.append(repr(e))
+                    return
+                if not warm:
+                    with lock:
+                        lat.append(time.perf_counter() - t0)
+
+        threads = [threading.Thread(target=worker) for _ in range(n_cli)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        return time.perf_counter() - t0
+
+    run(64, warm=True)  # compile every bucket shape the blend hits
+    wall = run(n_req, warm=False)
+    srv.shutdown()
+    srv.service.close()
+    if errors:
+        raise RuntimeError(f"{len(errors)} client errors: {errors[0]}")
+    arr = np.asarray(lat)
+    rows["server_mixed_qps"] = round(n_req / wall, 1)
+    rows["server_mixed_p50_ms"] = round(
+        float(np.percentile(arr, 50)) * 1e3, 1)
+    rows["server_mixed_p95_ms"] = round(
+        float(np.percentile(arr, 95)) * 1e3, 1)
+    rows["server_mixed_p99_ms"] = round(
+        float(np.percentile(arr, 99)) * 1e3, 1)
+    rows["server_note"] = (
+        "micro-batched daemon, 16 clients x mixed vector/view/deny/text "
+        "single-query HTTP requests, 200k x 384 flat bf16 (reference "
+        "had no serving layer; its batch-50 pipeline measured 7.86 QPS "
+        "on 4xL4)"
     )
 
 

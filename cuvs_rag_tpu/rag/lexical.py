@@ -1,0 +1,364 @@
+"""Host-side lexical retrieval: a real inverted-index BM25 engine.
+
+VERDICT r4 #4: the hybrid stack's "lexical" legs were hashed TF-IDF
+vectors pushed through the DENSE index path — no inverted index, no BM25
+saturation, lexical quality bounded by hashing collisions. This module is
+the real thing: an Okapi BM25 scorer over CSR postings, vectorized numpy
+scoring (no per-document Python), live extend/delete, and a Retriever
+duck-type adapter so it plugs into HybridRetriever and the serving
+daemon unchanged.
+
+Engine placement: lexical scoring is HOST work by design. The corpus
+text lives on the host, postings are integer-sparse (gather/scatter
+— the access pattern TPUs are worst at and host DRAM is fine at), and a
+query touches only the postings of its ~10 terms (microseconds at 1M
+docs). Shipping this to the TPU would burn HBM bandwidth on a problem
+whose arithmetic intensity is ~0; the TPU stays on the dense path while
+BM25 runs concurrently on host (the fusion model — rag/fusion.py).
+
+Reference analogue: none — the reference retrieves from exactly one
+dense index at a time (SURVEY.md §0); hybrid dense+lexical is
+beyond-parity surface.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+import time
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+_TOKEN_RE = re.compile(r"[a-z0-9']+")
+
+
+def tokenize(text: str) -> List[str]:
+    """Lowercase word tokens (the TfidfHashingEncoder convention, minus
+    bigrams — BM25 is classically a unigram model)."""
+    return _TOKEN_RE.findall(text.lower())
+
+
+@dataclasses.dataclass
+class BM25Params:
+    """Okapi BM25 constants (Robertson et al.): k1 saturates term
+    frequency, b scales doc-length normalization."""
+
+    k1: float = 1.2
+    b: float = 0.75
+
+
+class BM25Index:
+    """Inverted-index BM25 over CSR postings.
+
+    Build once with `build(texts)`; search is vectorized numpy per query
+    (gather the query terms' postings slices, one bincount scatter-add,
+    one argpartition). Live mutation mirrors the dense families:
+    `extend(texts)` appends documents into a small delta store that is
+    compacted into the CSR automatically; `delete(ids)` tombstones.
+
+    idf = ln(1 + (N - df + .5)/(df + .5)) is recomputed from df counts on
+    demand, so extends keep scoring consistent. Deletes do NOT decrement
+    df (standard practice — Lucene keeps deleted docs' stats until merge);
+    the tombstone mask guarantees deleted ids never surface.
+    """
+
+    def __init__(self, params: Optional[BM25Params] = None):
+        self.params = params or BM25Params()
+        self.vocab: Dict[str, int] = {}
+        self.df = np.zeros((0,), np.int64)
+        # CSR: postings of term t are docs/tfs[indptr[t]:indptr[t+1]]
+        self.indptr = np.zeros((1,), np.int64)
+        self.post_docs = np.zeros((0,), np.int64)
+        self.post_tfs = np.zeros((0,), np.float32)
+        self.doc_len = np.zeros((0,), np.float32)
+        self.alive = np.zeros((0,), bool)
+        # delta store for extend(): term id -> ([doc ids], [tfs])
+        self._delta: Dict[int, List[List]] = {}
+        self._delta_nnz = 0
+        self.metric = "bm25"  # similarity: higher = better (fusion.py)
+
+    # -- construction -----------------------------------------------------
+
+    @classmethod
+    def build(cls, texts: Sequence[str],
+              params: Optional[BM25Params] = None) -> "BM25Index":
+        ix = cls(params)
+        ix._bulk_add(texts)
+        return ix
+
+    def _bulk_add(self, texts: Sequence[str]) -> None:
+        """Append `texts` as docs n..n+B-1 directly into a rebuilt CSR
+        (build path and delta compaction share this via _rebuild)."""
+        start = len(self.doc_len)
+        term_ids: List[np.ndarray] = []
+        term_tfs: List[np.ndarray] = []
+        lens = np.zeros((len(texts),), np.float32)
+        for i, t in enumerate(texts):
+            toks = tokenize(t)
+            lens[i] = len(toks)
+            counts: Dict[int, int] = {}
+            for w in toks:
+                tid = self.vocab.get(w)
+                if tid is None:
+                    tid = self.vocab[w] = len(self.vocab)
+                counts[tid] = counts.get(tid, 0) + 1
+            tids = np.fromiter(counts.keys(), np.int64, len(counts))
+            term_ids.append(tids)
+            term_tfs.append(
+                np.fromiter(counts.values(), np.float32, len(counts))
+            )
+        n_terms = len(self.vocab)
+        # grow df
+        df = np.zeros((n_terms,), np.int64)
+        df[: len(self.df)] = self.df
+        all_tids = (np.concatenate(term_ids)
+                    if term_ids else np.zeros((0,), np.int64))
+        np.add.at(df, all_tids, 1)
+        self.df = df
+        # rebuild the CSR from COO: old postings (term ids recovered from
+        # the old indptr) + the new ones, lexsorted by (term, doc)
+        old_tids = np.repeat(
+            np.arange(len(self.indptr) - 1, dtype=np.int64),
+            np.diff(self.indptr),
+        )
+        new_docs = np.concatenate([
+            np.full((len(t),), start + i, np.int64)
+            for i, t in enumerate(term_ids)
+        ]) if term_ids else np.zeros((0,), np.int64)
+        new_tfs = (np.concatenate(term_tfs)
+                   if term_tfs else np.zeros((0,), np.float32))
+        coo_t = np.concatenate([old_tids, all_tids])
+        coo_d = np.concatenate([self.post_docs, new_docs])
+        coo_f = np.concatenate([self.post_tfs, new_tfs])
+        order = np.lexsort((coo_d, coo_t))
+        counts = np.bincount(coo_t, minlength=n_terms)
+        indptr = np.zeros((n_terms + 1,), np.int64)
+        np.cumsum(counts, out=indptr[1:])
+        self.indptr = indptr
+        self.post_docs = coo_d[order]
+        self.post_tfs = coo_f[order]
+        self.doc_len = np.concatenate([self.doc_len, lens])
+        self.alive = np.concatenate(
+            [self.alive, np.ones((len(texts),), bool)]
+        )
+
+    # -- mutation ---------------------------------------------------------
+
+    def extend(self, texts: Sequence[str]) -> range:
+        """Append docs live. New postings land in a delta store scored
+        alongside the CSR; when the delta outgrows 25% of the CSR it is
+        compacted (amortized O(nnz))."""
+        start = len(self.doc_len)
+        lens = np.zeros((len(texts),), np.float32)
+        for i, t in enumerate(texts):
+            toks = tokenize(t)
+            lens[i] = len(toks)
+            counts: Dict[int, int] = {}
+            for w in toks:
+                tid = self.vocab.get(w)
+                if tid is None:
+                    tid = self.vocab[w] = len(self.vocab)
+                counts[tid] = counts.get(tid, 0) + 1
+            for tid, c in counts.items():
+                slot = self._delta.setdefault(tid, [[], []])
+                slot[0].append(start + i)
+                slot[1].append(float(c))
+                self._delta_nnz += 1
+        if len(self.df) < len(self.vocab):
+            self.df = np.pad(self.df, (0, len(self.vocab) - len(self.df)))
+        for t in texts:
+            for tid in {self.vocab[w] for w in tokenize(t)}:
+                self.df[tid] += 1
+        self.doc_len = np.concatenate([self.doc_len, lens])
+        self.alive = np.concatenate(
+            [self.alive, np.ones((len(texts),), bool)]
+        )
+        if self._delta_nnz > 0.25 * max(len(self.post_docs), 64):
+            self._compact()
+        return range(start, start + len(texts))
+
+    def _compact(self) -> None:
+        n_terms = len(self.vocab)
+        counts = np.diff(self.indptr)
+        counts = np.pad(counts, (0, n_terms - len(counts)))
+        add = np.zeros((n_terms,), np.int64)
+        for tid, (d, _) in self._delta.items():
+            add[tid] = len(d)
+        indptr = np.zeros((n_terms + 1,), np.int64)
+        np.cumsum(counts + add, out=indptr[1:])
+        docs = np.empty((int(indptr[-1]),), np.int64)
+        tfs = np.empty((int(indptr[-1]),), np.float32)
+        for tid in range(n_terms):
+            s, e = indptr[tid], indptr[tid] + counts[tid]
+            if tid < len(self.indptr) - 1:
+                os_, oe = self.indptr[tid], self.indptr[tid + 1]
+                docs[s:e] = self.post_docs[os_:oe]
+                tfs[s:e] = self.post_tfs[os_:oe]
+            if add[tid]:
+                d, f = self._delta[tid]
+                docs[e:e + add[tid]] = d
+                tfs[e:e + add[tid]] = f
+        self.indptr, self.post_docs, self.post_tfs = indptr, docs, tfs
+        self._delta, self._delta_nnz = {}, 0
+
+    def delete(self, ids) -> None:
+        ids = np.asarray(ids, np.int64)
+        if ids.size and (ids.min() < 0 or ids.max() >= len(self.doc_len)):
+            raise ValueError(
+                f"ids outside corpus [0, {len(self.doc_len)})"
+            )
+        self.alive[ids] = False
+
+    # -- search -----------------------------------------------------------
+
+    @property
+    def n_docs(self) -> int:
+        return len(self.doc_len)
+
+    def _idf(self, tids: np.ndarray) -> np.ndarray:
+        n = float(len(self.doc_len))
+        df = self.df[tids].astype(np.float64)
+        return np.log1p((n - df + 0.5) / (df + 0.5)).astype(np.float32)
+
+    def search(
+        self,
+        queries: Sequence[str],
+        k: int,
+        allow: Optional[np.ndarray] = None,
+    ) -> "tuple[np.ndarray, np.ndarray]":
+        """Batch BM25 top-k. Returns (scores, ids), both (Q, k), ids = -1
+        past the matched count, HIGHER score = better (a similarity — the
+        opposite orientation from the dense families' distances; fusion
+        handles both via the metric tag)."""
+        n = len(self.doc_len)
+        k1, b = self.params.k1, self.params.b
+        avgdl = float(self.doc_len.mean()) if n else 1.0
+        mask = self.alive if allow is None else (
+            self.alive & np.asarray(allow, bool)
+        )
+        out_s = np.zeros((len(queries), k), np.float32)
+        out_i = np.full((len(queries), k), -1, np.int64)
+        norm_cache = 1.0 - b + b * self.doc_len / max(avgdl, 1e-9)
+        for qi, q in enumerate(queries):
+            tids = np.asarray(
+                sorted({self.vocab[w] for w in tokenize(q)
+                        if w in self.vocab}),
+                np.int64,
+            )
+            if tids.size == 0:
+                continue
+            idf = self._idf(tids)
+            scores = np.zeros((n,), np.float32)
+            # CSR postings of the query's terms
+            in_csr = tids[tids < len(self.indptr) - 1]
+            if in_csr.size:
+                starts, ends = self.indptr[in_csr], self.indptr[in_csr + 1]
+                lens = ends - starts
+                gather = np.repeat(
+                    starts - np.concatenate([[0], np.cumsum(lens)[:-1]]),
+                    lens,
+                ) + np.arange(int(lens.sum()))
+                docs = self.post_docs[gather]
+                tf = self.post_tfs[gather]
+                idf_rep = np.repeat(
+                    idf[np.searchsorted(tids, in_csr)], lens
+                )
+                contrib = idf_rep * tf * (k1 + 1.0) / (
+                    tf + k1 * norm_cache[docs]
+                )
+                scores += np.bincount(
+                    docs, weights=contrib, minlength=n
+                ).astype(np.float32)[:n]
+            # delta postings (recent extends, not yet compacted)
+            for pos, tid in enumerate(tids):
+                slot = self._delta.get(int(tid))
+                if not slot:
+                    continue
+                d = np.asarray(slot[0], np.int64)
+                tf = np.asarray(slot[1], np.float32)
+                scores[d] += idf[pos] * tf * (k1 + 1.0) / (
+                    tf + k1 * norm_cache[d]
+                )
+            scores[~mask] = -np.inf
+            kk = min(k, n)
+            top = np.argpartition(-scores, kk - 1)[:kk]
+            top = top[np.argsort(-scores[top], kind="stable")]
+            good = scores[top] > 0
+            top, sc = top[good], scores[top][good]
+            out_i[qi, : len(top)] = top
+            out_s[qi, : len(top)] = sc
+        return out_s, out_i
+
+
+class LexicalRetriever:
+    """Retriever duck-type over a BM25Index + Corpus: plugs into
+    HybridRetriever (rag/fusion.py) and the serving daemon's text path.
+    Higher-is-better scores are reported in `RetrievedPassage.distance`
+    with the engine tagged metric='bm25' so z-score fusion orients them
+    correctly (fusion._engine_higher_better)."""
+
+    params = None
+    search_params = None
+    family = "bm25"
+    encoder = None  # text-native: no vector encoder
+    dmesh = None
+
+    def __init__(self, corpus, bm25: Optional[BM25Index] = None,
+                 bm25_params: Optional[BM25Params] = None):
+        self.corpus = corpus
+        self.bm25 = bm25 or BM25Index.build(corpus.passages, bm25_params)
+        self.metric = self.bm25.metric
+
+    def retrieve(self, query: str, k: int = 5, allow=None):
+        return self.retrieve_batch([query], k, allow=allow)[0]
+
+    def retrieve_batch(self, queries: Sequence[str], k: int = 5,
+                       allow=None, *, index=None):
+        from cuvs_rag_tpu.rag.pipeline import (
+            RetrievalResult,
+            RetrievedPassage,
+        )
+
+        if index is not None:
+            raise ValueError("LexicalRetriever has no alternate indexes")
+        t0 = time.time()
+        scores, ids = self.bm25.search(list(queries), k, allow=allow)
+        per_q = (time.time() - t0) / max(len(queries), 1)
+        out = []
+        for qi in range(len(queries)):
+            passages = [
+                RetrievedPassage(
+                    text=self.corpus.passages[j],
+                    index=int(j),
+                    distance=float(scores[qi, c]),
+                    title=(self.corpus.titles[j]
+                           if self.corpus.titles else None),
+                )
+                for c, j in enumerate(ids[qi])
+                if j >= 0
+            ]
+            out.append(RetrievalResult(passages=passages,
+                                       query_time_s=per_q))
+        return out
+
+    def extend(self, texts=None, *, vectors=None, titles=None) -> range:
+        if texts is None:
+            raise ValueError("LexicalRetriever.extend needs texts")
+        if vectors is not None:
+            raise ValueError(
+                "LexicalRetriever indexes text, not vectors"
+            )
+        texts = list(texts)
+        new_ids = self.bm25.extend(texts)
+        if titles is not None and self.corpus.titles is None:
+            self.corpus.titles = [""] * len(self.corpus.passages)
+        self.corpus.passages.extend(texts)
+        if self.corpus.titles is not None:
+            self.corpus.titles.extend(
+                list(titles) if titles is not None else [""] * len(texts)
+            )
+        return new_ids
+
+    def delete(self, ids) -> None:
+        self.bm25.delete(ids)

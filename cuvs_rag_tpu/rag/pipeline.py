@@ -481,27 +481,7 @@ class Retriever:
         # a reader that sees the NEW index must find passages/embeddings
         # already long enough (index-swap-last makes the whole extend
         # appear atomic to lock-free readers).
-        if isinstance(self.index, psearch.ShardedIndex):
-            if self.params is None:
-                # sharded extend REBUILDS (re-shard); silently substituting
-                # family defaults could swap the user's build params
-                raise ValueError(
-                    "sharded extend rebuilds the index and needs its build "
-                    "params — construct via Retriever.build (which retains "
-                    "them) or set retriever.params first"
-                )
-            new_index = psearch.extend_sharded(
-                self.index, vectors, self.dmesh, self.params
-            )
-        elif isinstance(self.index, psearch.ReplicatedIndex):
-            new_index = psearch.extend_replicated(
-                self.index, vectors, self.dmesh
-            )
-        else:
-            psearch._load_families()
-            new_index = psearch.FAMILIES[self.family].extend(
-                self.index, jnp.asarray(vectors)
-            )
+        new_index = self._build_extended_index(vectors)
 
         start = len(self.corpus.passages)
         if titles is not None and self.corpus.titles is None:
@@ -522,6 +502,32 @@ class Retriever:
 
         metrics.inc("retriever.extended_rows", len(texts))
         return range(start, start + len(texts))
+
+    def _build_extended_index(self, vectors) -> Any:
+        """The placement-dispatched index-growth step of extend(),
+        without corpus mutation — also used by HybridRetriever when
+        engines share one corpus object (rag/fusion.py: only the first
+        engine appends the passage strings)."""
+        if isinstance(self.index, psearch.ShardedIndex):
+            if self.params is None:
+                # sharded extend REBUILDS (re-shard); silently substituting
+                # family defaults could swap the user's build params
+                raise ValueError(
+                    "sharded extend rebuilds the index and needs its build "
+                    "params — construct via Retriever.build (which retains "
+                    "them) or set retriever.params first"
+                )
+            return psearch.extend_sharded(
+                self.index, vectors, self.dmesh, self.params
+            )
+        if isinstance(self.index, psearch.ReplicatedIndex):
+            return psearch.extend_replicated(
+                self.index, vectors, self.dmesh
+            )
+        psearch._load_families()
+        return psearch.FAMILIES[self.family].extend(
+            self.index, jnp.asarray(vectors)
+        )
 
     def delete(self, ids) -> None:
         """Remove passages by corpus index (tombstone; see <family>.delete).

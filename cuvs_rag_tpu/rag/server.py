@@ -56,6 +56,13 @@ import numpy as np
 from cuvs_rag_tpu.utils.metrics import default_registry as metrics
 
 
+class ServerStalledError(RuntimeError):
+    """Every dispatcher has been stuck in one device call past the stall
+    budget (a wedged TPU tunnel, not ordinary load): new work is refused
+    fast with a 503 instead of queuing behind a dispatch that may never
+    return (VERDICT r4 #7 — queue collapse under a hung device)."""
+
+
 class MicroBatcher:
     """Coalesce concurrent submissions into one batched callable invocation.
 
@@ -80,13 +87,17 @@ class MicroBatcher:
 
     def __init__(self, run_batch, max_items: int = 256,
                  window_s: float = 0.0, name: str = "batch",
-                 pipeline_depth: int = 4):
+                 pipeline_depth: int = 4, stall_s: float = 60.0):
         self._run = run_batch
         self._max = max_items
         self._window = window_s
         self._name = name
+        self._stall_s = stall_s
         self._cv = threading.Condition()
         self._queue: list[dict] = []
+        # dispatcher index -> wall time its current run_batch started;
+        # the stall watchdog reads this in submit()
+        self._busy_since: dict = {}
         self._closed = False
         self._threads = [
             threading.Thread(
@@ -103,6 +114,22 @@ class MicroBatcher:
         with self._cv:
             if self._closed:
                 raise RuntimeError("MicroBatcher is closed")
+            # stall watchdog: refuse fast when EVERY dispatcher has been
+            # inside one run_batch longer than the stall budget — the
+            # device is wedged and queued work would only pile up behind
+            # it (each submitter holding an HTTP thread for its full
+            # timeout). Ordinary load never trips this: a healthy
+            # dispatch finishes in ms-to-seconds, resetting its entry.
+            if len(self._busy_since) >= len(self._threads):
+                now = time.time()
+                oldest = min(self._busy_since.values())
+                if now - oldest > self._stall_s:
+                    metrics.inc(f"server.stalled_rejects.{self._name}")
+                    raise ServerStalledError(
+                        f"all {len(self._threads)} dispatchers stuck in a "
+                        f"device call for > {self._stall_s:.0f}s — device "
+                        "wedged; retry later"
+                    )
             self._queue.append(slot)
             self._cv.notify()
         if not slot["done"].wait(timeout):
@@ -142,6 +169,9 @@ class MicroBatcher:
                 continue
             metrics.observe(f"server.microbatch_size.{self._name}",
                             float(len(batch)))
+            me = threading.get_ident()
+            with self._cv:
+                self._busy_since[me] = time.time()
             try:
                 results = self._run([s["item"] for s in batch])
                 for s, r in zip(batch, results):
@@ -149,6 +179,9 @@ class MicroBatcher:
             except Exception as e:  # noqa: BLE001 — delivered to submitters
                 for s in batch:
                     s["error"] = e
+            finally:
+                with self._cv:
+                    self._busy_since.pop(me, None)
             for s in batch:
                 s["done"].set()
 
@@ -167,7 +200,7 @@ class SearchService:
 
     def __init__(self, retriever, micro_batch: bool = True,
                  max_batch: int = 256, window_s: float = 0.0,
-                 pipeline_depth: int = 4):
+                 pipeline_depth: int = 4, stall_s: float = 60.0):
         self.retriever = retriever
         self.dim = self._index_dim(retriever)
         # name -> immutable view entry {"kind": "index"|"mask", "obj", ...}
@@ -185,10 +218,12 @@ class SearchService:
             self._text_batcher = MicroBatcher(
                 self._run_texts, max_items=max_batch, window_s=window_s,
                 name="texts", pipeline_depth=pipeline_depth,
+                stall_s=stall_s,
             )
             self._vec_batcher = MicroBatcher(
                 self._run_vectors, max_items=max_batch, window_s=window_s,
                 name="vectors", pipeline_depth=pipeline_depth,
+                stall_s=stall_s,
             )
 
     @staticmethod
@@ -370,8 +405,12 @@ class SearchService:
         post-filter masks AFTER the beam, so the bucketed device k
         (k + |deny| rounded to the batch bucket) must stay within
         itopk_size (index/filters.py raises past it). Unfiltered cagra
-        has no cap — the beam widens to max(itopk, k)."""
+        has no cap — the beam widens to max(itopk, k). Mask-kind entries
+        on hybrid/lexical retrievers (which pre-filter via allow=) have
+        no cap either."""
         if entry is None or entry.get("kind") != "mask":
+            return
+        if getattr(self.retriever, "family", None) != "cagra":
             return
         sp = self.retriever.search_params
         if sp is None:
@@ -405,8 +444,9 @@ class SearchService:
         """Bake a persistent filtered view. Exactly one of allow_ids /
         deny_ids. No size cap: the view is built ONCE (a (n,) bool mask +
         one bookkeeping leaf; vector storage is shared), so searches
-        against it cost the same as the unfiltered index."""
-        self._require_single_engine("views")
+        against it cost the same as the unfiltered index. Multi-engine
+        (hybrid) and lexical retrievers get mask-kind views: the mask
+        rides allow= into every engine at search time."""
         if not isinstance(name, str) or not name or len(name) > 64 or \
                 not all(c.isalnum() or c in "_.-" for c in name):
             raise ValueError(
@@ -456,9 +496,12 @@ class SearchService:
         from cuvs_rag_tpu.parallel import search as psearch
 
         r = self.retriever
-        if r.family == "cagra":
-            # post-filter family: no view exists (index/filters.py) — the
-            # mask rides allow= at search time (beam post-filter)
+        if not hasattr(r, "index") or getattr(r, "family", None) in (
+            "cagra", "hybrid", "bm25",
+        ):
+            # mask-kind view: cagra post-filters after the beam; hybrid and
+            # lexical retrievers pre-filter every engine via allow= — in
+            # all three cases the mask rides allow= at search time
             return {"kind": "mask", "obj": mask}
         if isinstance(r.index, psearch.ShardedIndex):
             return {"kind": "index",
@@ -517,14 +560,16 @@ class SearchService:
             return self._run_texts([(texts, k, deny, entry)])[0]
 
     def _require_single_engine(self, op: str) -> None:
-        """Multi-engine (hybrid, rag/fusion.py) retrievers serve TEXT
-        search only: there is no single `.index` to vector-search, bake a
-        view over, or mutate. Reject with a 400 instead of an opaque
-        AttributeError deep in a batch runner."""
+        """Multi-engine (hybrid) and text-native (lexical) retrievers have
+        no single `.index`/vector space: raw VECTOR search is rejected
+        with a 400 instead of an opaque AttributeError deep in a batch
+        runner. (Text search, views, extend and delete all serve hybrid —
+        VERDICT r4 #4.)"""
         if not hasattr(self.retriever, "index"):
             raise ValueError(
                 f"{op} requires a single-engine retriever; this service "
-                "wraps a multi-engine (hybrid) retriever — text search only"
+                "wraps a multi-engine/lexical retriever — use text "
+                "search, views, extend or delete"
             )
 
     def search_vectors(self, vectors, k: int, deny_ids=(), view=None):
@@ -559,8 +604,14 @@ class SearchService:
     # row could resurface through a stale view).
 
     def extend_corpus(self, texts=None, vectors=None, titles=None) -> dict:
-        """Append passages/vectors to the live index (POST /v1/extend)."""
-        self._require_single_engine("extend")
+        """Append passages/vectors to the live index (POST /v1/extend).
+        Multi-engine/lexical retrievers take texts only (each engine
+        encodes/tokenizes its own)."""
+        if vectors is not None and not hasattr(self.retriever, "index"):
+            raise ValueError(
+                "this service wraps a multi-engine/lexical retriever — "
+                "extend with texts (each engine encodes its own)"
+            )
         if vectors is not None:
             vectors = np.asarray(vectors, np.float32)
             if vectors.ndim != 2 or vectors.shape[0] == 0:
@@ -590,7 +641,6 @@ class SearchService:
         """Tombstone passages by id on the live index (POST /v1/delete).
         Ids never come back from any search (views included); surviving
         ids stay stable."""
-        self._require_single_engine("delete")
         idx = self._validate_ids(ids, len(self.retriever.corpus))
         with self._update_lock:
             t0 = time.perf_counter()
@@ -632,13 +682,17 @@ class SearchService:
         r = self.retriever
         with self._views_lock:
             n_views = len(self._views)
-        return {
-            "family": r.family,
+        out = {
+            "family": getattr(r, "family", "unknown"),
             "corpus_size": len(r.corpus),
             "devices": [str(d) for d in jax.devices()],
-            "placement": type(r.index).__name__,
+            "placement": type(getattr(r, "index", r)).__name__,
             "views": n_views,
         }
+        engines = getattr(r, "retrievers", None)
+        if engines is not None:
+            out["engines"] = [getattr(e, "family", "?") for e in engines]
+        return out
 
 
 def make_handler(service: SearchService):
@@ -748,6 +802,11 @@ def make_handler(service: SearchService):
             except (ValueError, KeyError, json.JSONDecodeError) as e:
                 metrics.inc("server.errors")
                 self._reply(400, {"error": str(e)})
+            except (TimeoutError, ServerStalledError) as e:
+                # hung/wedged device: degrade to 503 (retryable) instead
+                # of a generic 500 — load balancers understand the former
+                metrics.inc("server.unavailable")
+                self._reply(503, {"error": str(e), "retry": True})
             except Exception as e:  # noqa: BLE001
                 metrics.inc("server.errors")
                 self._reply(500, {"error": str(e)})
@@ -764,6 +823,7 @@ def serve(
     max_batch: int = 256,
     window_s: float = 0.0,
     pipeline_depth: int = 4,
+    stall_s: float = 60.0,
 ) -> ThreadingHTTPServer:
     """Start the daemon (returns the server; call .serve_forever()).
 
@@ -773,7 +833,7 @@ def serve(
     """
     service = SearchService(
         retriever, micro_batch=micro_batch, max_batch=max_batch,
-        window_s=window_s, pipeline_depth=pipeline_depth,
+        window_s=window_s, pipeline_depth=pipeline_depth, stall_s=stall_s,
     )
 
     class Server(ThreadingHTTPServer):

@@ -26,9 +26,11 @@ import numpy as np
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 
-def run_clients(addr, vectors, n_requests, n_clients, k=10, extra=None):
+def run_clients(addr, vectors, n_requests, n_clients, k=10, extra=None,
+                body_fn=None):
     """n_clients threads round-robin single-query POSTs; returns (wall_s, lat).
-    `extra`: dict merged into every request body (view / deny_ids modes)."""
+    `extra`: dict merged into every request body (view / deny_ids modes).
+    `body_fn(i)`: full per-request body override (mixed-traffic mode)."""
     latencies = []
     lat_lock = threading.Lock()
     errors = []
@@ -44,6 +46,7 @@ def run_clients(addr, vectors, n_requests, n_clients, k=10, extra=None):
                     return
                 counter["i"] += 1
             body = json.dumps(
+                body_fn(i) if body_fn is not None else
                 {"vectors": [vectors[i % len(vectors)].tolist()], "k": k,
                  **(extra or {})}
             )
@@ -137,26 +140,47 @@ def main():
         ("view_50pct", True, {"view": "bench-view"}),
         ("deny_1024", True, {"deny_ids": deny_sample}),
     )
+    # mixed-traffic body generator (VERDICT r4 #7): the realistic blend a
+    # multi-tenant deployment sees — plain vector, view-scoped, deny-list
+    # and text queries interleaved across clients
+    def mixed_body(i):
+        v = queries[i % len(queries)].tolist()
+        m = i % 4
+        if m == 0:
+            return {"vectors": [v], "k": args.k}
+        if m == 1:
+            return {"vectors": [v], "k": args.k, "view": "bench-view"}
+        if m == 2:
+            return {"vectors": [v], "k": args.k,
+                    "deny_ids": deny_sample[:64]}
+        return {"texts": [f"synthetic query {i}"], "k": args.k}
+
+    modes = modes + (("mixed", True, "MIXED"),)
     for mode, micro, extra in modes:
         srv = server_mod.serve(retriever, host="127.0.0.1", port=0,
                                micro_batch=micro)
         threading.Thread(target=srv.serve_forever, daemon=True).start()
-        if extra and "view" in extra:
+        if (isinstance(extra, dict) and "view" in extra) or extra == "MIXED":
             t0 = time.time()
             srv.service._views["bench-view"] = dict(
                 srv.service._bake_view(allow_mask), allowed=int(
                     allow_mask.sum()), build_ms=0.0,
+                mask=allow_mask, is_allow=True,
             )
             print(f"view bake: {time.time() - t0:.3f}s")
         addr = srv.server_address
-        run_clients(addr, queries, 64, 16, k=args.k, extra=extra)  # warmup
+        body_fn = mixed_body if extra == "MIXED" else None
+        req_extra = extra if isinstance(extra, dict) else None
+        run_clients(addr, queries, 64, 16, k=args.k, extra=req_extra,
+                    body_fn=body_fn)  # warmup
         wall, lat = run_clients(addr, queries, args.n, args.clients,
-                                k=args.k, extra=extra)
+                                k=args.k, extra=req_extra, body_fn=body_fn)
         qps = args.n / wall
         results[mode] = {
             "qps": round(qps, 1),
             "p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 2),
             "p95_ms": round(float(np.percentile(lat, 95)) * 1e3, 2),
+            "p99_ms": round(float(np.percentile(lat, 99)) * 1e3, 2),
             "mean_ms": round(float(lat.mean()) * 1e3, 2),
         }
         print(f"{mode}: {results[mode]}")
@@ -166,13 +190,29 @@ def main():
     speedup = results["micro_batch"]["qps"] / results["per_request"]["qps"]
     view_overhead = (results["micro_batch"]["qps"]
                      / results["view_50pct"]["qps"] - 1.0)
-    print(json.dumps({
+    summary = {
         "server_bench": results,
         "microbatch_speedup": round(speedup, 2),
         "view_overhead_pct": round(view_overhead * 100.0, 1),
         "note": "view_50pct = named persistent filter (baked once); "
-                "deny_1024 = per-request deny path (k+1024 over-fetch)",
-    }))
+                "deny_1024 = per-request deny path (k+1024 over-fetch); "
+                "mixed = 25/25/25/25 vector/view/deny/text blend",
+    }
+    print(json.dumps(summary))
+    from cuvs_rag_tpu.eval import benchlog
+
+    benchlog.append_row(
+        {
+            "metric": f"server_mixed_qps_{n}x{d}_c{args.clients}",
+            "value": results["mixed"]["qps"],
+            "unit": "qps",
+            "vs_baseline": round(
+                results["mixed"]["qps"] / 7.86, 2  # faiss-main #cell10
+            ),
+            "extra": summary,
+        },
+        script="scripts/bench_server.py",
+    )
 
 
 if __name__ == "__main__":

@@ -1,0 +1,171 @@
+"""BM25 inverted-index engine (rag/lexical.py, VERDICT r4 #4)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from cuvs_rag_tpu.rag.corpus import Corpus
+from cuvs_rag_tpu.rag.lexical import (
+    BM25Index,
+    BM25Params,
+    LexicalRetriever,
+    tokenize,
+)
+
+DOCS = [
+    "the cat sat on the mat",
+    "dogs chase cats in the yard",
+    "quantum computing with qubits",
+    "the mat was red and the mat was flat",
+    "qubits entangle in quantum systems",
+    "a completely unrelated document about cooking pasta",
+]
+
+
+def _ref_bm25(texts, query, k1=1.2, b=0.75):
+    """Slow, obviously-correct Okapi BM25 for parity checks."""
+    docs = [tokenize(t) for t in texts]
+    n = len(docs)
+    avgdl = sum(len(d) for d in docs) / n
+    scores = np.zeros(n)
+    qterms = set(tokenize(query))
+    for t in qterms:
+        df = sum(1 for d in docs if t in d)
+        if df == 0:
+            continue
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        for di, d in enumerate(docs):
+            tf = d.count(t)
+            if tf == 0:
+                continue
+            dl = len(d)
+            scores[di] += idf * tf * (k1 + 1) / (
+                tf + k1 * (1 - b + b * dl / avgdl)
+            )
+    return scores
+
+
+def test_scores_match_reference_bm25():
+    ix = BM25Index.build(DOCS)
+    for q in ["quantum qubits", "the mat", "cats", "pasta cooking dinner"]:
+        ref = _ref_bm25(DOCS, q)
+        s, i = ix.search([q], len(DOCS))
+        got = np.zeros(len(DOCS))
+        for c in range(len(DOCS)):
+            if i[0, c] >= 0:
+                got[i[0, c]] = s[0, c]
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_reference_parity_random_corpora():
+    rng = np.random.default_rng(0)
+    vocab = ["w%d" % i for i in range(50)]
+    for trial in range(5):
+        texts = [
+            " ".join(rng.choice(vocab, rng.integers(3, 30)))
+            for _ in range(40)
+        ]
+        ix = BM25Index.build(texts)
+        q = " ".join(rng.choice(vocab, 4))
+        ref = _ref_bm25(texts, q)
+        s, i = ix.search([q], 40)
+        got = np.zeros(40)
+        for c in range(40):
+            if i[0, c] >= 0:
+                got[i[0, c]] = s[0, c]
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_rare_term_beats_common():
+    ix = BM25Index.build(DOCS)
+    _, i = ix.search(["quantum"], 2)  # rare, two docs
+    assert set(i[0]) == {2, 4}
+
+
+def test_unseen_and_empty_queries():
+    ix = BM25Index.build(DOCS)
+    s, i = ix.search(["zzzunknown term", ""], 3)
+    assert (i == -1).all()
+    assert (s == 0).all()
+
+
+def test_extend_searchable_and_parity_after_compaction():
+    ix = BM25Index.build(DOCS[:3])
+    all_texts = list(DOCS[:3])
+    for batch in (DOCS[3:5], DOCS[5:], ["quantum pasta fusion cuisine"]):
+        ids = ix.extend(list(batch))
+        assert ids == range(len(all_texts), len(all_texts) + len(batch))
+        all_texts.extend(batch)
+    # force compaction and check parity against a fresh build's reference
+    for j in range(40):
+        all_texts.append("filler doc number %d" % j)
+        ix.extend([all_texts[-1]])
+    assert ix._delta_nnz < len(ix.post_docs)  # compaction happened
+    for q in ["quantum qubits", "pasta", "filler"]:
+        ref = _ref_bm25(all_texts, q)
+        s, i = ix.search([q], len(all_texts))
+        got = np.zeros(len(all_texts))
+        for c in range(i.shape[1]):
+            if i[0, c] >= 0:
+                got[i[0, c]] = s[0, c]
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_delete_tombstones_and_allow_mask():
+    ix = BM25Index.build(DOCS)
+    ix.delete([2])
+    _, i = ix.search(["quantum qubits"], 4)
+    assert 2 not in i[0]
+    allow = np.ones(len(DOCS), bool)
+    allow[4] = False
+    _, i2 = ix.search(["quantum qubits"], 4, allow=allow)
+    assert 4 not in i2[0] and 2 not in i2[0]
+    with pytest.raises(ValueError):
+        ix.delete([99])
+
+
+def test_doc_length_normalization():
+    """With b=1, a term match in a shorter doc outranks the same single
+    match in a longer doc."""
+    texts = ["needle", "needle " + "hay " * 30]
+    ix = BM25Index.build(texts, BM25Params(b=1.0))
+    s, i = ix.search(["needle"], 2)
+    assert i[0, 0] == 0 and s[0, 0] > s[0, 1]
+
+
+def test_lexical_retriever_surface():
+    corpus = Corpus(passages=list(DOCS))
+    r = LexicalRetriever(corpus)
+    res = r.retrieve("quantum qubits", k=2)
+    assert res.passages[0].index in (2, 4)
+    assert res.passages[0].distance > 0  # similarity orientation
+    # extend via the retriever grows corpus + index together
+    ids = r.extend(["fresh doc about volcanoes"])
+    assert ids == range(6, 7)
+    assert len(corpus.passages) == 7
+    got = r.retrieve("volcanoes", k=1)
+    assert got.passages[0].index == 6
+    r.delete([6])
+    got2 = r.retrieve("volcanoes", k=1)
+    assert not got2.passages
+    # allow mask flows through retrieve_batch
+    allow = np.ones(7, bool)
+    allow[2] = False
+    got3 = r.retrieve("quantum qubits", k=2, allow=allow)
+    assert all(p.index != 2 for p in got3.passages)
+
+
+def test_lexical_in_hybrid_zscore_orientation():
+    """metric='bm25' marks scores higher-is-better so z-score fusion
+    must NOT invert the lexical engine's contribution: a lexical-only
+    hybrid ranks exactly like the raw engine."""
+    from cuvs_rag_tpu.rag.fusion import HybridRetriever, _engine_higher_better
+
+    corpus = Corpus(passages=list(DOCS))
+    r = LexicalRetriever(corpus)
+    assert _engine_higher_better(r)
+    h = HybridRetriever([r], method="zscore")
+    res = h.retrieve("quantum qubits", k=2)
+    raw = r.retrieve("quantum qubits", k=2)
+    assert [p.index for p in res.passages] == [p.index for p in raw.passages]

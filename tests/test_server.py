@@ -593,25 +593,22 @@ def test_extend_delete_validation(mutable_server):
     assert body["corpus_size"] == 4
 
 
-def test_hybrid_retriever_serving_text_only():
-    """A multi-engine HybridRetriever (rag/fusion.py) serves text search
-    through the daemon; the single-engine surfaces (vector search, views,
-    extend/delete) reject with a 400 instead of an AttributeError inside
-    a batch runner."""
-    from cuvs_rag_tpu.models.encoder import TfidfHashingEncoder
+def test_hybrid_retriever_full_serving():
+    """A multi-engine HybridRetriever (dense + real BM25 lexical,
+    rag/fusion.py + rag/lexical.py) serves the FULL daemon surface except
+    raw vector search (VERDICT r4 #4): text search + deny_ids, named
+    views (mask-kind, allow= into every engine), live extend and delete.
+    Raw vector search stays a 400 — a hybrid has no single vector space."""
     from cuvs_rag_tpu.rag.fusion import HybridRetriever
+    from cuvs_rag_tpu.rag.lexical import LexicalRetriever
 
     ip = FlatParams(metric=Metric.INNER_PRODUCT, tile_n=8)
-    r1 = Retriever.build(
-        Corpus(passages=list(PASSAGES)),
-        TfidfHashingEncoder(dim=128).fit(PASSAGES),
-        family="flat", params=ip,
+    shared = Corpus(passages=list(PASSAGES))
+    dense = Retriever.build(
+        shared, HashingEncoder(dim=128), family="flat", params=ip,
     )
-    r2 = Retriever.build(
-        Corpus(passages=list(PASSAGES)), HashingEncoder(dim=128),
-        family="flat", params=ip,
-    )
-    hybrid = HybridRetriever([r1, r2])
+    lex = LexicalRetriever(shared)
+    hybrid = HybridRetriever([dense, lex])
     srv = server_mod.serve(hybrid, host="127.0.0.1", port=0)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
@@ -630,14 +627,85 @@ def test_hybrid_retriever_serving_text_only():
         assert all(p["index"] != 1
                    for p in body["results"][0]["passages"])
 
+        # named view: mask-kind, enforced in EVERY engine (pre-filter)
+        code, body = _req(addr, "POST", "/v1/views",
+                          {"name": "no1", "deny_ids": [1]})
+        assert code == 200, body
+        code, body = _req(addr, "POST", "/v1/search",
+                          {"texts": ["machine learning on tpus"], "k": 3,
+                           "view": "no1"})
+        assert code == 200, body
+        assert all(p["index"] != 1
+                   for p in body["results"][0]["passages"]), body
+
+        # live extend: both engines index the new passage
+        code, body = _req(addr, "POST", "/v1/extend",
+                          {"texts": ["volcanic geology of iceland"]})
+        assert code == 200, body
+        assert body["added"] == 1 and body["ids"] == [4, 5]
+        code, body = _req(addr, "POST", "/v1/search",
+                          {"texts": ["volcanic geology iceland"], "k": 1})
+        assert body["results"][0]["passages"][0]["index"] == 4, body
+        code, body = _req(addr, "GET", "/stats")
+        assert body["corpus_size"] == 5
+        assert body["family"] == "hybrid"
+        assert body["engines"] == ["flat", "bm25"], body
+
+        # live delete tombstones in every engine
+        code, body = _req(addr, "POST", "/v1/delete", {"ids": [4]})
+        assert code == 200, body
+        code, body = _req(addr, "POST", "/v1/search",
+                          {"texts": ["volcanic geology iceland"], "k": 2})
+        assert all(p["index"] != 4
+                   for p in body["results"][0]["passages"]), body
+
+        # extend with raw vectors / raw vector search: single-engine only
         for path, payload in [
             ("/v1/search", {"vectors": [[0.0] * 128], "k": 2}),
-            ("/v1/views", {"name": "v", "allow_ids": [0]}),
-            ("/v1/extend", {"texts": ["new passage"]}),
-            ("/v1/delete", {"ids": [0]}),
+            ("/v1/extend", {"vectors": [[0.0] * 128]}),
         ]:
             code, body = _req(addr, "POST", path, payload)
             assert code == 400, (path, body)
-            assert "single-engine" in body["error"], (path, body)
+            assert ("single-engine" in body["error"]
+                    or "multi-engine" in body["error"]), (path, body)
+    finally:
+        srv.shutdown()
+
+
+def test_lexical_retriever_standalone_serving():
+    """A text-native BM25 retriever serves text search, views, extend
+    and delete through the daemon with no dense index at all."""
+    from cuvs_rag_tpu.rag.lexical import LexicalRetriever
+
+    lex = LexicalRetriever(Corpus(passages=list(PASSAGES)))
+    srv = server_mod.serve(lex, host="127.0.0.1", port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    addr = srv.server_address
+    try:
+        code, body = _req(addr, "POST", "/v1/search",
+                          {"texts": ["roman empire history"], "k": 1})
+        assert code == 200, body
+        assert body["results"][0]["passages"][0]["index"] == 3, body
+        code, body = _req(addr, "POST", "/v1/views",
+                          {"name": "v", "allow_ids": [0, 1]})
+        assert code == 200, body
+        code, body = _req(addr, "POST", "/v1/search",
+                          {"texts": ["roman empire history"], "k": 2,
+                           "view": "v"})
+        ids = [p["index"] for p in body["results"][0]["passages"]]
+        assert all(i in (0, 1) for i in ids), body
+        code, body = _req(addr, "POST", "/v1/extend",
+                          {"texts": ["medieval castles of france"]})
+        assert code == 200 and body["added"] == 1, body
+        code, body = _req(addr, "POST", "/v1/search",
+                          {"texts": ["medieval castles"], "k": 1})
+        assert body["results"][0]["passages"][0]["index"] == 4, body
+        code, body = _req(addr, "POST", "/v1/delete", {"ids": [4]})
+        assert code == 200, body
+        code, body = _req(addr, "POST", "/v1/search",
+                          {"texts": ["medieval castles"], "k": 1})
+        assert all(p["index"] != 4
+                   for p in body["results"][0]["passages"]), body
     finally:
         srv.shutdown()

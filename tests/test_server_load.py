@@ -1,0 +1,187 @@
+"""Serving under load (VERDICT r4 #7): concurrent mixed traffic in CI
+(CPU backend) + the stall watchdog that degrades a wedged device to 503
+instead of queue collapse."""
+
+import json
+import threading
+import time
+from http.client import HTTPConnection
+
+import numpy as np
+import pytest
+
+from cuvs_rag_tpu.models.encoder import HashingEncoder
+from cuvs_rag_tpu.rag import server as server_mod
+from cuvs_rag_tpu.rag.corpus import Corpus
+from cuvs_rag_tpu.rag.pipeline import Retriever
+from cuvs_rag_tpu.utils.config import FlatParams, Metric
+
+N_DOCS, DIM = 500, 64
+
+
+@pytest.fixture(scope="module")
+def loaded_server():
+    docs = ["doc %d topic %s" % (i, "abcdefgh"[i % 8])
+            for i in range(N_DOCS)]
+    r = Retriever.build(
+        Corpus(passages=docs), HashingEncoder(dim=DIM), family="flat",
+        params=FlatParams(metric=Metric.COSINE, tile_n=64),
+    )
+    srv = server_mod.serve(r, host="127.0.0.1", port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    srv.service.create_view("even", allow_ids=list(range(0, N_DOCS, 2)))
+    yield srv.server_address
+    srv.shutdown()
+    srv.service.close()
+
+
+def _post(addr, body):
+    c = HTTPConnection(*addr, timeout=60)
+    c.request("POST", "/v1/search", body=json.dumps(body),
+              headers={"Content-Type": "application/json"})
+    resp = c.getresponse()
+    return resp.status, json.loads(resp.read())
+
+
+def test_concurrent_mixed_traffic(loaded_server):
+    """16 client threads x mixed text/vector/deny/view traffic: every
+    request answers 200 with correct per-mode filtering, and the
+    latency distribution is recorded (the CI twin of
+    scripts/bench_server.py --mixed)."""
+    enc = HashingEncoder(dim=DIM)
+    vec = enc.encode(["doc 42 topic c"])[0].tolist()
+    modes = [
+        {"texts": ["doc 42 topic c"], "k": 5},
+        {"vectors": [vec], "k": 5},
+        {"texts": ["doc 42 topic c"], "k": 5, "deny_ids": [42]},
+        {"texts": ["doc 42 topic c"], "k": 5, "view": "even"},
+        {"vectors": [vec], "k": 5, "view": "even"},
+    ]
+    n_requests, n_clients = 150, 16
+    lat, statuses, fails = [], [], []
+    lock = threading.Lock()
+    counter = {"i": 0}
+
+    def worker():
+        while True:
+            with lock:
+                i = counter["i"]
+                if i >= n_requests:
+                    return
+                counter["i"] += 1
+            body = modes[i % len(modes)]
+            t0 = time.time()
+            try:
+                code, payload = _post(loaded_server, body)
+            except Exception as e:  # noqa: BLE001
+                with lock:
+                    fails.append(repr(e))
+                return
+            dt = time.time() - t0
+            with lock:
+                statuses.append(code)
+                lat.append(dt)
+                if "deny_ids" in body and code == 200:
+                    ids = [p["index"]
+                           for p in payload["results"][0]["passages"]]
+                    if 42 in ids:
+                        fails.append(f"deny leak: {ids}")
+                if body.get("view") == "even" and code == 200:
+                    if "results" in payload:
+                        ids = [p["index"]
+                               for p in payload["results"][0]["passages"]]
+                    else:
+                        ids = payload["indices"][0]
+                    if any(i % 2 for i in ids if i >= 0):
+                        fails.append(f"view leak: {ids}")
+
+    threads = [threading.Thread(target=worker) for _ in range(n_clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(120)
+    assert not fails, fails[:5]
+    assert len(statuses) == n_requests
+    assert all(s == 200 for s in statuses)
+    lat = np.asarray(lat)
+    p50, p95, p99 = np.percentile(lat, [50, 95, 99])
+    assert 0 < p50 <= p95 <= p99  # the distribution is real and ordered
+
+
+def test_stall_watchdog_rejects_fast():
+    """When every dispatcher is stuck in one device call past stall_s,
+    new submissions fail immediately with ServerStalledError instead of
+    queuing behind the wedge."""
+    release = threading.Event()
+
+    def hung_run(items):
+        release.wait(30)
+        return [None] * len(items)
+
+    mb = server_mod.MicroBatcher(hung_run, pipeline_depth=2, stall_s=0.2,
+                                 name="stalltest")
+    def wedge(i):
+        try:
+            mb.submit(i, timeout=10.0)
+        except Exception:  # noqa: BLE001 — expected: the batch hangs
+            pass
+
+    wedgers = [
+        threading.Thread(target=wedge, args=(i,), daemon=True)
+        for i in range(2)
+    ]
+    for t in wedgers:
+        t.start()
+    deadline = time.time() + 5.0
+    while time.time() < deadline:
+        with mb._cv:
+            if len(mb._busy_since) >= 2:
+                break
+        time.sleep(0.01)
+    time.sleep(0.3)  # exceed stall_s
+    t0 = time.time()
+    with pytest.raises(server_mod.ServerStalledError):
+        mb.submit("rejected")
+    assert time.time() - t0 < 0.5, "stall rejection must be immediate"
+    release.set()
+
+
+def test_healthy_load_never_trips_stall_watchdog():
+    done = []
+
+    def quick_run(items):
+        time.sleep(0.01)
+        return [x for x in items]
+
+    mb = server_mod.MicroBatcher(quick_run, pipeline_depth=2, stall_s=0.5,
+                                 name="healthy")
+    for i in range(50):
+        done.append(mb.submit(i))
+    assert done == list(range(50))
+    mb.close()
+
+
+def test_hung_dispatch_maps_to_503_over_http():
+    """A dispatch timeout surfacing from the batcher answers 503 (+
+    retry flag), not 500 — load balancers retry elsewhere."""
+
+    class _HungRetriever:
+        corpus = Corpus(passages=["a", "b"])
+        encoder = HashingEncoder(dim=8)
+        family = "flat"
+        search_params = None
+        params = None
+
+        def retrieve_batch(self, texts, k, **kw):
+            raise TimeoutError("micro-batch texts dispatch timed out")
+
+    srv = server_mod.serve(_HungRetriever(), host="127.0.0.1", port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        code, body = _post(srv.server_address,
+                           {"texts": ["hello"], "k": 1})
+        assert code == 503, (code, body)
+        assert body["retry"] is True
+    finally:
+        srv.shutdown()
+        srv.service.close()
