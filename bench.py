@@ -477,6 +477,28 @@ def _e2e_text_row(jax, jnp, key, rows):
     ms_host = timed()
     rows["e2e_text_ms_per_batch16"] = round(ms_dev, 2)
     rows["e2e_text_hostbounce_ms_per_batch16"] = round(ms_host, 2)
+
+    # data-parallel corpus-encode throughput (VERDICT r4 #5): the same
+    # seam Retriever.build(placement='shard') drives; on this 1-chip
+    # bench the mesh is size 1 — multi-chip scaling is certified by the
+    # dryrun_multichip parity gate, this row pins per-chip throughput
+    from cuvs_rag_tpu.parallel.mesh import DeviceMesh
+    from cuvs_rag_tpu.rag.pipeline import encode_sharded
+
+    dmesh = DeviceMesh()
+    docs = ["passage %d topic %d body words here" % (i, i % 11)
+            for i in range(4096)]
+    _ = encode_sharded(enc, docs[:256], dmesh, batch_size=256)  # compile
+    t0 = time.perf_counter()
+    _ = encode_sharded(enc, docs, dmesh, batch_size=256)
+    dt_enc = time.perf_counter() - t0
+    rows["encode_sharded_docs_per_s"] = round(len(docs) / dt_enc, 0)
+    rows["encode_sharded_note"] = (
+        "rag/pipeline.encode_sharded (token batch sharded over the mesh; "
+        f"{dmesh.num_devices} device(s) here), toy 6-layer 384-d flax "
+        "BERT at seq 64 — per-chip number; multi-chip parity gated in "
+        "dryrun_multichip"
+    )
     rows["e2e_text_note"] = (
         "text->passages wall: flax encode + flat search 200k x 384; "
         "device-resident embedding handoff vs host bounce is the "

@@ -1,0 +1,113 @@
+"""One sharded end-to-end RAG story (VERDICT r4 #5).
+
+Ingest -> data-parallel corpus encode over the device mesh -> sharded
+index build (SPMD shard_map) -> distributed retrieval (ICI all_gather +
+on-chip k-way merge) -> passage assembly, as ONE flow through the public
+API. The reference ran the same story hand-rolled across 2 GPUs with
+threads (/root/reference/Latest/improved_multi_gpu_rag.py:399-506).
+
+Run on any mesh:
+  python examples/demo_sharded_rag.py               # real device(s)
+  CUVS_DEMO_CPU_MESH=8 python examples/demo_sharded_rag.py  # 8-way CPU mesh
+
+The encoder here is the self-contained flax BERT with synthetic weights
+(no model downloads in this env; swap `make_encoder("<hf-name>",
+on_tpu=True)` for a real checkpoint). The encode step shards the token
+batch across the mesh (models/flax_encoder.encode_sharded); a host
+encoder would transparently get threaded batch parallelism instead
+(rag/pipeline.encode_sharded).
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+
+    n_cpu = int(os.environ.get("CUVS_DEMO_CPU_MESH", "0"))
+    if n_cpu:
+        # must precede the first jax op (backend init); mirrors
+        # __graft_entry__.dryrun_multichip
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", n_cpu)
+    import jax.numpy as jnp
+
+    from cuvs_rag_tpu.models import flax_encoder as fe
+    from cuvs_rag_tpu.parallel.mesh import DeviceMesh
+    from cuvs_rag_tpu.rag.corpus import Corpus
+    from cuvs_rag_tpu.rag.datasets import load_medical_qa
+    from cuvs_rag_tpu.rag.pipeline import Retriever
+    from cuvs_rag_tpu.utils.config import IVFFlatParams, IVFFlatSearchParams
+
+    dmesh = DeviceMesh()
+    print(f"mesh: {dmesh.num_devices} device(s) — {jax.devices()[0]}")
+
+    # 1) ingest: the medical QA corpus the reference prepared
+    #    (Latest/cuVS-2-gpu/prepare_dataset.py)
+    qa, _ = load_medical_qa(2000)
+    corpus = Corpus(
+        passages=[f"{r.input} {r.output}" for r in qa],
+        titles=[r.topic for r in qa],
+    )
+    print(f"ingested {len(corpus.passages)} passages")
+
+    # 2+3) data-parallel encode over the mesh + SPMD sharded build, in one
+    #      Retriever.build call (placement='shard' routes the corpus
+    #      encode through rag/pipeline.encode_sharded)
+    cfg = fe.BertConfig(
+        vocab_size=30_000, hidden_size=256, num_layers=4, num_heads=4,
+        intermediate_size=1024, max_position=128,
+    )
+    params = cfg_params = fe.BertEncoderModel(cfg).init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 128), jnp.int32), jnp.ones((1, 128), jnp.int32),
+    )
+
+    class _Tok:  # hash tokenizer (no vocab downloads)
+        def __call__(self, texts, **kw):
+            L = kw.get("max_length", 128)
+            ids = np.zeros((len(texts), L), np.int32)
+            mask = np.zeros((len(texts), L), np.int32)
+            for i, t in enumerate(texts):
+                toks = [hash(w) % 29_000 + 1 for w in t.split()][:L]
+                ids[i, : len(toks)] = toks
+                mask[i, : len(toks)] = 1
+            return {"input_ids": ids, "attention_mask": mask}
+
+    encoder = fe.FlaxSentenceEncoder(cfg, params, _Tok(), max_length=128)
+    t0 = time.time()
+    retriever = Retriever.build(
+        corpus, encoder, family="ivf_flat",
+        params=IVFFlatParams(n_lists=32), placement="shard", dmesh=dmesh,
+        search_params=IVFFlatSearchParams(n_probes=8),
+        encode_batch_size=64 * dmesh.num_devices,
+    )
+    dt = time.time() - t0
+    print(f"sharded encode + build: {dt:.1f}s "
+          f"({len(corpus.passages) / dt:.0f} docs/s end-to-end)")
+
+    # 4) distributed retrieval + passage assembly. With synthetic encoder
+    #    weights, semantic neighbors are not meaningful — but identical
+    #    text maps to the identical embedding, so self-retrieval exactness
+    #    demonstrates the distributed path end to end.
+    probe = corpus.passages[17]
+    res = retriever.retrieve(probe, k=3)
+    top = res.passages[0]
+    print(f"query: {probe[:60]!r}...")
+    print(f"top-1: id={top.index} title={top.title!r} "
+          f"dist={top.distance:.4f} ({res.query_time_s * 1e3:.1f} ms)")
+    assert top.index == 17, "distributed self-retrieval must be exact"
+
+    context = retriever.assemble_context(probe, k=2)
+    print(f"assembled context: {len(context)} chars")
+    print("sharded end-to-end RAG flow OK")
+
+
+if __name__ == "__main__":
+    main()

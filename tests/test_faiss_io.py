@@ -54,6 +54,84 @@ def _faiss_flat_bytes(vectors: np.ndarray, metric_type: int) -> bytes:
     return b"".join(out)
 
 
+def _faiss_ivfflat_bytes(vectors, labels, centroids, metric_type: int,
+                         nprobe: int = 1) -> bytes:
+    """Hand-build IndexIVFFlat (IwFl) bytes from the documented layout
+    (faiss impl/index_write.cpp: header | nlist | nprobe | nested flat
+    quantizer | DirectMap | ArrayInvertedLists) — writer-independent
+    (VERDICT r4 #9: every supported fourcc gets a golden the writer
+    can't co-drift with)."""
+    v = vectors.astype("<f4")
+    ntotal, d = v.shape
+    nlist = centroids.shape[0]
+    order = np.argsort(labels, kind="stable")
+    sizes = np.bincount(labels, minlength=nlist).astype("<u8")
+    lists = []
+    off = 0
+    for li in range(nlist):
+        n = int(sizes[li])
+        if n == 0:
+            continue
+        ids = order[off:off + n]
+        off += n
+        lists.append(v[ids].tobytes())
+        lists.append(ids.astype("<i8").tobytes())
+    return b"".join([
+        b"IwFl",
+        struct.pack("<i", d),
+        struct.pack("<q", ntotal),
+        struct.pack("<qq", 1 << 20, 1 << 20),
+        struct.pack("<B", 1),
+        struct.pack("<i", metric_type),
+        struct.pack("<QQ", nlist, nprobe),
+        _faiss_flat_bytes(centroids, metric_type),  # nested quantizer
+        struct.pack("<B", 0),  # DirectMap::NoMap
+        struct.pack("<Q", 0),  # empty direct-map array
+        b"ilar", struct.pack("<QQ", nlist, 4 * d), b"full",
+        struct.pack("<Q", nlist), sizes.tobytes(),
+    ] + lists)
+
+
+@pytest.fixture(scope="module")
+def ivf_parts(data):
+    corpus, _ = data
+    rng = np.random.default_rng(23)
+    nlist = 8
+    centroids = rng.standard_normal((nlist, D)).astype(np.float32)
+    labels = rng.integers(0, nlist, (N,)).astype(np.int64)
+    labels[rng.permutation(N)[:3]] = 5  # keep one list crowded
+    return corpus, labels, centroids
+
+
+def test_read_hand_built_ivfflat(tmp_path, ivf_parts):
+    corpus, labels, centroids = ivf_parts
+    p = tmp_path / "ivf.faiss"
+    p.write_bytes(_faiss_ivfflat_bytes(corpus, labels, centroids, 1,
+                                       nprobe=3))
+    parsed = faiss_io.read_index(str(p))
+    assert isinstance(parsed, faiss_io.FaissIVFFlat)
+    np.testing.assert_array_equal(parsed.vectors, corpus)
+    np.testing.assert_array_equal(parsed.labels, labels)
+    np.testing.assert_allclose(parsed.centroids, centroids)
+    assert parsed.metric == Metric.SQEUCLIDEAN
+    assert parsed.nprobe == 3
+
+
+def test_ivfflat_writer_matches_hand_built_bytes(tmp_path, ivf_parts):
+    corpus, labels, centroids = ivf_parts
+    p = tmp_path / "ivf_w.faiss"
+    faiss_io.write_index(
+        faiss_io.FaissIVFFlat(
+            vectors=corpus, labels=labels.astype(np.int32),
+            centroids=centroids, metric=Metric.SQEUCLIDEAN, nprobe=3,
+        ),
+        str(p),
+    )
+    assert p.read_bytes() == _faiss_ivfflat_bytes(
+        corpus, labels, centroids, 1, nprobe=3
+    )
+
+
 def test_read_hand_built_flat_file(tmp_path, data):
     corpus, _ = data
     p = tmp_path / "flat_l2.faiss"
