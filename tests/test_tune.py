@@ -170,3 +170,39 @@ def test_candidate_ladder_flat_and_unknown_families():
     assert any("flat[" in c.label() for c in cands)
     with pytest.raises(ValueError, match="unknown families"):
         candidate_ladder(64, 1000, 10**9, families=["hnsw"])
+
+
+from cuvs_rag_tpu.eval.tune import route_large_k  # noqa: E402
+
+
+def test_route_large_k_contract(clustered):
+    """route_large_k (VERDICT r4 #2): the winner meets the recall target
+    — via tuned approx params when they're cheaper, else the exact path
+    at recall 1.0 — and the measurements back the choice."""
+    corpus, queries, _ = clustered
+    corpus_j = jnp.asarray(corpus)
+    fx = flat.build(FlatParams(), corpus_j)
+    ivf = ivf_flat.build(IVFFlatParams(n_lists=16), corpus_j)
+    k_large = 50
+    res = route_large_k("ivf_flat", ivf, fx, queries, k_large,
+                        target_recall=0.95, iters=1)
+    assert res.route in ("approx", "exact")
+    assert res.exact_point.recall == 1.0
+    assert res.point.recall >= 0.95
+    if res.route == "approx":
+        assert res.search_params is not None
+        assert (res.point.latency_ms_per_query
+                < res.exact_point.latency_ms_per_query)
+        # the tuned params really deliver the measured recall
+        _, ids = ivf_flat.search(res.search_params, ivf, queries, k_large)
+        _, gtl = flat.search(None, fx, jnp.asarray(queries), k_large)
+        gtl, ids = np.asarray(gtl), np.asarray(ids)
+        hit = np.mean([
+            len(set(ids[r]) & set(gtl[r])) / k_large
+            for r in range(len(gtl))
+        ])
+        assert hit >= 0.9
+    else:
+        assert res.search_params is None
+        assert res.point.latency_ms_per_query == \
+            res.exact_point.latency_ms_per_query
