@@ -540,7 +540,11 @@ def _server_row(jax, jnp, key, rows):
         corpus=Corpus(passages=["p%d" % i for i in range(n_s)]),
         family="flat",
     )
-    srv = server_mod.serve(retriever, host="127.0.0.1", port=0)
+    # max_batch=32 bounds the compiled bucket-shape set to {1..32} so a
+    # cold compile cache costs at most ~6 one-time programs, not one per
+    # arrival pattern
+    srv = server_mod.serve(retriever, host="127.0.0.1", port=0,
+                           max_batch=32)
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     rng = np.random.default_rng(3)
     srv.service.create_view(
@@ -746,18 +750,34 @@ def _clustered_rows(jax, jnp, key, qrs, rows, skipped):
         # {tuned IVF, exact scan} is cheaper — the policy eval/tune.py
         # route_large_k implements, emitted so the flagship artifact
         # documents the large-k trade-off instead of stopping at 0.875
-        tuned = None
-        for npb in (40, 80, 160):
+        def rec_at(npb):
             spl = IVFFlatSearchParams(n_probes=npb)
             _, ilt = ivf_flat.search(spl, ivf, queries_c, K_LARGE)
-            rec = _recall(np.asarray(ilt), gtl, K_LARGE)
+            return _recall(np.asarray(ilt), gtl, K_LARGE)
+
+        tuned = None
+        lo, hit_npb, hit_rec = 20, None, None  # nprobe=20 measured above
+        for npb in (40, 80, 160):
+            rec = rec_at(npb)
             if rec >= 0.95:
-                t_t = _queue_drain(
-                    lambda q, spl=spl: ivf_flat.search(spl, ivf, q, K_LARGE),
-                    qcs[:10],
-                )
-                tuned = (npb, rec, t_t / BATCH * 1e3)
+                hit_npb, hit_rec = npb, rec
                 break
+            lo = npb
+        # bisect (lo_fail, first_hit) for the cheapest passing nprobe —
+        # the doubling ladder alone can overshoot 2x
+        while hit_npb is not None and hit_npb - lo > 4:
+            mid = (lo + hit_npb) // 2
+            rec = rec_at(mid)
+            if rec >= 0.95:
+                hit_npb, hit_rec = mid, rec
+            else:
+                lo = mid
+        if hit_npb is not None:
+            spl = IVFFlatSearchParams(n_probes=hit_npb)
+            t_t = _queue_drain(
+                lambda q: ivf_flat.search(spl, ivf, q, K_LARGE), qcs[:10]
+            )
+            tuned = (hit_npb, hit_rec, t_t / BATCH * 1e3)
         del fx
         if tuned is not None and tuned[2] < ex_ms:
             npb, rec, t_ms = tuned

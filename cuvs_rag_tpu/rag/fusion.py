@@ -164,6 +164,13 @@ def zscore_fuse(
     from an engine's list gets that engine's worst observed z for the
     query — pessimistic, so fused winners must be seen (or near-top)
     in several engines. Returns (Q, k) fused ids.
+
+    Known edge: an engine returning a SINGLE live result for a query
+    contributes z=0 for it (a singleton standardizes to zero), i.e. no
+    signal — identical to the engine having not seen it. When an engine
+    can return near-singleton lists (e.g. a rare-term BM25 lookup with
+    no other matches), prefer method='rrf', which is rank-based and
+    immune to this.
     """
     if not id_lists:
         raise ValueError("need at least one id list")
@@ -289,6 +296,56 @@ class HybridRetriever:
     def delete(self, ids) -> None:
         for r in self.retrievers:
             r.delete(ids)
+
+    def save(self, directory: str) -> None:
+        """Persist every engine (engine_<i>/ subdirs via each engine's
+        own save) + the fusion config — warm-restartable like the
+        single-engine Retriever."""
+        import json
+        import os
+
+        os.makedirs(directory, exist_ok=True)
+        kinds = []
+        for i, r in enumerate(self.retrievers):
+            r.save(os.path.join(directory, f"engine_{i}"))
+            kinds.append("bm25" if hasattr(r, "bm25") else "dense")
+        with open(os.path.join(directory, "hybrid.json"), "w") as f:
+            json.dump({
+                "format": 1, "method": self.method, "weights": self.weights,
+                "fetch_k": self.fetch_k, "rrf_c": self.rrf_c,
+                "engines": kinds,
+            }, f)
+
+    @classmethod
+    def load(cls, directory: str, encoders) -> "HybridRetriever":
+        """Restore a save()d hybrid. `encoders`: sequence aligned with
+        the engines — the encoder object for each dense engine, None for
+        lexical ones (encoders are code + checkpoints, not index state,
+        same contract as Retriever.load)."""
+        import json
+        import os
+
+        from cuvs_rag_tpu.rag.lexical import LexicalRetriever
+        from cuvs_rag_tpu.rag.pipeline import Retriever
+
+        with open(os.path.join(directory, "hybrid.json")) as f:
+            meta = json.load(f)
+        kinds = meta["engines"]
+        if len(encoders) != len(kinds):
+            raise ValueError(
+                f"{len(encoders)} encoders for {len(kinds)} engines"
+            )
+        engines = []
+        for i, (kind, enc) in enumerate(zip(kinds, encoders)):
+            sub = os.path.join(directory, f"engine_{i}")
+            if kind == "bm25":
+                engines.append(LexicalRetriever.load(sub))
+            else:
+                engines.append(Retriever.load(sub, enc))
+        return cls(
+            engines, weights=meta["weights"], method=meta["method"],
+            fetch_k=meta["fetch_k"], rrf_c=meta["rrf_c"],
+        )
 
     def retrieve(self, query: str, k: int = 5, allow=None) -> RetrievalResult:
         return self.retrieve_batch([query], k, allow=allow)[0]

@@ -210,6 +210,50 @@ class BM25Index:
             )
         self.alive[ids] = False
 
+    # -- persistence (warm restart, mirrors index/io.py for dense) --------
+
+    def save(self, path: str) -> None:
+        """One .npz file: CSR postings + stats + vocabulary (terms are
+        newline-joined — tokens can't contain whitespace by construction
+        of `tokenize`). Compacts the delta store first so the file is
+        always a pure CSR."""
+        self._compact()
+        terms = [None] * len(self.vocab)
+        for w, tid in self.vocab.items():
+            terms[tid] = w
+        np.savez(
+            path,
+            format=np.int64(1),
+            k1=np.float32(self.params.k1),
+            b=np.float32(self.params.b),
+            terms=np.frombuffer(
+                "\n".join(terms).encode("utf-8"), dtype=np.uint8
+            ),
+            df=self.df,
+            indptr=self.indptr,
+            post_docs=self.post_docs,
+            post_tfs=self.post_tfs,
+            doc_len=self.doc_len,
+            alive=self.alive,
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "BM25Index":
+        with np.load(path) as z:
+            if int(z["format"]) != 1:
+                raise ValueError(f"unknown BM25 file format {z['format']}")
+            ix = cls(BM25Params(k1=float(z["k1"]), b=float(z["b"])))
+            blob = bytes(z["terms"].tobytes()).decode("utf-8")
+            ix.vocab = ({w: i for i, w in enumerate(blob.split("\n"))}
+                        if blob else {})
+            ix.df = z["df"]
+            ix.indptr = z["indptr"]
+            ix.post_docs = z["post_docs"]
+            ix.post_tfs = z["post_tfs"]
+            ix.doc_len = z["doc_len"]
+            ix.alive = z["alive"]
+        return ix
+
     # -- search -----------------------------------------------------------
 
     @property
@@ -362,3 +406,42 @@ class LexicalRetriever:
 
     def delete(self, ids) -> None:
         self.bm25.delete(ids)
+
+    # -- persistence (mirrors rag/pipeline.Retriever.save/load) ----------
+
+    def save(self, directory: str) -> None:
+        import json
+        import os
+
+        os.makedirs(directory, exist_ok=True)
+        with open(os.path.join(directory, "corpus.jsonl"), "w") as f:
+            for i, p in enumerate(self.corpus.passages):
+                rec = {"text": p}
+                if self.corpus.titles:
+                    rec["title"] = self.corpus.titles[i]
+                f.write(json.dumps(rec) + "\n")
+        self.bm25.save(os.path.join(directory, "bm25.npz"))
+        with open(os.path.join(directory, "retriever.json"), "w") as f:
+            json.dump({"format": 1, "family": "bm25"}, f)
+
+    @classmethod
+    def load(cls, directory: str) -> "LexicalRetriever":
+        import json
+        import os
+
+        from cuvs_rag_tpu.rag.corpus import Corpus
+
+        with open(os.path.join(directory, "retriever.json")) as f:
+            meta = json.load(f)
+        if meta.get("family") != "bm25":
+            raise ValueError(f"not a lexical retriever dir: {meta}")
+        passages, titles = [], []
+        with open(os.path.join(directory, "corpus.jsonl")) as f:
+            for line in f:
+                rec = json.loads(line)
+                passages.append(rec["text"])
+                titles.append(rec.get("title", ""))
+        if not any(titles):
+            titles = None
+        bm25 = BM25Index.load(os.path.join(directory, "bm25.npz"))
+        return cls(Corpus(passages=passages, titles=titles), bm25=bm25)

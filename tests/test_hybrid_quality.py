@@ -228,3 +228,28 @@ def test_zscore_all_padded_row():
     scs = [np.zeros((2, 4))]
     out = zscore_fuse(ids, scs, 3)
     assert (out == -1).all()
+
+
+def test_hybrid_save_load_roundtrip(tmp_path):
+    """Warm restart of a dense+BM25 hybrid: engines persist via their own
+    save; ranking is identical after reload."""
+    docs = ["alpha document about %s code x%dq" % ("abcdef"[i % 6], i)
+            for i in range(30)]
+    shared = Corpus(passages=list(docs))
+    dense = Retriever.build(
+        shared, HashingEncoder(dim=128), family="flat",
+        params=FlatParams(metric=Metric.INNER_PRODUCT, tile_n=8),
+    )
+    from cuvs_rag_tpu.rag.lexical import LexicalRetriever as _Lex
+
+    h = HybridRetriever([dense, _Lex(shared)], method="rrf",
+                        weights=[1.0, 2.0])
+    d = str(tmp_path / "hyb")
+    h.save(d)
+    h2 = HybridRetriever.load(d, [HashingEncoder(dim=128), None])
+    assert h2.method == "rrf" and h2.weights == [1.0, 2.0]
+    queries = ["alpha code x7q", "document about c"]
+    for q in queries:
+        a = [p.index for p in h.retrieve(q, k=5).passages]
+        b = [p.index for p in h2.retrieve(q, k=5).passages]
+        assert a == b, (q, a, b)

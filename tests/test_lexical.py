@@ -169,3 +169,34 @@ def test_lexical_in_hybrid_zscore_orientation():
     res = h.retrieve("quantum qubits", k=2)
     raw = r.retrieve("quantum qubits", k=2)
     assert [p.index for p in res.passages] == [p.index for p in raw.passages]
+
+
+def test_bm25_save_load_roundtrip(tmp_path):
+    ix = BM25Index.build(DOCS, BM25Params(k1=1.5, b=0.6))
+    ix.extend(["post-build doc about marmots"])
+    ix.delete([1])
+    p = str(tmp_path / "bm25.npz")
+    ix.save(p)
+    loaded = BM25Index.load(p)
+    assert loaded.params.k1 == pytest.approx(1.5)
+    assert loaded.params.b == pytest.approx(0.6)
+    for q in ["quantum qubits", "marmots", "cats", ""]:
+        s1, i1 = ix.search([q], 5)
+        s2, i2 = loaded.search([q], 5)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(s1, s2, rtol=1e-6)
+    # deletions survive; extend continues from the right id
+    assert 1 not in loaded.search(["dogs cats yard"], 5)[1][0]
+    assert loaded.extend(["another"]) == range(7, 8)
+
+
+def test_lexical_retriever_save_load(tmp_path):
+    corpus = Corpus(passages=list(DOCS), titles=[f"t{i}" for i in
+                                                 range(len(DOCS))])
+    r = LexicalRetriever(corpus)
+    r.save(str(tmp_path / "lex"))
+    r2 = LexicalRetriever.load(str(tmp_path / "lex"))
+    got = r2.retrieve("quantum qubits", k=2)
+    assert got.passages[0].index in (2, 4)
+    assert got.passages[0].title.startswith("t")
+    assert r2.corpus.passages == corpus.passages
