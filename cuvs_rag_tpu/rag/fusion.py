@@ -359,8 +359,8 @@ class HybridRetriever:
             raise ValueError("hybrid retrievers have no alternate indexes")
         t0 = time.time()
         fetch_k = self.fetch_k or max(4 * k, 16)
-        id_lists, score_lists = [], []
-        for r in self.retrievers:
+
+        def run_engine(r):
             results = r.retrieve_batch(list(queries), fetch_k, allow=allow)
             ids = np.full((len(queries), fetch_k), -1, np.int64)
             scs = np.zeros((len(queries), fetch_k), np.float64)
@@ -369,8 +369,23 @@ class HybridRetriever:
                 for j, p in enumerate(res.passages[:fetch_k]):
                     ids[qi, j] = p.index
                     scs[qi, j] = p.distance if higher_better else -p.distance
-            id_lists.append(ids)
-            score_lists.append(scs)
+            return ids, scs
+
+        if len(self.retrievers) > 1:
+            # engines run CONCURRENTLY: the host-side lexical scorer (BM25)
+            # overlaps the dense engine's device dispatch+fetch — device
+            # waits release the GIL, so a thread per engine costs nothing
+            # and hides the cheaper engine entirely
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=len(self.retrievers)
+            ) as ex:
+                outs = list(ex.map(run_engine, self.retrievers))
+        else:
+            outs = [run_engine(self.retrievers[0])]
+        id_lists = [o[0] for o in outs]
+        score_lists = [o[1] for o in outs]
 
         if self.method == "rrf":
             fused = rrf_fuse(id_lists, k, self.weights, self.rrf_c)
