@@ -118,8 +118,10 @@ def test_stall_watchdog_rejects_fast():
         release.wait(30)
         return [None] * len(items)
 
+    # max_items=1: one wedge item per dispatcher (otherwise one batch
+    # could swallow both and leave a dispatcher idle — no stall state)
     mb = server_mod.MicroBatcher(hung_run, pipeline_depth=2, stall_s=0.2,
-                                 name="stalltest")
+                                 name="stalltest", max_items=1)
     def wedge(i):
         try:
             mb.submit(i, timeout=10.0)
