@@ -31,6 +31,26 @@ def _build() -> bool:
         return False
 
 
+def _configure(lib: ctypes.CDLL) -> None:
+    """Bind signatures; raises AttributeError when the .so is stale
+    (missing a newer entry point)."""
+    i64, i32p = ctypes.c_int64, np.ctypeslib.ndpointer(np.int32)
+    f32p = np.ctypeslib.ndpointer(np.float32)
+    i8p = np.ctypeslib.ndpointer(np.int8)
+    i64p = np.ctypeslib.ndpointer(np.int64)
+    u8p = np.ctypeslib.ndpointer(np.uint8)
+    lib.topk_merge.argtypes = [f32p, i32p, i64, i64, i64, f32p, i32p, i64,
+                               ctypes.c_int]
+    lib.brute_topk_l2.argtypes = [f32p, i64, i64, f32p, i64, i64, f32p, i32p,
+                                  ctypes.c_int]
+    lib.quantize_int8.argtypes = [f32p, i64, i64, i8p, f32p]
+    lib.dequantize_int8.argtypes = [i8p, f32p, i64, i64, f32p]
+    lib.bm25_score_topk.argtypes = [
+        i64p, i64p, f32p, f32p, i64, i64, ctypes.c_float,
+        i64p, f32p, i64p, i64, u8p, i64, f32p, i64p, ctypes.c_int,
+    ]
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
@@ -39,17 +59,23 @@ def _load() -> Optional[ctypes.CDLL]:
         return None
     try:
         lib = ctypes.CDLL(_SO)
+        _configure(lib)
     except OSError:
         return None
-    i64, i32p = ctypes.c_int64, np.ctypeslib.ndpointer(np.int32)
-    f32p = np.ctypeslib.ndpointer(np.float32)
-    i8p = np.ctypeslib.ndpointer(np.int8)
-    lib.topk_merge.argtypes = [f32p, i32p, i64, i64, i64, f32p, i32p, i64,
-                               ctypes.c_int]
-    lib.brute_topk_l2.argtypes = [f32p, i64, i64, f32p, i64, i64, f32p, i32p,
-                                  ctypes.c_int]
-    lib.quantize_int8.argtypes = [f32p, i64, i64, i8p, f32p]
-    lib.dequantize_int8.argtypes = [i8p, f32p, i64, i64, f32p]
+    except AttributeError:
+        # stale .so predating a newer entry point: rebuild and reload
+        try:
+            subprocess.run(["make", "-C", _DIR, "clean"], check=True,
+                           capture_output=True, timeout=30)
+        except Exception:
+            return None
+        if not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_SO)
+            _configure(lib)
+        except (OSError, AttributeError):
+            return None
     _lib = lib
     return lib
 
@@ -119,6 +145,49 @@ def brute_topk_l2(
         out = np.pad(out, ((0, 0), (0, k - kk)), constant_values=np.inf)
         order = np.pad(order, ((0, 0), (0, k - kk)), constant_values=-1)
     return out.astype(np.float32), order.astype(np.int32)
+
+
+def bm25_score_topk(
+    indptr: np.ndarray,
+    post_docs: np.ndarray,
+    post_tfs: np.ndarray,
+    norm_cache: np.ndarray,
+    k1: float,
+    q_tids: np.ndarray,
+    q_idf: np.ndarray,
+    q_offsets: np.ndarray,
+    mask: np.ndarray,
+    k: int,
+    nthreads: int = 0,
+) -> "Optional[Tuple[np.ndarray, np.ndarray]]":
+    """Native batch BM25 over CSR postings (rag/lexical.py's hot loop):
+    per-query postings walk + dense accumulate + partial top-k, queries
+    parallel across threads. Returns None when the native library is
+    unavailable — the caller keeps its numpy path (scores identical to
+    it within fp32 accumulation order; ties broken by ascending doc id).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    post_docs = np.ascontiguousarray(post_docs, np.int64)
+    post_tfs = np.ascontiguousarray(post_tfs, np.float32)
+    norm_cache = np.ascontiguousarray(norm_cache, np.float32)
+    q_tids = np.ascontiguousarray(q_tids, np.int64)
+    q_idf = np.ascontiguousarray(q_idf, np.float32)
+    q_offsets = np.ascontiguousarray(q_offsets, np.int64)
+    mask = np.ascontiguousarray(mask, np.uint8)
+    n_terms = len(indptr) - 1
+    n_docs = len(norm_cache)
+    q = len(q_offsets) - 1
+    out_s = np.zeros((q, k), np.float32)
+    out_i = np.full((q, k), -1, np.int64)
+    lib.bm25_score_topk(
+        indptr, post_docs, post_tfs, norm_cache, n_terms, n_docs,
+        float(k1), q_tids, q_idf, q_offsets, q, mask, k, out_s, out_i,
+        nthreads,
+    )
+    return out_s, out_i
 
 
 def quantize_int8(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:

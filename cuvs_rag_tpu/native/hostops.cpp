@@ -161,4 +161,81 @@ void dequantize_int8(const int8_t* values, const float* scales, int64_t N,
       out[r * D + d] = (float)values[r * D + d] * scales[r];
 }
 
+// BM25 batch scoring over CSR postings (rag/lexical.py's hot loop).
+// Per query: walk the query terms' postings slices, accumulate
+//   idf * tf * (k1+1) / (tf + k1 * norm_cache[doc])
+// into a dense per-thread score buffer, then partial-select top-k of the
+// strictly-positive, unmasked scores. Queries parallelize across
+// `nthreads` workers (0 = hardware_concurrency), each reusing one
+// (n_docs) float buffer — postings access is integer-sparse gather, the
+// access pattern host DRAM handles and TPUs don't (module rationale in
+// rag/lexical.py).
+//
+// Inputs: CSR (indptr over terms, post_docs/post_tfs), norm_cache[d] =
+// 1-b+b*dl/avgdl, concatenated per-query term ids `q_tids` + aligned
+// `q_idf` with (Q+1) offsets, optional mask (NULL = all alive).
+// Outputs: (Q, k) scores (0-padded) and ids (-1-padded), best-first,
+// ties broken by ascending doc id.
+void bm25_score_topk(const int64_t* indptr, const int64_t* post_docs,
+                     const float* post_tfs, const float* norm_cache,
+                     int64_t n_terms, int64_t n_docs, float k1,
+                     const int64_t* q_tids, const float* q_idf,
+                     const int64_t* q_offsets, int64_t Q,
+                     const uint8_t* mask, int64_t k, float* out_scores,
+                     int64_t* out_ids, int nthreads) {
+  int nt = nthreads > 0 ? nthreads
+                        : (int)std::thread::hardware_concurrency();
+  if (nt < 1) nt = 1;
+  if (nt > Q) nt = (int)(Q > 0 ? Q : 1);
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    std::vector<float> scores((size_t)n_docs);
+    std::vector<int64_t> touched;
+    std::vector<std::pair<float, int64_t>> cand;
+    for (;;) {
+      int64_t q = next.fetch_add(1);
+      if (q >= Q) return;
+      touched.clear();
+      for (int64_t t = q_offsets[q]; t < q_offsets[q + 1]; ++t) {
+        int64_t tid = q_tids[t];
+        if (tid < 0 || tid >= n_terms) continue;
+        float idf = q_idf[t];
+        for (int64_t p = indptr[tid]; p < indptr[tid + 1]; ++p) {
+          int64_t d = post_docs[p];
+          float tf = post_tfs[p];
+          if (scores[d] == 0.0f) touched.push_back(d);
+          scores[d] += idf * tf * (k1 + 1.0f) / (tf + k1 * norm_cache[d]);
+        }
+      }
+      cand.clear();
+      for (int64_t d : touched) {
+        if (scores[d] > 0.0f && (!mask || mask[d])) {
+          cand.emplace_back(scores[d], d);
+        }
+        scores[d] = 0.0f;  // reset for the next query
+      }
+      auto better = [](const std::pair<float, int64_t>& a,
+                       const std::pair<float, int64_t>& b) {
+        if (a.first != b.first) return a.first > b.first;
+        return a.second < b.second;  // tie: ascending doc id
+      };
+      size_t kk = (size_t)k < cand.size() ? (size_t)k : cand.size();
+      std::partial_sort(cand.begin(), cand.begin() + kk, cand.end(), better);
+      for (size_t j = 0; j < (size_t)k; ++j) {
+        if (j < kk) {
+          out_scores[q * k + j] = cand[j].first;
+          out_ids[q * k + j] = cand[j].second;
+        } else {
+          out_scores[q * k + j] = 0.0f;
+          out_ids[q * k + j] = -1;
+        }
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int i = 1; i < nt; ++i) threads.emplace_back(worker);
+  worker();
+  for (auto& th : threads) th.join();
+}
+
 }  // extern "C"

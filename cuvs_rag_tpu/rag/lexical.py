@@ -284,6 +284,40 @@ class BM25Index:
         out_s = np.zeros((len(queries), k), np.float32)
         out_i = np.full((len(queries), k), -1, np.int64)
         norm_cache = 1.0 - b + b * self.doc_len / max(avgdl, 1e-9)
+
+        # native path (native/hostops.cpp bm25_score_topk): one C call for
+        # the whole batch, threads across queries. Requires a pure CSR —
+        # compact any pending delta first (amortized O(nnz)).
+        import os as _os
+
+        if n and _os.environ.get("CUVS_RAG_TPU_BM25_NATIVE", "1") != "0":
+            from cuvs_rag_tpu import native as native_mod
+
+            if native_mod.have_native():
+                if self._delta_nnz:
+                    self._compact()
+                tid_parts, idf_parts, offsets = [], [], [0]
+                for q in queries:
+                    tids = np.asarray(
+                        sorted({self.vocab[w] for w in tokenize(q)
+                                if w in self.vocab}),
+                        np.int64,
+                    )
+                    tid_parts.append(tids)
+                    idf_parts.append(self._idf(tids))
+                    offsets.append(offsets[-1] + len(tids))
+                got = native_mod.bm25_score_topk(
+                    self.indptr, self.post_docs, self.post_tfs,
+                    norm_cache.astype(np.float32), k1,
+                    (np.concatenate(tid_parts) if tid_parts
+                     else np.zeros((0,), np.int64)),
+                    (np.concatenate(idf_parts) if idf_parts
+                     else np.zeros((0,), np.float32)),
+                    np.asarray(offsets, np.int64),
+                    mask.astype(np.uint8), k,
+                )
+                if got is not None:
+                    return got
         for qi, q in enumerate(queries):
             tids = np.asarray(
                 sorted({self.vocab[w] for w in tokenize(q)

@@ -200,3 +200,32 @@ def test_lexical_retriever_save_load(tmp_path):
     assert got.passages[0].index in (2, 4)
     assert got.passages[0].title.startswith("t")
     assert r2.corpus.passages == corpus.passages
+
+
+def test_native_scorer_matches_numpy_path(monkeypatch):
+    """bm25_score_topk (native/hostops.cpp) vs the numpy path: same
+    scores (fp32 tolerance) and same id SETS per rank-tier on a random
+    corpus. Skipped silently into numpy-only when no toolchain."""
+    from cuvs_rag_tpu import native as native_mod
+
+    if not native_mod.have_native():
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(5)
+    vocab = ["w%d" % i for i in range(80)]
+    texts = [" ".join(rng.choice(vocab, rng.integers(3, 40)))
+             for _ in range(300)]
+    queries = [" ".join(rng.choice(vocab, 5)) for _ in range(40)]
+    ix = BM25Index.build(texts)
+    ix.delete([7, 8])
+    allow = np.ones(300, bool)
+    allow[9] = False
+    s_nat, i_nat = ix.search(queries, 10, allow=allow)
+    monkeypatch.setenv("CUVS_RAG_TPU_BM25_NATIVE", "0")
+    s_np, i_np = ix.search(queries, 10, allow=allow)
+    np.testing.assert_allclose(s_nat, s_np, rtol=1e-5, atol=1e-6)
+    # id ordering can differ only within exact score ties
+    for qi in range(len(queries)):
+        for a, b, sa, sb in zip(i_nat[qi], i_np[qi], s_nat[qi], s_np[qi]):
+            if a != b:
+                assert abs(sa - sb) < 1e-6, (qi, a, b, sa, sb)
+    assert (i_nat != 7).all() and (i_nat != 8).all() and (i_nat != 9).all()
