@@ -306,6 +306,13 @@ class BM25Index:
                     tid_parts.append(tids)
                     idf_parts.append(self._idf(tids))
                     offsets.append(offsets[-1] + len(tids))
+                # each worker holds an (n_docs,) float buffer: cap the
+                # thread count so the buffers stay under ~2 GB total
+                # (60M docs -> 8 threads x 240 MB)
+                nthreads = min(
+                    _os.cpu_count() or 4,
+                    max(1, int(2e9 / max(n * 4, 1))),
+                )
                 got = native_mod.bm25_score_topk(
                     self.indptr, self.post_docs, self.post_tfs,
                     norm_cache.astype(np.float32), k1,
@@ -314,7 +321,7 @@ class BM25Index:
                     (np.concatenate(idf_parts) if idf_parts
                      else np.zeros((0,), np.float32)),
                     np.asarray(offsets, np.int64),
-                    mask.astype(np.uint8), k,
+                    mask.astype(np.uint8), k, nthreads=nthreads,
                 )
                 if got is not None:
                     return got
