@@ -860,6 +860,8 @@ def main():
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--placement", default="single")
+    p.add_argument("--hybrid", action="store_true",
+                   help="serve a dense + BM25 hybrid retriever")
     args = p.parse_args()
 
     qa, _ = datasets.load_medical_qa(1000)
@@ -869,6 +871,13 @@ def main():
         corpus, HashingEncoder(dim=384), family="flat",
         params=FlatParams(metric=Metric.COSINE), placement=args.placement,
     )
+    if args.hybrid:
+        from cuvs_rag_tpu.rag.fusion import HybridRetriever
+        from cuvs_rag_tpu.rag.lexical import LexicalRetriever
+
+        retriever = HybridRetriever(
+            [retriever, LexicalRetriever(corpus)]
+        )
     srv = serve(retriever, args.host, args.port)
     print(f"serving on {args.host}:{args.port}")
     srv.serve_forever()
