@@ -229,3 +229,18 @@ def test_native_scorer_matches_numpy_path(monkeypatch):
             if a != b:
                 assert abs(sa - sb) < 1e-6, (qi, a, b, sa, sb)
     assert (i_nat != 7).all() and (i_nat != 8).all() and (i_nat != 9).all()
+
+
+def test_max_df_frac_prunes_head_terms():
+    """max_df_frac drops near-stopword query terms but never ALL terms;
+    ranking on informative terms is unchanged."""
+    texts = ["the common filler %s" % w for w in
+             ["alpha", "beta", "gamma", "delta"]]
+    ix = BM25Index.build(texts, BM25Params(max_df_frac=0.9))
+    # 'the'/'common'/'filler' have df=4/4 -> pruned; 'gamma' df=1 kept
+    assert ix._query_tids("the common gamma").tolist() == \
+        [ix.vocab["gamma"]]
+    # a query of ONLY stopwords keeps its terms (never drop all)
+    assert len(ix._query_tids("the common")) == 2
+    _, i = ix.search(["the gamma"], 2)
+    assert i[0, 0] == 2
