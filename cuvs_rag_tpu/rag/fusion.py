@@ -247,6 +247,14 @@ class HybridRetriever:
         self.method = method
         self.fetch_k = fetch_k
         self.rrf_c = rrf_c
+        # (engine_idx, id(allow), id(engine.index)) -> (allow, ix, view):
+        # pre-baked filtered views for repeated masks (the daemon passes
+        # the SAME mask object for a named view on every request, so
+        # without this each hybrid view search re-bakes + re-uploads the
+        # mask per engine per request). Strong refs pin the keys' id()s;
+        # keying on id(index) invalidates on extend/delete index swaps.
+        self._view_cache: dict = {}
+        self._view_cache_cap = 8
 
     # the serving daemon (rag/server.SearchService) duck-types its
     # retriever: corpus/encoder make text search + /stats work; views ride
@@ -296,6 +304,38 @@ class HybridRetriever:
     def delete(self, ids) -> None:
         for r in self.retrievers:
             r.delete(ids)
+
+    def _engine_view(self, ei: int, r, allow):
+        """Cached pre-baked filtered view of engine `ei`'s index for this
+        exact mask object (None -> the engine takes allow= directly:
+        lexical pre-filters cheaply, cagra post-filters after the beam).
+        A duplicate bake under concurrent first requests is harmless
+        (both are correct; last write wins)."""
+        ix = getattr(r, "index", None)
+        if ix is None or getattr(r, "family", "") == "cagra":
+            return None
+        key = (ei, id(allow), id(ix))
+        hit = self._view_cache.get(key)
+        if hit is not None:
+            return hit[2]
+        mask = np.asarray(allow, bool)
+        from cuvs_rag_tpu.index import filters as filters_lib
+        from cuvs_rag_tpu.parallel import search as psearch
+
+        if isinstance(ix, psearch.ShardedIndex):
+            view = psearch.filtered_view_sharded(ix, mask)
+        elif isinstance(ix, psearch.ReplicatedIndex):
+            import dataclasses as _dc
+
+            view = _dc.replace(
+                ix, index=filters_lib.filtered_view(ix.index, mask)
+            )
+        else:
+            view = filters_lib.filtered_view(ix, mask)
+        while len(self._view_cache) >= self._view_cache_cap:
+            self._view_cache.pop(next(iter(self._view_cache)))
+        self._view_cache[key] = (allow, ix, view)
+        return view
 
     def save(self, directory: str) -> None:
         """Persist every engine (engine_<i>/ subdirs via each engine's
@@ -360,8 +400,16 @@ class HybridRetriever:
         t0 = time.time()
         fetch_k = self.fetch_k or max(4 * k, 16)
 
-        def run_engine(r):
-            results = r.retrieve_batch(list(queries), fetch_k, allow=allow)
+        def run_engine(ri_r):
+            ei, r = ri_r
+            kw = {}
+            if allow is not None:
+                view = self._engine_view(ei, r, allow)
+                if view is not None:
+                    kw["index"] = view  # pre-baked, unfiltered-cost search
+                else:
+                    kw["allow"] = allow  # cheap/post-filter engines
+            results = r.retrieve_batch(list(queries), fetch_k, **kw)
             ids = np.full((len(queries), fetch_k), -1, np.int64)
             scs = np.zeros((len(queries), fetch_k), np.float64)
             higher_better = _engine_higher_better(r)
@@ -371,19 +419,18 @@ class HybridRetriever:
                     scs[qi, j] = p.distance if higher_better else -p.distance
             return ids, scs
 
-        if len(self.retrievers) > 1:
+        engine_items = list(enumerate(self.retrievers))
+        if len(engine_items) > 1:
             # engines run CONCURRENTLY: the host-side lexical scorer (BM25)
             # overlaps the dense engine's device dispatch+fetch — device
             # waits release the GIL, so a thread per engine costs nothing
             # and hides the cheaper engine entirely
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(
-                max_workers=len(self.retrievers)
-            ) as ex:
-                outs = list(ex.map(run_engine, self.retrievers))
+            with ThreadPoolExecutor(max_workers=len(engine_items)) as ex:
+                outs = list(ex.map(run_engine, engine_items))
         else:
-            outs = [run_engine(self.retrievers[0])]
+            outs = [run_engine(engine_items[0])]
         id_lists = [o[0] for o in outs]
         score_lists = [o[1] for o in outs]
 

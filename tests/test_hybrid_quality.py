@@ -253,3 +253,39 @@ def test_hybrid_save_load_roundtrip(tmp_path):
         a = [p.index for p in h.retrieve(q, k=5).passages]
         b = [p.index for p in h2.retrieve(q, k=5).passages]
         assert a == b, (q, a, b)
+
+
+def test_hybrid_view_cache_correct_and_invalidates(tmp_path):
+    """Repeated searches with the SAME mask object hit the pre-baked
+    filtered view (one cache entry); results equal the uncached allow=
+    semantics; an index swap (extend) invalidates."""
+    from cuvs_rag_tpu.rag.lexical import LexicalRetriever as _Lex
+
+    docs = ["doc %d token t%dx" % (i, i) for i in range(20)]
+    shared = Corpus(passages=list(docs))
+    dense = Retriever.build(
+        shared, HashingEncoder(dim=64), family="flat",
+        params=FlatParams(metric=Metric.INNER_PRODUCT, tile_n=8),
+    )
+    h = HybridRetriever([dense, _Lex(shared)], method="rrf")
+    mask = np.ones(20, bool)
+    mask[3] = False
+    a1 = [p.index for p in h.retrieve(docs[3], k=3, allow=mask).passages]
+    assert 3 not in a1
+    n_cache = len(h._view_cache)
+    assert n_cache == 1  # dense engine baked once; lexical takes allow=
+    a2 = [p.index for p in h.retrieve(docs[3], k=3, allow=mask).passages]
+    assert a2 == a1
+    assert len(h._view_cache) == 1  # cache hit, no second entry
+    # uncached parity: a fresh hybrid with the same mask ranks identically
+    h2 = HybridRetriever([dense, _Lex(shared)], method="rrf")
+    assert [p.index for p in
+            h2.retrieve(docs[3], k=3, allow=mask).passages] == a1
+    # index swap invalidates: extend, then the view must cover new rows
+    h.extend(["doc 20 token t20x"])
+    mask2 = np.ones(21, bool)
+    mask2[3] = False
+    got = [p.index
+           for p in h.retrieve("doc 20 token t20x", k=2,
+                               allow=mask2).passages]
+    assert 20 in got
