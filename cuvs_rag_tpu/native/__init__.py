@@ -49,6 +49,10 @@ def _configure(lib: ctypes.CDLL) -> None:
         i64p, i64p, f32p, f32p, i64, i64, ctypes.c_float,
         i64p, f32p, i64p, i64, u8p, i64, f32p, i64p, ctypes.c_int,
     ]
+    lib.bm25_maxscore_topk.argtypes = [
+        i64p, i64p, f32p, f32p, i64, i64, ctypes.c_float,
+        i64p, f32p, f32p, i64p, i64, u8p, i64, f32p, i64p, ctypes.c_int,
+    ]
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -186,6 +190,50 @@ def bm25_score_topk(
         indptr, post_docs, post_tfs, norm_cache, n_terms, n_docs,
         float(k1), q_tids, q_idf, q_offsets, q, mask, k, out_s, out_i,
         nthreads,
+    )
+    return out_s, out_i
+
+
+def bm25_maxscore_topk(
+    indptr: np.ndarray,
+    post_docs: np.ndarray,
+    post_tfs: np.ndarray,
+    norm_cache: np.ndarray,
+    k1: float,
+    q_tids: np.ndarray,
+    q_idf: np.ndarray,
+    q_bounds: np.ndarray,
+    q_offsets: np.ndarray,
+    mask: np.ndarray,
+    k: int,
+    nthreads: int = 0,
+) -> "Optional[Tuple[np.ndarray, np.ndarray]]":
+    """Exact DAAT MaxScore BM25 (see hostops.cpp): identical results to
+    bm25_score_topk, but head-term postings are probed instead of walked
+    once the top-k threshold makes them non-essential. q_bounds: per
+    query term, an upper bound on one doc's contribution. Returns None
+    when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    post_docs = np.ascontiguousarray(post_docs, np.int64)
+    post_tfs = np.ascontiguousarray(post_tfs, np.float32)
+    norm_cache = np.ascontiguousarray(norm_cache, np.float32)
+    q_tids = np.ascontiguousarray(q_tids, np.int64)
+    q_idf = np.ascontiguousarray(q_idf, np.float32)
+    q_bounds = np.ascontiguousarray(q_bounds, np.float32)
+    q_offsets = np.ascontiguousarray(q_offsets, np.int64)
+    mask = np.ascontiguousarray(mask, np.uint8)
+    n_terms = len(indptr) - 1
+    n_docs = len(norm_cache)
+    q = len(q_offsets) - 1
+    out_s = np.zeros((q, k), np.float32)
+    out_i = np.full((q, k), -1, np.int64)
+    lib.bm25_maxscore_topk(
+        indptr, post_docs, post_tfs, norm_cache, n_terms, n_docs,
+        float(k1), q_tids, q_idf, q_bounds, q_offsets, q, mask, k,
+        out_s, out_i, nthreads,
     )
     return out_s, out_i
 

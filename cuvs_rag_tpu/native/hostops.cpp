@@ -238,4 +238,147 @@ void bm25_score_topk(const int64_t* indptr, const int64_t* post_docs,
   for (auto& th : threads) th.join();
 }
 
+// Exact DAAT MaxScore BM25 (Turtle & Flood 1995): terms sorted by score
+// upper bound; the low-bound suffix whose cumulative bound can no longer
+// lift a doc past the current top-k threshold becomes "non-essential" —
+// its postings are only probed (binary search) for docs surfaced by the
+// essential terms, never walked. Exact top-k (no stopword heuristics):
+// a doc seen ONLY by non-essential terms scores < theta by the partition
+// invariant, so skipping it cannot change the result set. Wins over the
+// dense-accumulate scorer when head (high-df) terms dominate the walk.
+//
+// q_bounds[t] = per-query-term upper bound on a single doc's
+// contribution (computed host-side: idf*(k1+1)*tfmax/(tfmax+k1*min_norm)).
+// Other conventions (CSR, mask, outputs, ties by ascending doc id) match
+// bm25_score_topk.
+void bm25_maxscore_topk(const int64_t* indptr, const int64_t* post_docs,
+                        const float* post_tfs, const float* norm_cache,
+                        int64_t n_terms, int64_t n_docs, float k1,
+                        const int64_t* q_tids, const float* q_idf,
+                        const float* q_bounds, const int64_t* q_offsets,
+                        int64_t Q, const uint8_t* mask, int64_t k,
+                        float* out_scores, int64_t* out_ids,
+                        int nthreads) {
+  (void)n_docs;
+  int nt = nthreads > 0 ? nthreads
+                        : (int)std::thread::hardware_concurrency();
+  if (nt < 1) nt = 1;
+  if (nt > Q) nt = (int)(Q > 0 ? Q : 1);
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    struct Term {
+      float idf, bound;
+      int64_t cur, end;  // cursor into post_docs/post_tfs
+    };
+    std::vector<Term> terms;
+    std::vector<double> prefix;  // prefix[i] = sum of bounds[0..i-1]
+    // top-k accumulator: worst entry on top. "Worse" = lower score, or
+    // equal score with HIGHER doc id (so ties keep ascending doc ids).
+    auto worse = [](const std::pair<float, int64_t>& a,
+                    const std::pair<float, int64_t>& b) {
+      if (a.first != b.first) return a.first > b.first;
+      return a.second < b.second;
+    };
+    std::vector<std::pair<float, int64_t>> heap;
+    for (;;) {
+      int64_t q = next.fetch_add(1);
+      if (q >= Q) return;
+      terms.clear();
+      for (int64_t t = q_offsets[q]; t < q_offsets[q + 1]; ++t) {
+        int64_t tid = q_tids[t];
+        if (tid < 0 || tid >= n_terms) continue;
+        if (indptr[tid] == indptr[tid + 1]) continue;
+        terms.push_back(
+            {q_idf[t], q_bounds[t], indptr[tid], indptr[tid + 1]});
+      }
+      // ascending bound: terms[0..ess) are non-essential
+      std::sort(terms.begin(), terms.end(),
+                [](const Term& a, const Term& b) {
+                  return a.bound < b.bound;
+                });
+      size_t m = terms.size();
+      prefix.assign(m + 1, 0.0);
+      for (size_t i = 0; i < m; ++i) prefix[i + 1] = prefix[i] + terms[i].bound;
+      heap.clear();
+      float theta = -1.0f;  // threshold; -1 until the heap holds k docs
+      size_t ess = 0;       // first essential term index
+      while (ess < m) {
+        // pivot: smallest current doc among essential terms
+        int64_t d = INT64_MAX;
+        for (size_t i = ess; i < m; ++i) {
+          if (terms[i].cur < terms[i].end) {
+            int64_t c = post_docs[terms[i].cur];
+            if (c < d) d = c;
+          }
+        }
+        if (d == INT64_MAX) break;  // essential cursors exhausted
+        float score = 0.0f;
+        for (size_t i = ess; i < m; ++i) {
+          Term& t = terms[i];
+          if (t.cur < t.end && post_docs[t.cur] == d) {
+            float tf = post_tfs[t.cur];
+            score += t.idf * tf * (k1 + 1.0f) / (tf + k1 * norm_cache[d]);
+            ++t.cur;
+          }
+        }
+        // probe non-essential terms, highest bound first, abandoning as
+        // soon as the remaining bounds can't reach theta
+        for (size_t i = ess; i-- > 0;) {
+          if (theta >= 0.0f && score + prefix[i + 1] < theta) break;
+          Term& t = terms[i];
+          const int64_t* lo = post_docs + t.cur;
+          const int64_t* hi = post_docs + t.end;
+          const int64_t* it = std::lower_bound(lo, hi, d);
+          t.cur = it - post_docs;  // future pivots are >= d
+          if (it != hi && *it == d) {
+            float tf = post_tfs[t.cur];
+            score += t.idf * tf * (k1 + 1.0f) / (tf + k1 * norm_cache[d]);
+            ++t.cur;
+          }
+        }
+        if (score > 0.0f && (!mask || mask[d])) {
+          bool take = (int64_t)heap.size() < k;
+          if (!take && k > 0) {
+            const auto& w = heap.front();
+            take = score > w.first || (score == w.first && d < w.second);
+          }
+          if (take) {
+            if ((int64_t)heap.size() == k) {
+              std::pop_heap(heap.begin(), heap.end(), worse);
+              heap.pop_back();
+            }
+            heap.emplace_back(score, d);
+            std::push_heap(heap.begin(), heap.end(), worse);
+            if ((int64_t)heap.size() == k) {
+              theta = heap.front().first;
+              // grow the non-essential prefix while it provably cannot
+              // put a new doc into the top-k on its own
+              while (ess < m && prefix[ess + 1] < theta) ++ess;
+            }
+          }
+        }
+      }
+      std::sort(heap.begin(), heap.end(),
+                [](const std::pair<float, int64_t>& a,
+                   const std::pair<float, int64_t>& b) {
+                  if (a.first != b.first) return a.first > b.first;
+                  return a.second < b.second;
+                });
+      for (size_t j = 0; j < (size_t)k; ++j) {
+        if (j < heap.size()) {
+          out_scores[q * k + j] = heap[j].first;
+          out_ids[q * k + j] = heap[j].second;
+        } else {
+          out_scores[q * k + j] = 0.0f;
+          out_ids[q * k + j] = -1;
+        }
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int i = 1; i < nt; ++i) threads.emplace_back(worker);
+  worker();
+  for (auto& th : threads) th.join();
+}
+
 }  // extern "C"

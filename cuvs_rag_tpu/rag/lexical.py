@@ -277,6 +277,25 @@ class BM25Index:
         df = self.df[tids].astype(np.float64)
         return np.log1p((n - df + 0.5) / (df + 0.5)).astype(np.float32)
 
+    def _tfmax(self) -> np.ndarray:
+        """Per-term max tf over the CSR (for MaxScore upper bounds).
+        Cached; invalidated by _compact/_bulk_add (which reassign
+        self.indptr). Call only with an empty delta."""
+        cached = getattr(self, "_tfmax_cache", None)
+        if cached is not None and cached[0] is self.indptr:
+            return cached[1]
+        nt = len(self.indptr) - 1
+        tfmax = np.zeros((nt,), np.float32)
+        nonempty = np.flatnonzero(np.diff(self.indptr) > 0)
+        if nonempty.size:
+            # reduceat segments between consecutive non-empty starts span
+            # exactly that term's postings (intervening terms are empty)
+            tfmax[nonempty] = np.maximum.reduceat(
+                self.post_tfs, self.indptr[:-1][nonempty]
+            )
+        self._tfmax_cache = (self.indptr, tfmax)
+        return tfmax
+
     def _query_tids(self, q: str) -> np.ndarray:
         tids = np.asarray(
             sorted({self.vocab[w] for w in tokenize(q)
@@ -327,23 +346,50 @@ class BM25Index:
                     tid_parts.append(tids)
                     idf_parts.append(self._idf(tids))
                     offsets.append(offsets[-1] + len(tids))
-                # each worker holds an (n_docs,) float buffer: cap the
-                # thread count so the buffers stay under ~2 GB total
-                # (60M docs -> 8 threads x 240 MB)
+                all_tids = (np.concatenate(tid_parts) if tid_parts
+                            else np.zeros((0,), np.int64))
+                all_idf = (np.concatenate(idf_parts) if idf_parts
+                           else np.zeros((0,), np.float32))
+                offs = np.asarray(offsets, np.int64)
+                mask8 = mask.astype(np.uint8)
+                nc32 = norm_cache.astype(np.float32)
+                # each worker of the dense scorer holds an (n_docs,)
+                # float buffer: cap the thread count so the buffers stay
+                # under ~2 GB total (60M docs -> 8 threads x 240 MB)
                 nthreads = min(
                     _os.cpu_count() or 4,
                     max(1, int(2e9 / max(n * 4, 1))),
                 )
-                got = native_mod.bm25_score_topk(
-                    self.indptr, self.post_docs, self.post_tfs,
-                    norm_cache.astype(np.float32), k1,
-                    (np.concatenate(tid_parts) if tid_parts
-                     else np.zeros((0,), np.int64)),
-                    (np.concatenate(idf_parts) if idf_parts
-                     else np.zeros((0,), np.float32)),
-                    np.asarray(offsets, np.int64),
-                    mask.astype(np.uint8), k, nthreads=nthreads,
-                )
+                # routing: DAAT MaxScore skips head-term postings but
+                # pays a sort/probe overhead per pivot — worth it once
+                # the batch would walk a lot of postings; the dense
+                # accumulate scorer wins on small walks. (post-compact,
+                # every query tid indexes the full CSR)
+                walk = int(
+                    (self.indptr[all_tids + 1]
+                     - self.indptr[all_tids]).sum()
+                ) if all_tids.size else 0
+                if walk > 200_000:
+                    tfm = self._tfmax()[all_tids] if all_tids.size \
+                        else np.zeros((0,), np.float32)
+                    min_norm = (float(nc32.min()) if len(nc32) else 1.0)
+                    bounds = np.where(
+                        tfm > 0,
+                        all_idf * tfm * (k1 + 1.0)
+                        / (tfm + k1 * min_norm),
+                        0.0,
+                    ).astype(np.float32)
+                    got = native_mod.bm25_maxscore_topk(
+                        self.indptr, self.post_docs, self.post_tfs,
+                        nc32, k1, all_tids, all_idf, bounds, offs,
+                        mask8, k, nthreads=nthreads,
+                    )
+                else:
+                    got = native_mod.bm25_score_topk(
+                        self.indptr, self.post_docs, self.post_tfs,
+                        nc32, k1, all_tids, all_idf, offs,
+                        mask8, k, nthreads=nthreads,
+                    )
                 if got is not None:
                     return got
         for qi, q in enumerate(queries):

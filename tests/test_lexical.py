@@ -244,3 +244,59 @@ def test_max_df_frac_prunes_head_terms():
     assert len(ix._query_tids("the common")) == 2
     _, i = ix.search(["the gamma"], 2)
     assert i[0, 0] == 2
+
+
+def test_maxscore_exactly_matches_dense_scorer():
+    """DAAT MaxScore (hostops.cpp bm25_maxscore_topk) is EXACT: same
+    scores as the dense-accumulate scorer on random Zipf corpora with
+    masks and deletes, across several (k, query-length) shapes."""
+    from cuvs_rag_tpu import native as native_mod
+
+
+    if not native_mod.have_native():
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(13)
+    V = 300
+    vocab = np.array(["w%d" % i for i in range(V)])
+    p = 1.0 / np.arange(1, V + 1) ** 1.1
+    p /= p.sum()
+    texts = [" ".join(vocab[rng.choice(V, rng.integers(5, 50), p=p)])
+             for _ in range(2000)]
+    ix = BM25Index.build(texts)
+    ix.delete(rng.choice(2000, 50, replace=False))
+    allow = rng.random(2000) > 0.1
+    queries = [" ".join(vocab[rng.choice(V, nq, p=p)])
+               for nq in (1, 2, 4, 8, 16) for _ in range(10)]
+
+    # direct comparison of the two native entry points on identical input
+    ix._compact()
+    k1 = ix.params.k1
+    n = len(ix.doc_len)
+    avgdl = float(ix.doc_len.mean())
+    nc = (1.0 - ix.params.b + ix.params.b * ix.doc_len / avgdl).astype(
+        np.float32)
+    tid_parts, idf_parts, offsets = [], [], [0]
+    for q in queries:
+        tids = ix._query_tids(q)
+        tid_parts.append(tids)
+        idf_parts.append(ix._idf(tids))
+        offsets.append(offsets[-1] + len(tids))
+    all_tids = np.concatenate(tid_parts)
+    all_idf = np.concatenate(idf_parts)
+    offs = np.asarray(offsets, np.int64)
+    mask8 = (ix.alive & allow).astype(np.uint8)
+    tfm = ix._tfmax()[all_tids]
+    bounds = (all_idf * tfm * (k1 + 1.0)
+              / (tfm + k1 * float(nc.min()))).astype(np.float32)
+    for k in (1, 5, 20):
+        s_d, i_d = native_mod.bm25_score_topk(
+            ix.indptr, ix.post_docs, ix.post_tfs, nc, k1,
+            all_tids, all_idf, offs, mask8, k)
+        s_m, i_m = native_mod.bm25_maxscore_topk(
+            ix.indptr, ix.post_docs, ix.post_tfs, nc, k1,
+            all_tids, all_idf, bounds, offs, mask8, k)
+        np.testing.assert_allclose(s_m, s_d, rtol=1e-5, atol=1e-6)
+        for qi in range(len(queries)):
+            for a, b, sa, sb in zip(i_m[qi], i_d[qi], s_m[qi], s_d[qi]):
+                if a != b:
+                    assert abs(sa - sb) < 1e-5, (qi, k, a, b, sa, sb)
