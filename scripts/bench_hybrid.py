@@ -1,0 +1,114 @@
+"""Hybrid retrieval wall-clock: does the lexical leg hide behind the
+dense leg's device dispatch?
+
+HybridRetriever fans engines out on threads (rag/fusion.py); the claim
+is hybrid wall ~= max(dense, bm25) + fusion, not their sum. This script
+measures dense-only / bm25-only / hybrid retrieve_batch on the same
+corpus and prints the overlap efficiency. Corpus: 200k docs of Zipf
+token text (BM25 non-trivial), hashing dense encoder at 384-d (flat
+bf16 index on the attached device).
+
+Usage: python scripts/bench_hybrid.py [--n 200000] [--queries 64]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os as _os
+import sys as _sys
+import time
+
+import numpy as np
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=200_000)
+    ap.add_argument("--queries", type=int, default=64)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--reps", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax
+
+    from cuvs_rag_tpu.models.encoder import HashingEncoder
+    from cuvs_rag_tpu.rag.corpus import Corpus
+    from cuvs_rag_tpu.rag.fusion import HybridRetriever
+    from cuvs_rag_tpu.rag.lexical import LexicalRetriever
+    from cuvs_rag_tpu.rag.pipeline import Retriever
+    from cuvs_rag_tpu.utils.config import FlatParams, Metric
+
+    print(f"device: {jax.devices()[0]}")
+    rng = np.random.default_rng(0)
+    V = 50_000
+    vocab = np.array(["w%d" % i for i in range(V)])
+    p = 1.0 / np.arange(1, V + 1) ** 1.07
+    p /= p.sum()
+    lens = rng.integers(15, 60, args.n)
+    all_toks = vocab[rng.choice(V, int(lens.sum()), p=p)]
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    texts = [" ".join(all_toks[offs[i]:offs[i + 1]])
+             for i in range(args.n)]
+    corpus = Corpus(passages=texts)
+
+    t0 = time.time()
+    dense = Retriever.build(
+        corpus, HashingEncoder(dim=384), family="flat",
+        params=FlatParams(metric=Metric.INNER_PRODUCT),
+    )
+    print(f"dense build (encode {args.n} docs + flat index): "
+          f"{time.time() - t0:.1f}s")
+    t0 = time.time()
+    lex = LexicalRetriever(corpus)
+    print(f"bm25 build: {time.time() - t0:.1f}s "
+          f"({len(lex.bm25.post_docs)} postings)")
+    hybrid = HybridRetriever([dense, lex], method="rrf")
+
+    queries = [" ".join(vocab[rng.choice(V, 6, p=p)])
+               for _ in range(args.queries)]
+
+    def timed(r):
+        r.retrieve_batch(queries, args.k)  # warm/compile
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            r.retrieve_batch(queries, args.k)
+        return (time.perf_counter() - t0) / args.reps * 1e3
+
+    ms = {"dense": timed(dense), "bm25": timed(lex),
+          "hybrid": timed(hybrid)}
+    overlap = (ms["dense"] + ms["bm25"] - ms["hybrid"]) / min(
+        ms["dense"], ms["bm25"])
+    out = {
+        "dense_ms_per_batch": round(ms["dense"], 2),
+        "bm25_ms_per_batch": round(ms["bm25"], 2),
+        "hybrid_ms_per_batch": round(ms["hybrid"], 2),
+        "sum_ms": round(ms["dense"] + ms["bm25"], 2),
+        "overlap_efficiency": round(overlap, 2),
+        "note": "overlap_efficiency ~1.0 = the cheaper engine fully "
+                "hidden; ~0 = serial execution (engines on threads, "
+                "rag/fusion.py; hybrid also pays fusion + double "
+                "passage assembly)",
+    }
+    print(json.dumps(out))
+    from cuvs_rag_tpu.eval import benchlog
+
+    benchlog.append_row(
+        {
+            "metric": f"hybrid_overlap_ms_per_batch{args.queries}_"
+                      f"{args.n}docs",
+            "value": out["hybrid_ms_per_batch"],
+            "unit": "ms/batch",
+            "vs_baseline": out["overlap_efficiency"],
+            "extra": out,
+        },
+        script="scripts/bench_hybrid.py",
+    )
+
+
+if __name__ == "__main__":
+    main()
