@@ -67,7 +67,13 @@ def _load() -> Optional[ctypes.CDLL]:
     except OSError:
         return None
     except AttributeError:
-        # stale .so predating a newer entry point: rebuild and reload
+        # stale .so predating a newer entry point: rebuild, then load the
+        # fresh build from a DISTINCT path — ctypes never dlcloses, and
+        # dlopen of the original path string would return the cached old
+        # mapping, silently keeping the stale library active
+        import shutil
+        import tempfile
+
         try:
             subprocess.run(["make", "-C", _DIR, "clean"], check=True,
                            capture_output=True, timeout=30)
@@ -76,7 +82,11 @@ def _load() -> Optional[ctypes.CDLL]:
         if not _build():
             return None
         try:
-            lib = ctypes.CDLL(_SO)
+            fd, alt = tempfile.mkstemp(suffix=".so",
+                                       prefix="libhostops_reload_")
+            os.close(fd)
+            shutil.copy2(_SO, alt)
+            lib = ctypes.CDLL(alt)
             _configure(lib)
         except (OSError, AttributeError):
             return None

@@ -255,6 +255,7 @@ class HybridRetriever:
         # keying on id(index) invalidates on extend/delete index swaps.
         self._view_cache: dict = {}
         self._view_cache_cap = 8
+        self._executor = None  # lazy persistent engine fan-out pool
 
     # the serving daemon (rag/server.SearchService) duck-types its
     # retriever: corpus/encoder make text search + /stats work; views ride
@@ -289,12 +290,27 @@ class HybridRetriever:
             raise RuntimeError("hybrid extend id drift")
         for r in self.retrievers[1:]:
             if r.corpus is shared:
-                # corpus already grown — extend only the engine's index
+                # corpus passages already grown — extend the engine's
+                # index, and keep corpus.embeddings row-aligned when this
+                # engine owns them (engine 0 only appends embeddings it
+                # produced itself; a lexical engine 0 appends none)
                 if hasattr(r, "bm25"):
                     r.bm25.extend(texts)
                 else:
                     vecs = np.asarray(r.encoder.encode(texts), np.float32)
+                    emb = shared.embeddings
+                    if emb is not None and hasattr(emb, "fetch_rows"):
+                        raise ValueError(
+                            "shared corpus embeddings live in a read-only "
+                            "host store — rebuild the store, then the "
+                            "retrievers"
+                        )
                     r.index = r._build_extended_index(vecs)
+                    if emb is not None and len(emb) == start:
+                        shared.embeddings = np.concatenate(
+                            [np.asarray(emb),
+                             vecs.astype(np.asarray(emb).dtype)], axis=0
+                        )
             else:
                 got = r.extend(texts, titles=titles)
                 if got.start != start:
@@ -332,6 +348,13 @@ class HybridRetriever:
             )
         else:
             view = filters_lib.filtered_view(ix, mask)
+        # evict entries baked over a RETIRED index first (extend/delete
+        # swapped it) — each pins a full device-resident index, so FIFO
+        # alone could hold several superseded multi-GB generations in HBM
+        current = {id(getattr(r, "index", None)) for r in self.retrievers}
+        for kk in [kk for kk, v in self._view_cache.items()
+                   if id(v[1]) not in current]:
+            del self._view_cache[kk]
         while len(self._view_cache) >= self._view_cache_cap:
             self._view_cache.pop(next(iter(self._view_cache)))
         self._view_cache[key] = (allow, ix, view)
@@ -423,12 +446,18 @@ class HybridRetriever:
         if len(engine_items) > 1:
             # engines run CONCURRENTLY: the host-side lexical scorer (BM25)
             # overlaps the dense engine's device dispatch+fetch — device
-            # waits release the GIL, so a thread per engine costs nothing
-            # and hides the cheaper engine entirely
-            from concurrent.futures import ThreadPoolExecutor
+            # waits release the GIL. One PERSISTENT executor per retriever
+            # (created lazily): spawning/joining threads per call would
+            # put thread churn on the serving hot path
+            ex = self._executor
+            if ex is None:
+                from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=len(engine_items)) as ex:
-                outs = list(ex.map(run_engine, engine_items))
+                ex = self._executor = ThreadPoolExecutor(
+                    max_workers=len(engine_items),
+                    thread_name_prefix="hybrid-engine",
+                )
+            outs = list(ex.map(run_engine, engine_items))
         else:
             outs = [run_engine(engine_items[0])]
         id_lists = [o[0] for o in outs]

@@ -71,6 +71,8 @@ class BM25Index:
     """
 
     def __init__(self, params: Optional[BM25Params] = None):
+        import threading
+
         self.params = params or BM25Params()
         self.vocab: Dict[str, int] = {}
         self.df = np.zeros((0,), np.int64)
@@ -80,9 +82,17 @@ class BM25Index:
         self.post_tfs = np.zeros((0,), np.float32)
         self.doc_len = np.zeros((0,), np.float32)
         self.alive = np.zeros((0,), bool)
-        # delta store for extend(): term id -> ([doc ids], [tfs])
+        # delta store for extend(): term id -> ([doc ids], [tfs]).
+        # Concurrency contract (the serving daemon searches from several
+        # threads while extend/delete mutate): every mutation is
+        # copy-on-write (new arrays / new dict+lists, assigned under
+        # _lock); search takes _lock only to snapshot references and
+        # resolve query terms, then scores lock-free on the snapshot —
+        # an in-flight search sees a consistent pre- or post-mutation
+        # state, mirroring the dense families' index-swap-last contract.
         self._delta: Dict[int, List[List]] = {}
         self._delta_nnz = 0
+        self._lock = threading.RLock()
         self.metric = "bm25"  # similarity: higher = better (fusion.py)
 
     # -- construction -----------------------------------------------------
@@ -155,67 +165,90 @@ class BM25Index:
     def extend(self, texts: Sequence[str]) -> range:
         """Append docs live. New postings land in a delta store scored
         alongside the CSR; when the delta outgrows 25% of the CSR it is
-        compacted (amortized O(nnz))."""
-        start = len(self.doc_len)
-        lens = np.zeros((len(texts),), np.float32)
-        for i, t in enumerate(texts):
-            toks = tokenize(t)
-            lens[i] = len(toks)
-            counts: Dict[int, int] = {}
-            for w in toks:
-                tid = self.vocab.get(w)
-                if tid is None:
-                    tid = self.vocab[w] = len(self.vocab)
-                counts[tid] = counts.get(tid, 0) + 1
-            for tid, c in counts.items():
-                slot = self._delta.setdefault(tid, [[], []])
-                slot[0].append(start + i)
-                slot[1].append(float(c))
-                self._delta_nnz += 1
-        if len(self.df) < len(self.vocab):
-            self.df = np.pad(self.df, (0, len(self.vocab) - len(self.df)))
-        for t in texts:
-            for tid in {self.vocab[w] for w in tokenize(t)}:
-                self.df[tid] += 1
-        self.doc_len = np.concatenate([self.doc_len, lens])
-        self.alive = np.concatenate(
-            [self.alive, np.ones((len(texts),), bool)]
-        )
-        if self._delta_nnz > 0.25 * max(len(self.post_docs), 64):
-            self._compact()
-        return range(start, start + len(texts))
+        compacted (amortized O(nnz)). Copy-on-write: concurrent readers
+        keep scoring their snapshot."""
+        with self._lock:
+            start = len(self.doc_len)
+            lens = np.zeros((len(texts),), np.float32)
+            new_delta = dict(self._delta)
+            touched: set = set()
+            per_doc_tids = []
+            for i, t in enumerate(texts):
+                toks = tokenize(t)
+                lens[i] = len(toks)
+                counts: Dict[int, int] = {}
+                for w in toks:
+                    tid = self.vocab.get(w)
+                    if tid is None:
+                        tid = self.vocab[w] = len(self.vocab)
+                    counts[tid] = counts.get(tid, 0) + 1
+                per_doc_tids.append(counts)
+                for tid, c in counts.items():
+                    slot = new_delta.get(tid)
+                    if tid not in touched:
+                        # copy-on-write: never append to a list a reader
+                        # snapshot may be iterating
+                        slot = ([list(slot[0]), list(slot[1])]
+                                if slot else [[], []])
+                        new_delta[tid] = slot
+                        touched.add(tid)
+                    slot[0].append(start + i)
+                    slot[1].append(float(c))
+                    self._delta_nnz += 1
+            df = np.zeros((len(self.vocab),), np.int64)
+            df[: len(self.df)] = self.df
+            for counts in per_doc_tids:
+                for tid in counts:
+                    df[tid] += 1
+            # assignment order is irrelevant to readers (they snapshot
+            # under the lock), but keep arrays fully built before binding
+            self.df = df
+            self._delta = new_delta
+            self.doc_len = np.concatenate([self.doc_len, lens])
+            self.alive = np.concatenate(
+                [self.alive, np.ones((len(texts),), bool)]
+            )
+            if self._delta_nnz > 0.25 * max(len(self.post_docs), 64):
+                self._compact()
+            return range(start, start + len(texts))
 
     def _compact(self) -> None:
-        n_terms = len(self.vocab)
-        counts = np.diff(self.indptr)
-        counts = np.pad(counts, (0, n_terms - len(counts)))
-        add = np.zeros((n_terms,), np.int64)
-        for tid, (d, _) in self._delta.items():
-            add[tid] = len(d)
-        indptr = np.zeros((n_terms + 1,), np.int64)
-        np.cumsum(counts + add, out=indptr[1:])
-        docs = np.empty((int(indptr[-1]),), np.int64)
-        tfs = np.empty((int(indptr[-1]),), np.float32)
-        for tid in range(n_terms):
-            s, e = indptr[tid], indptr[tid] + counts[tid]
-            if tid < len(self.indptr) - 1:
-                os_, oe = self.indptr[tid], self.indptr[tid + 1]
-                docs[s:e] = self.post_docs[os_:oe]
-                tfs[s:e] = self.post_tfs[os_:oe]
-            if add[tid]:
-                d, f = self._delta[tid]
-                docs[e:e + add[tid]] = d
-                tfs[e:e + add[tid]] = f
-        self.indptr, self.post_docs, self.post_tfs = indptr, docs, tfs
-        self._delta, self._delta_nnz = {}, 0
+        with self._lock:
+            n_terms = len(self.vocab)
+            counts = np.diff(self.indptr)
+            counts = np.pad(counts, (0, n_terms - len(counts)))
+            add = np.zeros((n_terms,), np.int64)
+            for tid, (d, _) in self._delta.items():
+                add[tid] = len(d)
+            indptr = np.zeros((n_terms + 1,), np.int64)
+            np.cumsum(counts + add, out=indptr[1:])
+            docs = np.empty((int(indptr[-1]),), np.int64)
+            tfs = np.empty((int(indptr[-1]),), np.float32)
+            for tid in range(n_terms):
+                s, e = indptr[tid], indptr[tid] + counts[tid]
+                if tid < len(self.indptr) - 1:
+                    os_, oe = self.indptr[tid], self.indptr[tid + 1]
+                    docs[s:e] = self.post_docs[os_:oe]
+                    tfs[s:e] = self.post_tfs[os_:oe]
+                if add[tid]:
+                    d, f = self._delta[tid]
+                    docs[e:e + add[tid]] = d
+                    tfs[e:e + add[tid]] = f
+            self.indptr, self.post_docs, self.post_tfs = indptr, docs, tfs
+            self._delta, self._delta_nnz = {}, 0
 
     def delete(self, ids) -> None:
-        ids = np.asarray(ids, np.int64)
-        if ids.size and (ids.min() < 0 or ids.max() >= len(self.doc_len)):
-            raise ValueError(
-                f"ids outside corpus [0, {len(self.doc_len)})"
-            )
-        self.alive[ids] = False
+        with self._lock:
+            ids = np.asarray(ids, np.int64)
+            if ids.size and (
+                ids.min() < 0 or ids.max() >= len(self.doc_len)
+            ):
+                raise ValueError(
+                    f"ids outside corpus [0, {len(self.doc_len)})"
+                )
+            alive = self.alive.copy()  # copy-on-write for lock-free readers
+            alive[ids] = False
+            self.alive = alive
 
     # -- persistence (warm restart, mirrors index/io.py for dense) --------
 
@@ -224,6 +257,10 @@ class BM25Index:
         newline-joined — tokens can't contain whitespace by construction
         of `tokenize`). Compacts the delta store first so the file is
         always a pure CSR."""
+        with self._lock:
+            self._save_locked(path)
+
+    def _save_locked(self, path: str) -> None:
         self._compact()
         terms = [None] * len(self.vocab)
         for w, tid in self.vocab.items():
@@ -318,34 +355,53 @@ class BM25Index:
         """Batch BM25 top-k. Returns (scores, ids), both (Q, k), ids = -1
         past the matched count, HIGHER score = better (a similarity — the
         opposite orientation from the dense families' distances; fusion
-        handles both via the metric tag)."""
-        n = len(self.doc_len)
-        k1, b = self.params.k1, self.params.b
-        avgdl = float(self.doc_len.mean()) if n else 1.0
-        mask = self.alive if allow is None else (
-            self.alive & np.asarray(allow, bool)
-        )
-        out_s = np.zeros((len(queries), k), np.float32)
-        out_i = np.full((len(queries), k), -1, np.int64)
-        norm_cache = 1.0 - b + b * self.doc_len / max(avgdl, 1e-9)
+        handles both via the metric tag).
 
-        # native path (native/hostops.cpp bm25_score_topk): one C call for
-        # the whole batch, threads across queries. Requires a pure CSR —
-        # compact any pending delta first (amortized O(nnz)).
+        Thread-safe vs concurrent extend/delete: state is snapshotted
+        under the writer lock, then scored lock-free (mutations are
+        copy-on-write). An `allow` mask sized for a different corpus
+        generation is aligned to the snapshot — rows beyond its length
+        are EXCLUDED (conservative: a filter can briefly hide rows added
+        mid-flight, never leak them)."""
         import os as _os
 
-        if n and _os.environ.get("CUVS_RAG_TPU_BM25_NATIVE", "1") != "0":
+        want_native = _os.environ.get(
+            "CUVS_RAG_TPU_BM25_NATIVE", "1") != "0"
+        with self._lock:
+            # native scorers need a pure CSR; compact a LARGE delta here
+            # (amortized), but keep small deltas on the numpy path so an
+            # extend(1 doc) doesn't force an O(nnz) rebuild per search
+            if want_native and self._delta_nnz >= 4096:
+                self._compact()
+            use_native = want_native and self._delta_nnz == 0
+            indptr, post_docs = self.indptr, self.post_docs
+            post_tfs, doc_len = self.post_tfs, self.doc_len
+            alive, delta = self.alive, self._delta
+            n = len(doc_len)
+            k1, b = self.params.k1, self.params.b
+            tid_parts, idf_parts, offsets = [], [], [0]
+            for q in queries:
+                tids = self._query_tids(q)
+                tid_parts.append(tids)
+                idf_parts.append(self._idf(tids))
+                offsets.append(offsets[-1] + len(tids))
+            tfmax = (self._tfmax() if use_native and n else None)
+        avgdl = float(doc_len.mean()) if n else 1.0
+        if allow is None:
+            mask = alive
+        else:
+            a = np.asarray(allow, bool)
+            if len(a) < n:
+                a = np.concatenate([a, np.zeros((n - len(a),), bool)])
+            mask = alive & a[:n]
+        out_s = np.zeros((len(queries), k), np.float32)
+        out_i = np.full((len(queries), k), -1, np.int64)
+        norm_cache = 1.0 - b + b * doc_len / max(avgdl, 1e-9)
+
+        if n and use_native:
             from cuvs_rag_tpu import native as native_mod
 
             if native_mod.have_native():
-                if self._delta_nnz:
-                    self._compact()
-                tid_parts, idf_parts, offsets = [], [], [0]
-                for q in queries:
-                    tids = self._query_tids(q)
-                    tid_parts.append(tids)
-                    idf_parts.append(self._idf(tids))
-                    offsets.append(offsets[-1] + len(tids))
                 all_tids = (np.concatenate(tid_parts) if tid_parts
                             else np.zeros((0,), np.int64))
                 all_idf = (np.concatenate(idf_parts) if idf_parts
@@ -363,14 +419,12 @@ class BM25Index:
                 # routing: DAAT MaxScore skips head-term postings but
                 # pays a sort/probe overhead per pivot — worth it once
                 # the batch would walk a lot of postings; the dense
-                # accumulate scorer wins on small walks. (post-compact,
-                # every query tid indexes the full CSR)
+                # accumulate scorer wins on small walks
                 walk = int(
-                    (self.indptr[all_tids + 1]
-                     - self.indptr[all_tids]).sum()
+                    (indptr[all_tids + 1] - indptr[all_tids]).sum()
                 ) if all_tids.size else 0
                 if walk > 200_000:
-                    tfm = self._tfmax()[all_tids] if all_tids.size \
+                    tfm = tfmax[all_tids] if all_tids.size \
                         else np.zeros((0,), np.float32)
                     min_norm = (float(nc32.min()) if len(nc32) else 1.0)
                     bounds = np.where(
@@ -380,35 +434,35 @@ class BM25Index:
                         0.0,
                     ).astype(np.float32)
                     got = native_mod.bm25_maxscore_topk(
-                        self.indptr, self.post_docs, self.post_tfs,
+                        indptr, post_docs, post_tfs,
                         nc32, k1, all_tids, all_idf, bounds, offs,
                         mask8, k, nthreads=nthreads,
                     )
                 else:
                     got = native_mod.bm25_score_topk(
-                        self.indptr, self.post_docs, self.post_tfs,
+                        indptr, post_docs, post_tfs,
                         nc32, k1, all_tids, all_idf, offs,
                         mask8, k, nthreads=nthreads,
                     )
                 if got is not None:
                     return got
-        for qi, q in enumerate(queries):
-            tids = self._query_tids(q)
+        for qi in range(len(queries)):
+            tids = tid_parts[qi]
             if tids.size == 0:
                 continue
-            idf = self._idf(tids)
+            idf = idf_parts[qi]
             scores = np.zeros((n,), np.float32)
             # CSR postings of the query's terms
-            in_csr = tids[tids < len(self.indptr) - 1]
+            in_csr = tids[tids < len(indptr) - 1]
             if in_csr.size:
-                starts, ends = self.indptr[in_csr], self.indptr[in_csr + 1]
+                starts, ends = indptr[in_csr], indptr[in_csr + 1]
                 lens = ends - starts
                 gather = np.repeat(
                     starts - np.concatenate([[0], np.cumsum(lens)[:-1]]),
                     lens,
                 ) + np.arange(int(lens.sum()))
-                docs = self.post_docs[gather]
-                tf = self.post_tfs[gather]
+                docs = post_docs[gather]
+                tf = post_tfs[gather]
                 idf_rep = np.repeat(
                     idf[np.searchsorted(tids, in_csr)], lens
                 )
@@ -418,13 +472,20 @@ class BM25Index:
                 scores += np.bincount(
                     docs, weights=contrib, minlength=n
                 ).astype(np.float32)[:n]
-            # delta postings (recent extends, not yet compacted)
+            # delta postings (recent extends, not yet compacted). The
+            # snapshot dict's lists are immutable (extend copies on
+            # write), so lock-free iteration is safe.
             for pos, tid in enumerate(tids):
-                slot = self._delta.get(int(tid))
+                slot = delta.get(int(tid))
                 if not slot:
                     continue
                 d = np.asarray(slot[0], np.int64)
                 tf = np.asarray(slot[1], np.float32)
+                # a delta slot written after our snapshot of doc_len
+                # could reference docs beyond n — not in this snapshot
+                live_rows = d < n
+                if not live_rows.all():
+                    d, tf = d[live_rows], tf[live_rows]
                 scores[d] += idf[pos] * tf * (k1 + 1.0) / (
                     tf + k1 * norm_cache[d]
                 )

@@ -122,8 +122,11 @@ class MicroBatcher:
             # dispatch finishes in ms-to-seconds, resetting its entry.
             if len(self._busy_since) >= len(self._threads):
                 now = time.time()
-                oldest = min(self._busy_since.values())
-                if now - oldest > self._stall_s:
+                # EVERY dispatcher stuck past the budget <=> even the
+                # NEWEST dispatch started > stall_s ago (min() here would
+                # trip on one wedged thread while the others drain fine)
+                newest = max(self._busy_since.values())
+                if now - newest > self._stall_s:
                     metrics.inc(f"server.stalled_rejects.{self._name}")
                     raise ServerStalledError(
                         f"all {len(self._threads)} dispatchers stuck in a "

@@ -289,3 +289,33 @@ def test_hybrid_view_cache_correct_and_invalidates(tmp_path):
            for p in h.retrieve("doc 20 token t20x", k=2,
                                allow=mask2).passages]
     assert 20 in got
+
+
+def test_hybrid_extend_keeps_shared_embeddings_aligned():
+    """With a LEXICAL engine first and a shared-corpus dense engine
+    second, hybrid extend must keep corpus.embeddings row-aligned with
+    passages (the skipped-append bug misaligned every later id)."""
+    from cuvs_rag_tpu.rag.lexical import LexicalRetriever as _Lex
+
+    docs = ["doc %d token q%dz" % (i, i) for i in range(12)]
+    shared = Corpus(passages=list(docs))
+    lex = _Lex(shared)
+    dense = Retriever.build(
+        shared, HashingEncoder(dim=64), family="flat",
+        params=FlatParams(metric=Metric.INNER_PRODUCT, tile_n=8),
+    )
+    h = HybridRetriever([lex, dense], method="rrf")
+    assert shared.embeddings.shape == (12, 64)
+    ids = h.extend(["doc 12 token q12z"])
+    assert ids == range(12, 13)
+    assert len(shared.passages) == 13
+    assert shared.embeddings.shape == (13, 64), \
+        "embeddings must grow with passages"
+    enc = HashingEncoder(dim=64)
+    np.testing.assert_allclose(
+        shared.embeddings[12], enc.encode(["doc 12 token q12z"])[0],
+        rtol=1e-6,
+    )
+    # both engines retrieve the new doc
+    got = h.retrieve("doc 12 token q12z", k=1)
+    assert got.passages[0].index == 12

@@ -300,3 +300,57 @@ def test_maxscore_exactly_matches_dense_scorer():
             for a, b, sa, sb in zip(i_m[qi], i_d[qi], s_m[qi], s_d[qi]):
                 if a != b:
                     assert abs(sa - sb) < 1e-5, (qi, k, a, b, sa, sb)
+
+
+def test_concurrent_search_extend_delete_is_safe():
+    """The serving daemon searches from several threads while
+    extend/delete mutate: copy-on-write + snapshotting must keep every
+    search crash-free and every returned id valid-or-excluded."""
+    import threading
+
+    rng = np.random.default_rng(3)
+    vocab = ["w%d" % i for i in range(200)]
+    texts = [" ".join(rng.choice(vocab, 20)) for _ in range(500)]
+    ix = BM25Index.build(texts)
+    stop = threading.Event()
+    errors = []
+
+    def searcher():
+        qrng = np.random.default_rng(threading.get_ident() % 2**31)
+        while not stop.is_set():
+            qs = [" ".join(qrng.choice(vocab, 5)) for _ in range(4)]
+            try:
+                s, i = ix.search(qs, 10)
+                assert (i < len(ix.doc_len)).all()
+            except Exception as e:  # noqa: BLE001
+                errors.append(repr(e))
+                return
+
+    def mutator():
+        mrng = np.random.default_rng(7)
+        for step in range(60):
+            try:
+                ix.extend([" ".join(mrng.choice(vocab, 15))
+                           for _ in range(3)])
+                ix.delete([int(mrng.integers(0, 400))])
+            except Exception as e:  # noqa: BLE001
+                errors.append("mutator: " + repr(e))
+                return
+
+    threads = [threading.Thread(target=searcher) for _ in range(4)]
+    for t in threads:
+        t.start()
+    mutator()
+    stop.set()
+    for t in threads:
+        t.join(30)
+    assert not errors, errors[:3]
+    # post-storm internal consistency: every posting references a valid
+    # doc (the race would leave duplicated/garbage postings), df counts
+    # cover the vocab, and a fresh search completes
+    ix._compact()
+    assert ix.post_docs.max() < len(ix.doc_len)
+    assert len(ix.df) == len(ix.vocab)
+    assert len(ix.doc_len) == 500 + 60 * 3
+    s, i = ix.search(["w0 w1 w2"], 5)
+    assert (i[0] < len(ix.doc_len)).all()

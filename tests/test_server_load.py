@@ -187,3 +187,40 @@ def test_hung_dispatch_maps_to_503_over_http():
     finally:
         srv.shutdown()
         srv.service.close()
+
+
+def test_one_stuck_dispatcher_does_not_trip_stall():
+    """The stall watchdog requires EVERY dispatcher wedged: one stuck
+    thread while the other drains normally must not 503 (the min()->max()
+    regression would reject here)."""
+    release = threading.Event()
+    stuck_marker = "STUCK"
+
+    def run(items):
+        if any(x == stuck_marker for x in items):
+            release.wait(30)
+            return [None] * len(items)
+        time.sleep(0.01)
+        return [x for x in items]
+
+    mb = server_mod.MicroBatcher(run, pipeline_depth=2, stall_s=0.2,
+                                 name="onewedge", max_items=1)
+
+    def wedge():
+        try:
+            mb.submit(stuck_marker, timeout=10.0)
+        except Exception:  # noqa: BLE001
+            pass
+
+    threading.Thread(target=wedge, daemon=True).start()
+    deadline = time.time() + 5.0
+    while time.time() < deadline:
+        with mb._cv:
+            if mb._busy_since:
+                break
+        time.sleep(0.01)
+    time.sleep(0.3)  # the stuck dispatch is now older than stall_s
+    # healthy traffic keeps flowing through the second dispatcher
+    for i in range(20):
+        assert mb.submit(i, timeout=5.0) == i
+    release.set()
