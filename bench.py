@@ -58,7 +58,9 @@ BASELINE_MS = 2.01  # A100 cuVS IVF-Flat @ 2M, ms/query (approximate search)
 # runs to completion; each extra is skipped when the budget is spent (e.g.
 # a cold compile cache) so the driver always gets its one JSON line instead
 # of a timeout. Ordered cheapest-first within each corpus so a tight budget
-# still captures the most rows.
+# still captures the most rows. The clock starts when the device probe
+# answers (reset in _main_flow) — probe retries on a flapping tunnel must
+# not eat the extras budget, mirroring the watchdog's post-probe start.
 EXTRAS_BUDGET_S = 1400.0
 _T_START = time.time()
 
@@ -259,7 +261,10 @@ def main():
             break
         flow_t0 = state.get("flow_t0")  # set when the probe answered
         if flow_t0 is None:
-            if time.time() - t0 > PROBE_BUDGET_S + WATCHDOG_S:
+            # probe phase: its own retries are bounded well below this;
+            # only an import/backend hang lands here — break early enough
+            # that the stale fallback still beats any external timeout
+            if time.time() - t0 > PROBE_BUDGET_S:
                 break
         elif time.time() - flow_t0 > WATCHDOG_S:
             break
@@ -306,8 +311,13 @@ def main():
         "headline metric completed (device answered the probe, then hung).",
         file=sys.stderr, flush=True,
     )
-    if _emit_stale_fallback("watchdog: device answered the probe then hung "
-                            f"past {WATCHDOG_S:.0f}s before the headline"):
+    # consume the single-emit token FIRST: the (possibly un-wedged) worker
+    # could otherwise complete during the fallback's git subprocesses and
+    # print a second JSON line — the driver contract is exactly one
+    if state["emitted"].acquire(blocking=False) and _emit_stale_fallback(
+        "watchdog: device answered the probe then hung "
+        f"past {WATCHDOG_S:.0f}s before the headline"
+    ):
         sys.stdout.flush()
         os._exit(0)
         return
@@ -322,7 +332,9 @@ def _main_flow(state):
     from cuvs_rag_tpu.utils.config import FlatParams
 
     _probe_device_or_die(jax, jnp)
-    state["flow_t0"] = time.time()  # watchdog budget starts post-probe
+    # watchdog AND extras budgets start when the probe answers
+    global _T_START
+    state["flow_t0"] = _T_START = time.time()
     state["device_str"] = str(jax.devices()[0])
     key = jax.random.PRNGKey(42)
     rows = {}
@@ -756,8 +768,12 @@ def _clustered_rows(jax, jnp, key, qrs, rows, skipped):
             return _recall(np.asarray(ilt), gtl, K_LARGE)
 
         tuned = None
-        lo, hit_npb, hit_rec = 20, None, None  # nprobe=20 measured above
-        for npb in (40, 80, 160):
+        rec20 = rows["ivf_k2000_recall_at_2000"]
+        lo, hit_npb, hit_rec = 20, None, None
+        if rec20 >= 0.95:
+            # the already-measured nprobe=20 point IS the cheapest pass
+            hit_npb, hit_rec, lo = 20, rec20, 16
+        for npb in () if hit_npb else (40, 80, 160):
             rec = rec_at(npb)
             if rec >= 0.95:
                 hit_npb, hit_rec = npb, rec
@@ -915,11 +931,25 @@ def _emit(ms_per_query, qps, build_s, dt, rows, skipped, device_str,
     }
     extra.update(rows)
     if skipped:
-        extra["extras_skipped"] = (
-            "skipped rows %s: %.0fs wall exceeded the %.0fs extras budget "
-            "(cold compile cache); headline metric is complete"
-            % (",".join(skipped), time.time() - _T_START, EXTRAS_BUDGET_S)
-        )
+        # honest provenance in the durable record: budget skips (plain
+        # row names) vs error/watchdog/crash markers (contain ':')
+        plain = [s for s in skipped if ":" not in s]
+        flagged = [s for s in skipped if ":" in s]
+        parts = []
+        if plain:
+            parts.append(
+                "rows %s skipped: %.0fs wall exceeded the %.0fs extras "
+                "budget (cold compile cache)"
+                % (",".join(plain), time.time() - _T_START,
+                   EXTRAS_BUDGET_S)
+            )
+        if flagged:
+            parts.append(
+                "markers %s: row error / watchdog / crash salvage — "
+                "see stderr" % ",".join(flagged)
+            )
+        parts.append("headline metric is complete")
+        extra["extras_skipped"] = "; ".join(parts)
     if emitted is not None and not emitted.acquire(blocking=False):
         return  # the other thread already emitted — never two lines
     payload = {

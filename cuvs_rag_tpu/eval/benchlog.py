@@ -74,9 +74,13 @@ def append_row(
     }
     rec.update(git_state())
     try:
+        line = json.dumps(rec)  # may raise on non-JSON types (np scalars)
         with open(path or default_path(), "a") as f:
-            f.write(json.dumps(rec) + "\n")
-    except OSError:
+            f.write(line + "\n")
+    except Exception:
+        # honor the best-effort contract: a log failure (read-only
+        # checkout, a numpy scalar that slipped into a payload) must not
+        # turn a successful bench into a nonzero exit
         pass
     return rec
 
