@@ -449,18 +449,10 @@ def _e2e_text_row(jax, jnp, key, rows):
         jnp.zeros((1, 64), jnp.int32), jnp.ones((1, 64), jnp.int32),
     )
 
-    class _Tok:
-        def __call__(self, texts, **kw):
-            L = kw.get("max_length", 64)
-            ids = np.zeros((len(texts), L), np.int32)
-            mask = np.zeros((len(texts), L), np.int32)
-            for i, t in enumerate(texts):
-                toks = [hash(w) % 29_000 + 1 for w in t.split()][:L]
-                ids[i, : len(toks)] = toks
-                mask[i, : len(toks)] = 1
-            return {"input_ids": ids, "attention_mask": mask}
+    from cuvs_rag_tpu.models.encoder import HashTokenizer
 
-    enc = fe.FlaxSentenceEncoder(cfg, params, _Tok(), max_length=64)
+    enc = fe.FlaxSentenceEncoder(cfg, params, HashTokenizer(29_000),
+                                 max_length=64)
     corpus_dev = jax.random.normal(
         jax.random.fold_in(key, 4242), (n_small, d_small), jnp.bfloat16
     )

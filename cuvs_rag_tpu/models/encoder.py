@@ -94,6 +94,34 @@ class TfidfHashingEncoder:
         return out / np.maximum(norms, 1e-12)
 
 
+class HashTokenizer:
+    """Dependency-free word-hash tokenizer with the HF-tokenizer call
+    contract the flax encoders expect (`tok(texts, max_length=L, ...) ->
+    {"input_ids", "attention_mask"}`): each whitespace token maps to
+    `hash(word) % vocab_mod + 1` (0 = pad), right-padded to max_length.
+
+    Not a linguistic tokenizer — the deterministic stand-in used by the
+    bench/demo/gate paths when no checkpointed vocab is available
+    (identical text -> identical ids, which is all self-retrieval
+    exactness checks and throughput benches need). Replaces four
+    previously-diverging inline copies (bench.py, __graft_entry__.py,
+    scripts/bench_e2e_text.py, examples/demo_sharded_rag.py).
+    """
+
+    def __init__(self, vocab_mod: int = 29_000):
+        self.vocab_mod = vocab_mod
+
+    def __call__(self, texts: Sequence[str], **kw):
+        L = kw.get("max_length", 64)
+        ids = np.zeros((len(texts), L), np.int32)
+        mask = np.zeros((len(texts), L), np.int32)
+        for i, t in enumerate(texts):
+            toks = [hash(w) % self.vocab_mod + 1 for w in t.split()][:L]
+            ids[i, : len(toks)] = toks
+            mask[i, : len(toks)] = 1
+        return {"input_ids": ids, "attention_mask": mask}
+
+
 def get_detailed_instruct(task_description: str, query: str) -> str:
     """Instruct formatting for instruction-tuned embedders
     (generate_embeddings.py:23-27)."""

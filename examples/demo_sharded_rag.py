@@ -69,18 +69,10 @@ def main():
         jnp.zeros((1, 128), jnp.int32), jnp.ones((1, 128), jnp.int32),
     )
 
-    class _Tok:  # hash tokenizer (no vocab downloads)
-        def __call__(self, texts, **kw):
-            L = kw.get("max_length", 128)
-            ids = np.zeros((len(texts), L), np.int32)
-            mask = np.zeros((len(texts), L), np.int32)
-            for i, t in enumerate(texts):
-                toks = [hash(w) % 29_000 + 1 for w in t.split()][:L]
-                ids[i, : len(toks)] = toks
-                mask[i, : len(toks)] = 1
-            return {"input_ids": ids, "attention_mask": mask}
+    from cuvs_rag_tpu.models.encoder import HashTokenizer
 
-    encoder = fe.FlaxSentenceEncoder(cfg, params, _Tok(), max_length=128)
+    encoder = fe.FlaxSentenceEncoder(cfg, params, HashTokenizer(29_000),
+                                     max_length=128)
     t0 = time.time()
     retriever = Retriever.build(
         corpus, encoder, family="ivf_flat",

@@ -38,19 +38,7 @@ from cuvs_rag_tpu.utils.config import FlatParams
 N, D, BATCH, K, REPS = 200_000, 384, 16, 5, 30
 
 
-class WordHashTok:
-    """Deterministic whitespace tokenizer (no checkpoint download in this
-    environment) — the compute profile equals a real WordPiece encode."""
-
-    def __call__(self, texts, **kw):
-        L = kw.get("max_length", 64)
-        ids = np.zeros((len(texts), L), np.int32)
-        mask = np.zeros((len(texts), L), np.int32)
-        for i, t in enumerate(texts):
-            toks = [hash(w) % 29_000 + 1 for w in t.split()][:L]
-            ids[i, : len(toks)] = toks
-            mask[i, : len(toks)] = 1
-        return {"input_ids": ids, "attention_mask": mask}
+from cuvs_rag_tpu.models.encoder import HashTokenizer as WordHashTok  # noqa: E402
 
 
 def main():
