@@ -17,9 +17,15 @@ Three encoders:
 from __future__ import annotations
 
 import hashlib
+import re
 from typing import Sequence
 
 import numpy as np
+
+# The shared word-token convention: rag/lexical.py's BM25 tokenizer and
+# TfidfHashingEncoder MUST agree (hybrid fusion compares their rankings
+# over the same text), so the pattern lives in exactly one place.
+WORD_RE = re.compile(r"[a-z0-9']+")
 
 
 class HashingEncoder:
@@ -64,9 +70,7 @@ class TfidfHashingEncoder:
 
     @staticmethod
     def _grams(text: str):
-        import re
-
-        toks = re.findall(r"[a-z0-9']+", text.lower())
+        toks = WORD_RE.findall(text.lower())
         return toks + [" ".join(p) for p in zip(toks, toks[1:])]
 
     def fit(self, texts: Sequence[str]) -> "TfidfHashingEncoder":

@@ -55,10 +55,25 @@ def _configure(lib: ctypes.CDLL) -> None:
     ]
 
 
+_load_failed = False
+
+
 def _load() -> Optional[ctypes.CDLL]:
-    global _lib
+    global _lib, _load_failed
     if _lib is not None:
         return _lib
+    if _load_failed:
+        # cache failure: without this, every search on a toolchain-less
+        # (or miscompiling) box would re-spawn `make` on the hot path
+        return None
+    lib = _load_once()
+    if lib is None:
+        _load_failed = True
+    return lib
+
+
+def _load_once() -> Optional[ctypes.CDLL]:
+    global _lib
     if not os.path.exists(_SO) and not _build():
         return None
     try:
@@ -260,7 +275,10 @@ def quantize_int8(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         return values, scales
     amax = np.abs(x).max(axis=1)
     scales = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
-    values = np.round(x / scales[:, None]).astype(np.int8)
+    # half-away-from-zero to match the native lround (np.round is
+    # half-to-even, which would differ by 1 on exact .5 boundaries)
+    v = x / scales[:, None]
+    values = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int8)
     return values, scales
 
 

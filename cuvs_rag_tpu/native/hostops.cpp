@@ -47,9 +47,12 @@ void topk_merge(const float* scores, const int32_t* ids, int64_t S,
       return descending ? (a.s < b.s) : (a.s > b.s);
     };
     std::priority_queue<Head, std::vector<Head>, decltype(better)> heap(better);
-    for (int64_t s = 0; s < S; ++s) {
-      const int64_t base = (s * Q + q) * k_in;
-      if (ids[base] >= 0) heap.push({scores[base], ids[base], (int32_t)s, 0});
+    if (k_in > 0) {  // k_in == 0: zero-length candidate rows, pad-only
+      for (int64_t s = 0; s < S; ++s) {
+        const int64_t base = (s * Q + q) * k_in;
+        if (ids[base] >= 0)
+          heap.push({scores[base], ids[base], (int32_t)s, 0});
+      }
     }
     int64_t filled = 0;
     while (filled < k_out && !heap.empty()) {
@@ -78,6 +81,7 @@ void brute_topk_l2(const float* corpus, int64_t N, int64_t D,
                    const float* queries, int64_t Q, int64_t k,
                    float* out_d, int32_t* out_i, int nthreads) {
   if (nthreads <= 0) nthreads = (int)std::thread::hardware_concurrency();
+  if (nthreads < 1) nthreads = 1;  // hardware_concurrency() may return 0
   const int64_t kk = std::min(k, N);
 
   std::vector<float> corpus_sq(N);

@@ -24,18 +24,18 @@ beyond-parity surface.
 from __future__ import annotations
 
 import dataclasses
-import re
 import time
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-_TOKEN_RE = re.compile(r"[a-z0-9']+")
+from cuvs_rag_tpu.models.encoder import WORD_RE as _TOKEN_RE
 
 
 def tokenize(text: str) -> List[str]:
     """Lowercase word tokens (the TfidfHashingEncoder convention, minus
-    bigrams — BM25 is classically a unigram model)."""
+    bigrams — BM25 is classically a unigram model; the regex is shared
+    with models/encoder.py so the two can never desynchronize)."""
     return _TOKEN_RE.findall(text.lower())
 
 
@@ -334,9 +334,13 @@ class BM25Index:
         return tfmax
 
     def _query_tids(self, q: str) -> np.ndarray:
+        return self._tids_from_tokens(tokenize(q))
+
+    def _tids_from_tokens(self, toks: List[str]) -> np.ndarray:
+        """Vocab/df lookups only — callers tokenize OUTSIDE the writer
+        lock (regex work must not serialize concurrent searches)."""
         tids = np.asarray(
-            sorted({self.vocab[w] for w in tokenize(q)
-                    if w in self.vocab}),
+            sorted({self.vocab[w] for w in toks if w in self.vocab}),
             np.int64,
         )
         frac = self.params.max_df_frac
@@ -367,6 +371,7 @@ class BM25Index:
 
         want_native = _os.environ.get(
             "CUVS_RAG_TPU_BM25_NATIVE", "1") != "0"
+        toks_list = [tokenize(q) for q in queries]  # outside the lock
         with self._lock:
             # native scorers need a pure CSR; compact a LARGE delta here
             # (amortized), but keep small deltas on the numpy path so an
@@ -380,8 +385,8 @@ class BM25Index:
             n = len(doc_len)
             k1, b = self.params.k1, self.params.b
             tid_parts, idf_parts, offsets = [], [], [0]
-            for q in queries:
-                tids = self._query_tids(q)
+            for toks in toks_list:
+                tids = self._tids_from_tokens(toks)
                 tid_parts.append(tids)
                 idf_parts.append(self._idf(tids))
                 offsets.append(offsets[-1] + len(tids))
@@ -491,8 +496,11 @@ class BM25Index:
                 )
             scores[~mask] = -np.inf
             kk = min(k, n)
-            top = np.argpartition(-scores, kk - 1)[:kk]
-            top = top[np.argsort(-scores[top], kind="stable")]
+            # (score desc, doc id asc) — the same deterministic tie-break
+            # as the native scorers, including at the rank-k boundary
+            # (argpartition alone keeps an arbitrary member of a tie
+            # straddling k). Full lexsort is fine on the fallback path.
+            top = np.lexsort((np.arange(n), -scores))[:kk]
             good = scores[top] > 0
             top, sc = top[good], scores[top][good]
             out_i[qi, : len(top)] = top
@@ -559,13 +567,24 @@ class LexicalRetriever:
                 "LexicalRetriever indexes text, not vectors"
             )
         texts = list(texts)
-        new_ids = self.bm25.extend(texts)
+        if titles is not None and len(titles) != len(texts):
+            raise ValueError("titles must align with texts")
+        # corpus FIRST, index LAST: BM25Index is safe for concurrent
+        # search-during-extend, so the moment the new ids are searchable
+        # their passages must already exist (mirrors the dense
+        # Retriever.extend index-swap-last contract)
+        start = len(self.corpus.passages)
         if titles is not None and self.corpus.titles is None:
             self.corpus.titles = [""] * len(self.corpus.passages)
         self.corpus.passages.extend(texts)
         if self.corpus.titles is not None:
             self.corpus.titles.extend(
                 list(titles) if titles is not None else [""] * len(texts)
+            )
+        new_ids = self.bm25.extend(texts)
+        if new_ids.start != start:
+            raise RuntimeError(
+                "lexical extend id drift: corpus and BM25 index disagree"
             )
         return new_ids
 
