@@ -126,7 +126,13 @@ def main():
             [(queries[: min(b, len(queries))], args.k, frozenset(), None)]
         )
         b *= 2
-    print(f"prewarm (all bucket shapes): {time.time() - t0:.1f}s")
+    # the deny mode over-fetches k+1024 -> a distinct (bucketed ~2048) k
+    # shape; without this the deny/mixed p95-p99 report one-time compiles
+    warm_svc._run_vectors(
+        [(queries[:1], args.k, frozenset(range(1024)), None)]
+    )
+    print(f"prewarm (all bucket shapes incl. deny k): "
+          f"{time.time() - t0:.1f}s")
 
     # persistent-filter comparison (VERDICT r3 #5): a baked named VIEW at
     # 50% selectivity vs the per-request deny path's k+|deny| over-fetch
