@@ -499,21 +499,27 @@ def _ladder_then_bisect(meas, make, hi: int, target: float,
                         plateau_after: int = 0):
     """Doubling ladder over an int knob, then binary refinement between the
     last miss and the first hit. Returns the cheapest passing SweepPoint
-    (None if even `hi` misses). plateau_after > 0: give up early when
-    recall improves < 0.005 over that many consecutive doublings — the
-    knob has saturated (e.g. nprobe under a refine-depth recall cap) and
-    measuring up to `hi` would only burn time on a lost cause."""
+    (None if even `hi` misses). plateau_after > 0: give up early when the
+    knob has SATURATED — recall gains under 0.005 absolute AND under 20%
+    relative over that many consecutive doublings (the relative clause
+    keeps the low-recall regime alive: at recall 0.002 a doubling that
+    doubles recall is linear progress, not a plateau) — e.g. nprobe under
+    a refine-depth recall cap, where measuring up to `hi` only burns time
+    on a lost cause."""
     lo_fail = 0
-    first_hit = None
+    first_hit = None  # (knob, SweepPoint)
     p = 1
     flat_steps = 0
     prev_recall = -1.0
     while p < hi:
         pt = meas(make(p))
         if pt.recall >= target:
-            first_hit = pt
+            first_hit = (p, pt)
             break
-        if plateau_after and pt.recall < prev_recall + 0.005:
+        gain = pt.recall - prev_recall
+        if plateau_after and gain < 0.005 and (
+            gain < 0.2 * max(prev_recall, 1e-9)
+        ):
             flat_steps += 1
             if flat_steps >= plateau_after:
                 return None
@@ -526,14 +532,16 @@ def _ladder_then_bisect(meas, make, hi: int, target: float,
         pt = meas(make(hi))
         if pt.recall < target:
             return None
-        first_hit = pt
+        first_hit = (hi, pt)
         # bisect in (lo_fail, hi)
-    lo, hi_pass = lo_fail, first_hit
-    while hi_pass.param.n_probes - lo > 1:
-        mid = (lo + hi_pass.param.n_probes) // 2
+    # track the knob value alongside the point: reading it back off
+    # param.n_probes would break any non-IVF caller of this generic helper
+    (hi_knob, hi_pass), lo = first_hit, lo_fail
+    while hi_knob - lo > 1:
+        mid = (lo + hi_knob) // 2
         pt = meas(make(mid))
         if pt.recall >= target:
-            hi_pass = pt
+            hi_knob, hi_pass = mid, pt
         else:
             lo = mid
     return hi_pass

@@ -253,8 +253,14 @@ class HybridRetriever:
         # without this each hybrid view search re-bakes + re-uploads the
         # mask per engine per request). Strong refs pin the keys' id()s;
         # keying on id(index) invalidates on extend/delete index swaps.
+        import threading
+
         self._view_cache: dict = {}
         self._view_cache_cap = 8
+        # guards _view_cache AND lazy executor init: _engine_view and
+        # retrieve_batch are called concurrently from the daemon's
+        # dispatcher threads plus this class's own engine fan-out pool
+        self._state_lock = threading.Lock()
         self._executor = None  # lazy persistent engine fan-out pool
 
     # the serving daemon (rag/server.SearchService) duck-types its
@@ -283,34 +289,48 @@ class HybridRetriever:
                 "hybrid extend takes texts (vectors are per-engine data)"
             )
         texts = list(texts)
+        if titles is not None and len(titles) != len(texts):
+            raise ValueError("titles must align with texts")
         shared = self.retrievers[0].corpus
         start = len(shared.passages)
+        # Phase 1 — do EVERYTHING that can fail before any engine commits
+        # (a mid-loop failure after engine 0 committed would silently
+        # desynchronize the engines): encode per-engine vectors and check
+        # the read-only-store guard up front.
+        shared_dense = []  # (engine, vectors)
+        for r in self.retrievers[1:]:
+            if r.corpus is shared and not hasattr(r, "bm25"):
+                emb = shared.embeddings
+                if emb is not None and hasattr(emb, "fetch_rows"):
+                    raise ValueError(
+                        "shared corpus embeddings live in a read-only "
+                        "host store — rebuild the store, then the "
+                        "retrievers"
+                    )
+                shared_dense.append(
+                    (r, np.asarray(r.encoder.encode(texts), np.float32))
+                )
+        # Phase 2 — commit engine 0 (appends the shared passages)
         new_ids = self.retrievers[0].extend(texts, titles=titles)
         if new_ids.start != start:
             raise RuntimeError("hybrid extend id drift")
+        # Phase 3 — commit the remaining engines. For shared-corpus dense
+        # engines: embeddings append BEFORE the index swap (a reader that
+        # sees the new index must find embedding rows already long enough
+        # — the same index-swap-last contract as Retriever.extend).
         for r in self.retrievers[1:]:
             if r.corpus is shared:
-                # corpus passages already grown — extend the engine's
-                # index, and keep corpus.embeddings row-aligned when this
-                # engine owns them (engine 0 only appends embeddings it
-                # produced itself; a lexical engine 0 appends none)
                 if hasattr(r, "bm25"):
                     r.bm25.extend(texts)
                 else:
-                    vecs = np.asarray(r.encoder.encode(texts), np.float32)
+                    vecs = next(v for e, v in shared_dense if e is r)
                     emb = shared.embeddings
-                    if emb is not None and hasattr(emb, "fetch_rows"):
-                        raise ValueError(
-                            "shared corpus embeddings live in a read-only "
-                            "host store — rebuild the store, then the "
-                            "retrievers"
-                        )
-                    r.index = r._build_extended_index(vecs)
                     if emb is not None and len(emb) == start:
                         shared.embeddings = np.concatenate(
                             [np.asarray(emb),
                              vecs.astype(np.asarray(emb).dtype)], axis=0
                         )
+                    r.index = r._build_extended_index(vecs)
             else:
                 got = r.extend(texts, titles=titles)
                 if got.start != start:
@@ -331,7 +351,8 @@ class HybridRetriever:
         if ix is None or getattr(r, "family", "") == "cagra":
             return None
         key = (ei, id(allow), id(ix))
-        hit = self._view_cache.get(key)
+        with self._state_lock:
+            hit = self._view_cache.get(key)
         if hit is not None:
             return hit[2]
         mask = np.asarray(allow, bool)
@@ -350,14 +371,18 @@ class HybridRetriever:
             view = filters_lib.filtered_view(ix, mask)
         # evict entries baked over a RETIRED index first (extend/delete
         # swapped it) — each pins a full device-resident index, so FIFO
-        # alone could hold several superseded multi-GB generations in HBM
+        # alone could hold several superseded multi-GB generations in HBM.
+        # The bake above ran unlocked (it is the expensive part; a
+        # duplicate bake under concurrent first requests is harmless);
+        # all dict mutation happens under the lock.
         current = {id(getattr(r, "index", None)) for r in self.retrievers}
-        for kk in [kk for kk, v in self._view_cache.items()
-                   if id(v[1]) not in current]:
-            del self._view_cache[kk]
-        while len(self._view_cache) >= self._view_cache_cap:
-            self._view_cache.pop(next(iter(self._view_cache)))
-        self._view_cache[key] = (allow, ix, view)
+        with self._state_lock:
+            for kk in [kk for kk, v in self._view_cache.items()
+                       if id(v[1]) not in current]:
+                del self._view_cache[kk]
+            while len(self._view_cache) >= self._view_cache_cap:
+                self._view_cache.pop(next(iter(self._view_cache)))
+            self._view_cache[key] = (allow, ix, view)
         return view
 
     def save(self, directory: str) -> None:
@@ -369,14 +394,22 @@ class HybridRetriever:
 
         os.makedirs(directory, exist_ok=True)
         kinds = []
+        shared0 = self.retrievers[0].corpus
+        shares = []
         for i, r in enumerate(self.retrievers):
             r.save(os.path.join(directory, f"engine_{i}"))
             kinds.append("bm25" if hasattr(r, "bm25") else "dense")
+            shares.append(r.corpus is shared0)
         with open(os.path.join(directory, "hybrid.json"), "w") as f:
             json.dump({
                 "format": 1, "method": self.method, "weights": self.weights,
                 "fetch_k": self.fetch_k, "rrf_c": self.rrf_c,
                 "engines": kinds,
+                # which engines shared engine 0's corpus OBJECT — load
+                # restores the sharing (otherwise every engine would hold
+                # its own copy of the passage list and extend would take
+                # the slower non-shared path)
+                "shares_corpus_0": shares,
             }, f)
 
     @classmethod
@@ -399,12 +432,23 @@ class HybridRetriever:
                 f"{len(encoders)} encoders for {len(kinds)} engines"
             )
         engines = []
+        shares = meta.get("shares_corpus_0", [False] * len(kinds))
         for i, (kind, enc) in enumerate(zip(kinds, encoders)):
             sub = os.path.join(directory, f"engine_{i}")
             if kind == "bm25":
                 engines.append(LexicalRetriever.load(sub))
             else:
                 engines.append(Retriever.load(sub, enc))
+            if i > 0 and shares[i]:
+                # restore corpus-object sharing (saved engines wrote
+                # identical corpus files; keep ONE passage list in memory
+                # and the shared-extend semantics)
+                eng_emb = getattr(engines[i].corpus, "embeddings", None)
+                shared = engines[0].corpus
+                if (getattr(shared, "embeddings", None) is None
+                        and eng_emb is not None):
+                    shared.embeddings = eng_emb
+                engines[i].corpus = shared
         return cls(
             engines, weights=meta["weights"], method=meta["method"],
             fetch_k=meta["fetch_k"], rrf_c=meta["rrf_c"],
@@ -426,18 +470,46 @@ class HybridRetriever:
         def run_engine(ri_r):
             ei, r = ri_r
             kw = {}
+            engine_fetch = fetch_k
             if allow is not None:
                 view = self._engine_view(ei, r, allow)
                 if view is not None:
                     kw["index"] = view  # pre-baked, unfiltered-cost search
                 else:
                     kw["allow"] = allow  # cheap/post-filter engines
-            results = r.retrieve_batch(list(queries), fetch_k, **kw)
+                    if getattr(r, "family", "") == "cagra":
+                        # cagra's post-filter path caps candidates at
+                        # itopk (filters.search raises beyond it); a
+                        # shorter list from this engine beats failing the
+                        # whole hybrid request
+                        sp = r.search_params
+                        if sp is None:
+                            from cuvs_rag_tpu.index import cagra as _cg
+
+                            sp = _cg.default_search_params()
+                        engine_fetch = min(fetch_k, sp.itopk_size)
+            higher_better = _engine_higher_better(r)
             ids = np.full((len(queries), fetch_k), -1, np.int64)
             scs = np.zeros((len(queries), fetch_k), np.float64)
-            higher_better = _engine_higher_better(r)
+            raw = getattr(r, "retrieve_ids", None)
+            if raw is not None:
+                # raw-array fast path: skips building Q*fetch_k passage
+                # objects only to read .index/.distance back out
+                # (index= carries the pre-baked view; only dense engines
+                # — whose retrieve_ids accepts it — ever get one)
+                d, i = raw(list(queries), engine_fetch,
+                           allow=kw.get("allow"), **(
+                               {"index": kw["index"]} if "index" in kw
+                               else {}))
+                d, i = np.asarray(d, np.float64), np.asarray(i, np.int64)
+                w = i.shape[1]
+                ids[:, :w] = i
+                scs[:, :w] = np.where(i >= 0, d if higher_better else -d,
+                                      0.0)
+                return ids, scs
+            results = r.retrieve_batch(list(queries), engine_fetch, **kw)
             for qi, res in enumerate(results):
-                for j, p in enumerate(res.passages[:fetch_k]):
+                for j, p in enumerate(res.passages[:engine_fetch]):
                     ids[qi, j] = p.index
                     scs[qi, j] = p.distance if higher_better else -p.distance
             return ids, scs
@@ -451,12 +523,19 @@ class HybridRetriever:
             # put thread churn on the serving hot path
             ex = self._executor
             if ex is None:
-                from concurrent.futures import ThreadPoolExecutor
+                with self._state_lock:  # two first requests: one pool
+                    ex = self._executor
+                    if ex is None:
+                        from concurrent.futures import ThreadPoolExecutor
 
-                ex = self._executor = ThreadPoolExecutor(
-                    max_workers=len(engine_items),
-                    thread_name_prefix="hybrid-engine",
-                )
+                        # sized for engines x the daemon's dispatcher
+                        # concurrency (pipeline_depth=4) so concurrent
+                        # micro-batches pipeline instead of queuing on
+                        # len(engines) slots
+                        ex = self._executor = ThreadPoolExecutor(
+                            max_workers=min(32, len(engine_items) * 4),
+                            thread_name_prefix="hybrid-engine",
+                        )
             outs = list(ex.map(run_engine, engine_items))
         else:
             outs = [run_engine(engine_items[0])]

@@ -530,6 +530,11 @@ class LexicalRetriever:
     def retrieve(self, query: str, k: int = 5, allow=None):
         return self.retrieve_batch([query], k, allow=allow)[0]
 
+    def retrieve_ids(self, queries: Sequence[str], k: int = 5, allow=None):
+        """Raw-array retrieval (scores, ids) — the HybridRetriever hot
+        path; scores are similarities (higher = better)."""
+        return self.bm25.search(list(queries), k, allow=allow)
+
     def retrieve_batch(self, queries: Sequence[str], k: int = 5,
                        allow=None, *, index=None):
         from cuvs_rag_tpu.rag.pipeline import (

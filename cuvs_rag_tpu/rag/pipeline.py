@@ -213,6 +213,16 @@ class Retriever:
     def retrieve(self, query: str, k: int = 5, allow=None) -> RetrievalResult:
         return self.retrieve_batch([query], k, allow=allow)[0]
 
+    def retrieve_ids(
+        self, queries: Sequence[str], k: int = 5, allow=None, *, index=None
+    ):
+        """Raw-array retrieval: (distances, ids) as (Q, k) arrays with no
+        passage assembly — the hot-path hook HybridRetriever prefers
+        (fusion only reads ids/scores; building Q*k passage objects per
+        engine per request was pure interpreter overhead)."""
+        dists, idx, _ = self._search_arrays(queries, k, allow, index)
+        return dists, idx
+
     def retrieve_batch(
         self, queries: Sequence[str], k: int = 5, allow=None, *, index=None
     ) -> List[RetrievalResult]:
@@ -224,6 +234,25 @@ class Retriever:
         be a view of the same corpus with the same placement (the serving
         daemon's named persistent filter views, rag/server.py: the view is
         baked once, so per-request cost equals an unfiltered search)."""
+        dists, idx, dt = self._search_arrays(queries, k, allow, index)
+
+        results = []
+        per_query = dt / max(len(queries), 1)
+        for row in range(len(queries)):
+            passages = [
+                RetrievedPassage(
+                    text=self.corpus.passages[j],
+                    index=int(j),
+                    distance=float(dists[row, c]),
+                    title=self.corpus.titles[j] if self.corpus.titles else None,
+                )
+                for c, j in enumerate(idx[row])
+                if j >= 0
+            ]
+            results.append(RetrievalResult(passages=passages, query_time_s=per_query))
+        return results
+
+    def _search_arrays(self, queries, k, allow, index):
         from cuvs_rag_tpu.utils.metrics import default_registry as metrics
 
         metrics.inc("retriever.queries", len(queries))
@@ -287,23 +316,7 @@ class Retriever:
 
         metrics.observe("retriever.batch_seconds", dt)
         metrics.observe("retriever.latency_per_query", dt / max(len(queries), 1))
-        dists, idx = np.asarray(dists), np.asarray(idx)
-
-        results = []
-        per_query = dt / max(len(queries), 1)
-        for row in range(len(queries)):
-            passages = [
-                RetrievedPassage(
-                    text=self.corpus.passages[j],
-                    index=int(j),
-                    distance=float(dists[row, c]),
-                    title=self.corpus.titles[j] if self.corpus.titles else None,
-                )
-                for c, j in enumerate(idx[row])
-                if j >= 0
-            ]
-            results.append(RetrievalResult(passages=passages, query_time_s=per_query))
-        return results
+        return np.asarray(dists), np.asarray(idx), dt
 
     # -- persistence (warm restart) --------------------------------------
 

@@ -57,6 +57,13 @@ def main():
           f"{jax.config.jax_compilation_cache_dir}", flush=True)
     psearch._load_families()
     n, d = args.n, args.dim
+    if n % 8:
+        # corpus assembles from 8 equal device-side chunks; rounding DOWN
+        # would silently warm programs at the wrong shape (XLA programs
+        # are shape-specific — the whole point of this script)
+        n = ((n + 7) // 8) * 8
+        print(f"--n rounded up to {n} (must be a multiple of 8)",
+              flush=True)
     key = jax.random.PRNGKey(42)
     centers = jax.random.normal(jax.random.fold_in(key, 1), (2000, d))
     mk = jax.jit(lambda k: (
@@ -90,6 +97,11 @@ def main():
     results = {}
     for fam in args.families.split(","):
         fam = fam.strip()
+        if fam not in configs:
+            raise SystemExit(
+                f"unknown family {fam!r}; choose from "
+                f"{sorted(configs)}"
+            )
         params, sp = configs[fam]
         mod = psearch.FAMILIES[fam]
         t0 = time.time()

@@ -319,3 +319,55 @@ def test_hybrid_extend_keeps_shared_embeddings_aligned():
     # both engines retrieve the new doc
     got = h.retrieve("doc 12 token q12z", k=1)
     assert got.passages[0].index == 12
+
+
+def test_hybrid_load_restores_corpus_sharing(tmp_path):
+    """Engines that shared one corpus object keep sharing after
+    save/load (one passage list in memory; shared-extend path)."""
+    from cuvs_rag_tpu.rag.lexical import LexicalRetriever as _Lex
+
+    docs = ["doc %d zz%dq" % (i, i) for i in range(10)]
+    shared = Corpus(passages=list(docs))
+    dense = Retriever.build(
+        shared, HashingEncoder(dim=32), family="flat",
+        params=FlatParams(metric=Metric.INNER_PRODUCT, tile_n=8),
+    )
+    h = HybridRetriever([dense, _Lex(shared)])
+    d = str(tmp_path / "h")
+    h.save(d)
+    h2 = HybridRetriever.load(d, [HashingEncoder(dim=32), None])
+    assert h2.retrievers[1].corpus is h2.retrievers[0].corpus
+    # shared extend keeps everything aligned post-load
+    h2.extend(["doc 10 zz10q"])
+    assert len(h2.retrievers[0].corpus.passages) == 11
+    assert h2.retrievers[0].corpus.embeddings.shape[0] == 11
+    got = h2.retrieve("doc 10 zz10q", k=1)
+    assert got.passages[0].index == 10
+
+
+def test_hybrid_cagra_engine_filtered_fetch_is_capped(tmp_path):
+    """A hybrid containing a CAGRA engine must not fail filtered requests
+    when fetch_k exceeds itopk — the engine's list is capped instead."""
+    from cuvs_rag_tpu.utils.config import CagraParams, CagraSearchParams
+
+    docs = ["doc %d xx%dq" % (i, i) for i in range(64)]
+    shared = Corpus(passages=list(docs))
+    dense = Retriever.build(
+        shared, HashingEncoder(dim=32), family="flat",
+        params=FlatParams(metric=Metric.INNER_PRODUCT, tile_n=8),
+    )
+    cag = Retriever.build(
+        Corpus(passages=list(docs)), HashingEncoder(dim=32),
+        family="cagra",
+        params=CagraParams(graph_degree=4, intermediate_graph_degree=8,
+                           build_algo="exact",
+                           metric=Metric.INNER_PRODUCT),
+        search_params=CagraSearchParams(itopk_size=8),
+    )
+    h = HybridRetriever([dense, cag], method="rrf")
+    allow = np.ones(64, bool)
+    allow[3] = False
+    # fetch_k = 4*17 = 68 > itopk 8: must succeed with the cagra list
+    # capped, and the filter must hold
+    got = h.retrieve(docs[3], k=17, allow=allow)
+    assert all(p.index != 3 for p in got.passages)
