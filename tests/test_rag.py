@@ -233,3 +233,31 @@ def test_retriever_extend_promotes_untitled_corpus():
     assert len(r.corpus.titles) == len(r.corpus.passages)
     assert r.corpus.titles[:n_old] == [""] * n_old
     assert r.corpus.titles[ids.start] == "Geysers"
+
+
+def test_retrieve_ids_matches_retrieve_batch():
+    """The raw-array hook (hybrid hot path) returns exactly the ids and
+    distances retrieve_batch assembles into passages."""
+    import numpy as np
+
+    from cuvs_rag_tpu.models.encoder import HashingEncoder
+    from cuvs_rag_tpu.rag.corpus import Corpus
+    from cuvs_rag_tpu.rag.pipeline import Retriever
+    from cuvs_rag_tpu.utils.config import FlatParams, Metric
+
+    docs = ["doc %d about %s" % (i, "abcde"[i % 5]) for i in range(40)]
+    r = Retriever.build(
+        Corpus(passages=docs), HashingEncoder(dim=32), family="flat",
+        params=FlatParams(metric=Metric.COSINE, tile_n=8),
+    )
+    queries = [docs[7], docs[21]]
+    allow = np.ones(40, bool)
+    allow[21] = False
+    d, i = r.retrieve_ids(queries, 5, allow=allow)
+    res = r.retrieve_batch(queries, 5, allow=allow)
+    for qi in range(2):
+        got = [(p.index, round(p.distance, 5)) for p in res[qi].passages]
+        raw = [(int(i[qi, c]), round(float(d[qi, c]), 5))
+               for c in range(5) if i[qi, c] >= 0]
+        assert got == raw
+    assert i[0, 0] == 7 and 21 not in i[0] and 21 not in i[1]
