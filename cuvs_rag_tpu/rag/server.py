@@ -850,6 +850,46 @@ def serve(
     return srv
 
 
+def load_retriever_dir(directory: str, *, default_encoder=None,
+                       encoders=None):
+    """Detect and load any persisted retriever kind from `directory`:
+    a HybridRetriever (hybrid.json), a LexicalRetriever
+    (retriever.json family=bm25), or a dense Retriever. Dense engines
+    need an encoder: pass `encoders` (hybrid, aligned per engine) or a
+    `default_encoder` factory used for every dense slot."""
+    import json as json_mod
+    import os
+
+    from cuvs_rag_tpu.rag.lexical import LexicalRetriever
+    from cuvs_rag_tpu.rag.pipeline import Retriever
+
+    hybrid_meta = os.path.join(directory, "hybrid.json")
+    if os.path.exists(hybrid_meta):
+        from cuvs_rag_tpu.rag.fusion import HybridRetriever
+
+        if encoders is None:
+            with open(hybrid_meta) as f:
+                kinds = json_mod.load(f)["engines"]
+            if default_encoder is None:
+                raise ValueError(
+                    "hybrid dir needs `encoders` or `default_encoder`"
+                )
+            encoders = [None if k == "bm25" else default_encoder()
+                        for k in kinds]
+        return HybridRetriever.load(directory, encoders)
+    with open(os.path.join(directory, "retriever.json")) as f:
+        meta = json_mod.load(f)
+    if meta.get("family") == "bm25":
+        return LexicalRetriever.load(directory)
+    if encoders:
+        enc = encoders[0]
+    elif default_encoder is not None:
+        enc = default_encoder()
+    else:
+        raise ValueError("dense dir needs an encoder")
+    return Retriever.load(directory, enc)
+
+
 def main():
     import argparse
 
@@ -865,22 +905,34 @@ def main():
     p.add_argument("--placement", default="single")
     p.add_argument("--hybrid", action="store_true",
                    help="serve a dense + BM25 hybrid retriever")
+    p.add_argument("--load", default=None, metavar="DIR",
+                   help="serve a Retriever.save()d / LexicalRetriever / "
+                        "HybridRetriever directory (warm restart — no "
+                        "rebuild); dense engines re-encode queries with "
+                        "the demo hashing encoder unless embedded via "
+                        "the library API")
     args = p.parse_args()
 
-    qa, _ = datasets.load_medical_qa(1000)
-    corpus = Corpus(passages=[f"{r.input} {r.output}" for r in qa],
-                    titles=[r.topic for r in qa])
-    retriever = Retriever.build(
-        corpus, HashingEncoder(dim=384), family="flat",
-        params=FlatParams(metric=Metric.COSINE), placement=args.placement,
-    )
-    if args.hybrid:
-        from cuvs_rag_tpu.rag.fusion import HybridRetriever
-        from cuvs_rag_tpu.rag.lexical import LexicalRetriever
-
-        retriever = HybridRetriever(
-            [retriever, LexicalRetriever(corpus)]
+    if args.load:
+        retriever = load_retriever_dir(
+            args.load, default_encoder=lambda: HashingEncoder(dim=384)
         )
+    else:
+        qa, _ = datasets.load_medical_qa(1000)
+        corpus = Corpus(passages=[f"{r.input} {r.output}" for r in qa],
+                        titles=[r.topic for r in qa])
+        retriever = Retriever.build(
+            corpus, HashingEncoder(dim=384), family="flat",
+            params=FlatParams(metric=Metric.COSINE),
+            placement=args.placement,
+        )
+        if args.hybrid:
+            from cuvs_rag_tpu.rag.fusion import HybridRetriever
+            from cuvs_rag_tpu.rag.lexical import LexicalRetriever
+
+            retriever = HybridRetriever(
+                [retriever, LexicalRetriever(corpus)]
+            )
     srv = serve(retriever, args.host, args.port)
     print(f"serving on {args.host}:{args.port}")
     srv.serve_forever()

@@ -709,3 +709,44 @@ def test_lexical_retriever_standalone_serving():
                    for p in body["results"][0]["passages"]), body
     finally:
         srv.shutdown()
+
+
+def test_load_retriever_dir_all_kinds(tmp_path):
+    """server.load_retriever_dir detects dense / lexical / hybrid saved
+    directories (the daemon's --load warm-restart path)."""
+    from cuvs_rag_tpu.rag.fusion import HybridRetriever
+    from cuvs_rag_tpu.rag.lexical import LexicalRetriever
+
+    shared = Corpus(passages=list(PASSAGES))
+    dense = Retriever.build(
+        shared, HashingEncoder(dim=64), family="flat",
+        params=FlatParams(metric=Metric.COSINE, tile_n=8),
+    )
+    dense.save(str(tmp_path / "dense"))
+    LexicalRetriever(shared).save(str(tmp_path / "lex"))
+    HybridRetriever([dense, LexicalRetriever(shared)]).save(
+        str(tmp_path / "hyb"))
+
+    mk = lambda: HashingEncoder(dim=64)  # noqa: E731
+    d = server_mod.load_retriever_dir(str(tmp_path / "dense"),
+                                      default_encoder=mk)
+    assert d.retrieve("machine learning tpus", 1).passages[0].index == 1
+    lx = server_mod.load_retriever_dir(str(tmp_path / "lex"),
+                                       default_encoder=mk)
+    assert lx.family == "bm25"
+    assert lx.retrieve("roman empire", 1).passages[0].index == 3
+    h = server_mod.load_retriever_dir(str(tmp_path / "hyb"),
+                                      default_encoder=mk)
+    assert h.family == "hybrid"
+    assert h.retrieve("machine learning tpus", 1).passages[0].index == 1
+    # and it serves
+    srv = server_mod.serve(h, host="127.0.0.1", port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        code, body = _req(srv.server_address, "POST", "/v1/search",
+                          {"texts": ["ocean climate currents"], "k": 1})
+        assert code == 200
+        assert body["results"][0]["passages"][0]["index"] == 2
+    finally:
+        srv.shutdown()
+        srv.service.close()
