@@ -1,0 +1,55 @@
+"""Smoke-run the example scripts in-process (CPU) — examples are the
+first thing a new user runs; keep them green in CI, not just by hand.
+Marked slow: each spins up real builds/servers at demo scale."""
+
+import os
+import runpy
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(script, argv=None):
+    old_argv = sys.argv
+    sys.argv = [script] + list(argv or [])
+    try:
+        runpy.run_path(os.path.join(REPO, "examples", script),
+                       run_name="__main__")
+    except SystemExit as e:  # argparse demos may sys.exit(0)
+        assert not e.code, e.code
+    finally:
+        sys.argv = old_argv
+
+
+@pytest.mark.slow
+def test_demo_rag():
+    _run("demo_rag.py")
+
+
+@pytest.mark.slow
+def test_demo_elastic():
+    _run("demo_elastic.py")
+
+
+@pytest.mark.slow
+def test_demo_serving_views():
+    _run("demo_serving_views.py")
+
+
+@pytest.mark.slow
+def test_demo_hybrid():
+    _run("demo_hybrid.py", ["5"])
+
+
+@pytest.mark.slow
+def test_demo_sharded_rag():
+    # conftest already forces the multi-device CPU mesh; the demo's own
+    # CUVS_DEMO_CPU_MESH knob is for standalone runs
+    _run("demo_sharded_rag.py")
+
+
+@pytest.mark.slow
+def test_medical_qa_demo():
+    _run("medical_qa_demo.py")
